@@ -1,13 +1,201 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Catalog, ForeignKey, TableGraph}
+import graft.operators.Closure
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("related_closure")(spark, "/root/testdata/sf0.001")
+
+  private def cat(s: SparkSession, dir: String): Catalog = Catalog.tpch(s, dir)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── xdump core: full / partial / related-data closure ────────────────
+    "full_table" -> ((s, dir) => cat(s, dir).table("region").orderBy("r_regionkey")),
+
+    "partial_table" -> { (s, dir) =>
+      cat(s, dir).table("orders")
+        .where(col("o_totalprice") > 450000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), to_date(col("o_orderdate")).as("o_orderdate"),
+          col("o_orderpriority"))
+        .orderBy("o_orderkey")
+    },
+
+    "related_1hop" -> { (s, dir) =>
+      val c = cat(s, dir)
+      val partialOrders = c.table("orders").where(col("o_totalprice") > 450000)
+      Closure.pull(c.table("customer"), partialOrders,
+          ForeignKey("orders", "o_custkey", "customer", "c_custkey"))
+        .orderBy("c_custkey")
+    },
+
+    "related_closure" -> { (s, dir) =>
+      val c = cat(s, dir)
+      val seed = c.table("lineitem")
+        .where(col("l_quantity") === 50 && col("l_orderkey") % 97 === 0)
+      Closure.relatedData(c, partial = Map("lineitem" -> seed))("nation")
+        .orderBy("n_nationkey")
+    },
+
+    "related_union" -> { (s, dir) =>
+      val c = cat(s, dir)
+      val seeds = Map(
+        "orders" -> c.table("orders").where(col("o_totalprice") > 490000),
+        "events" -> c.table("events").where(col("value") > 480))
+      Closure.relatedData(c, partial = seeds)("customer").orderBy("c_custkey")
+    },
+
+    "recursive_closure" -> { (s, dir) =>
+      val c = cat(s, dir)
+      // Synthetic manager hierarchy: manager(c) = floor(c_custkey / 2) — a
+      // binary tree, the offline stand-in for an employees.manager_id self-FK.
+      val base = c.table("customer")
+        .withColumn("c_mgrkey", floor(col("c_custkey") / 2).cast("long"))
+      val seed = base.where(col("c_acctbal") > 9900)
+      Closure.recursiveClosure(base, seed,
+          ForeignKey("customer", "c_mgrkey", "customer", "c_custkey"),
+          primaryKey = Seq("c_custkey"))
+        .orderBy("c_custkey")
+    },
+
+    // ── xdump metadata surface: load order / sequences / schema ──────────
+    "topo_order" -> { (s, dir) =>
+      val c = cat(s, dir)
+      val levels = TableGraph.loadLevels(c.tables, c.foreignKeys).toSeq
+      s.createDataFrame(levels).toDF("table_name", "lvl").orderBy("table_name")
+    },
+
+    "sequences" -> { (s, dir) =>
+      val c = cat(s, dir)
+      c.tables.map { t =>
+        c.table(t).agg(
+          lit(t).as("table_name"),
+          max(col(c.primaryKey(t).head)).cast("long").as("seq_value"))
+      }.reduce(_ unionByName _).orderBy("table_name")
+    },
+
+    "schema_dump" -> { (s, dir) =>
+      val c = cat(s, dir)
+      val rows = c.tables.flatMap(t => c.table(t).schema.fieldNames.map(f => (t, f)))
+      s.createDataFrame(rows).toDF("table_name", "column_name")
+        .orderBy("table_name", "column_name")
+    },
+
+    // ── analytics / bench ────────────────────────────────────────────────
+    "q1_pricing" -> { (s, dir) =>
+      cat(s, dir).table("lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "full_table" -> "SELECT * FROM region ORDER BY r_regionkey",
+
+    "partial_table" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+         FROM orders WHERE o_totalprice > 450000 ORDER BY o_orderkey""",
+
+    "related_1hop" ->
+      """SELECT * FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+         ORDER BY c_custkey""",
+
+    "related_closure" ->
+      """WITH seed AS (SELECT * FROM lineitem WHERE l_quantity = 50 AND l_orderkey % 97 = 0)
+         SELECT * FROM nation WHERE n_nationkey IN (
+           SELECT c_nationkey FROM customer WHERE c_custkey IN (
+             SELECT o_custkey FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM seed)))
+         UNION
+         SELECT * FROM nation WHERE n_nationkey IN (
+           SELECT s_nationkey FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM seed))
+         ORDER BY n_nationkey""",
+
+    "related_union" ->
+      """SELECT * FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 490000)
+         UNION
+         SELECT * FROM customer
+         WHERE c_custkey IN (SELECT user_id FROM events WHERE value > 480)
+         ORDER BY c_custkey""",
+
+    "recursive_closure" ->
+      """WITH RECURSIVE base AS (
+           SELECT *, CAST(FLOOR(c_custkey / 2) AS BIGINT) AS c_mgrkey FROM customer
+         ), cte AS (
+           SELECT * FROM base WHERE c_acctbal > 9900
+           UNION
+           SELECT B.* FROM base B JOIN cte ON B.c_custkey = cte.c_mgrkey
+         )
+         SELECT * FROM cte ORDER BY c_custkey""",
+
+    "topo_order" ->
+      """SELECT * FROM (VALUES
+           ('customer', 2), ('documents', 0), ('embeddings', 0), ('events', 3),
+           ('lineitem', 4), ('nation', 1), ('orders', 3), ('part', 0),
+           ('region', 0), ('supplier', 2)) AS t(table_name, lvl)
+         ORDER BY table_name""",
+
+    "sequences" ->
+      """SELECT 'customer' AS table_name, CAST(max(c_custkey) AS BIGINT) AS seq_value FROM customer
+         UNION ALL SELECT 'documents', CAST(max(doc_id) AS BIGINT) FROM documents
+         UNION ALL SELECT 'embeddings', CAST(max(vec_id) AS BIGINT) FROM embeddings
+         UNION ALL SELECT 'events', CAST(max(event_id) AS BIGINT) FROM events
+         UNION ALL SELECT 'lineitem', CAST(max(l_orderkey) AS BIGINT) FROM lineitem
+         UNION ALL SELECT 'nation', CAST(max(n_nationkey) AS BIGINT) FROM nation
+         UNION ALL SELECT 'orders', CAST(max(o_orderkey) AS BIGINT) FROM orders
+         UNION ALL SELECT 'part', CAST(max(p_partkey) AS BIGINT) FROM part
+         UNION ALL SELECT 'region', CAST(max(r_regionkey) AS BIGINT) FROM region
+         UNION ALL SELECT 'supplier', CAST(max(s_suppkey) AS BIGINT) FROM supplier
+         ORDER BY table_name""",
+
+    "schema_dump" ->
+      """SELECT 'customer' AS table_name, column_name FROM (DESCRIBE customer)
+         UNION ALL SELECT 'documents', column_name FROM (DESCRIBE documents)
+         UNION ALL SELECT 'embeddings', column_name FROM (DESCRIBE embeddings)
+         UNION ALL SELECT 'events', column_name FROM (DESCRIBE events)
+         UNION ALL SELECT 'lineitem', column_name FROM (DESCRIBE lineitem)
+         UNION ALL SELECT 'nation', column_name FROM (DESCRIBE nation)
+         UNION ALL SELECT 'orders', column_name FROM (DESCRIBE orders)
+         UNION ALL SELECT 'part', column_name FROM (DESCRIBE part)
+         UNION ALL SELECT 'region', column_name FROM (DESCRIBE region)
+         UNION ALL SELECT 'supplier', column_name FROM (DESCRIBE supplier)
+         ORDER BY table_name, column_name""",
+
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus"""
+  )
 }

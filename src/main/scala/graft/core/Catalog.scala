@@ -1,0 +1,94 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Foreign-key edge: `table.column` references `foreignTable.foreignColumn`.
+  *
+  * Spark has no FK catalog, so the engine carries this metadata explicitly —
+  * the analog of the reference's FK-introspection queries
+  * (reference: xdump/postgresql.py:19 `BASE_RELATIONS_QUERY`,
+  * xdump/sqlite.py:67 `PRAGMA foreign_key_list`).
+  */
+final case class ForeignKey(
+    table: String,
+    column: String,
+    foreignTable: String,
+    foreignColumn: String) {
+  /** Self-referencing FK (employee→manager style). */
+  def isRecursive: Boolean = table == foreignTable
+}
+
+/** A named set of parquet-backed tables plus relational metadata (primary
+  * keys, foreign keys). All accessors return lazy logical plans — nothing is
+  * scanned until an action runs, so downstream filters/projections push into
+  * the parquet scans.
+  */
+final class Catalog(
+    @transient val spark: SparkSession,
+    val dir: String,
+    val tables: Seq[String],
+    val foreignKeys: Seq[ForeignKey],
+    val primaryKeys: Map[String, Seq[String]])
+    extends Serializable {
+
+  def table(name: String): DataFrame = {
+    require(tables.contains(name), s"unknown table: $name")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** FKs out of `table`. Mirrors xdump's `get_foreign_keys(table, full_tables,
+    * recursive)` (reference: xdump/base.py:150): edges into `excludeForeign`
+    * tables are skipped (they are dumped whole anyway) and self-edges are
+    * returned only when `recursive` is set.
+    */
+  def foreignKeysOf(
+      table: String,
+      excludeForeign: Set[String] = Set.empty,
+      recursive: Boolean = false): Seq[ForeignKey] =
+    foreignKeys.filter(fk =>
+      fk.table == table && fk.isRecursive == recursive && !excludeForeign(fk.foreignTable))
+
+  def primaryKey(name: String): Seq[String] =
+    primaryKeys.getOrElse(name, sys.error(s"no primary key registered for $name"))
+
+  def withForeignKeys(extra: ForeignKey*): Catalog =
+    new Catalog(spark, dir, tables, foreignKeys ++ extra, primaryKeys)
+}
+
+object Catalog {
+
+  /** The TPC-H-ish test schema (TESTDATA.md) with its natural FK graph. */
+  def tpch(spark: SparkSession, dir: String): Catalog = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
+    // default; read it as epoch-nanos long and convert where needed.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    new Catalog(
+    spark,
+    dir,
+    tables = Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings"),
+    foreignKeys = Seq(
+      ForeignKey("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ForeignKey("lineitem", "l_partkey", "part", "p_partkey"),
+      ForeignKey("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ForeignKey("orders", "o_custkey", "customer", "c_custkey"),
+      ForeignKey("customer", "c_nationkey", "nation", "n_nationkey"),
+      ForeignKey("supplier", "s_nationkey", "nation", "n_nationkey"),
+      ForeignKey("nation", "n_regionkey", "region", "r_regionkey"),
+      ForeignKey("events", "user_id", "customer", "c_custkey")
+    ),
+    primaryKeys = Map(
+      "region" -> Seq("r_regionkey"),
+      "nation" -> Seq("n_nationkey"),
+      "customer" -> Seq("c_custkey"),
+      "supplier" -> Seq("s_suppkey"),
+      "part" -> Seq("p_partkey"),
+      "orders" -> Seq("o_orderkey"),
+      "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+      "events" -> Seq("event_id"),
+      "documents" -> Seq("doc_id"),
+      "embeddings" -> Seq("vec_id")
+    )
+  )
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Catalog, ForeignKey, TableGraph}
+import graft.operators.Closure
+
+class ClosureSpec extends SparkSpec {
+  private lazy val cat = Catalog.tpch(spark, sfDir)
+
+  test("pull selects exactly the referenced rows") {
+    val partialOrders = cat.table("orders").where(col("o_totalprice") > 400000)
+    val pulled = Closure.pull(cat.table("customer"), partialOrders,
+      ForeignKey("orders", "o_custkey", "customer", "c_custkey"))
+    val expected = partialOrders.select("o_custkey").distinct().count()
+    // every referenced custkey exists in customer (FK integrity of testdata)
+    assert(pulled.count() === expected)
+  }
+
+  test("relatedData closes over multi-hop FK chains") {
+    val seed = cat.table("lineitem").where(col("l_quantity") === 50)
+    val sel = Closure.relatedData(cat, partial = Map("lineitem" -> seed))
+    // the closure must have pulled every table on a path from lineitem
+    assert(Set("orders", "customer", "nation", "region", "part", "supplier")
+      .subsetOf(sel.keySet))
+    // consistency: every l_orderkey in the seed exists in pulled orders
+    val missing = seed.select(col("l_orderkey").as("k")).distinct()
+      .join(sel("orders"), col("k") === col("o_orderkey"), "left_anti")
+    assert(missing.count() === 0)
+  }
+
+  test("relatedData skips pulls into full tables and rejects overlap") {
+    val seed = cat.table("orders").where(col("o_totalprice") > 400000)
+    val sel = Closure.relatedData(cat, fullTables = Seq("customer"),
+      partial = Map("orders" -> seed))
+    assert(!sel.contains("customer")) // dumped whole, never pulled into
+    // but customer (full) still pulls its own FKs → nation selected
+    assert(sel.contains("nation"))
+    intercept[IllegalArgumentException] {
+      Closure.relatedData(cat, fullTables = Seq("orders"), partial = Map("orders" -> seed))
+    }
+  }
+
+  test("recursiveClosure reaches all ancestors and terminates") {
+    val base = cat.table("customer")
+      .withColumn("c_mgrkey", floor(col("c_custkey") / 2).cast("long"))
+    // ancestors of 100: 50,25,12,6,3,1,0 — and 0 is its own manager
+    // (floor(0/2)=0), so the self-loop must not spin the iteration.
+    val seed = base.where(col("c_custkey") === 100)
+    val closed = Closure.recursiveClosure(base, seed,
+      ForeignKey("customer", "c_mgrkey", "customer", "c_custkey"), Seq("c_custkey"))
+    val keys = closed.select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(keys === Set(100L, 50L, 25L, 12L, 6L, 3L, 1L, 0L))
+  }
+
+  test("topo levels respect every FK edge") {
+    val lv = TableGraph.loadLevels(cat.tables, cat.foreignKeys)
+    cat.foreignKeys.filterNot(_.isRecursive).foreach { fk =>
+      assert(lv(fk.table) > lv(fk.foreignTable), s"$fk violates load order")
+    }
+    assert(TableGraph.loadOrder(cat.tables, cat.foreignKeys).head === "documents")
+  }
+
+  test("loadLevels detects cycles") {
+    val fks = Seq(ForeignKey("a", "x", "b", "y"), ForeignKey("b", "y", "a", "x"))
+    intercept[IllegalArgumentException] {
+      TableGraph.loadLevels(Seq("a", "b"), fks)
+    }
+  }
+}
