@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Catalog, ForeignKey, TableGraph}
 import graft.operators.Closure
+import graft.sources.{Dump, DumpSpec}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -89,6 +90,17 @@ object SparkEntry {
         .orderBy("table_name", "column_name")
     },
 
+    "dump_load_roundtrip" -> { (s, dir) =>
+      val c = cat(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dump").toString
+      Dump.write(c, DumpSpec(
+        fullTables = Seq("region"),
+        partialTables = Map("orders" -> c.table("orders").where(col("o_totalprice") > 480000))),
+        s"$tmp/dump")
+      Dump.loadInto(s, s"$tmp/dump", s"$tmp/loaded")
+      s.read.parquet(s"$tmp/loaded/customer.parquet").orderBy("c_custkey")
+    },
+
     // ── analytics / bench ────────────────────────────────────────────────
     "q1_pricing" -> { (s, dir) =>
       cat(s, dir).table("lineitem")
@@ -104,6 +116,58 @@ object SparkEntry {
           round(avg(col("l_discount")), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    "q3_toporders" -> { (s, dir) =>
+      val c = cat(s, dir)
+      c.table("customer").where(col("c_mktsegment") === "BUILDING")
+        .join(c.table("orders"), col("c_custkey") === col("o_custkey"))
+        .join(c.table("lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .where(col("o_orderdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    "q5_regional" -> { (s, dir) =>
+      val c = cat(s, dir)
+      c.table("customer")
+        .join(c.table("orders"), col("c_custkey") === col("o_custkey"))
+        .join(c.table("lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(c.table("supplier"),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(c.table("nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(c.table("region"), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    "window_topn" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      cat(s, dir).table("events")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"), col("rn"))
+        .orderBy("user_id", "rn")
+    },
+
+    "events_hourly" -> { (s, dir) =>
+      // ts is epoch-nanos (nanosAsLong read); bucket to hour starts.
+      cat(s, dir).table("events")
+        .withColumn("hour_start", expr("ts DIV 3600000000000") * 3600)
+        .groupBy(col("event_type"), col("hour_start"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"),
+          round(avg(col("value")), 4).as("avg_value"))
+        .orderBy("event_type", "hour_start")
     }
   )
 
@@ -196,6 +260,56 @@ object SparkEntry {
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus
-         ORDER BY l_returnflag, l_linestatus"""
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "dump_load_roundtrip" ->
+      """SELECT * FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 480000)
+         ORDER BY c_custkey""",
+
+    "q3_toporders" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+         ORDER BY revenue DESC, l_orderkey
+         LIMIT 10""",
+
+    "q5_regional" ->
+      """SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name""",
+
+    "window_topn" ->
+      """SELECT user_id, event_id, event_type, value, rn FROM (
+           SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+           FROM events) t
+         WHERE rn <= 3
+         ORDER BY user_id, rn""",
+
+    "events_hourly" ->
+      """SELECT event_type, epoch_ns(ts) // 3600000000000 * 3600 AS hour_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           ROUND(AVG(value), 4) AS avg_value
+         FROM events
+         GROUP BY event_type, hour_start
+         ORDER BY event_type, hour_start"""
   )
 }

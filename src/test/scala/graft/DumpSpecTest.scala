@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Catalog
+import graft.sources.{Dump, DumpSpec}
+
+class DumpSpecTest extends SparkSpec {
+  private lazy val cat = Catalog.tpch(spark, sfDir)
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_test").toString
+
+  test("parquet dump is FK-closed and roundtrips") {
+    val dir = tmp()
+    val seed = cat.table("orders").where(col("o_totalprice") > 400000)
+    Dump.write(cat, DumpSpec(
+      fullTables = Seq("region"),
+      partialTables = Map("orders" -> seed)), dir)
+
+    val loaded = Dump.load(spark, dir).toMap
+    // closure pulled orders → customer → nation
+    assert(loaded.keySet === Set("region", "orders", "customer", "nation"))
+    assert(loaded("region").count() === 5)
+    assert(loaded("orders").count() === seed.count())
+    // referential consistency: every o_custkey resolves
+    val dangling = loaded("orders").select(col("o_custkey").as("k")).distinct()
+      .join(loaded("customer"), col("k") === col("c_custkey"), "left_anti")
+    assert(dangling.count() === 0)
+    // manifest load order is dependency-first
+    val order = Dump.load(spark, dir).map(_._1)
+    assert(order.indexOf("nation") < order.indexOf("customer"))
+    assert(order.indexOf("customer") < order.indexOf("orders"))
+  }
+
+  test("csv dump preserves schema via dumped DDL") {
+    val dir = tmp()
+    Dump.write(cat, DumpSpec(
+      fullTables = Seq("nation"),
+      format = "csv"), dir)
+    val loaded = Dump.load(spark, dir).toMap
+    val orig = cat.table("nation")
+    assert(loaded("nation").schema === orig.schema)
+    assert(loaded("nation").count() === orig.count())
+  }
+
+  test("loadInto writes target tables readable as parquet") {
+    val dir = tmp()
+    Dump.write(cat, DumpSpec(fullTables = Seq("region", "nation")), s"$dir/d")
+    Dump.loadInto(spark, s"$dir/d", s"$dir/t")
+    assert(spark.read.parquet(s"$dir/t/nation.parquet").count() === 25)
+  }
+}
