@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Catalog, ForeignKey, TableGraph}
-import graft.operators.Closure
+import graft.operators.{Closure, TextAnalysis}
 import graft.sources.{Dump, DumpSpec}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -159,6 +159,22 @@ object SparkEntry {
         .orderBy("user_id", "rn")
     },
 
+    // ── LLM-data-pipeline: text analysis ─────────────────────────────────
+    "token_count" -> ((s, dir) =>
+      TextAnalysis.tokenCount(cat(s, dir).table("documents")).orderBy("doc_id")),
+
+    "quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(cat(s, dir).table("documents")).orderBy("doc_id")),
+
+    "lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(cat(s, dir).table("documents")).orderBy("doc_id")),
+
+    "dedup_exact" -> ((s, dir) =>
+      TextAnalysis.dedupExact(cat(s, dir).table("documents")).orderBy("keep_id")),
+
+    "doc_fingerprint" -> ((s, dir) =>
+      TextAnalysis.docFingerprint(cat(s, dir).table("documents")).orderBy("doc_id")),
+
     "events_hourly" -> { (s, dir) =>
       // ts is epoch-nanos (nanosAsLong read); bucket to hour starts.
       cat(s, dir).table("events")
@@ -302,6 +318,86 @@ object SparkEntry {
            FROM events) t
          WHERE rn <= 3
          ORDER BY user_id, rn""",
+
+    "token_count" ->
+      """WITH t AS (SELECT doc_id, text,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+         FROM documents)
+         SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+           len(text) / greatest(len(toks), 1) AS chars_per_token
+         FROM t ORDER BY doc_id""",
+
+    "quality_score" ->
+      """WITH t AS (SELECT doc_id, text,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+         FROM documents),
+         t2 AS (SELECT *, CAST(greatest(len(toks), 1) AS BIGINT) AS n_tok,
+           len(list_filter(toks, x -> list_contains(
+             ['the','a','an','and','of','to','in','is','it','that'], x))) AS n_stop
+         FROM t)
+         SELECT doc_id,
+           CAST(len(text) AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(CAST(len(text) AS DOUBLE) / n_tok, 4) AS chars_per_token,
+           CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS punct_count,
+           round(CAST(n_stop AS DOUBLE) / n_tok, 4) AS stopword_ratio,
+           (len(toks) >= 5 AND len(text) >= 40 AND n_stop > 0) AS passes_quality
+         FROM t2 ORDER BY doc_id""",
+
+    "lang_id" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+         FROM documents),
+         s AS (SELECT doc_id,
+           CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht'], x))) AS BIGINT) AS score_de,
+           CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','of','to','in','is','it','that'], x))) AS BIGINT) AS score_en,
+           CAST(len(list_filter(toks, x -> list_contains(['el','los','las','y','es','que'], x))) AS BIGINT) AS score_es,
+           CAST(len(list_filter(toks, x -> list_contains(['le','les','et','est','une','dans'], x))) AS BIGINT) AS score_fr,
+           CAST(len(list_filter(toks, x -> list_contains(['的','是','了','在','我'], x))) AS BIGINT) AS score_zh
+         FROM t)
+         SELECT doc_id,
+           CASE
+             WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh)
+              AND greatest(score_de, score_en, score_es, score_fr, score_zh) > 0 THEN 'de'
+             WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh)
+              AND greatest(score_de, score_en, score_es, score_fr, score_zh) > 0 THEN 'en'
+             WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh)
+              AND greatest(score_de, score_en, score_es, score_fr, score_zh) > 0 THEN 'es'
+             WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh)
+              AND greatest(score_de, score_en, score_es, score_fr, score_zh) > 0 THEN 'fr'
+             WHEN score_zh = greatest(score_de, score_en, score_es, score_fr, score_zh)
+              AND greatest(score_de, score_en, score_es, score_fr, score_zh) > 0 THEN 'zh'
+             ELSE 'und' END AS lang_pred,
+           score_de, score_en, score_es, score_fr, score_zh
+         FROM s ORDER BY doc_id""",
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS keep_id,
+           count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY keep_id""",
+
+    "doc_fingerprint" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+         FROM documents),
+         sh AS (SELECT doc_id,
+           list_distinct(CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' '))
+             ELSE [] END) AS s
+         FROM t),
+         h AS (SELECT doc_id,
+           list_transform(s, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS hs,
+           len(s) AS ns
+         FROM sh WHERE len(s) > 0)
+         SELECT doc_id,
+           list_min(hs) AS fp_min,
+           list_max(hs) AS fp_max,
+           list_reduce(hs, (a, b) -> xor(a, b)) AS fp_xor,
+           CAST(ns AS BIGINT) AS n_shingles
+         FROM h ORDER BY doc_id""",
 
     "events_hourly" ->
       """SELECT event_type, epoch_ns(ts) // 3600000000000 * 3600 AS hour_start,
