@@ -1,10 +1,10 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Catalog, ForeignKey, TableGraph}
-import graft.operators.{Closure, TextAnalysis}
+import graft.operators.{Closure, Similarity, TextAnalysis}
 import graft.sources.{Dump, DumpSpec}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -103,18 +103,25 @@ object SparkEntry {
 
     // ── analytics / bench ────────────────────────────────────────────────
     "q1_pricing" -> { (s, dir) =>
+      // Decimal-routed sums: deterministic under any partitioning (double
+      // addition is order-sensitive; decimal addition is exact). Rounding
+      // happens in decimal space — rounding a *double* can land on an exact
+      // half boundary and tie-break differently across engines. Averages are
+      // emitted unrounded for the same reason (identical doubles everywhere).
+      def dsum(c: Column): Column = sum(c.cast("decimal(28,6)"))
+      val n = count(lit(1))
       cat(s, dir).table("lineitem")
         .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 4).as("avg_price"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
-          count(lit(1)).as("count_order"))
+          round(dsum(col("l_quantity")), 2).cast("double").as("sum_qty"),
+          round(dsum(col("l_extendedprice")), 2).cast("double").as("sum_base_price"),
+          round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).cast("double").as("sum_disc_price"),
+          round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).cast("double").as("sum_charge"),
+          (dsum(col("l_quantity")).cast("double") / n).as("avg_qty"),
+          (dsum(col("l_extendedprice")).cast("double") / n).as("avg_price"),
+          (dsum(col("l_discount")).cast("double") / n).as("avg_disc"),
+          n.as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
 
@@ -126,7 +133,8 @@ object SparkEntry {
         .where(col("o_orderdate") < lit("1997-01-01").cast("timestamp") &&
           col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
         .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(28,6)")), 2).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     },
@@ -144,7 +152,8 @@ object SparkEntry {
           col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(28,6)")), 2).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
@@ -175,14 +184,32 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.docFingerprint(cat(s, dir).table("documents")).orderBy("doc_id")),
 
+    // ── LLM-data-pipeline: embedding similarity / ANN ────────────────────
+    "embed_cosine_dup" -> ((s, dir) =>
+      Similarity.embedCosineDup(cat(s, dir).table("embeddings"), threshold = 0.4)
+        .orderBy("id_a", "id_b")),
+
+    "ann_topk" -> ((s, dir) =>
+      Similarity.annTopK(cat(s, dir).table("embeddings"), col("vec_id") % 50 === 0, k = 10)
+        .orderBy("query_id", "rank")),
+
+    "ann_lsh" -> ((s, dir) =>
+      Similarity.annLsh(cat(s, dir).table("embeddings"), col("vec_id") % 50 === 0,
+          k = 10, planes = 4)
+        .orderBy("query_id", "rank")),
+
     "events_hourly" -> { (s, dir) =>
       // ts is epoch-nanos (nanosAsLong read); bucket to hour starts.
+      // Sums go through exact decimals: double addition is not associative,
+      // so a float sum depends on partition merge order — nondeterministic
+      // across partitionings (and across engines). Decimal sums are exact.
       cat(s, dir).table("events")
         .withColumn("hour_start", expr("ts DIV 3600000000000") * 3600)
         .groupBy(col("event_type"), col("hour_start"))
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("sum_value"),
-          round(avg(col("value")), 4).as("avg_value"))
+          round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("sum_value"),
+          (sum(col("value").cast("decimal(18,6)")).cast("double") / count(lit(1)))
+            .as("avg_value"))
         .orderBy("event_type", "hour_start")
     }
   )
@@ -265,13 +292,13 @@ object SparkEntry {
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4) AS avg_price,
-           ROUND(AVG(l_discount), 4) AS avg_disc,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -285,7 +312,7 @@ object SparkEntry {
 
     "q3_toporders" ->
       """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
          FROM customer
          JOIN orders ON c_custkey = o_custkey
          JOIN lineitem ON o_orderkey = l_orderkey
@@ -298,7 +325,7 @@ object SparkEntry {
 
     "q5_regional" ->
       """SELECT n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
          FROM customer
          JOIN orders ON c_custkey = o_custkey
          JOIN lineitem ON o_orderkey = l_orderkey
@@ -399,11 +426,66 @@ object SparkEntry {
            CAST(ns AS BIGINT) AS n_shingles
          FROM h ORDER BY doc_id""",
 
+    "embed_cosine_dup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (SELECT vec_id, v,
+           sqrt(list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
+                (a, b) -> a + b)) AS nrm
+         FROM e),
+         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
+                (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
+         FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, round(cos, 4) AS cosine
+         FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""",
+
+    "ann_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (SELECT vec_id, v,
+           sqrt(list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
+                (a, b) -> a + b)) AS nrm
+         FROM e),
+         p AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+           list_reduce(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * x.v[i]),
+                (a, b) -> a + b) / (q.nrm * x.nrm) AS cos
+         FROM n q JOIN n x ON x.vec_id <> q.vec_id
+         WHERE q.vec_id % 50 = 0),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         FROM p)
+         SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", round(cos, 4) AS cosine
+         FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+
+    "ann_lsh" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (SELECT vec_id, v,
+           sqrt(list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
+                (a, b) -> a + b)) AS nrm
+         FROM e),
+         bk AS (SELECT vec_id, v, nrm,
+           array_to_string(list_transform(range(0, 4), p -> CASE WHEN
+             list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] *
+               ((CAST('0x' || substr(md5('plane|' || p::VARCHAR || '|' || i::VARCHAR), 1, 15) AS BIGINT)
+                 % 2001 - 1000) / 1000.0)),
+               (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END), '') AS bucket
+         FROM n),
+         p AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+           list_reduce(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * x.v[i]),
+                (a, b) -> a + b) / (q.nrm * x.nrm) AS cos
+         FROM bk q JOIN bk x ON x.bucket = q.bucket AND x.vec_id <> q.vec_id
+         WHERE q.vec_id % 50 = 0),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         FROM p)
+         SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", round(cos, 4) AS cosine
+         FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+
     "events_hourly" ->
       """SELECT event_type, epoch_ns(ts) // 3600000000000 * 3600 AS hour_start,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value,
-           ROUND(AVG(value), 4) AS avg_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value
          FROM events
          GROUP BY event_type, hour_start
          ORDER BY event_type, hour_start"""

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  private def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("cosine of a vector with itself is 1") {
+    val e = emb.select(col("vec_id"), Similarity.vec(col("embedding")).as("v"))
+    val bad = e
+      .withColumn("cos",
+        Similarity.dot(col("v"), col("v")) /
+          (Similarity.l2norm(col("v")) * Similarity.l2norm(col("v"))))
+      .where(abs(col("cos") - 1.0) > 1e-9)
+      .count()
+    assert(bad === 0)
+  }
+
+  test("embedCosineDup emits ordered pairs above threshold") {
+    val pairs = Similarity.embedCosineDup(emb, threshold = 0.3)
+    assert(pairs.where(col("id_a") >= col("id_b")).count() === 0)
+    assert(pairs.where(col("cosine") < 0.3).count() === 0)
+  }
+
+  test("annTopK returns k ranked neighbors per query, excluding self") {
+    val res = Similarity.annTopK(emb, col("vec_id") % 100 === 0, k = 5)
+    val perQuery = res.groupBy("query_id").count()
+    assert(perQuery.where(col("count") =!= 5).count() === 0)
+    assert(res.where(col("neighbor_id") === col("query_id")).count() === 0)
+    // ranks are 1..k and cosine is non-increasing in rank
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy("rank")
+    val viol = res
+      .withColumn("prev", lag(col("cosine"), 1).over(w))
+      .where(col("prev").isNotNull && col("prev") < col("cosine"))
+      .count()
+    assert(viol === 0)
+  }
+
+  test("annLsh results are a subset of brute-force scoring, same bucket only") {
+    val exact = Similarity.annTopK(emb, col("vec_id") % 100 === 0, k = 1000)
+      .select("query_id", "neighbor_id", "cosine")
+    val lsh = Similarity.annLsh(emb, col("vec_id") % 100 === 0, k = 5, planes = 3)
+      .select("query_id", "neighbor_id", "cosine")
+    // every LSH (query, neighbor, cosine) appears in the exact scoring
+    assert(lsh.except(exact).count() === 0)
+  }
+
+  test("lsh bucket assignment is partitioning-independent") {
+    val e = emb.select(col("vec_id"), Similarity.vec(col("embedding")).as("v"))
+    val a = e.withColumn("b", Similarity.lshBucket(col("v"), 4)).orderBy("vec_id").collect()
+    val b = e.repartition(7).withColumn("b", Similarity.lshBucket(col("v"), 4))
+      .orderBy("vec_id").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+}
