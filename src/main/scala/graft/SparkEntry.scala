@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Catalog, ForeignKey, TableGraph}
-import graft.operators.{Closure, Similarity, TextAnalysis}
+import graft.operators.{Closure, Dedup, Similarity, TextAnalysis}
 import graft.sources.{Dump, DumpSpec}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -183,6 +183,16 @@ object SparkEntry {
 
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.docFingerprint(cat(s, dir).table("documents")).orderBy("doc_id")),
+
+    // ── LLM-data-pipeline: near-duplicate detection ──────────────────────
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(cat(s, dir).table("documents")).orderBy("doc_a", "doc_b")),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(cat(s, dir).table("documents")).orderBy("doc_a", "doc_b")),
+
+    "ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(cat(s, dir).table("documents")).orderBy("doc_a", "doc_b")),
 
     // ── LLM-data-pipeline: embedding similarity / ANN ────────────────────
     "embed_cosine_dup" -> ((s, dir) =>
@@ -425,6 +435,73 @@ object SparkEntry {
            list_reduce(hs, (a, b) -> xor(a, b)) AS fp_xor,
            CAST(ns AS BIGINT) AS n_shingles
          FROM h ORDER BY doc_id""",
+
+    "dedup_minhash" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+         FROM documents),
+         sh AS (SELECT doc_id,
+           list_distinct(CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' '))
+             ELSE [] END) AS s
+         FROM t),
+         sg AS (SELECT doc_id, s,
+           list_transform(range(0, 16), i -> list_min(list_transform(s,
+             x -> CAST('0x' || substr(md5(i::VARCHAR || '|' || x), 1, 15) AS BIGINT)))) AS sig
+         FROM sh WHERE len(s) > 0),
+         bands AS (SELECT doc_id,
+           r.b::VARCHAR || ':' || sig[2 * r.b + 1]::VARCHAR || ':' || sig[2 * r.b + 2]::VARCHAR AS bkey
+         FROM sg CROSS JOIN range(0, 8) r(b)),
+         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y ON x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         v AS (SELECT doc_a, doc_b,
+           len(list_intersect(xa.s, yb.s)) AS inter, len(xa.s) AS la, len(yb.s) AS lb,
+           len(list_filter(range(1, 17), i -> xa.sig[i] = yb.sig[i])) AS m
+         FROM cand JOIN sg xa ON xa.doc_id = doc_a JOIN sg yb ON yb.doc_id = doc_b)
+         SELECT doc_a, doc_b, inter / (la + lb - inter) AS jaccard, m / 16 AS est_jaccard
+         FROM v WHERE inter / (la + lb - inter) >= 0.5 ORDER BY doc_a, doc_b""",
+
+    "dedup_simhash" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+         FROM documents),
+         th AS (SELECT doc_id,
+           list_transform(toks, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS th
+         FROM t WHERE len(toks) > 0),
+         bits AS (SELECT doc_id, list_transform(range(0, 48), b ->
+           CAST(list_sum(list_transform(th, h ->
+             CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) AS BIGINT)) AS bits
+         FROM th),
+         s AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 48), b ->
+           CASE WHEN bits[b + 1] > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
+           AS BIGINT) AS sim
+         FROM bits)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sim, b.sim)) <= 3 ORDER BY doc_a, doc_b""",
+
+    "ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+         FROM documents),
+         sh AS (SELECT doc_id,
+           list_distinct(CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' '))
+             ELSE [] END) AS s
+         FROM t),
+         ex AS (SELECT doc_id, unnest(s) AS sg FROM sh WHERE len(s) > 0),
+         rare AS (SELECT sg FROM ex GROUP BY sg HAVING count(*) <= 100),
+         kept AS (SELECT ex.doc_id, ex.sg FROM ex JOIN rare USING (sg)),
+         sz AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+         pr AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+         FROM kept x JOIN kept y ON x.sg = y.sg AND x.doc_id < y.doc_id GROUP BY 1, 2)
+         SELECT doc_a, doc_b, inter, CAST(a.n_sh + b.n_sh - inter AS BIGINT) AS uni,
+           inter / (a.n_sh + b.n_sh - inter) AS jaccard
+         FROM pr JOIN sz a ON a.doc_id = doc_a JOIN sz b ON b.doc_id = doc_b
+         WHERE inter / (a.n_sh + b.n_sh - inter) >= 0.3 ORDER BY doc_a, doc_b""",
 
     "embed_cosine_dup" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import org.apache.spark.storage.StorageLevel
+
+import TextAnalysis.{hexHash, seededHash, shingles, tokens}
+
+/** Near-duplicate detection for the LLM-data-pipeline tier (SURVEY.md §2):
+  * MinHash+LSH, SimHash, and exact n-gram Jaccard over a
+  * `documents(doc_id, text, ...)` table.
+  *
+  * 100 TB design: no operator here ever forms the raw n² cross product.
+  * - MinHash signatures are computed map-side in one pass; LSH banding
+  *   explodes each doc to `bands` rows and candidate pairs come from an
+  *   equi-join on the band key — shuffle volume is rows × bands.
+  * - SimHash is one 48-bit signature per doc; candidates come from an
+  *   equi-join on 12-bit signature chunks (pigeonhole: hamming ≤ 3 ⇒ some
+  *   chunk equal).
+  * - n-gram Jaccard uses the inverted-index join (pairs sharing a rare
+  *   shingle) with a document-frequency cap that drops stop-shingles —
+  *   the standard guard against the quadratic frequent-token blowup.
+  * Everything is deterministic column algebra on the shared md5-derived
+  * hash (TextAnalysis.hexHash) — no UDFs, no randomness, engine-portable.
+  */
+object Dedup {
+
+  /** Let-binding for column expressions: evaluates `value` once and binds
+    * it as a lambda variable for `body` — `transform` over a one-element
+    * array. Catalyst's CollapseProject inlines plain withColumn chains, so
+    * an expensive subexpression referenced k times would be *evaluated* k
+    * times (there is no cross-lambda CSE in interpreted higher-order
+    * functions); a lambda variable is evaluated exactly once.
+    */
+  def bindOnce(value: Column, body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
+  /** MinHash signature: sig_i = min over shingles of h_i(shingle), with k
+    * INDEPENDENT seeded md5 hashes. (A cheaper affine family h_i = a + i·b
+    * mod p was tried and rejected: its hashes are correlated across i — one
+    * shingle with small (a, b) dominates every signature position, which
+    * wrecks both the signature-match estimator and the banding recall
+    * guarantee. Callers amortize the k·|shingles| md5 cost by persisting
+    * the signature frame — see minhashPairs.)
+    */
+  def minhashSignature(sh: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(sh, x => seededHash(i, x))))
+
+  private def withShingles(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .withColumn("sh", shingles(tokens(col("text")), n))
+      .where(size(col("sh")) > 0)
+
+  /** MinHash+LSH near-dup pairs: shingle → 16-wide signature → 8 bands of 2
+    * rows → band-key equi-join for candidates → exact Jaccard verification
+    * within candidates only. Emits pairs with exact Jaccard ≥ `minJaccard`
+    * plus the signature-estimated Jaccard.
+    *
+    * Banding recall: P(candidate | J) = 1 − (1 − J²)⁸ (≈ 1 − 2·10⁻⁶ at
+    * J = 0.9); pairs missed by every band are unseen, by MinHash design.
+    */
+  def minhashPairs(
+      docs: DataFrame,
+      n: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      minJaccard: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands // 2
+    // Signatures are computed once and persisted: the plan references this
+    // frame four times (two band-join sides, two verification sides), and
+    // recomputing k md5-hashes per shingle per reference is the dominant
+    // cost. Same pattern as MLlib's MinHashLSH (cache model output, then
+    // candidate-join). MEMORY_AND_DISK: spills instead of OOM at scale.
+    val sigs = withShingles(docs, n)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col("doc_id"), col("sh"), col("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // (doc, band) → band key string "b:sig[2b]:sig[2b+1]"
+    val banded = sigs
+      .select(col("doc_id"), explode(sequence(lit(0), lit(bands - 1))).as("b"), col("sig"))
+      .withColumn("bkey", concat_ws(":",
+        (col("b") +: (0 until rows).map(r =>
+          element_at(col("sig"), col("b") * rows + (r + 1)))): _*))
+      .select(col("doc_id"), col("bkey"))
+
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    val a = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sha"), col("sig").as("siga"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("sh").as("shb"), col("sig").as("sigb"))
+    val inter = size(array_intersect(col("sha"), col("shb")))
+    val union = size(col("sha")) + size(col("shb")) - inter
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("jaccard", inter / union)
+      .where(col("jaccard") >= minJaccard)
+      .withColumn("est_jaccard",
+        size(filter(sequence(lit(1), lit(numHashes)),
+          i => element_at(col("siga"), i) === element_at(col("sigb"), i))) / lit(numHashes))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("est_jaccard"))
+  }
+
+  /** 48-bit SimHash signature per document (frequency-weighted token
+    * hashes; bit b set iff Σ_tokens ±1 for hash-bit b is positive).
+    * 48 bits keeps every intermediate in a non-negative signed long in
+    * both Spark and the DuckDB oracle.
+    */
+  def simhash(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", tokens(col("text")))
+      .where(size(col("toks")) > 0)
+      // Single let-bound expression: token hashes (th) and per-bit sums
+      // (bits) are lambda variables, each evaluated once per row — a plain
+      // withColumn chain would inline th into all 48 bit positions.
+      .withColumn("simhash", expr(
+        """element_at(transform(
+             array(transform(toks, x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT))),
+             th -> element_at(transform(
+               array(transform(sequence(0, 47), b ->
+                 aggregate(th, 0L, (acc, h) ->
+                   acc + (CASE WHEN shiftright(h, b) & 1 = 1 THEN 1 ELSE -1 END)))),
+               bits -> aggregate(sequence(0, 47), 0L, (acc, b) ->
+                 acc + (CASE WHEN element_at(bits, b + 1) > 0
+                             THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0L END))), 1)), 1)"""))
+      .select(col("doc_id"), col("simhash"))
+
+  /** SimHash near-dup pairs: candidates share at least one of four 12-bit
+    * signature chunks (equi-join — no cross product), verified by Hamming
+    * distance ≤ `maxHamming`. For maxHamming ≤ 3 the pigeonhole principle
+    * makes this EXACT: ≤ 3 differing bits cannot touch all 4 chunks, so
+    * every qualifying pair shares a chunk and is found (the Manku et al.
+    * WWW'07 chunk-table construction). The signature rides along the chunk
+    * join — no second join, and the hamming filter runs before the
+    * pair-dedup so the distinct only sees survivors.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding guarantees recall only for hamming <= 3")
+    val chunks = simhash(docs)
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("cv", expr("shiftright(simhash, 12 * c) & 4095"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Exact word-n-gram Jaccard pairs via the inverted-index join: explode
+    * shingles, drop shingles appearing in more than `maxDf` docs
+    * (stop-shingles — they only generate quadratic candidates), self-join
+    * on the shingle, count shared shingles per pair. Exact within the
+    * kept-shingle vocabulary: every pair with a shared kept shingle is
+    * scored.
+    */
+  def ngramJaccard(
+      docs: DataFrame,
+      n: Int = 3,
+      minJaccard: Double = 0.3,
+      maxDf: Int = 100): DataFrame = {
+    val ex = withShingles(docs, n)
+      .select(col("doc_id"), explode(col("sh")).as("sg"))
+    val rare = ex.groupBy("sg").count().where(col("count") <= maxDf).select("sg")
+    val kept = ex.join(rare, Seq("sg"), "left_semi")
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = kept.as("x").join(kept.as("y"),
+        col("x.sg") === col("y.sg") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .withColumn("jaccard", col("inter") / col("uni"))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"), col("jaccard"))
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("minhashPairs finds planted near-duplicates, none below threshold") {
+    val pairs = Dedup.minhashPairs(docs, minJaccard = 0.5)
+    assert(pairs.count() > 0) // testdata plants ~25 pairs at J >= 0.9
+    assert(pairs.where(col("jaccard") < 0.5).count() === 0)
+    assert(pairs.where(col("doc_a") >= col("doc_b")).count() === 0)
+    // signature estimate tracks exact jaccard on strong dups
+    assert(pairs.where(col("jaccard") >= 0.9 && col("est_jaccard") < 0.5).count() === 0)
+  }
+
+  test("exact duplicate text yields jaccard 1 pair") {
+    val two = docs.limit(1).select(col("doc_id"), col("text"))
+      .union(docs.limit(1).select(col("doc_id") + 1000000, col("text")))
+    val pairs = Dedup.minhashPairs(two)
+    assert(pairs.count() === 1)
+    assert(pairs.head().getAs[Double]("jaccard") === 1.0)
+    assert(pairs.head().getAs[Double]("est_jaccard") === 1.0)
+  }
+
+  test("simhashPairs is exact for hamming <= 3 (matches all-pairs scan)") {
+    val banded = Dedup.simhashPairs(docs, maxHamming = 3)
+    val s = Dedup.simhash(docs)
+    val all = s.as("a").join(s.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .where(col("hamming") <= 3)
+    assert(banded.except(all).count() === 0)
+    assert(all.except(banded).count() === 0) // pigeonhole: full recall
+  }
+
+  test("ngramJaccard pairs agree with minhash on strong duplicates") {
+    val ng = Dedup.ngramJaccard(docs, minJaccard = 0.5).select("doc_a", "doc_b")
+    val mh = Dedup.minhashPairs(docs, minJaccard = 0.5).select("doc_a", "doc_b")
+    // exact inverted-index scan must cover everything banding found
+    assert(mh.except(ng).count() === 0)
+  }
+
+  test("operators are partitioning-independent") {
+    val a = Dedup.minhashPairs(docs).orderBy("doc_a", "doc_b").collect()
+    val b = Dedup.minhashPairs(docs.repartition(7)).orderBy("doc_a", "doc_b").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+}
