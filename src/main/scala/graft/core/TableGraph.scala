@@ -35,4 +35,11 @@ object TableGraph {
     val lv = loadLevels(tables, fks)
     tables.sortBy(t => (lv(t), t))
   }
+
+  /** True iff the non-self FK graph has no cycle — the common case, where
+    * the related-data closure converges in one reverse-topological sweep.
+    */
+  def isAcyclic(tables: Seq[String], fks: Seq[ForeignKey]): Boolean =
+    try { loadLevels(tables, fks); true }
+    catch { case _: IllegalArgumentException => false }
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 
-import graft.core.{Catalog, ForeignKey}
+import graft.core.{Catalog, ForeignKey, TableGraph}
 
 /** Related-data closure — the reference's core algorithm, re-expressed as
   * Spark logical plans.
@@ -16,16 +16,23 @@ import graft.core.{Catalog, ForeignKey}
   *
   * Here each pull is a LEFT SEMI join on the FK key — Catalyst turns small
   * key sets into broadcast-hash semi-joins and AQE handles the rest — and
-  * the fixpoint runs over the *plan* graph on the driver (metadata-sized),
+  * the traversal runs over the *plan* graph on the driver (metadata-sized),
   * never collecting row data. Selections accumulate as `UNION` +
   * PK-dropDuplicates (cheaper than whole-row distinct, same semantics since
   * a PK identifies the row).
+  *
+  * For acyclic FK graphs (every real schema) one sweep in reverse
+  * topological order — facts before the dims they reference — is complete:
+  * when a table is visited, every pull into it has already happened. That
+  * also makes each table's selection *final* at visit time, which the
+  * `onFinal` hook exposes: Dump uses it to write each table exactly once
+  * and swap the written files in as the selection downstream pulls read
+  * (no operator in the closure is ever computed twice).
   */
 object Closure {
 
-  /** Max fixpoint sweeps for cyclic (non-self) FK graphs. DAGs converge in
-    * one reverse-topological sweep; cycles are rare in real schemas and
-    * bounded by this.
+  /** Max fixpoint sweeps for cyclic (non-self) FK graphs — rare in real
+    * schemas and bounded by this.
     */
   private val MaxSweeps = 10
 
@@ -35,57 +42,70 @@ object Closure {
     *                   are never pulled *into* (xdump/base.py:150)
     * @param partial    seed selection per table (any DataFrame with the
     *                   table's schema)
+    * @param onFinal    called exactly once per partial table the moment its
+    *                   selection is final; its return value replaces the
+    *                   selection (identity by default — Dump returns the
+    *                   spooled files it just wrote)
     * @return final selection per partial table (full tables excluded — the
     *         caller dumps those with `catalog.table(t)`)
     */
   def relatedData(
       catalog: Catalog,
       fullTables: Seq[String] = Nil,
-      partial: Map[String, DataFrame] = Map.empty): Map[String, DataFrame] = {
+      partial: Map[String, DataFrame] = Map.empty,
+      onFinal: (String, DataFrame) => DataFrame = (_, df) => df): Map[String, DataFrame] = {
     val overlap = fullTables.toSet.intersect(partial.keySet)
     require(overlap.isEmpty, s"partial tables also listed as full: ${overlap.mkString(", ")}")
 
     val full = fullTables.toSet
     var selections: Map[String, DataFrame] = partial
 
-    // One sweep: every selected table pushes rows across each outgoing FK.
-    // Sweeping tables in reverse topological order (facts before the dims
-    // they reference) makes a single sweep complete for DAG schemas.
-    def sweep(): Boolean = {
-      var changed = false
-      val order = graft.core.TableGraph
-        .loadOrder(catalog.tables, catalog.foreignKeys)
-        .reverse
-      for (t <- order if full(t) || selections.contains(t)) {
-        // Self-FK first, exactly like update_partial_tables (base.py:127):
-        // the recursive pull can widen the seed that non-recursive FKs see.
-        for (fk <- catalog.foreignKeysOf(t, full, recursive = true)
-             if selections.contains(t)) {
-          selections += t -> recursiveClosure(
-            catalog.table(t), selections(t), fk, catalog.primaryKey(t))
-        }
-        for (fk <- catalog.foreignKeysOf(t, full)) {
-          val source = if (full(t)) catalog.table(t) else selections(t)
-          val pulled = pull(catalog.table(fk.foreignTable), source, fk)
-          val merged = selections.get(fk.foreignTable) match {
-            case Some(existing) =>
-              existing.unionByName(pulled)
-                .dropDuplicates(catalog.primaryKey(fk.foreignTable))
-            case None => pulled
-          }
-          if (!selections.contains(fk.foreignTable)) changed = true
-          selections += fk.foreignTable -> merged
-        }
+    // Widen table t along its self-FK, (optionally) finalize it, then push
+    // its rows across each outgoing FK. Self-FK first, exactly like
+    // update_partial_tables (base.py:127): the recursive pull widens the
+    // seed the other FKs see.
+    def process(t: String, finalize: Boolean): Unit = {
+      for (fk <- catalog.foreignKeysOf(t, full, recursive = true)
+           if selections.contains(t)) {
+        selections += t -> recursiveClosure(
+          catalog.table(t), selections(t), fk, catalog.primaryKey(t))
       }
-      changed
+      if (finalize && selections.contains(t))
+        selections += t -> onFinal(t, selections(t))
+      for (fk <- catalog.foreignKeysOf(t, full)) {
+        val source = if (full(t)) catalog.table(t) else selections(t)
+        val pulled = pull(catalog.table(fk.foreignTable), source, fk)
+        val merged = selections.get(fk.foreignTable) match {
+          case Some(existing) =>
+            existing.unionByName(pulled)
+              .dropDuplicates(catalog.primaryKey(fk.foreignTable))
+          case None => pulled
+        }
+        selections += fk.foreignTable -> merged
+      }
     }
 
-    // DAG schemas: the reverse-topo sweep converges immediately; `changed`
-    // only reports *new* tables entering the selection set, which is what a
-    // cyclic graph needs to keep sweeping for.
-    var sweeps = 0
-    var changed = true
-    while (changed && sweeps < MaxSweeps) { changed = sweep(); sweeps += 1 }
+    if (TableGraph.isAcyclic(catalog.tables, catalog.foreignKeys)) {
+      // Reverse-topological single sweep: every pull into t precedes the
+      // visit of t, so t is final at visit time — finalize, then push out.
+      val order = TableGraph.loadOrder(catalog.tables, catalog.foreignKeys).reverse
+      for (t <- order if full(t) || selections.contains(t))
+        process(t, finalize = true)
+    } else {
+      // Cyclic FK graph: fixpoint over sweeps until the table set stops
+      // growing (bounded). Finalization happens once, after convergence.
+      var sweeps = 0
+      var changed = true
+      while (changed && sweeps < MaxSweeps) {
+        val before = selections.keySet
+        for (t <- catalog.tables if full(t) || selections.contains(t))
+          process(t, finalize = false)
+        changed = selections.keySet != before
+        sweeps += 1
+      }
+      for (t <- selections.keys.toSeq.sorted)
+        selections += t -> onFinal(t, selections(t))
+    }
     selections
   }
 
@@ -105,10 +125,12 @@ object Closure {
     * table.
     *
     * Semi-naive iteration: each step semi-joins the table against only the
-    * previous frontier's keys, anti-joins out already-seen rows, and stops
-    * when the frontier empties. Iteration count is the hierarchy *depth*
-    * (log n for tree-shaped data), not the row count. Frontiers are
-    * localCheckpointed to cut lineage growth.
+    * previous frontier's keys and anti-joins out already-seen rows. Only the
+    * per-step DELTA is ever materialized (localCheckpoint); the accumulated
+    * set stays a lazy union of the checkpointed deltas, so total
+    * materialized bytes are O(|closure|), not O(depth × |closure|).
+    * Iteration count is the hierarchy depth (log n for trees), not the row
+    * count.
     */
   def recursiveClosure(
       table: DataFrame,
@@ -118,8 +140,13 @@ object Closure {
       maxDepth: Int = 100): DataFrame = {
     require(fk.isRecursive, s"$fk is not a self-FK")
 
-    var acc = seed.dropDuplicates(primaryKey).localCheckpoint()
-    var frontier = acc
+    def keysOf(df: DataFrame): DataFrame =
+      df.select(primaryKey.map(k => col(k).alias(s"__graft_acc_$k")): _*)
+
+    val seed0 = seed.dropDuplicates(primaryKey).localCheckpoint()
+    var deltas: List[DataFrame] = List(seed0)
+    var accKeys = keysOf(seed0)
+    var frontier = seed0
     var depth = 0
     var converged = false
     while (!converged && depth < maxDepth) {
@@ -131,7 +158,6 @@ object Closure {
         "left_semi")
       // ...minus rows already accumulated (semi-naive delta). Aliased key
       // columns avoid self-join ambiguity (both sides share lineage).
-      val accKeys = acc.select(primaryKey.map(k => col(k).alias(s"__graft_acc_$k")): _*)
       val delta = parents
         .join(accKeys,
           primaryKey.map(k => parents(k) <=> col(s"__graft_acc_$k")).reduce(_ && _),
@@ -139,11 +165,12 @@ object Closure {
         .localCheckpoint()
       if (delta.isEmpty) converged = true
       else {
-        acc = acc.unionByName(delta).localCheckpoint()
+        deltas ::= delta
+        accKeys = accKeys.unionByName(keysOf(delta))
         frontier = delta
         depth += 1
       }
     }
-    acc
+    deltas.reduce(_ unionByName _)
   }
 }

@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 import graft.core.{Catalog, TableGraph}
 import graft.operators.Closure
@@ -10,11 +11,14 @@ import graft.operators.Closure
   * (xdump/base.py:87): whole tables, per-table partial selections, and
   * schema/data toggles. `format` is parquet (the 100 TB-sane archive) or
   * csv-with-header (the reference's wire format, xdump/base.py:197).
+  * `compression` maps to the writer codec (reference: zip deflate,
+  * base.py:87) — snappy/zstd/gzip for parquet, gzip/none for csv.
   */
 final case class DumpSpec(
     fullTables: Seq[String] = Nil,
     partialTables: Map[String, DataFrame] = Map.empty,
     format: String = "parquet",
+    compression: String = "snappy",
     dumpSchema: Boolean = true,
     dumpData: Boolean = true)
 
@@ -29,6 +33,13 @@ final case class DumpSpec(
   * The reference packs CSVs into one zip (xdump/base.py:100); a directory of
   * partitioned files is the distributed equivalent — each table writes in
   * parallel from every executor, no single-writer bottleneck.
+  *
+  * Write path executes every operator exactly once: tables spool to disk
+  * the moment the closure finalizes them (Closure.relatedData onFinal), and
+  * downstream FK pulls read the *written* files back (with semi-join
+  * pushdown into the fresh parquet) instead of recomputing the selection.
+  * Row counts and sequence state ride on the write job via `observe()` —
+  * the manifest costs zero extra Spark jobs.
   */
 object Dump {
 
@@ -37,19 +48,34 @@ object Dump {
     * the dump loads without FK violations — the reference's core guarantee.
     */
   def write(catalog: Catalog, spec: DumpSpec, path: String): Unit = {
-    val closed = Closure.relatedData(catalog, spec.fullTables, spec.partialTables)
-    val selections: Map[String, DataFrame] =
-      spec.fullTables.map(t => t -> catalog.table(t)).toMap ++ closed
+    val metrics = collection.mutable.Map.empty[String, (Long, Long)]
 
-    if (spec.dumpSchema) writeSchema(catalog, selections.keys.toSeq.sorted, path)
-    if (spec.dumpData) selections.foreach { case (t, df) =>
-      val w = df.write.mode(SaveMode.Overwrite)
-      spec.format match {
-        case "csv" => w.option("header", "true").csv(s"$path/data/$t")
-        case _ => w.parquet(s"$path/data/$t")
+    def spool(t: String, df: DataFrame): DataFrame =
+      if (!spec.dumpData) df
+      else {
+        val pk = catalog.primaryKey(t).head
+        val obs = Observation()
+        val observed = df.observe(obs,
+          count(lit(1)).as("n"), max(col(pk).cast("long")).as("mx"))
+        val w = observed.write.mode(SaveMode.Overwrite)
+          .option("compression", spec.compression)
+        spec.format match {
+          case "csv" => w.option("header", "true").csv(s"$path/data/$t")
+          case _     => w.parquet(s"$path/data/$t")
+        }
+        val m = obs.get
+        metrics(t) = (m("n").asInstanceOf[Long],
+          Option(m("mx")).collect { case l: java.lang.Long => l.longValue }.getOrElse(0L))
+        readData(catalog.spark, path, t, spec.format, df.schema)
       }
-    }
-    writeManifest(catalog, selections, spec, path)
+
+    val closed = Closure.relatedData(
+      catalog, spec.fullTables, spec.partialTables, onFinal = spool)
+    spec.fullTables.foreach(t => spool(t, catalog.table(t)))
+
+    val tables = (spec.fullTables ++ closed.keys).distinct
+    if (spec.dumpSchema) writeSchema(catalog, tables.sorted, path)
+    writeManifest(catalog, tables, spec, metrics.toMap, path)
   }
 
   /** CREATE TABLE DDL per table — the `pg_dump -s` analog
@@ -63,20 +89,18 @@ object Dump {
   /** Manifest: load order (TableGraph), per-table row counts, and sequence
     * state — max(pk) per table, the analog of the reference's sequences
     * dump (xdump/postgresql.py:140), so a loader can resume id generation
-    * past the loaded rows.
+    * past the loaded rows. Counts come from the write-time `observe()`
+    * metrics — no second execution of any selection.
     */
   private def writeManifest(
       catalog: Catalog,
-      selections: Map[String, DataFrame],
+      tables: Seq[String],
       spec: DumpSpec,
+      metrics: Map[String, (Long, Long)],
       path: String): Unit = {
-    val order = TableGraph.loadOrder(selections.keys.toSeq, catalog.foreignKeys)
+    val order = TableGraph.loadOrder(tables, catalog.foreignKeys)
     val entries = order.map { t =>
-      val df = selections(t)
-      val pk = catalog.primaryKey(t).head
-      val agg = df.agg(count(lit(1)).as("n"), max(col(pk).cast("long")).as("mx")).head()
-      val rows = agg.getLong(0)
-      val seq = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+      val (rows, seq) = metrics.getOrElse(t, (0L, 0L))
       s"""    {"table": "$t", "rows": $rows, "sequence": $seq, "full": ${spec.fullTables.contains(t)}}"""
     }
     val manifest =
@@ -90,37 +114,87 @@ object Dump {
     writeText(catalog.spark, s"$path/manifest.json", manifest)
   }
 
+  /** Parsed manifest. Sequence values mirror the reference's
+    * `dump/sequences.sql` (postgresql.py:136): replayed on load so id
+    * generation resumes past the loaded rows.
+    */
+  final case class Manifest(
+      format: String,
+      loadOrder: Seq[String],
+      rows: Map[String, Long],
+      sequences: Map[String, Long])
+
+  /** Reads and parses `manifest.json` with Spark's JSON reader (robust to
+    * whitespace/ordering, unlike string scraping).
+    */
+  def readManifest(spark: SparkSession, path: String): Manifest = {
+    import spark.implicits._
+    val raw = readText(spark, s"$path/manifest.json")
+    val df = spark.read.option("multiLine", "true").json(Seq(raw).toDS)
+    val row = df.head()
+    val format = row.getAs[String]("format")
+    val order = row.getAs[collection.Seq[String]]("load_order").toSeq
+    val tables = df
+      .select(explode(col("tables")).as("t"))
+      .select(col("t.table"), col("t.rows"), col("t.sequence"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    Manifest(format, order,
+      tables.map(t => t._1 -> t._2).toMap,
+      tables.map(t => t._1 -> t._3).toMap)
+  }
+
+  private def readData(
+      spark: SparkSession, path: String, t: String,
+      format: String, schema: StructType): DataFrame =
+    format match {
+      case "csv" =>
+        spark.read.option("header", "true").schema(schema).csv(s"$path/data/$t")
+      case _ => spark.read.parquet(s"$path/data/$t")
+    }
+
   /** Reads a dump back: tables as DataFrames keyed by name, in manifest load
     * order (≙ xdump/base.py:220 `load`). CSV reads use the dumped DDL for
     * exact types — header-only inference would widen everything to string.
     */
   def load(spark: SparkSession, path: String): Seq[(String, DataFrame)] = {
-    val manifest = readText(spark, s"$path/manifest.json")
-    val format = """"format":\s*"(\w+)"""".r.findFirstMatchIn(manifest).map(_.group(1)).getOrElse("parquet")
-    val order = """"load_order":\s*\[([^\]]*)\]""".r.findFirstMatchIn(manifest)
-      .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq)
-      .getOrElse(Seq.empty)
-    order.map { t =>
-      val df = format match {
-        case "csv" =>
-          val ddl = readText(spark, s"$path/schema/$t.sql")
-            .stripPrefix(s"CREATE TABLE $t (").stripSuffix(");")
-          spark.read.option("header", "true").schema(ddl).csv(s"$path/data/$t")
-        case _ => spark.read.parquet(s"$path/data/$t")
-      }
-      t -> df
+    val manifest = readManifest(spark, path)
+    manifest.loadOrder.map { t =>
+      val schema = StructType.fromDDL(
+        readText(spark, s"$path/schema/$t.sql")
+          .stripPrefix(s"CREATE TABLE $t (").stripSuffix(");"))
+      t -> readData(spark, path, t, manifest.format, schema)
     }
   }
 
   /** Loads a dump into a target directory of parquet tables — the offline
-    * analog of loading into a database. `truncate` first clears the target
-    * tables (≙ xdump/base.py:214); loading follows manifest order so a
-    * future FK-enforcing sink would also be satisfied.
+    * analog of loading into a database. Loading follows manifest order so a
+    * future FK-enforcing sink is also satisfied, and the manifest's
+    * sequence state is applied to the target (`_sequences.json`) — the
+    * analog of the reference replaying `dump/sequences.sql` on load
+    * (xdump/postgresql.py:136-146, base.py:227).
     */
-  def loadInto(spark: SparkSession, dumpPath: String, targetDir: String): Unit =
+  def loadInto(spark: SparkSession, dumpPath: String, targetDir: String): Unit = {
     load(spark, dumpPath).foreach { case (t, df) =>
       df.write.mode(SaveMode.Overwrite).parquet(s"$targetDir/$t.parquet")
     }
+    val manifest = readManifest(spark, dumpPath)
+    val seqs = manifest.loadOrder.map { t =>
+      s"""  {"table": "$t", "value": ${manifest.sequences.getOrElse(t, 0L)}}"""
+    }
+    writeText(spark, s"$targetDir/_sequences.json",
+      seqs.mkString("[\n", ",\n", "\n]"))
+  }
+
+  /** Sequence state of a load target — what the next id per table should
+    * start after. Reads `_sequences.json` written by `loadInto`.
+    */
+  def sequencesOf(spark: SparkSession, targetDir: String): DataFrame = {
+    import spark.implicits._
+    val raw = readText(spark, s"$targetDir/_sequences.json")
+    spark.read.json(Seq(raw).toDS)
+      .select(col("table").as("table_name"), col("value").cast("long").as("seq_value"))
+  }
 
   // Small text-file helpers via the Hadoop FS API (works on any supported
   // filesystem: local, HDFS, S3A...).
