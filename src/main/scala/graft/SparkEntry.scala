@@ -101,6 +101,19 @@ object SparkEntry {
       s.read.parquet(s"$tmp/loaded/customer.parquet").orderBy("c_custkey")
     },
 
+    "sequences_after_load" -> { (s, dir) =>
+      // Dump → load → the restored sequence state (reference: sequences.sql
+      // replayed on load, postgresql.py:136-146 + base.py:227).
+      val c = cat(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_seq").toString
+      Dump.write(c, DumpSpec(
+        fullTables = Seq("region"),
+        partialTables = Map("orders" -> c.table("orders").where(col("o_totalprice") > 480000))),
+        s"$tmp/dump")
+      Dump.loadInto(s, s"$tmp/dump", s"$tmp/loaded")
+      Dump.sequencesOf(s, s"$tmp/loaded").orderBy("table_name")
+    },
+
     // ── analytics / bench ────────────────────────────────────────────────
     "q1_pricing" -> { (s, dir) =>
       // Decimal-routed sums: deterministic under any partitioning (double
@@ -299,6 +312,17 @@ object SparkEntry {
          UNION ALL SELECT 'region', column_name FROM (DESCRIBE region)
          UNION ALL SELECT 'supplier', column_name FROM (DESCRIBE supplier)
          ORDER BY table_name, column_name""",
+
+    "sequences_after_load" ->
+      """SELECT 'customer' AS table_name, CAST(max(c_custkey) AS BIGINT) AS seq_value FROM customer
+           WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 480000)
+         UNION ALL SELECT 'nation', CAST(max(n_nationkey) AS BIGINT) FROM nation
+           WHERE n_nationkey IN (SELECT c_nationkey FROM customer
+             WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 480000))
+         UNION ALL SELECT 'orders', CAST(max(o_orderkey) AS BIGINT) FROM orders
+           WHERE o_totalprice > 480000
+         UNION ALL SELECT 'region', CAST(max(r_regionkey) AS BIGINT) FROM region
+         ORDER BY table_name""",
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

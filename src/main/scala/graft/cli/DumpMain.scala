@@ -1,0 +1,143 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{Catalog, ForeignKey}
+import graft.sources.{Dump, DumpSpec}
+
+/** `graft-dump` — the Spark-native analog of the reference's `xdump`
+  * console script (reference: /root/reference/xdump/cli/dump.py, setup.py:51).
+  *
+  * {{{
+  * sbt "runMain graft.cli.DumpMain --source /data/tables -o /dumps/d1 \
+  *   -f region -p 'orders:SELECT * FROM orders WHERE o_totalprice > 480000' \
+  *   --fk orders.o_custkey=customer.c_custkey --pk orders=o_orderkey \
+  *   -c zstd --format parquet"
+  * }}}
+  *
+  * Flags mirror the reference CLI: `-o/--output`, `-f/--full` (repeatable),
+  * `-p/--partial "table:select SQL"` (repeatable, cli/dump.py:16
+  * parse_partial), `-c/--compression`, `--schema/--no-schema`,
+  * `--data/--no-data`. Spark-specific additions: `--source` (directory of
+  * parquet tables — the "database"), `--format parquet|csv`, and explicit
+  * `--fk`/`--pk` metadata, because parquet directories carry no relational
+  * catalog (the reference introspects pg_catalog; here the user declares).
+  */
+object DumpMain {
+
+  def main(args: Array[String]): Unit = {
+    val spark = Cli.session("graft-dump")
+    try run(args.toSeq, spark)
+    finally spark.stop()
+  }
+
+  def run(args: Seq[String], spark: SparkSession): Unit = {
+    val opts = Cli.parse(args)
+    val source = opts.required("source")
+    val output = opts.required("output", short = "o")
+    val catalog = Cli.catalogFor(spark, source, opts)
+
+    // Partial selections are SQL over the source tables, registered as views
+    // (reference format "table:select SQL", cli/dump.py:16).
+    catalog.tables.foreach(t => catalog.table(t).createOrReplaceTempView(t))
+    val partial = opts.multi("partial", short = "p").map { spec =>
+      val (t, sql) = Cli.splitOnce(spec, ':',
+        s"""partial table specification should be "table:select SQL": $spec""")
+      t -> spark.sql(sql)
+    }.toMap
+
+    Dump.write(catalog, DumpSpec(
+      fullTables = opts.multi("full", short = "f"),
+      partialTables = partial,
+      format = opts.value("format").getOrElse("parquet"),
+      compression = opts.value("compression", short = "c").getOrElse("snappy"),
+      dumpSchema = !opts.flag("no-schema"),
+      dumpData = !opts.flag("no-data")), output)
+    println(s"Dumped ${(opts.multi("full", short = "f") ++ partial.keys).distinct.size}+ tables to $output")
+  }
+}
+
+/** Shared CLI plumbing: flag parsing, session bootstrap, and catalog
+  * construction from a directory of parquet tables plus declared FK/PK
+  * metadata.
+  */
+object Cli {
+
+  final case class Opts(values: Map[String, Seq[String]], flags: Set[String]) {
+    def value(name: String, short: String = ""): Option[String] =
+      values.get(name).orElse(values.get(short)).flatMap(_.headOption)
+    def multi(name: String, short: String = ""): Seq[String] =
+      values.getOrElse(name, values.getOrElse(short, Nil))
+    def flag(name: String): Boolean = flags(name)
+    def required(name: String, short: String = ""): String =
+      value(name, short).getOrElse(sys.error(s"missing required option --$name"))
+  }
+
+  private val Valued = Set("source", "output", "o", "full", "f", "partial", "p",
+    "compression", "c", "format", "fk", "pk", "input", "i", "cleanup-method", "m",
+    "target")
+
+  def parse(args: Seq[String]): Opts = {
+    var values = Map.empty[String, Seq[String]].withDefaultValue(Nil)
+    var flags = Set.empty[String]
+    var rest = args.toList
+    while (rest.nonEmpty) {
+      val key = rest.head.dropWhile(_ == '-')
+      rest = rest.tail
+      if (Valued(key)) {
+        require(rest.nonEmpty, s"option --$key needs a value")
+        values += key -> (values(key) :+ rest.head)
+        rest = rest.tail
+      } else flags += key
+    }
+    Opts(values, flags)
+  }
+
+  def splitOnce(s: String, sep: Char, err: => String): (String, String) =
+    s.indexOf(sep) match {
+      case -1 => sys.error(err)
+      case i  => (s.take(i).trim, s.drop(i + 1).trim)
+    }
+
+  def session(name: String): SparkSession = SparkSession.builder()
+    .appName(name)
+    .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+    .config("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Catalog over `<source>/<table>.parquet` files. Tables are discovered
+    * from the directory; FK edges come from repeatable
+    * `--fk table.col=ftable.fcol`, primary keys from `--pk table=col`
+    * (default: the table's first column — key-first layout).
+    */
+  def catalogFor(spark: SparkSession, source: String, opts: Opts): Catalog = {
+    // TIMESTAMP(NANOS) parquet columns (e.g. events.ts) are rejected by
+    // Spark 4 unless read as epoch-nanos longs — same as Catalog.tpch.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val p = new org.apache.hadoop.fs.Path(source)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tables = fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+      .map(_.stripSuffix(".parquet"))
+      .sorted
+    require(tables.nonEmpty, s"no <table>.parquet entries under $source")
+
+    val fks = opts.multi("fk").map { spec =>
+      val (from, to) = splitOnce(spec, '=', s"--fk must be table.col=ftable.fcol: $spec")
+      val (t, c) = splitOnce(from, '.', s"--fk must be table.col=ftable.fcol: $spec")
+      val (ft, fc) = splitOnce(to, '.', s"--fk must be table.col=ftable.fcol: $spec")
+      ForeignKey(t, c, ft, fc)
+    }
+    val declaredPks = opts.multi("pk").map { spec =>
+      val (t, c) = splitOnce(spec, '=', s"--pk must be table=col: $spec")
+      t -> Seq(c)
+    }.toMap
+    val base = new Catalog(spark, source, tables, fks, Map.empty)
+    val pks = tables.map(t =>
+      t -> declaredPks.getOrElse(t, Seq(base.table(t).schema.fieldNames.head))).toMap
+    new Catalog(spark, source, tables, fks, pks)
+  }
+}

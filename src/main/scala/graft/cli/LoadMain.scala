@@ -1,0 +1,53 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.Dump
+
+/** `graft-load` — the Spark-native analog of the reference's `xload`
+  * console script (reference: /root/reference/xdump/cli/load.py:63).
+  *
+  * {{{
+  * sbt "runMain graft.cli.LoadMain -i /dumps/d1 --target /data/restored -m truncate"
+  * }}}
+  *
+  * Flags mirror the reference: `-i/--input` (the dump directory) and
+  * `-m/--cleanup-method truncate|recreate` (load.py:17). The sink is a
+  * directory of parquet tables (`--target`): `truncate` clears only the
+  * tables being loaded (≙ TRUNCATE, reference postgresql.py:212);
+  * `recreate` removes the whole target first (≙ recreate_database,
+  * reference base.py:202 — which drops connections and re-creates, the
+  * filesystem analog being a recursive delete). Loading follows manifest
+  * order and replays sequence state (Dump.loadInto).
+  */
+object LoadMain {
+
+  def main(args: Array[String]): Unit = {
+    val spark = Cli.session("graft-load")
+    try run(args.toSeq, spark)
+    finally spark.stop()
+  }
+
+  def run(args: Seq[String], spark: SparkSession): Unit = {
+    val opts = Cli.parse(args)
+    val input = opts.required("input", short = "i")
+    val target = opts.required("target")
+
+    val tp = new org.apache.hadoop.fs.Path(target)
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    opts.value("cleanup-method", short = "m") match {
+      case Some("recreate") =>
+        fs.delete(tp, true)
+      case Some("truncate") =>
+        Dump.readManifest(spark, input).loadOrder.foreach { t =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$target/$t.parquet"), true)
+        }
+      case Some(other) =>
+        sys.error(s"unknown cleanup method (use truncate|recreate): $other")
+      case None => ()
+    }
+
+    Dump.loadInto(spark, input, target)
+    println(s"Loaded ${Dump.readManifest(spark, input).loadOrder.size} tables into $target")
+  }
+}
