@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Catalog, ForeignKey, TableGraph}
-import graft.operators.{Closure, Dedup, Similarity, TextAnalysis}
+import graft.operators.{Closure, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sources.{Dump, DumpSpec}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -206,6 +206,12 @@ object SparkEntry {
 
     "ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(cat(s, dir).table("documents")).orderBy("doc_a", "doc_b")),
+
+    // ── LLM-data-pipeline: multimodal plumbing (binary column + metadata) ─
+    "multimodal_meta" -> ((s, dir) =>
+      Multimodal.mediaMeta(
+        Multimodal.mediaFromDocuments(cat(s, dir).table("documents")))
+        .orderBy("doc_id")),
 
     // ── LLM-data-pipeline: embedding similarity / ANN ────────────────────
     "embed_cosine_dup" -> ((s, dir) =>
@@ -459,6 +465,12 @@ object SparkEntry {
            list_reduce(hs, (a, b) -> xor(a, b)) AS fp_xor,
            CAST(ns AS BIGINT) AS n_shingles
          FROM h ORDER BY doc_id""",
+
+    "multimodal_meta" ->
+      """SELECT doc_id, 'image/fake' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+         FROM documents ORDER BY doc_id""",
 
     "dedup_minhash" ->
       """WITH t AS (SELECT doc_id,

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingHourly
+
+class StreamingSpec extends SparkSpec {
+
+  test("streaming hourly agg matches the batch twin on the same events") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("ts"), col("event_type"), col("value"))
+    val rows = batch.limit(2000)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+
+    val stream = MemoryStream[(Long, String, Double)]
+    stream.addData(rows.toSeq)
+    val q = StreamingHourly.hourlyAgg(stream.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("hourly_stream")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("hourly_stream")
+      .orderBy("hour_start", "event_type").collect()
+    val want = StreamingHourly.hourlyAgg(
+        spark.createDataFrame(rows.toSeq).toDF("ts", "event_type", "value"))
+      .orderBy("hour_start", "event_type").collect()
+    assert(got.toSeq === want.toSeq)
+    assert(got.nonEmpty)
+  }
+
+  test("watermark bounds state: late window closes in append mode") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val hour = 3600L * 1000000000L // nanos
+    val stream = MemoryStream[(Long, String, Double)]
+    val q = StreamingHourly.hourlyAgg(
+        stream.toDF().toDF("ts", "event_type", "value"), watermark = "1 hour")
+      .writeStream.format("memory").queryName("hourly_append")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq((1 * hour, "click", 1.0)))
+      q.processAllAvailable()
+      // advance event time far past the watermark → hour-1 window finalizes
+      stream.addData(Seq((5 * hour, "click", 2.0)))
+      q.processAllAvailable()
+      stream.addData(Seq((9 * hour, "click", 3.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("hourly_append").collect()
+    assert(emitted.exists(_.getAs[Long]("hour_start") === 3600L))
+  }
+}
