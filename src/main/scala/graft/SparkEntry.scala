@@ -207,6 +207,16 @@ object SparkEntry {
     "ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(cat(s, dir).table("documents")).orderBy("doc_a", "doc_b")),
 
+    "dedup_groups" -> ((s, dir) =>
+      Dedup.dedupGroups(Dedup.minhashPairs(cat(s, dir).table("documents")))
+        .orderBy("doc_id")),
+
+    "stratified_sample" -> ((s, dir) =>
+      TextAnalysis.hashSample(cat(s, dir).table("documents")).orderBy("doc_id")),
+
+    "text_normalize" -> ((s, dir) =>
+      TextAnalysis.textNormalize(cat(s, dir).table("documents")).orderBy("doc_id")),
+
     // ── LLM-data-pipeline: multimodal plumbing (binary column + metadata) ─
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.mediaMeta(
@@ -225,6 +235,11 @@ object SparkEntry {
     "ann_lsh" -> ((s, dir) =>
       Similarity.annLsh(cat(s, dir).table("embeddings"), col("vec_id") % 50 === 0,
           k = 10, planes = 4)
+        .orderBy("query_id", "rank")),
+
+    "ann_ivf" -> ((s, dir) =>
+      Similarity.annIvf(cat(s, dir).table("embeddings"), col("vec_id") % 50 === 0,
+          k = 10, centEvery = 40)
         .orderBy("query_id", "rank")),
 
     "events_hourly" -> { (s, dir) =>
@@ -539,6 +554,49 @@ object SparkEntry {
          FROM pr JOIN sz a ON a.doc_id = doc_a JOIN sz b ON b.doc_id = doc_b
          WHERE inter / (a.n_sh + b.n_sh - inter) >= 0.3 ORDER BY doc_a, doc_b""",
 
+    "dedup_groups" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+         FROM documents),
+         sh AS (SELECT doc_id,
+           list_distinct(CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' '))
+             ELSE [] END) AS s
+         FROM t),
+         sg AS (SELECT doc_id, s,
+           list_transform(range(0, 16), i -> list_min(list_transform(s,
+             x -> CAST('0x' || substr(md5(i::VARCHAR || '|' || x), 1, 15) AS BIGINT)))) AS sig
+         FROM sh WHERE len(s) > 0),
+         bands AS (SELECT doc_id,
+           r.b::VARCHAR || ':' || sig[2 * r.b + 1]::VARCHAR || ':' || sig[2 * r.b + 2]::VARCHAR AS bkey
+         FROM sg CROSS JOIN range(0, 8) r(b)),
+         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y ON x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         v AS (SELECT doc_a, doc_b,
+           len(list_intersect(xa.s, yb.s)) AS inter, len(xa.s) AS la, len(yb.s) AS lb
+         FROM cand JOIN sg xa ON xa.doc_id = doc_a JOIN sg yb ON yb.doc_id = doc_b),
+         mp AS (SELECT doc_a, doc_b FROM v WHERE inter / (la + lb - inter) >= 0.5),
+         e AS (SELECT doc_a AS s, doc_b AS d FROM mp UNION SELECT doc_b, doc_a FROM mp),
+         reach(id, r) AS (
+           SELECT s, s FROM e GROUP BY s
+           UNION
+           SELECT e.s, reach.r FROM e JOIN reach ON reach.id = e.d
+         )
+         SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id ORDER BY doc_id""",
+
+    "stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE CAST('0x' || substr(md5('sample|' || doc_id::VARCHAR), 1, 15) AS BIGINT) % 100 < 10
+         ORDER BY doc_id""",
+
+    "text_normalize" ->
+      """WITH t AS (SELECT doc_id,
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n FROM documents)
+         SELECT doc_id, n AS norm_text, md5(n) AS norm_md5,
+           CAST(len(n) AS BIGINT) AS n_chars_norm
+         FROM t ORDER BY doc_id""",
+
     "embed_cosine_dup" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
@@ -589,6 +647,32 @@ object SparkEntry {
                 (a, b) -> a + b) / (q.nrm * x.nrm) AS cos
          FROM bk q JOIN bk x ON x.bucket = q.bucket AND x.vec_id <> q.vec_id
          WHERE q.vec_id % 50 = 0),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         FROM p)
+         SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", round(cos, 4) AS cosine
+         FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+
+    "ann_ivf" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (SELECT vec_id, v,
+           sqrt(list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
+                (a, b) -> a + b)) AS nrm
+         FROM e),
+         c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 40 = 1),
+         ac AS (SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+           list_reduce(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i]),
+                (a, b) -> a + b) / (n.nrm * c.cnrm) AS cos_c
+         FROM n CROSS JOIN c),
+         asg AS (SELECT vec_id, v, nrm, cent_id FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn
+           FROM ac) WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, v AS vq, nrm AS nq, cent_id AS qcent
+           FROM asg WHERE vec_id % 50 = 0),
+         p AS (SELECT q.query_id, x.vec_id AS neighbor_id,
+           list_reduce(list_transform(range(1, len(q.vq) + 1), i -> q.vq[i] * x.v[i]),
+                (a, b) -> a + b) / (q.nq * x.nrm) AS cos
+         FROM asg x JOIN q ON x.cent_id = q.qcent AND x.vec_id <> q.query_id),
          r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
          FROM p)
          SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", round(cos, 4) AS cosine

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import org.apache.spark.storage.StorageLevel
 
-import TextAnalysis.{hexHash, seededHash, shingles, tokens}
+import TextAnalysis.{bindOnce, hexHash, seededHash, shingles, tokens}
 
 /** Near-duplicate detection for the LLM-data-pipeline tier (SURVEY.md §2):
   * MinHash+LSH, SimHash, and exact n-gram Jaccard over a
@@ -26,16 +26,6 @@ import TextAnalysis.{hexHash, seededHash, shingles, tokens}
   */
 object Dedup {
 
-  /** Let-binding for column expressions: evaluates `value` once and binds
-    * it as a lambda variable for `body` — `transform` over a one-element
-    * array. Catalyst's CollapseProject inlines plain withColumn chains, so
-    * an expensive subexpression referenced k times would be *evaluated* k
-    * times (there is no cross-lambda CSE in interpreted higher-order
-    * functions); a lambda variable is evaluated exactly once.
-    */
-  def bindOnce(value: Column, body: Column => Column): Column =
-    element_at(transform(array(value), body), 1)
-
   /** MinHash signature: sig_i = min over shingles of h_i(shingle), with k
     * INDEPENDENT seeded md5 hashes. (A cheaper affine family h_i = a + i·b
     * mod p was tried and rejected: its hashes are correlated across i — one
@@ -45,8 +35,11 @@ object Dedup {
     * the signature frame — see minhashPairs.)
     */
   def minhashSignature(sh: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh, x => seededHash(i, x))))
+    // sh is let-bound: referenced inside the per-hash-index lambda, a raw
+    // expression argument would re-evaluate once per hash index.
+    bindOnce(sh, s =>
+      transform(sequence(lit(0), lit(k - 1)),
+        i => array_min(transform(s, x => seededHash(i, x)))))
 
   private def withShingles(docs: DataFrame, n: Int): DataFrame =
     docs
@@ -181,5 +174,43 @@ object Dedup {
       .withColumn("jaccard", col("inter") / col("uni"))
       .where(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"), col("jaccard"))
+  }
+
+  /** Connected components over an undirected near-duplicate pair set —
+    * the canonicalization step of a dedup pipeline: every document in a
+    * component maps to the component's minimum doc id (`group_id`), so
+    * "keep one per cluster" is a simple `group_id = doc_id` filter.
+    *
+    * Iterative min-label propagation, semi-naive: each step joins the
+    * (symmetrized, checkpointed-once) edge set against current labels and
+    * takes the per-node minimum; converged when no label changes. Iteration
+    * count = component diameter — near-dup clusters are shallow (dozens of
+    * docs), so a handful of passes; nothing is collected to the driver.
+    * (The large-star/small-star variant [Kiveris et al., SoCC'14] halves
+    * rounds on adversarially long chains; plain propagation keeps the plan
+    * simple and the per-round shuffle identical.)
+    */
+  def dedupGroups(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint() // reused every iteration: compute the pair set once
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val prop = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(prop, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (col("nlabel") < col("label")).as("chg"))
+        .localCheckpoint()
+      changed = next.where(col("chg")).count()
+      labels = next.select("id", "label")
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("group_id"))
   }
 }

@@ -16,6 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Let-binding for column expressions: evaluates `value` once and binds
+    * it as a lambda variable for `body` — `transform` over a one-element
+    * array. Interpreted projections only get common-subexpression
+    * elimination opportunistically, so an expensive subexpression
+    * referenced k times (or referenced inside a `transform` lambda, where
+    * it would re-evaluate per element) can cost k× — or |array|× — its
+    * single-eval price. A lambda variable is evaluated exactly once by
+    * construction, independent of optimizer behavior. Every operator here
+    * binds its tokenization/shingling exactly once per row through this.
+    */
+  def bindOnce(value: Column, body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
   /** Deterministic 60-bit hash of a string column: the first 15 hex digits
     * of md5 as a non-negative long. Shared hash primitive for fingerprints,
     * MinHash families and SimHash bits — chosen because both Spark
@@ -36,12 +49,17 @@ object TextAnalysis {
 
   /** Distinct word n-gram shingles ("a b c" strings). Docs with fewer than
     * `n` tokens yield an empty set (they cannot near-dup at this granularity).
+    * The token array is let-bound internally: the naive form re-evaluates
+    * `toks` for every shingle position (the `slice` inside the position
+    * lambda), turning an O(T) tokenization into O(T²) per row whenever the
+    * optimizer's interpreted CSE doesn't catch it.
     */
-  def shingles(toks: Column, n: Int = 3): Column = array_distinct(
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>")))
+  def shingles(toks: Column, n: Int = 3): Column =
+    bindOnce(toks, tk => array_distinct(
+      when(size(tk) >= n,
+        transform(sequence(lit(1), size(tk) - (n - 1)),
+          i => concat_ws(" ", slice(tk, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))))
 
   /** Per-document token counts: whitespace tokens plus a BPE-ish lexer count
     * (runs of letters | runs of digits | single other non-space chars) — the
@@ -125,6 +143,33 @@ object TextAnalysis {
         min(col("doc_id")).cast("long").as("keep_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Deterministic hash sampling: keeps rows whose salted id-hash lands
+    * under `pct` of 100 — reproducible across engines, runs and
+    * partitionings (no RNG state), map-side only, and inherently
+    * stratified: within any stratum (language, source, …) the kept
+    * fraction concentrates around pct% because the hash is independent of
+    * every attribute. The corpus-subsetting primitive of a training-data
+    * pipeline.
+    */
+  def hashSample(docs: DataFrame, pct: Int = 10, salt: String = "sample"): DataFrame =
+    docs
+      .where(hexHash(concat(lit(s"$salt|"), col("doc_id").cast("string"))) % 100 < pct)
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  /** Text normalization: lowercase, collapse whitespace runs to single
+    * spaces, trim — plus the md5 of the normalized form, the standard
+    * pre-pass that turns exact dedup into whitespace/case-insensitive
+    * dedup. One map-side pass; the normalized string is let-bound so the
+    * digest and length don't re-run the regex.
+    */
+  def textNormalize(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        bindOnce(trim(regexp_replace(lower(col("text")), "\\s+", " ")), n =>
+          struct(n.as("norm_text"), md5(n).as("norm_md5"),
+            length(n).cast("long").as("n_chars_norm"))).as("s"))
+      .select(col("doc_id"), col("s.norm_text"), col("s.norm_md5"), col("s.n_chars_norm"))
+
   /** Rolling-hash document fingerprint: min / max / xor-fold over the
     * shingle hash set — an order-independent content signature (winnowing's
     * cheap cousin). Equal fingerprints ⇒ near-certain duplicate content;
@@ -132,13 +177,18 @@ object TextAnalysis {
     */
   def docFingerprint(docs: DataFrame): DataFrame =
     docs
-      .withColumn("sh", shingles(tokens(col("text"))))
-      .where(size(col("sh")) > 0)
-      .withColumn("hashes", transform(col("sh"), hexHash(_)))
-      .select(
-        col("doc_id"),
-        array_min(col("hashes")).as("fp_min"),
-        array_max(col("hashes")).as("fp_max"),
-        aggregate(col("hashes"), lit(0L), (acc, h) => acc.bitwiseXOR(h)).as("fp_xor"),
-        size(col("sh")).cast("long").as("n_shingles"))
+      .select(col("doc_id"),
+        // Shingles and their hashes are each let-bound: evaluated once per
+        // row, with the empty-doc filter folded in as a null struct so no
+        // downstream reference can re-trigger the computation.
+        bindOnce(shingles(tokens(col("text"))), sh =>
+          bindOnce(transform(sh, hexHash(_)), hs =>
+            when(size(sh) > 0, struct(
+              array_min(hs).as("fp_min"),
+              array_max(hs).as("fp_max"),
+              aggregate(hs, lit(0L), (acc, h) => acc.bitwiseXOR(h)).as("fp_xor"),
+              size(sh).cast("long").as("n_shingles"))))).as("s"))
+      .where(col("s").isNotNull)
+      .select(col("doc_id"), col("s.fp_min"), col("s.fp_max"),
+        col("s.fp_xor"), col("s.n_shingles"))
 }

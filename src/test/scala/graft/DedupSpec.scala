@@ -49,4 +49,25 @@ class DedupSpec extends SparkSpec {
     val b = Dedup.minhashPairs(docs.repartition(7)).orderBy("doc_a", "doc_b").collect()
     assert(a.toSeq === b.toSeq)
   }
+
+  test("dedupGroups labels every component member with the component min id") {
+    import spark.implicits._
+    // two chains and a triangle: {1,2,3,4}, {10,11}, {20,21,22}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+        (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.dedupGroups(pairs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("dedupGroups over minhash pairs: canonical id is in every pair's component") {
+    val pairs = Dedup.minhashPairs(docs, minJaccard = 0.5)
+    val groups = Dedup.dedupGroups(pairs)
+    // every paired doc got a label, and labels are component-minimal
+    assert(groups.count() ===
+      pairs.select(col("doc_a").as("d")).union(pairs.select(col("doc_b"))).distinct().count())
+    assert(groups.where(col("group_id") > col("doc_id")).count() === 0)
+  }
 }

@@ -49,10 +49,30 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.except(exact).count() === 0)
   }
 
+  test("annIvf results are a subset of brute-force scoring") {
+    val exact = Similarity.annTopK(emb, col("vec_id") % 100 === 0, k = 1000)
+      .select("query_id", "neighbor_id", "cosine")
+    val ivf = Similarity.annIvf(emb, col("vec_id") % 100 === 0, k = 5, centEvery = 20)
+      .select("query_id", "neighbor_id", "cosine")
+    assert(ivf.count() > 0)
+    assert(ivf.except(exact).count() === 0)
+  }
+
+  test("dot product expression matches the higher-order-function fold bitwise") {
+    val hof = emb.select(col("vec_id"),
+      aggregate(zip_with(Similarity.vec(col("embedding")), Similarity.vec(col("embedding")),
+        (x, y) => x * y), lit(0.0), (acc, x) => acc + x).as("d"))
+    val cg = emb.select(col("vec_id"),
+      Similarity.dot(Similarity.vec(col("embedding")), Similarity.vec(col("embedding"))).as("d"))
+    // bit-identical, not approximately equal: same sequential fold order
+    assert(hof.except(cg).count() === 0)
+    assert(cg.except(hof).count() === 0)
+  }
+
   test("lsh bucket assignment is partitioning-independent") {
     val e = emb.select(col("vec_id"), Similarity.vec(col("embedding")).as("v"))
-    val a = e.withColumn("b", Similarity.lshBucket(col("v"), 4)).orderBy("vec_id").collect()
-    val b = e.repartition(7).withColumn("b", Similarity.lshBucket(col("v"), 4))
+    val a = e.withColumn("b", Similarity.lshBucket(col("v"), 4, 64)).orderBy("vec_id").collect()
+    val b = e.repartition(7).withColumn("b", Similarity.lshBucket(col("v"), 4, 64))
       .orderBy("vec_id").collect()
     assert(a.toSeq === b.toSeq)
   }

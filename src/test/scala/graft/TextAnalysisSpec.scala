@@ -42,4 +42,29 @@ class TextAnalysisSpec extends SparkSpec {
     val b = TextAnalysis.docFingerprint(docs.repartition(7)).orderBy("doc_id").collect()
     assert(a.toSeq === b.toSeq) // partitioning-independent
   }
+
+  test("hashSample keeps a stable ~pct fraction per stratum") {
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = TextAnalysis.hashSample(docs, pct = 20).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // deterministic: same sample twice
+    val again = TextAnalysis.hashSample(docs, pct = 20).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept === again)
+    // every stratum sampled at a plausible rate (loose bounds, small data)
+    for ((lang, n) <- total if n >= 20) {
+      val rate = kept.getOrElse(lang, 0L).toDouble / n
+      assert(rate > 0.02 && rate < 0.6, s"$lang sampled at $rate")
+    }
+  }
+
+  test("textNormalize digest is case/whitespace-insensitive") {
+    import spark.implicits._
+    val two = Seq((1L, "Hello   World"), (2L, "  hello world \n")).toDF("doc_id", "text")
+    val res = TextAnalysis.textNormalize(two).collect()
+    assert(res.map(_.getAs[String]("norm_text")).toSet === Set("hello world"))
+    assert(res.map(_.getAs[String]("norm_md5")).distinct.length === 1)
+    assert(res.head.getAs[Long]("n_chars_norm") === 11L)
+  }
 }
