@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftbridge.FunctionBridge
+
+import graft.functions.DotProduct
+
+/** SQL-surface registration for graft's custom Catalyst expressions.
+  *
+  * Two routes:
+  *   - at session build time (the standard Spark extension mechanism):
+  *     `--conf spark.sql.extensions=graft.GraftExtensions`, or
+  *     `SparkSession.builder().withExtensions(new GraftExtensions)`;
+  *   - on a live session the host application already built:
+  *     `GraftExtensions.register(spark)`.
+  *
+  * Either way `spark.sql("SELECT dot_product(a, b) ...")` resolves to the
+  * codegen'd [[graft.functions.DotProduct]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  /** (name, info, builder) for every SQL-exposed graft expression. */
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("dot_product",
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"dot_product takes 2 arguments, got ${children.length}")
+        DotProduct(children(0), children(1))
+      }))
+
+  /** Registers every graft function on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      FunctionBridge.registerTemp(spark, name, builder)
+    }
+}

@@ -223,6 +223,14 @@ object SparkEntry {
         Multimodal.mediaFromDocuments(cat(s, dir).table("documents")))
         .orderBy("doc_id")),
 
+    "frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(
+          Multimodal.mediaFromDocuments(cat(s, dir).table("documents")), everyN = 10)
+        .select(col("doc_id"), col("media_type"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          length(col("content")).cast("long").as("n_bytes"))
+        .orderBy("doc_id", "frame_idx")),
+
     // ── LLM-data-pipeline: embedding similarity / ANN ────────────────────
     "embed_cosine_dup" -> ((s, dir) =>
       Similarity.embedCosineDup(cat(s, dir).table("embeddings"), threshold = 0.4)
@@ -486,6 +494,12 @@ object SparkEntry {
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            md5(text) AS content_md5
          FROM documents ORDER BY doc_id""",
+
+    "frame_sample" ->
+      """SELECT doc_id, 'image/fake' AS media_type, CAST(u.f AS BIGINT) AS frame_idx,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         FROM documents, unnest(range(0, (n_chars % 640) + 1, 10)) AS u(f)
+         ORDER BY doc_id, frame_idx""",
 
     "dedup_minhash" ->
       """WITH t AS (SELECT doc_id,

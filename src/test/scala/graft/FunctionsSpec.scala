@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftExtensions
+import graft.operators.Similarity
+
+class FunctionsSpec extends SparkSpec {
+
+  test("dot_product SQL function registers and computes the sequential fold") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d").head()
+    assert(row.getDouble(0) === 32.0)
+  }
+
+  test("dot_product handles nulls and length mismatch") {
+    GraftExtensions.register(spark)
+    assert(spark.sql("SELECT dot_product(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d))")
+      .head().isNullAt(0))
+    // min-length semantics: extra elements on one side are ignored
+    assert(spark.sql("SELECT dot_product(array(2.0d), array(3.0d, 9.0d))")
+      .head().getDouble(0) === 6.0)
+  }
+
+  test("DotProduct column API matches SQL function result") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    val viaColumn = df.select(Similarity.dot(col("a"), col("b"))).head().getDouble(0)
+    val viaSql = df.selectExpr("dot_product(a, b)").head().getDouble(0)
+    assert(viaColumn === viaSql)
+  }
+}
