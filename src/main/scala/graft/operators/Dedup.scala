@@ -101,25 +101,18 @@ object Dedup {
   /** 48-bit SimHash signature per document (frequency-weighted token
     * hashes; bit b set iff Σ_tokens ±1 for hash-bit b is positive).
     * 48 bits keeps every intermediate in a non-negative signed long in
-    * both Spark and the DuckDB oracle.
+    * both Spark and the DuckDB oracle. Token md5s are one interpreted
+    * `transform` pass; the 48-bit vote is the codegen'd
+    * [[graft.functions.SimHash48]] expression (single pass over the
+    * hashes with primitive counters — the HOF form walks the token
+    * array 48 times).
     */
   def simhash(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", tokens(col("text")))
       .where(size(col("toks")) > 0)
-      // Single let-bound expression: token hashes (th) and per-bit sums
-      // (bits) are lambda variables, each evaluated once per row — a plain
-      // withColumn chain would inline th into all 48 bit positions.
-      .withColumn("simhash", expr(
-        """element_at(transform(
-             array(transform(toks, x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT))),
-             th -> element_at(transform(
-               array(transform(sequence(0, 47), b ->
-                 aggregate(th, 0L, (acc, h) ->
-                   acc + (CASE WHEN shiftright(h, b) & 1 = 1 THEN 1 ELSE -1 END)))),
-               bits -> aggregate(sequence(0, 47), 0L, (acc, b) ->
-                 acc + (CASE WHEN element_at(bits, b + 1) > 0
-                             THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0L END))), 1)), 1)"""))
+      .withColumn("simhash",
+        graft.functions.SimHash48(transform(col("toks"), hexHash(_))))
       .select(col("doc_id"), col("simhash"))
 
   /** SimHash near-dup pairs: candidates share at least one of four 12-bit
