@@ -557,7 +557,9 @@ object SparkEntry {
                     i -> array_to_string(toks[i:i+2], ' '))
              ELSE [] END) AS s
          FROM t),
-         ex AS (SELECT doc_id, unnest(s) AS sg FROM sh WHERE len(s) > 0),
+         ex AS (SELECT doc_id, unnest(list_transform(s,
+             x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS sg
+           FROM sh WHERE len(s) > 0),
          rare AS (SELECT sg FROM ex GROUP BY sg HAVING count(*) <= 100),
          kept AS (SELECT ex.doc_id, ex.sg FROM ex JOIN rare USING (sg)),
          sz AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),

@@ -145,6 +145,12 @@ object Dedup {
     * on the shingle, count shared shingles per pair. Exact within the
     * kept-shingle vocabulary: every pair with a shared kept shingle is
     * scored.
+    *
+    * The index keys are 60-bit shingle *hashes*, not the shingle strings:
+    * the exploded frame is the operator's shuffle payload, and 8-byte
+    * keys cut it ~5× versus n-word strings. Hash collisions are
+    * deterministic and engine-identical (the oracle replays the same
+    * md5-derived hash), so results still match bit for bit.
     */
   def ngramJaccard(
       docs: DataFrame,
@@ -152,7 +158,7 @@ object Dedup {
       minJaccard: Double = 0.3,
       maxDf: Int = 100): DataFrame = {
     val ex = withShingles(docs, n)
-      .select(col("doc_id"), explode(col("sh")).as("sg"))
+      .select(col("doc_id"), explode(transform(col("sh"), hexHash(_))).as("sg"))
     val rare = ex.groupBy("sg").count().where(col("count") <= maxDf).select("sg")
     val kept = ex.join(rare, Seq("sg"), "left_semi")
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))

@@ -33,6 +33,34 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming dedup drops digests already seen within the watermark") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val stream = MemoryStream[(Long, Long, String)]
+    val q = graft.streaming.StreamingDedup.dedupStream(
+        stream.toDF().toDF("ts", "doc_id", "text"), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      // same text twice within the horizon → one survivor
+      stream.addData(Seq((100L, 1L, "alpha"), (200L, 2L, "alpha"), (250L, 3L, "beta")))
+      q.processAllAvailable()
+      // advance the watermark far past batch 1 (eviction applies from the
+      // NEXT batch — the watermark is recomputed after each batch)
+      stream.addData(Seq((100000L, 9L, "gamma")))
+      q.processAllAvailable()
+      // alpha's digest is now evicted → re-admitted
+      stream.addData(Seq((100100L, 4L, "alpha")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dedup_stream").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got.contains(1L) && !got.contains(2L)) // in-horizon dup dropped
+    assert(got.contains(3L) && got.contains(9L))
+    assert(got.contains(4L)) // re-admitted after watermark eviction
+  }
+
   test("watermark bounds state: late window closes in append mode") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
