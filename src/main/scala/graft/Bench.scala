@@ -41,7 +41,10 @@ object Bench {
       try {
         once(fn) // warmup, untimed
         val times = (1 to reps).map(_ => once(fn)).sorted
-        Some(name -> times(times.size / 2))
+        // median primary; min kept alongside — the host VM shows sporadic
+        // multi-second stalls, and median vs min separates a slow query
+        // from a stalled run.
+        Some(name -> (times(times.size / 2), times.head))
       } catch {
         case e: Throwable =>
           errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
@@ -54,10 +57,11 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v) => s"${jstr(k)}:${v._1}" }.mkString("{", ",", "}")
+    val qmin = results.map { case (k, v) => s"${jstr(k)}:${v._2}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"reps":$reps,"sf":"${sfDir}"}""")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmin,"errors":$es,"reps":$reps,"sf":"${sfDir}"}""")
     spark.stop()
   }
 }

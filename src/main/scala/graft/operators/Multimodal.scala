@@ -68,6 +68,32 @@ object Multimodal {
     }
   }
 
+  /** Partition-wise media resize. The pixel work is a STUB (no codecs in
+    * this container): metadata is rescaled for real, and the payload is
+    * deterministically downsampled by byte-striding — the stand-in for a
+    * decode→scale→re-encode kernel. Swapping the stub body for a real
+    * scaler changes no plumbing: same typed Dataset in/out, same
+    * partition-streaming batch shape, constant memory per partition.
+    */
+  def resize(media: Dataset[MediaRow], maxDim: Int = 256): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val longest = math.max(math.max(r.width, r.height), 1)
+        val scale = math.min(1.0, maxDim.toDouble / longest)
+        // STUB SCALER — a real implementation decodes r.content, scales,
+        // re-encodes. Deterministic fake: stride the payload by 1/scale.
+        val stride = math.max(1, math.round(1.0 / math.max(scale, 1e-9)).toInt)
+        val content =
+          if (stride == 1) r.content
+          else r.content.indices.collect { case i if i % stride == 0 => r.content(i) }.toArray
+        MediaRow(r.doc_id, r.media_type, content,
+          math.max(1, math.round(r.width * scale).toInt),
+          math.max(1, math.round(r.height * scale).toInt))
+      }
+    }
+  }
+
   /** Frame sampling for video-like media: emits every `everyN`-th synthetic
     * frame index up to `meta.width` frames (stand-in for frame count) —
     * the explode-to-frames shape a video pipeline uses before per-frame

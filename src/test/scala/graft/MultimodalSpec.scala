@@ -30,6 +30,17 @@ class MultimodalSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("resize caps the longest side and is deterministic") {
+    import spark.implicits._
+    val ds = media.as[MediaRow]
+    val out = Multimodal.resize(ds, maxDim = 100).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => math.max(r.width, r.height) <= 100))
+    val again = Multimodal.resize(media.repartition(5).as[MediaRow], maxDim = 100)
+      .collect().map(r => r.doc_id -> r.content.toSeq).toMap
+    assert(out.map(r => r.doc_id -> r.content.toSeq).toMap === again)
+  }
+
   test("frameSample explodes every Nth frame index") {
     val frames = Multimodal.frameSample(media.limit(5), everyN = 100)
     assert(frames.count() >= 5) // at least frame 0 per doc
