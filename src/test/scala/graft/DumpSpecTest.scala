@@ -44,6 +44,18 @@ class DumpSpecTest extends SparkSpec {
     assert(loaded("nation").count() === orig.count())
   }
 
+  test("csv dump honors the compression option (gzip) and roundtrips") {
+    val dir = tmp()
+    Dump.write(cat, DumpSpec(
+      fullTables = Seq("nation"),
+      format = "csv",
+      compression = "gzip"), dir)
+    val files = new java.io.File(s"$dir/data/nation").listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".csv.gz")), s"expected gzip parts, got ${files.toSeq}")
+    val loaded = Dump.load(spark, dir).toMap
+    assert(loaded("nation").count() === cat.table("nation").count())
+  }
+
   test("loadInto writes target tables readable as parquet") {
     val dir = tmp()
     Dump.write(cat, DumpSpec(fullTables = Seq("region", "nation")), s"$dir/d")
