@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 
 import graft.core.{Catalog, ForeignKey, TableGraph}
 
@@ -92,15 +92,26 @@ object Closure {
       for (t <- order if full(t) || selections.contains(t))
         process(t, finalize = true)
     } else {
-      // Cyclic FK graph: fixpoint over sweeps until the table set stops
-      // growing (bounded). Finalization happens once, after convergence.
+      // Cyclic FK graph: fixpoint over sweeps until the ROW set stops
+      // growing — a cycle can add rows in the sweep that discovers no new
+      // table, so table-set convergence alone would under-close. One
+      // unioned count job per sweep detects growth; selections checkpoint
+      // each sweep so the stacked unions don't deepen the plan unboundedly.
+      // Rare case (real schemas are acyclic) and bounded by MaxSweeps.
+      def totalRows(): Long =
+        selections.values
+          .map(_.select(count(lit(1)).as("__graft_n")))
+          .reduce(_ unionByName _)
+          .agg(sum(col("__graft_n"))).head().getLong(0)
       var sweeps = 0
-      var changed = true
-      while (changed && sweeps < MaxSweeps) {
-        val before = selections.keySet
+      var prevRows = -1L
+      var rows = totalRows()
+      while (rows != prevRows && sweeps < MaxSweeps) {
+        prevRows = rows
         for (t <- catalog.tables if full(t) || selections.contains(t))
           process(t, finalize = false)
-        changed = selections.keySet != before
+        selections = selections.map { case (k, v) => k -> v.localCheckpoint() }
+        rows = totalRows()
         sweeps += 1
       }
       for (t <- selections.keys.toSeq.sorted)

@@ -53,6 +53,25 @@ class ClosureSpec extends SparkSpec {
     assert(keys === Set(100L, 50L, 25L, 12L, 6L, 3L, 1L, 0L))
   }
 
+  test("relatedData converges row-wise on cyclic FK graphs") {
+    // synthetic cycle: orders→customer and customer→orders (by pk);
+    // row-level fixpoint must leave no dangling reference on either edge.
+    val cyc = new Catalog(spark, sfDir, Seq("orders", "customer"),
+      Seq(ForeignKey("orders", "o_custkey", "customer", "c_custkey"),
+        ForeignKey("customer", "c_custkey", "orders", "o_orderkey")),
+      Map("orders" -> Seq("o_orderkey"), "customer" -> Seq("c_custkey")))
+    val seed = cyc.table("orders").where(col("o_totalprice") > 400000)
+    val sel = Closure.relatedData(cyc, partial = Map("orders" -> seed))
+    assert(sel.contains("orders") && sel.contains("customer"))
+    val danglingCust = sel("orders").select(col("o_custkey").as("k")).distinct()
+      .join(sel("customer"), col("k") === col("c_custkey"), "left_anti")
+    assert(danglingCust.count() === 0)
+    val danglingOrd = sel("customer").select(col("c_custkey").as("k")).distinct()
+      .join(sel("orders"), col("k") === col("o_orderkey"), "left_anti")
+      .join(cyc.table("orders"), col("k") === col("o_orderkey"), "left_semi")
+    assert(danglingOrd.count() === 0) // every resolvable back-edge is closed
+  }
+
   test("topo levels respect every FK edge") {
     val lv = TableGraph.loadLevels(cat.tables, cat.foreignKeys)
     cat.foreignKeys.filterNot(_.isRecursive).foreach { fk =>
