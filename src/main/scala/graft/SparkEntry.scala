@@ -212,7 +212,8 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     "stratified_sample" -> ((s, dir) =>
-      TextAnalysis.hashSample(cat(s, dir).table("documents")).orderBy("doc_id")),
+      TextAnalysis.hashSample(cat(s, dir).table("documents"))
+        .select(col("doc_id"), col("lang"), col("source")).orderBy("doc_id")),
 
     "text_normalize" -> ((s, dir) =>
       TextAnalysis.textNormalize(cat(s, dir).table("documents")).orderBy("doc_id")),
@@ -232,7 +233,14 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")),
 
     // ── LLM-data-pipeline: embedding similarity / ANN ────────────────────
+    // Exact all-pairs baseline (verification-scale only; the default
+    // bucketed plan below is the corpus-scale operator).
     "embed_cosine_dup" -> ((s, dir) =>
+      Similarity.embedCosineDup(cat(s, dir).table("embeddings"), threshold = 0.4,
+          exact = true)
+        .orderBy("id_a", "id_b")),
+
+    "embed_cosine_dup_bucketed" -> ((s, dir) =>
       Similarity.embedCosineDup(cat(s, dir).table("embeddings"), threshold = 0.4)
         .orderBy("id_a", "id_b")),
 
@@ -243,6 +251,11 @@ object SparkEntry {
     "ann_lsh" -> ((s, dir) =>
       Similarity.annLsh(cat(s, dir).table("embeddings"), col("vec_id") % 50 === 0,
           k = 10, planes = 4)
+        .orderBy("query_id", "rank")),
+
+    "ann_lsh_probe2" -> ((s, dir) =>
+      Similarity.annLsh(cat(s, dir).table("embeddings"), col("vec_id") % 50 === 0,
+          k = 10, planes = 4, nprobe = 2)
         .orderBy("query_id", "rank")),
 
     "ann_ivf" -> ((s, dir) =>
@@ -626,6 +639,67 @@ object SparkEntry {
          FROM n a JOIN n b ON a.vec_id < b.vec_id)
          SELECT id_a, id_b, round(cos, 4) AS cosine
          FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""",
+
+    "embed_cosine_dup_bucketed" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (SELECT vec_id, v,
+           sqrt(list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
+                (a, b) -> a + b)) AS nrm
+         FROM e),
+         bk AS (SELECT vec_id, r.b AS band,
+           array_to_string(list_transform(range(0, 4), p -> CASE WHEN
+             list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] *
+               ((CAST('0x' || substr(md5('plane|' || (r.b * 4 + p)::VARCHAR || '|' || i::VARCHAR), 1, 15) AS BIGINT)
+                 % 2001 - 1000) / 1000.0)),
+               (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END), '') AS bkey
+         FROM n CROSS JOIN range(0, 8) r(b)),
+         cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
+         p AS (SELECT id_a, id_b,
+           list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
+                (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
+         FROM cand JOIN n a ON a.vec_id = cand.id_a JOIN n b ON b.vec_id = cand.id_b)
+         SELECT id_a, id_b, round(cos, 4) AS cosine
+         FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""",
+
+    "ann_lsh_probe2" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (SELECT vec_id, v,
+           sqrt(list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
+                (a, b) -> a + b)) AS nrm
+         FROM e),
+         d0 AS (SELECT vec_id, v, nrm,
+           list_transform(range(0, 4), p ->
+             list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] *
+               ((CAST('0x' || substr(md5('plane|' || p::VARCHAR || '|' || i::VARCHAR), 1, 15) AS BIGINT)
+                 % 2001 - 1000) / 1000.0)), (x, y) -> x + y)) AS ds
+         FROM n),
+         d1 AS (SELECT vec_id, v, nrm,
+           list_transform(ds, x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END) AS sg,
+           list_transform(ds, x -> abs(x)) AS ad
+         FROM d0),
+         d2 AS (SELECT vec_id, v, nrm, array_to_string(sg, '') AS bucket,
+           list_concat([array_to_string(sg, '')],
+             list_transform(
+               list_filter(range(0, 4), p ->
+                 len(list_filter(range(0, 4), q -> ad[q + 1] < ad[p + 1]
+                   OR (ad[q + 1] = ad[p + 1] AND q < p))) < 1),
+               p -> array_to_string(list_transform(range(0, 4), i ->
+                 CASE WHEN i = p THEN (CASE WHEN sg[i + 1] = '1' THEN '0' ELSE '1' END)
+                   ELSE sg[i + 1] END), ''))) AS probes
+         FROM d1),
+         q AS (SELECT vec_id AS query_id, v AS vq, nrm AS nq, unnest(probes) AS qbucket
+         FROM d2 WHERE vec_id % 50 = 0),
+         p AS (SELECT q.query_id, x.vec_id AS neighbor_id,
+           list_reduce(list_transform(range(1, len(q.vq) + 1), i -> q.vq[i] * x.v[i]),
+                (a, b) -> a + b) / (q.nq * x.nrm) AS cos
+         FROM d2 x JOIN q ON x.bucket = q.qbucket AND x.vec_id <> q.query_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         FROM p)
+         SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", round(cos, 4) AS cosine
+         FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
 
     "ann_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -22,13 +22,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Semantics match the HOF form exactly: a strict sequential left fold
   * `((0 + a₁b₁) + a₂b₂) + …` — the same association order the DuckDB
   * oracle's `list_reduce` replays, so results are bit-identical across
-  * engines and partitionings. Evaluates over min(|a|, |b|) elements; null
-  * input array → null, null *elements* are read as 0-contributing (the
-  * embedding pipeline never produces them).
+  * engines and partitionings. Unequal-length arrays yield NULL, matching
+  * the `aggregate(zip_with(a, b, _ * _), …)` form it replaced (zip_with
+  * null-pads and null poisons the fold) — a mismatched-dim pair signals a
+  * broken embedding pipeline and must not score as a plausible number.
+  * Null input array → null; null *elements* are read as 0-contributing
+  * (the embedding pipeline never produces them).
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // NULL is produced for unequal-length inputs even when both inputs are
+  // provably non-null, so nullability cannot be inherited from the children.
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
@@ -39,11 +46,14 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
-    acc
+    if (x.numElements() != y.numElements()) null
+    else {
+      val n = x.numElements()
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+      acc
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -52,12 +62,16 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -98,8 +98,12 @@ object Closure {
       // unioned count job per sweep detects growth; selections checkpoint
       // each sweep so the stacked unions don't deepen the plan unboundedly.
       // Rare case (real schemas are acyclic) and bounded by MaxSweeps.
+      // Guarded for the full-tables-only shape (partial = empty): the first
+      // sweep has no selections yet — reduce over an empty collection would
+      // throw; 0 rows correctly forces that first sweep (0 != prevRows).
       def totalRows(): Long =
-        selections.values
+        if (selections.isEmpty) 0L
+        else selections.values
           .map(_.select(count(lit(1)).as("__graft_n")))
           .reduce(_ unionByName _)
           .agg(sum(col("__graft_n"))).head().getLong(0)

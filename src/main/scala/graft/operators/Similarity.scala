@@ -3,23 +3,29 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import TextAnalysis.bindOnce
+
 /** Embedding-similarity operators for the LLM-data-pipeline tier
   * (SURVEY.md §2): near-duplicate detection by cosine similarity and
   * (approximate) nearest-neighbor search over an `embeddings(vec_id,
   * embedding: array<float>, ...)` table.
   *
-  * All vector math is Catalyst higher-order-function algebra over
-  * `array<double>` — a strict sequential left fold, so results are
-  * bit-reproducible across partitionings and across engines (the DuckDB
-  * oracle mirrors the same fold). No UDFs.
+  * All vector math is Catalyst column algebra over `array<double>` — a
+  * strict sequential left fold, so results are bit-reproducible across
+  * partitionings and across engines (the DuckDB oracle mirrors the same
+  * fold). No UDFs.
   *
   * Scale notes (100 TB):
-  * - `embedCosineDup`/`annTopK` are the exact O(n·m) baselines: fine when
-  *   one side broadcasts (queries, or a candidate bucket), wrong as an
-  *   all-pairs plan at corpus scale.
-  * - `annLsh` is the scale path: sign-random-projection buckets turn the
-  *   cross product into an equi-join on the bucket key — shuffle volume is
-  *   O(rows), candidate verification is per-bucket.
+  * - The default plans are bucketed: `embedCosineDup` candidates come from
+  *   a banded sign-projection equi-join (shuffle O(rows × bands), verify
+  *   within buckets), `annLsh`/`annIvf` restrict search to the query's
+  *   bucket/cell. `exact = true` (cosine-dup) and `annTopK` are the exact
+  *   baselines — `annTopK` streams map-side against broadcast queries with
+  *   a two-phase top-k so no task ever sorts the whole corpus.
+  * - Embeddings are assumed fixed-width (one model ⇒ one dimension); the
+  *   width is probed from the first row at plan time. Mismatched-width
+  *   pairs yield NULL cosine (DotProduct's contract) and drop out of every
+  *   threshold/rank filter rather than scoring as a plausible number.
   */
 object Similarity {
 
@@ -47,24 +53,73 @@ object Similarity {
           v => struct(v.as("v"), l2norm(v).as("nrm"))).as("s"))
       .select(col("vec_id"), col("s.v").as("v"), col("s.nrm").as("nrm"))
 
-  /** All vector pairs with cosine ≥ `threshold` — embedding near-dup
-    * detection. Exact O(n²/2) plan (broadcast nested loop on the id
-    * inequality); at corpus scale run `annLsh`-style bucketing first and
-    * this verification only within buckets.
+  /** Embedding width, for materializing plane-weight literals: one
+    * footer-bounded first-row fetch at plan time (not a scan). Fixed-width
+    * embeddings are assumed — see the object doc. Empty frame → 1, and
+    * every downstream plan then correctly yields an empty result (nothing
+    * survives the joins) instead of throwing on `head`.
     */
-  def embedCosineDup(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
+  private def probeDim(emb: DataFrame): Int =
+    emb.select(size(col("embedding"))).head(1).headOption.map(_.getInt(0)).getOrElse(1)
+
+  /** All vector pairs with cosine ≥ `threshold` — embedding near-dup
+    * detection.
+    *
+    * Default plan is the one that survives 100 TB: banded sign-projection
+    * LSH (`bands` independent bucket sets of `planes` bits each) turns the
+    * cross product into an equi-join on (band, bucket); exact cosine is
+    * verified only within candidate buckets. Shuffle volume is
+    * rows × bands, never rows². Recall is probabilistic, the standard LSH
+    * trade: a pair at exactly `threshold` = 0.4 collides in one band with
+    * p ≈ 0.16, so 8 bands see it with p ≈ 0.75 — and higher-cosine (the
+    * actual near-dup) pairs approach 1. Pairs missed by every band are
+    * unseen, by design.
+    *
+    * `exact = true` keeps the all-pairs broadcast plan: exhaustive, but
+    * O(n²) pairs with the build side in memory — a verification baseline
+    * for bucket-parameter tuning, not a corpus-scale operator.
+    */
+  def embedCosineDup(
+      emb: DataFrame,
+      threshold: Double = 0.4,
+      exact: Boolean = false,
+      bands: Int = 8,
+      planes: Int = 4): DataFrame = {
     val e = normalized(emb)
     val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
+    val pairs =
+      if (exact) a.join(broadcast(b), col("id_a") < col("id_b"))
+      else {
+        val dim = probeDim(emb)
+        // Band i uses plane indices [i·planes, (i+1)·planes) of the shared
+        // deterministic plane family — bands are independent by seed.
+        val bucketed = e.select(col("vec_id"), posexplode(
+            array((0 until bands).map(i =>
+              lshBucket(col("v"), planes, dim, planeOffset = i * planes)): _*))
+          .as(Seq("band", "bkey")))
+        val cand = bucketed.as("x").join(bucketed.as("y"),
+            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+          .distinct()
+        cand.join(a, "id_a").join(b, "id_b")
+      }
+    pairs
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cosine"))
   }
 
   /** Exact top-k neighbors per query vector (brute-force ANN baseline).
-    * Queries broadcast; candidates stream map-side; per-query top-k via a
-    * window on the (small) query partitions. Ties break on neighbor id.
+    * Queries broadcast; candidates stream map-side. The top-k is two-phase:
+    * phase 1 takes a local top-k per (query, input partition) — every
+    * window partition is bounded by the map partition size, so no task
+    * ever sorts the whole corpus's scores — and phase 2 ranks the
+    * ≤ k × partitions survivors globally. Any global top-k row ranks ≤ k
+    * within its own partition, so phase 1 loses nothing; ties break on
+    * neighbor id in both phases, making the result exact and deterministic
+    * under any partitioning.
     */
   def annTopK(emb: DataFrame, queryFilter: Column, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -73,8 +128,13 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("vq"), col("nrm").as("nq"))
     val scored = broadcast(q).join(e, col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("vq"), col("v")) / (col("nq") * col("nrm")))
+      .withColumn("part", spark_partition_id())
+    val local = Window.partitionBy(col("query_id"), col("part"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val survivors = scored.withColumn("lrank", row_number().over(local))
+      .where(col("lrank") <= k)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
+    survivors.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rank").cast("long").as("rank"), round(col("cos"), 4).as("cosine"))
@@ -95,33 +155,80 @@ object Similarity {
     (java.lang.Long.parseLong(hex, 16) % 2001 - 1000) / 1000.0
   }
 
-  /** Sign-random-projection bucket key: one bit per hyperplane
-    * (sign of v·w_p), concatenated to a string key. `planes` bits ⇒
-    * 2^planes buckets. The plane weights are literal arrays (see
+  /** Per-plane projections v·w_p for planes [planeOffset, planeOffset +
+    * planes) as an array column. The plane weights are literal arrays (see
     * planeWeight); per row this costs planes × dim fused multiply-adds.
     */
-  def lshBucket(v: Column, planes: Int, dim: Int): Column =
+  private def planeDots(v: Column, planes: Int, dim: Int, planeOffset: Int): Column =
+    array((0 until planes).map { p =>
+      val w = array((1 to dim).map(d => lit(planeWeight(planeOffset + p, d))): _*)
+      dot(v, w)
+    }: _*)
+
+  /** Sign-random-projection bucket key: one bit per hyperplane
+    * (sign of v·w_p), concatenated to a string key. `planes` bits ⇒
+    * 2^planes buckets. `planeOffset` selects an independent plane family —
+    * banding for embedCosineDup.
+    */
+  def lshBucket(v: Column, planes: Int, dim: Int, planeOffset: Int = 0): Column =
     concat_ws("", (0 until planes).map { p =>
-      val w = array((1 to dim).map(d => lit(planeWeight(p, d))): _*)
+      val w = array((1 to dim).map(d => lit(planeWeight(planeOffset + p, d))): _*)
       when(dot(v, w) >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
+  /** Probe buckets for a query vector: its own sign bucket plus, when
+    * nprobe > 1, the nprobe − 1 buckets reached by flipping the
+    * lowest-|projection| bits one at a time — the planes the vector sits
+    * closest to, i.e. exactly where its true neighbors most plausibly
+    * landed on the other side (multi-probe LSH, Lv et al. VLDB'07).
+    * The bit ranking is expressed as a count ("how many planes have a
+    * strictly smaller (|proj|, index)") instead of a sort, so the DuckDB
+    * oracle replays it verbatim; ties break on plane index. Deterministic,
+    * engine-portable, no reindexing or second pass over the data.
+    */
+  private[operators] def lshProbes(v: Column, planes: Int, dim: Int, nprobe: Int): Column =
+    bindOnce(planeDots(v, planes, dim, planeOffset = 0), ds =>
+      bindOnce(transform(ds, d => when(d >= 0, lit("1")).otherwise(lit("0"))), sg => {
+        val main = array_join(sg, "")
+        if (nprobe <= 1) array(main)
+        else bindOnce(transform(ds, abs(_)), ad => {
+          def rankOf(p: Column): Column =
+            size(filter(sequence(lit(0), lit(planes - 1)), q =>
+              element_at(ad, q + 1) < element_at(ad, p + 1) ||
+                (element_at(ad, q + 1) === element_at(ad, p + 1) && q < p)))
+          val flips = filter(sequence(lit(0), lit(planes - 1)), p => rankOf(p) < nprobe - 1)
+          concat(array(main), transform(flips, p =>
+            array_join(transform(sequence(lit(0), lit(planes - 1)), i =>
+              when(i === p,
+                when(element_at(sg, i + 1) === "1", lit("0")).otherwise(lit("1")))
+                .otherwise(element_at(sg, i + 1))), "")))
+        })
+      }))
+
   /** LSH-bucketed ANN: same contract as `annTopK` but candidates are
-    * restricted to the query's sign-projection bucket. The cross product
+    * restricted to the query's sign-projection bucket(s). The cross product
     * becomes an equi-join on the bucket key — the plan that survives
     * 100 TB (shuffle O(rows), verify O(bucket²)). Recall is probabilistic:
-    * vectors in neighboring buckets are unseen (by design; add multi-probe
-    * for higher recall).
+    * vectors in unprobed buckets are unseen, by design. `nprobe` > 1 adds
+    * the query's nprobe − 1 nearest neighboring buckets (lowest-margin bit
+    * flips — see lshProbes) for recall without touching the indexed side;
+    * a neighbor matches at most one probe (buckets are distinct strings),
+    * so no pair dedup is needed.
     */
-  def annLsh(emb: DataFrame, queryFilter: Column, k: Int = 10, planes: Int = 4): DataFrame = {
+  def annLsh(
+      emb: DataFrame,
+      queryFilter: Column,
+      k: Int = 10,
+      planes: Int = 4,
+      nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Embedding width, for materializing the plane-weight literals. One
-    // footer-only row fetch at plan time (not a scan).
-    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    require(nprobe >= 1 && nprobe <= planes + 1,
+      s"nprobe must be in [1, planes + 1 = ${planes + 1}], got $nprobe")
+    val dim = probeDim(emb)
     val e = normalized(emb).withColumn("bucket", lshBucket(col("v"), planes, dim))
     val q = e.where(queryFilter)
-      .select(col("vec_id").as("query_id"), col("v").as("vq"),
-        col("nrm").as("nq"), col("bucket").as("qbucket"))
+      .select(col("vec_id").as("query_id"), col("v").as("vq"), col("nrm").as("nq"),
+        explode(lshProbes(col("v"), planes, dim, nprobe)).as("qbucket"))
     val scored = e.join(broadcast(q),
         col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("vq"), col("v")) / (col("nq") * col("nrm")))

@@ -149,12 +149,13 @@ object TextAnalysis {
     * stratified: within any stratum (language, source, …) the kept
     * fraction concentrates around pct% because the hash is independent of
     * every attribute. The corpus-subsetting primitive of a training-data
-    * pipeline.
+    * pipeline. Returns the filtered frame with its original columns —
+    * works on any frame with an `idCol`; callers project what they need.
     */
-  def hashSample(docs: DataFrame, pct: Int = 10, salt: String = "sample"): DataFrame =
-    docs
-      .where(hexHash(concat(lit(s"$salt|"), col("doc_id").cast("string"))) % 100 < pct)
-      .select(col("doc_id"), col("lang"), col("source"))
+  def hashSample(
+      docs: DataFrame, pct: Int = 10, salt: String = "sample",
+      idCol: String = "doc_id"): DataFrame =
+    docs.where(hexHash(concat(lit(s"$salt|"), col(idCol).cast("string"))) % 100 < pct)
 
   /** Text normalization: lowercase, collapse whitespace runs to single
     * spaces, trim — plus the md5 of the normalized form, the standard

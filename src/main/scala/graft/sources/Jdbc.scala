@@ -42,10 +42,16 @@ object Jdbc {
     partitionColumn match {
       case Some(pc) =>
         val (lo, hi) = bounds.getOrElse {
+          // getAs[Number]: the probe's min/max come back as INT/SMALLINT/
+          // DECIMAL depending on the key's SQL type — getLong would
+          // ClassCastException on anything but BIGINT. Empty table → (0, 0),
+          // a degenerate-but-valid single-partition range.
           val row = base(spark, cfg)
             .option("query", s"SELECT min($pc) AS lo, max($pc) AS hi FROM $table")
             .load().head()
-          (row.getLong(0), row.getLong(1))
+          def num(i: Int): Long =
+            Option(row.getAs[Number](i)).map(_.longValue).getOrElse(0L)
+          (num(0), num(1))
         }
         base(spark, cfg)
           .option("dbtable", table)

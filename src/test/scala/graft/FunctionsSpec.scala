@@ -18,9 +18,10 @@ class FunctionsSpec extends SparkSpec {
     GraftExtensions.register(spark)
     assert(spark.sql("SELECT dot_product(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d))")
       .head().isNullAt(0))
-    // min-length semantics: extra elements on one side are ignored
+    // unequal lengths → NULL (the aggregate(zip_with(...)) contract: a
+    // mismatched-dim pair signals a broken pipeline, not a scorable value)
     assert(spark.sql("SELECT dot_product(array(2.0d), array(3.0d, 9.0d))")
-      .head().getDouble(0) === 6.0)
+      .head().isNullAt(0))
   }
 
   test("DotProduct column API matches SQL function result") {

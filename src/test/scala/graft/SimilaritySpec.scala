@@ -58,6 +58,39 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.except(exact).count() === 0)
   }
 
+  test("bucketed embedCosineDup is a subset of the exact all-pairs result") {
+    val exact = Similarity.embedCosineDup(emb, threshold = 0.3, exact = true)
+    val bucketed = Similarity.embedCosineDup(emb, threshold = 0.3)
+    assert(bucketed.count() > 0)
+    // every bucketed pair (ids + cosine) appears in the exact result
+    assert(bucketed.except(exact).count() === 0)
+  }
+
+  test("annTopK two-phase top-k is exact under any partitioning") {
+    val base = Similarity.annTopK(emb, col("vec_id") % 100 === 0, k = 5).collect().toSeq
+    val repart = Similarity.annTopK(emb.repartition(13), col("vec_id") % 100 === 0, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(base.sortBy(r => (r.getLong(0), r.getLong(2))) === repart)
+  }
+
+  test("multi-probe LSH widens the candidate set, never shrinks it") {
+    val p1 = Similarity.annLsh(emb, col("vec_id") % 100 === 0, k = 1000, planes = 4)
+      .select("query_id", "neighbor_id", "cosine")
+    val p2 = Similarity.annLsh(emb, col("vec_id") % 100 === 0, k = 1000, planes = 4,
+      nprobe = 2)
+      .select("query_id", "neighbor_id", "cosine")
+    // with k beyond any bucket size, nprobe=2 results ⊇ nprobe=1 results
+    assert(p1.except(p2).count() === 0)
+    assert(p2.count() >= p1.count())
+  }
+
+  test("similarity operators yield empty results on an empty frame (no throw)") {
+    val empty = emb.where(lit(false))
+    assert(Similarity.annLsh(empty, col("vec_id") % 100 === 0, nprobe = 2).count() === 0)
+    assert(Similarity.embedCosineDup(empty).count() === 0)
+    assert(Similarity.annTopK(empty, col("vec_id") % 100 === 0).count() === 0)
+  }
+
   test("dot product expression matches the higher-order-function fold bitwise") {
     val hof = emb.select(col("vec_id"),
       aggregate(zip_with(Similarity.vec(col("embedding")), Similarity.vec(col("embedding")),
