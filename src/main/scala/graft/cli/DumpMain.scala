@@ -13,15 +13,25 @@ import graft.sources.{Dump, DumpSpec}
   *   -f region -p 'orders:SELECT * FROM orders WHERE o_totalprice > 480000' \
   *   --fk orders.o_custkey=customer.c_custkey --pk orders=o_orderkey \
   *   -c zstd --format parquet"
+  *
+  * // live database source (FK/PK metadata introspected — ≙ the reference's
+  * // -U/-P/-H/-N connection flags, cli/dump.py:29):
+  * sbt "runMain graft.cli.DumpMain --jdbc-url jdbc:postgresql://host/db \
+  *   --jdbc-user u --jdbc-password p -o /dumps/d1 \
+  *   -f region -p 'orders:SELECT * FROM orders WHERE o_totalprice > 480000'"
   * }}}
   *
   * Flags mirror the reference CLI: `-o/--output`, `-f/--full` (repeatable),
   * `-p/--partial "table:select SQL"` (repeatable, cli/dump.py:16
   * parse_partial), `-c/--compression`, `--schema/--no-schema`,
-  * `--data/--no-data`. Spark-specific additions: `--source` (directory of
-  * parquet tables — the "database"), `--format parquet|csv`, and explicit
-  * `--fk`/`--pk` metadata, because parquet directories carry no relational
-  * catalog (the reference introspects pg_catalog; here the user declares).
+  * `--data/--no-data`. The source is either `--source` (directory of
+  * parquet tables, with explicit `--fk`/`--pk` metadata since parquet
+  * carries no relational catalog) or `--jdbc-url [--jdbc-user
+  * --jdbc-password --jdbc-driver --jdbc-schema --consistent]` (a live
+  * database: FK/PK metadata comes from DatabaseMetaData introspection like
+  * the reference's pg_catalog queries; `--fk`/`--pk` only ADD edges, e.g.
+  * soft FKs the schema never declared). `--consistent` forces
+  * single-connection table reads — see Jdbc.readTable's snapshot caveat.
   */
 object DumpMain {
 
@@ -33,9 +43,8 @@ object DumpMain {
 
   def run(args: Seq[String], spark: SparkSession): Unit = {
     val opts = Cli.parse(args)
-    val source = opts.required("source")
     val output = opts.required("output", short = "o")
-    val catalog = Cli.catalogFor(spark, source, opts)
+    val catalog = Cli.catalogFrom(spark, opts)
 
     // Partial selections are SQL over the source tables, registered as views
     // (reference format "table:select SQL", cli/dump.py:16).
@@ -53,7 +62,11 @@ object DumpMain {
       compression = opts.value("compression", short = "c").getOrElse("snappy"),
       dumpSchema = !opts.flag("no-schema"),
       dumpData = !opts.flag("no-data")), output)
-    println(s"Dumped ${(opts.multi("full", short = "f") ++ partial.keys).distinct.size}+ tables to $output")
+    // Single-file convenience (≙ the reference's zip wire format) for small
+    // dumps; the directory stays the scale artifact.
+    if (opts.flag("archive")) Dump.archive(spark, output, s"$output.zip")
+    println(s"Dumped ${(opts.multi("full", short = "f") ++ partial.keys).distinct.size}+ tables to $output" +
+      (if (opts.flag("archive")) s" (+ $output.zip)" else ""))
   }
 }
 
@@ -75,7 +88,8 @@ object Cli {
 
   private val Valued = Set("source", "output", "o", "full", "f", "partial", "p",
     "compression", "c", "format", "fk", "pk", "input", "i", "cleanup-method", "m",
-    "target")
+    "target", "jdbc-url", "jdbc-user", "jdbc-password", "jdbc-driver",
+    "jdbc-schema")
 
   def parse(args: Seq[String]): Opts = {
     var values = Map.empty[String, Seq[String]].withDefaultValue(Nil)
@@ -107,6 +121,44 @@ object Cli {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  /** JdbcConfig from `--jdbc-*` flags (url is `opts.value("jdbc-url")`). */
+  def jdbcConfig(opts: Opts, url: String): graft.sources.JdbcConfig =
+    graft.sources.JdbcConfig(
+      url = url,
+      user = opts.value("jdbc-user").getOrElse(""),
+      password = opts.value("jdbc-password").getOrElse(""),
+      driver = opts.value("jdbc-driver")
+        .getOrElse(graft.sources.JdbcConfig(url = "", user = "", password = "").driver))
+
+  /** Source catalog: a live database when `--jdbc-url` is given (metadata
+    * introspected; `--fk`/`--pk` add edges on top), else the
+    * `--source` parquet directory (metadata declared via `--fk`/`--pk`).
+    */
+  def catalogFrom(spark: SparkSession, opts: Opts): Catalog =
+    opts.value("jdbc-url") match {
+      case Some(url) =>
+        Catalog.jdbc(spark, jdbcConfig(opts, url),
+            schema = opts.value("jdbc-schema"),
+            consistent = opts.flag("consistent"))
+          .withForeignKeys(parseFks(opts): _*)
+          .withPrimaryKeys(parsePks(opts).toSeq: _*)
+      case None => catalogFor(spark, opts.required("source"), opts)
+    }
+
+  private[cli] def parseFks(opts: Opts): Seq[ForeignKey] =
+    opts.multi("fk").map { spec =>
+      val (from, to) = splitOnce(spec, '=', s"--fk must be table.col=ftable.fcol: $spec")
+      val (t, c) = splitOnce(from, '.', s"--fk must be table.col=ftable.fcol: $spec")
+      val (ft, fc) = splitOnce(to, '.', s"--fk must be table.col=ftable.fcol: $spec")
+      ForeignKey(t, c, ft, fc)
+    }
+
+  private[cli] def parsePks(opts: Opts): Map[String, Seq[String]] =
+    opts.multi("pk").map { spec =>
+      val (t, c) = splitOnce(spec, '=', s"--pk must be table=col: $spec")
+      t -> Seq(c)
+    }.toMap
+
   /** Catalog over `<source>/<table>.parquet` files. Tables are discovered
     * from the directory; FK edges come from repeatable
     * `--fk table.col=ftable.fcol`, primary keys from `--pk table=col`
@@ -125,16 +177,8 @@ object Cli {
       .sorted
     require(tables.nonEmpty, s"no <table>.parquet entries under $source")
 
-    val fks = opts.multi("fk").map { spec =>
-      val (from, to) = splitOnce(spec, '=', s"--fk must be table.col=ftable.fcol: $spec")
-      val (t, c) = splitOnce(from, '.', s"--fk must be table.col=ftable.fcol: $spec")
-      val (ft, fc) = splitOnce(to, '.', s"--fk must be table.col=ftable.fcol: $spec")
-      ForeignKey(t, c, ft, fc)
-    }
-    val declaredPks = opts.multi("pk").map { spec =>
-      val (t, c) = splitOnce(spec, '=', s"--pk must be table=col: $spec")
-      t -> Seq(c)
-    }.toMap
+    val fks = parseFks(opts)
+    val declaredPks = parsePks(opts)
     val base = new Catalog(spark, source, tables, fks, Map.empty)
     val pks = tables.map(t =>
       t -> declaredPks.getOrElse(t, Seq(base.table(t).schema.fieldNames.head))).toMap

@@ -9,16 +9,21 @@ import graft.sources.Dump
   *
   * {{{
   * sbt "runMain graft.cli.LoadMain -i /dumps/d1 --target /data/restored -m truncate"
+  * // live database target (batched JDBC writes in FK load order):
+  * sbt "runMain graft.cli.LoadMain -i /dumps/d1 --jdbc-url jdbc:postgresql://host/db \
+  *   --jdbc-user u --jdbc-password p -m truncate"
   * }}}
   *
   * Flags mirror the reference: `-i/--input` (the dump directory) and
   * `-m/--cleanup-method truncate|recreate` (load.py:17). The sink is a
-  * directory of parquet tables (`--target`): `truncate` clears only the
-  * tables being loaded (≙ TRUNCATE, reference postgresql.py:212);
-  * `recreate` removes the whole target first (≙ recreate_database,
-  * reference base.py:202 — which drops connections and re-creates, the
-  * filesystem analog being a recursive delete). Loading follows manifest
-  * order and replays sequence state (Dump.loadInto).
+  * directory of parquet tables (`--target`) or a live database
+  * (`--jdbc-url …`). Filesystem target: `truncate` clears only the tables
+  * being loaded (≙ TRUNCATE, reference postgresql.py:212); `recreate`
+  * removes the whole target first (≙ recreate_database, reference
+  * base.py:202 — which drops connections and re-creates, the filesystem
+  * analog being a recursive delete). JDBC target: see Dump.loadIntoJdbc.
+  * Loading follows manifest order and (filesystem target) replays sequence
+  * state (Dump.loadInto).
   */
 object LoadMain {
 
@@ -30,9 +35,25 @@ object LoadMain {
 
   def run(args: Seq[String], spark: SparkSession): Unit = {
     val opts = Cli.parse(args)
-    val input = opts.required("input", short = "i")
-    val target = opts.required("target")
+    val rawInput = opts.required("input", short = "i")
+    // A .zip input (DumpMain --archive) is unpacked next to itself first —
+    // the reference loads straight from its zip archive (base.py:220).
+    val input =
+      if (!rawInput.endsWith(".zip")) rawInput
+      else {
+        val dir = java.nio.file.Files.createTempDirectory("graft_unzip").toString
+        Dump.unarchive(spark, rawInput, dir)
+        dir
+      }
 
+    opts.value("jdbc-url").foreach { url =>
+      Dump.loadIntoJdbc(spark, input, Cli.jdbcConfig(opts, url),
+        cleanup = opts.value("cleanup-method", short = "m"))
+      println(s"Loaded ${Dump.readManifest(spark, input).loadOrder.size} tables into $url")
+      return
+    }
+
+    val target = opts.required("target")
     val tp = new org.apache.hadoop.fs.Path(target)
     val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     opts.value("cleanup-method", short = "m") match {

@@ -18,22 +18,33 @@ final case class ForeignKey(
   def isRecursive: Boolean = table == foreignTable
 }
 
-/** A named set of parquet-backed tables plus relational metadata (primary
-  * keys, foreign keys). All accessors return lazy logical plans — nothing is
-  * scanned until an action runs, so downstream filters/projections push into
-  * the parquet scans.
+/** A named set of tables plus relational metadata (primary keys, foreign
+  * keys). All accessors return lazy logical plans — nothing is scanned until
+  * an action runs, so downstream filters/projections push into the source
+  * scans.
+  *
+  * The storage side is pluggable via `reader`: the default reads
+  * `<dir>/<table>.parquet`; `Catalog.jdbc` supplies a partitioned-JDBC
+  * reader over a live database with FK/PK metadata introspected from the
+  * server — the reference's actual deployment shape (point at a database,
+  * get a consistent partial dump). Closure/Dump/TableGraph only ever see
+  * `table(name)` + metadata, so every operator works identically over both.
   */
 final class Catalog(
     @transient val spark: SparkSession,
     val dir: String,
     val tables: Seq[String],
     val foreignKeys: Seq[ForeignKey],
-    val primaryKeys: Map[String, Seq[String]])
+    val primaryKeys: Map[String, Seq[String]],
+    reader: Option[String => DataFrame] = None)
     extends Serializable {
 
   def table(name: String): DataFrame = {
     require(tables.contains(name), s"unknown table: $name")
-    spark.read.parquet(s"$dir/$name.parquet")
+    reader match {
+      case Some(read) => read(name)
+      case None       => spark.read.parquet(s"$dir/$name.parquet")
+    }
   }
 
   /** FKs out of `table`. Mirrors xdump's `get_foreign_keys(table, full_tables,
@@ -52,10 +63,38 @@ final class Catalog(
     primaryKeys.getOrElse(name, sys.error(s"no primary key registered for $name"))
 
   def withForeignKeys(extra: ForeignKey*): Catalog =
-    new Catalog(spark, dir, tables, foreignKeys ++ extra, primaryKeys)
+    new Catalog(spark, dir, tables, foreignKeys ++ extra, primaryKeys, reader)
+
+  def withPrimaryKeys(extra: (String, Seq[String])*): Catalog =
+    new Catalog(spark, dir, tables, foreignKeys, primaryKeys ++ extra, reader)
 }
 
 object Catalog {
+
+  /** Catalog over a live JDBC database — the reference's headline use case
+    * (xdump/postgresql.py:66: point at a server, get a consistent partial
+    * dump). Tables, primary keys and FK edges are introspected from the
+    * server's metadata (Jdbc.introspect — the pg_catalog / PRAGMA analog),
+    * so nothing is declared by hand; `Dump.write` then runs the same
+    * FK-closure over partitioned JDBC scans it runs over parquet.
+    *
+    * Reads range-partition on the table's first PK column when it is
+    * numeric (parallel scan across executors); `consistent = true` forces
+    * every table onto a single connection instead — see the snapshot
+    * caveat on [[graft.sources.Jdbc.readTable]].
+    */
+  def jdbc(
+      spark: SparkSession,
+      cfg: graft.sources.JdbcConfig,
+      schema: Option[String] = None,
+      consistent: Boolean = false): Catalog = {
+    val meta = graft.sources.Jdbc.introspect(cfg, schema)
+    val read = (t: String) => graft.sources.Jdbc.readTable(
+      spark, cfg, meta.qualifiedNames.getOrElse(t, t),
+      partitionColumn = if (consistent) None else meta.partitionColumns.get(t))
+    new Catalog(spark, cfg.url, meta.tables, meta.foreignKeys, meta.primaryKeys,
+      Some(read))
+  }
 
   /** The TPC-H-ish test schema (TESTDATA.md) with its natural FK graph. */
   def tpch(spark: SparkSession, dir: String): Catalog = {

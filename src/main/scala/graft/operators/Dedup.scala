@@ -89,13 +89,22 @@ object Dedup {
     val b = sigs.select(col("doc_id").as("doc_b"), col("sh").as("shb"), col("sig").as("sigb"))
     val inter = size(array_intersect(col("sha"), col("shb")))
     val union = size(col("sha")) + size(col("shb")) - inter
-    cand.join(a, "doc_a").join(b, "doc_b")
+    val out = cand.join(a, "doc_a").join(b, "doc_b")
       .withColumn("jaccard", inter / union)
       .where(col("jaccard") >= minJaccard)
       .withColumn("est_jaccard",
         size(filter(sequence(lit(1), lit(numHashes)),
           i => element_at(col("siga"), i) === element_at(col("sigb"), i))) / lit(numHashes))
       .select(col("doc_a"), col("doc_b"), col("jaccard"), col("est_jaccard"))
+      // The pair set (small by construction — near-dups are rare) is
+      // materialized eagerly so the signature cache can be released before
+      // returning: without this, every call leaks an InMemoryRelation into
+      // a long-lived session. localCheckpoint also truncates the 4-way
+      // self-referencing lineage, so downstream ops (dedupGroups) replan
+      // against a flat scan.
+      .localCheckpoint()
+    sigs.unpersist()
+    out
   }
 
   /** 48-bit SimHash signature per document (frequency-weighted token

@@ -186,6 +186,34 @@ object Dump {
       seqs.mkString("[\n", ",\n", "\n]"))
   }
 
+  /** Loads a dump into a live database over JDBC — the reference's `xload`
+    * against Postgres/SQLite (xdump/base.py:220, cli/load.py:63). Tables
+    * are written in manifest load order (parents before children), so an
+    * FK-enforcing target accepts every batch. `cleanup`:
+    * None → append; "truncate" → clear rows, keep tables + constraints
+    * (≙ postgresql.py:212); "recreate" → drop + re-create from Spark's
+    * schema (≙ recreate_database, base.py:202 — constraints are NOT
+    * restored; prefer truncate against a schema-managed target).
+    *
+    * Sequence state is NOT replayed (the manifest carries it; engines
+    * disagree on `ALTER SEQUENCE`/`RESTART WITH` syntax, so resuming id
+    * generation is the deployment's one engine-specific step).
+    */
+  def loadIntoJdbc(
+      spark: SparkSession,
+      dumpPath: String,
+      cfg: JdbcConfig,
+      cleanup: Option[String] = None): Unit = {
+    val mode = cleanup match {
+      case Some("truncate") | Some("recreate") => SaveMode.Overwrite
+      case Some(other) => sys.error(s"unknown cleanup method (use truncate|recreate): $other")
+      case None => SaveMode.Append
+    }
+    load(spark, dumpPath).foreach { case (t, df) =>
+      Jdbc.writeTable(df, cfg, t, mode, recreate = cleanup.contains("recreate"))
+    }
+  }
+
   /** Sequence state of a load target — what the next id per table should
     * start after. Reads `_sequences.json` written by `loadInto`.
     */
@@ -194,6 +222,56 @@ object Dump {
     val raw = readText(spark, s"$targetDir/_sequences.json")
     spark.read.json(Seq(raw).toDS)
       .select(col("table").as("table_name"), col("value").cast("long").as("seq_value"))
+  }
+
+  /** Packs a dump directory into ONE zip file — the reference's wire format
+    * (xdump/base.py:100 packs schema + per-table CSVs into a zip archive).
+    * A convenience for small dumps that must travel as a single artifact:
+    * a zip is one writer stream, the opposite of the partitioned-directory
+    * default that writes from every executor in parallel — at scale, keep
+    * the directory. Entry names are paths relative to `dumpPath`, so
+    * `unarchive` restores an identical directory. Streams through the
+    * Hadoop FS API (local, HDFS, S3A, ...).
+    */
+  def archive(spark: SparkSession, dumpPath: String, zipPath: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dumpPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootUri = fs.makeQualified(root).toUri
+    val out = new java.util.zip.ZipOutputStream(
+      fs.create(new org.apache.hadoop.fs.Path(zipPath), true))
+    try {
+      val files = fs.listFiles(root, true)
+      while (files.hasNext) {
+        val f = files.next()
+        val rel = rootUri.relativize(f.getPath.toUri).getPath
+        out.putNextEntry(new java.util.zip.ZipEntry(rel))
+        val in = fs.open(f.getPath)
+        try in.transferTo(out) finally in.close()
+        out.closeEntry()
+      }
+    } finally out.close()
+  }
+
+  /** Restores a zip written by `archive` into a dump directory that
+    * `load`/`loadInto` read directly (≙ the reference unpacking its archive
+    * on load, xdump/base.py:220).
+    */
+  def unarchive(spark: SparkSession, zipPath: String, targetDir: String): Unit = {
+    val zp = new org.apache.hadoop.fs.Path(zipPath)
+    val fs = zp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = new java.util.zip.ZipInputStream(fs.open(zp))
+    try {
+      var e = in.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory) {
+          val target = new org.apache.hadoop.fs.Path(s"$targetDir/${e.getName}")
+          val out = fs.create(target, true)
+          try in.transferTo(out) finally out.close()
+        }
+        in.closeEntry()
+        e = in.getNextEntry
+      }
+    } finally in.close()
   }
 
   // Small text-file helpers via the Hadoop FS API (works on any supported

@@ -2,14 +2,17 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
+import graft.core.ForeignKey
+
 /** Connection surface for live databases — the Spark-native counterpart of
   * the reference's PostgreSQL/SQLite backends (xdump/postgresql.py:66,
   * xdump/sqlite.py:28). Dumping from a live DB is a *partitioned* JDBC read
   * (every executor pulls a key range — the distributed replacement for a
   * single `COPY TO STDOUT`), and loading is a batched JDBC write.
   *
-  * Untestable in this offline environment (no database, no drivers) but
-  * kept thin and standard so it is exercised by any real deployment.
+  * Exercised end-to-end against embedded Apache Derby (JdbcSpec,
+  * JdbcCatalogSpec); the same code paths drive Postgres/MySQL/etc. with the
+  * matching driver on the classpath.
   */
 final case class JdbcConfig(
     url: String,
@@ -19,6 +22,28 @@ final case class JdbcConfig(
     fetchSize: Int = 10000,
     batchSize: Int = 10000,
     numPartitions: Int = 32)
+
+/** Relational metadata introspected from a live database — the engine-side
+  * analog of the reference's pg_catalog / `PRAGMA foreign_key_list` queries
+  * (xdump/postgresql.py:19, xdump/sqlite.py:71), obtained portably through
+  * `java.sql.DatabaseMetaData` instead of per-engine SQL.
+  *
+  * @param tables           bare table names (unique across schemas, enforced)
+  * @param foreignKeys      single-column FK edges; of a composite FK only the
+  *                         first column is kept — pulling on it selects a
+  *                         superset of the referenced rows, so the dump stays
+  *                         referentially closed (just not minimal)
+  * @param primaryKeys      PK columns in KEY_SEQ order
+  * @param qualifiedNames   table → "SCHEMA.TABLE" as the server resolves it
+  * @param partitionColumns tables whose first PK column is numeric — the
+  *                         range-partitionable reads
+  */
+final case class DbMeta(
+    tables: Seq[String],
+    foreignKeys: Seq[ForeignKey],
+    primaryKeys: Map[String, Seq[String]],
+    qualifiedNames: Map[String, String],
+    partitionColumns: Map[String, String])
 
 object Jdbc {
 
@@ -32,6 +57,20 @@ object Jdbc {
 
   /** Full-table read, range-partitioned on `partitionColumn` so the scan is
     * parallel across executors. Bounds default to a min/max probe query.
+    *
+    * CONSISTENCY CAVEAT: a partitioned read opens `numPartitions`
+    * independent connections, each its own transaction — a table written
+    * concurrently can be torn across partitions (rows moved between key
+    * ranges seen twice or not at all). The reference avoids this by running
+    * the whole dump inside one REPEATABLE READ transaction
+    * (xdump/postgresql.py:77, sqlite.py:65 `BEGIN IMMEDIATE`); a
+    * connection-pooled distributed engine cannot. `partitionColumn = None`
+    * (what `Catalog.jdbc(consistent = true)` forces) reads each table over
+    * a single connection — per-table snapshot consistency at the isolation
+    * level the server grants that connection. Cross-TABLE consistency for
+    * a live, concurrently-written database still needs a quiesced source, a
+    * server-side exported snapshot shared by every connection (Postgres
+    * `SET TRANSACTION SNAPSHOT`), or a replica frozen for the dump.
     */
   def readTable(
       spark: SparkSession,
@@ -71,10 +110,18 @@ object Jdbc {
     base(spark, cfg).option("query", sql).load()
 
   /** Batched parallel load (≙ `COPY FROM STDIN` / executemany,
-    * xdump/postgresql.py:216, xdump/sqlite.py:148). `Overwrite` with
-    * truncate=true is the reference's `truncate()`-then-load path.
+    * xdump/postgresql.py:216, xdump/sqlite.py:148). `Overwrite` is the
+    * reference's `truncate()`-then-load path — it clears rows but keeps the
+    * table (and its constraints); `recreate = true` drops and re-creates
+    * the table instead (≙ recreate_database, base.py:202 — constraints are
+    * NOT restored, Spark only knows column types).
     */
-  def writeTable(df: DataFrame, cfg: JdbcConfig, table: String, mode: SaveMode): Unit =
+  def writeTable(
+      df: DataFrame,
+      cfg: JdbcConfig,
+      table: String,
+      mode: SaveMode,
+      recreate: Boolean = false): Unit =
     df.write.format("jdbc")
       .option("url", cfg.url)
       .option("user", cfg.user)
@@ -82,8 +129,71 @@ object Jdbc {
       .option("driver", cfg.driver)
       .option("dbtable", table)
       .option("batchsize", cfg.batchSize)
-      .option("truncate", mode == SaveMode.Overwrite)
+      .option("truncate", mode == SaveMode.Overwrite && !recreate)
       .option("numPartitions", cfg.numPartitions)
       .mode(mode)
       .save()
+
+  private def rows[A](rs: java.sql.ResultSet)(f: java.sql.ResultSet => A): Vector[A] = {
+    val buf = Vector.newBuilder[A]
+    while (rs.next()) buf += f(rs)
+    rs.close()
+    buf.result()
+  }
+
+  /** FK/PK/table introspection over one metadata connection — what the
+    * reference reads from pg_catalog (postgresql.py:19) or
+    * `PRAGMA foreign_key_list` (sqlite.py:71), here via the portable
+    * `DatabaseMetaData.getTables/getPrimaryKeys/getImportedKeys` so any
+    * JDBC-speaking engine yields a ready-to-dump catalog with no
+    * hand-declared metadata. Metadata-sized and driver-side by nature.
+    *
+    * @param schema schema pattern to restrict to (e.g. "APP", "public");
+    *               None scans all non-system schemas — bare table names
+    *               must then be unique across them.
+    */
+  def introspect(cfg: JdbcConfig, schema: Option[String] = None): DbMeta = {
+    Class.forName(cfg.driver)
+    val props = new java.util.Properties()
+    props.setProperty("user", cfg.user)
+    props.setProperty("password", cfg.password)
+    val conn = java.sql.DriverManager.getConnection(cfg.url, props)
+    try {
+      val md = conn.getMetaData
+      val tabs = rows(md.getTables(null, schema.orNull, "%", Array("TABLE")))(r =>
+        (Option(r.getString("TABLE_SCHEM")).filter(_.nonEmpty), r.getString("TABLE_NAME")))
+      val names = tabs.map(_._2)
+      require(names.distinct.size == names.size,
+        s"table names collide across schemas (${names.diff(names.distinct).distinct.mkString(", ")}); pass an explicit schema")
+
+      val qualified = tabs.map { case (sc, t) =>
+        t -> sc.map(s => s"$s.$t").getOrElse(t)
+      }.toMap
+
+      val pks = tabs.map { case (sc, t) =>
+        t -> rows(md.getPrimaryKeys(null, sc.orNull, t))(r =>
+          (r.getShort("KEY_SEQ"), r.getString("COLUMN_NAME"))).sortBy(_._1).map(_._2)
+      }.toMap.filter { case (_, cols) => cols.nonEmpty }
+
+      val fks = tabs.flatMap { case (sc, t) =>
+        rows(md.getImportedKeys(null, sc.orNull, t))(r =>
+          (r.getShort("KEY_SEQ"), ForeignKey(
+            r.getString("FKTABLE_NAME"), r.getString("FKCOLUMN_NAME"),
+            r.getString("PKTABLE_NAME"), r.getString("PKCOLUMN_NAME"))))
+          .filter(_._1 == 1).map(_._2) // composite FK: keep the first column (see DbMeta)
+      }
+
+      val numeric = Set(java.sql.Types.TINYINT, java.sql.Types.SMALLINT,
+        java.sql.Types.INTEGER, java.sql.Types.BIGINT, java.sql.Types.DECIMAL,
+        java.sql.Types.NUMERIC)
+      val partCols = tabs.flatMap { case (sc, t) =>
+        pks.get(t).flatMap(_.headOption).flatMap { c =>
+          rows(md.getColumns(null, sc.orNull, t, c))(r => r.getInt("DATA_TYPE"))
+            .headOption.filter(numeric).map(_ => t -> c)
+        }
+      }.toMap
+
+      DbMeta(names, fks, pks, qualified, partCols)
+    } finally conn.close()
+  }
 }

@@ -45,6 +45,24 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/loaded/orders.parquet").count() === expected.count())
   }
 
+  test("archived dump is one zip that loads back identically") {
+    val tmp = Files.createTempDirectory("graft_cli_zip").toString
+    DumpMain.run(Seq(
+      "--source", sfDir,
+      "-o", s"$tmp/dump",
+      "-f", "region",
+      "-p", "orders:SELECT * FROM orders WHERE o_totalprice > 480000",
+      "--fk", "orders.o_custkey=customer.c_custkey",
+      "--archive"), spark)
+    assert(new java.io.File(s"$tmp/dump.zip").isFile)
+
+    // load straight from the zip
+    LoadMain.run(Seq("-i", s"$tmp/dump.zip", "--target", s"$tmp/loaded"), spark)
+    val expected = spark.read.parquet(s"$sfDir/orders.parquet")
+      .where("o_totalprice > 480000").count()
+    assert(spark.read.parquet(s"$tmp/loaded/orders.parquet").count() === expected)
+  }
+
   test("schema-only dump writes DDL but no data") {
     val tmp = Files.createTempDirectory("graft_cli2").toString
     DumpMain.run(Seq(

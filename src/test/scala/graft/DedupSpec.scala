@@ -17,6 +17,13 @@ class DedupSpec extends SparkSpec {
     assert(pairs.where(col("jaccard") >= 0.9 && col("est_jaccard") < 0.5).count() === 0)
   }
 
+  test("minhashPairs releases its signature cache before returning") {
+    Dedup.minhashPairs(docs, minJaccard = 0.5).count()
+    // the signature frame is persisted internally for 4-way reuse; the
+    // operator must not leak it into a long-lived session's cache
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("exact duplicate text yields jaccard 1 pair") {
     val two = docs.limit(1).select(col("doc_id"), col("text"))
       .union(docs.limit(1).select(col("doc_id") + 1000000, col("text")))

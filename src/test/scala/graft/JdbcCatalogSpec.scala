@@ -1,0 +1,149 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.functions.col
+
+import graft.core.{Catalog, ForeignKey}
+import graft.sources.{Dump, DumpSpec, Jdbc, JdbcConfig}
+
+/** The reference's headline use case end-to-end: point the engine at a LIVE
+  * database (embedded Derby standing in for Postgres), introspect its FK/PK
+  * metadata from DatabaseMetaData — no hand-declared `--fk`/`--pk` — run the
+  * FK-closed partial dump, and load the dump back into a second
+  * FK-enforcing database (mirror of xdump/postgresql.py:66 + base.py:87).
+  */
+class JdbcCatalogSpec extends SparkSpec {
+
+  private val DerbyDriver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+  private def cfgFor(db: String) = JdbcConfig(
+    url = s"jdbc:derby:$db", user = "app", password = "app",
+    driver = DerbyDriver, numPartitions = 4)
+
+  /** CREATE the FK-constrained star schema in a fresh Derby db. INT keys on
+    * purpose: exercises the non-BIGINT bounds probe in partitioned reads.
+    */
+  private def createSchema(db: String, withFks: Boolean = true): Unit = {
+    Class.forName(DerbyDriver)
+    val conn = DriverManager.getConnection(s"jdbc:derby:$db;create=true", "app", "app")
+    try {
+      val st = conn.createStatement()
+      def ref(sql: String) = if (withFks) sql else ""
+      st.execute("CREATE TABLE REGION (R_ID INT PRIMARY KEY, R_NAME VARCHAR(32))")
+      st.execute("CREATE TABLE NATION (N_ID INT PRIMARY KEY, N_NAME VARCHAR(32), " +
+        s"N_RID INT${ref(" REFERENCES REGION(R_ID)")})")
+      st.execute("CREATE TABLE CUST (C_ID INT PRIMARY KEY, C_NAME VARCHAR(32), " +
+        s"C_NID INT${ref(" REFERENCES NATION(N_ID)")})")
+      st.execute("CREATE TABLE ORDERS (O_ID INT PRIMARY KEY, O_TOTAL DOUBLE, " +
+        s"O_CID INT${ref(" REFERENCES CUST(C_ID)")})")
+      st.close()
+    } finally conn.close()
+  }
+
+  private def insertData(db: String): Unit = {
+    val conn = DriverManager.getConnection(s"jdbc:derby:$db", "app", "app")
+    try {
+      val st = conn.createStatement()
+      st.execute("INSERT INTO REGION VALUES (1, 'emea'), (2, 'apac')")
+      st.execute("INSERT INTO NATION VALUES (1, 'de', 1), (2, 'fr', 1), (3, 'jp', 2)")
+      st.execute(
+        "INSERT INTO CUST VALUES (1, 'ada', 1), (2, 'bob', 1), (3, 'eve', 2), (4, 'kai', 3)")
+      st.execute("INSERT INTO ORDERS VALUES (1, 250.0, 1), (2, 50.0, 2), " +
+        "(3, 120.0, 3), (4, 80.0, 1), (5, 300.0, 3), (6, 10.0, 4)")
+      st.close()
+    } finally conn.close()
+  }
+
+  test("introspected live-DB catalog drives the FK-closed dump end-to-end") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jdbc_cat").toString
+    val db = s"$tmp/src"
+    createSchema(db)
+    insertData(db)
+    val cfg = cfgFor(db)
+
+    // FK/PK metadata from DatabaseMetaData — nothing declared by hand.
+    val cat = Catalog.jdbc(spark, cfg)
+    assert(cat.tables.toSet === Set("REGION", "NATION", "CUST", "ORDERS"))
+    assert(cat.primaryKey("ORDERS") === Seq("O_ID"))
+    assert(cat.foreignKeys.toSet === Set(
+      ForeignKey("NATION", "N_RID", "REGION", "R_ID"),
+      ForeignKey("CUST", "C_NID", "NATION", "N_ID"),
+      ForeignKey("ORDERS", "O_CID", "CUST", "C_ID")))
+
+    // INT-keyed table range-partitions across executors (bounds probe must
+    // accept non-BIGINT min/max); consistent mode forces one connection.
+    assert(cat.table("ORDERS").rdd.getNumPartitions === 4)
+    assert(Catalog.jdbc(spark, cfg, consistent = true)
+      .table("ORDERS").rdd.getNumPartitions === 1)
+
+    // FK-closed partial dump straight off the live database.
+    val dump = s"$tmp/dump"
+    Dump.write(cat, DumpSpec(
+      fullTables = Seq("REGION"),
+      partialTables = Map("ORDERS" -> cat.table("ORDERS").where(col("O_TOTAL") > 100))),
+      dump)
+
+    def dumped(t: String) = spark.read.parquet(s"$dump/data/$t")
+    // orders 1, 3, 5 selected → customers {1, 3} pulled → nations {1, 2}.
+    assert(dumped("ORDERS").select("O_ID").collect().map(_.getInt(0)).sorted === Seq(1, 3, 5))
+    assert(dumped("CUST").select("C_ID").collect().map(_.getInt(0)).sorted === Seq(1, 3))
+    assert(dumped("NATION").select("N_ID").collect().map(_.getInt(0)).sorted === Seq(1, 2))
+    assert(dumped("REGION").count() === 2)
+    assert(Dump.readManifest(spark, dump).loadOrder ===
+      Seq("REGION", "NATION", "CUST", "ORDERS"))
+
+    // Load the dump into a SECOND FK-enforcing database: manifest order
+    // means parents land before children, so every constraint is satisfied.
+    val db2 = s"$tmp/target"
+    createSchema(db2)
+    Dump.loadIntoJdbc(spark, dump, cfgFor(db2))
+    assert(Jdbc.readTable(spark, cfgFor(db2), "ORDERS").count() === 3)
+    assert(Jdbc.readTable(spark, cfgFor(db2), "CUST").count() === 2)
+    assert(Jdbc.readTable(spark, cfgFor(db2), "REGION").count() === 2)
+
+    // truncate cleanup (reload over existing rows) — against a
+    // constraint-free target: engines refuse TRUNCATE on FK-referenced
+    // tables (Derby statically, Postgres without CASCADE).
+    val db3 = s"$tmp/target_nofk"
+    createSchema(db3, withFks = false)
+    Dump.loadIntoJdbc(spark, dump, cfgFor(db3))
+    Dump.loadIntoJdbc(spark, dump, cfgFor(db3), cleanup = Some("truncate"))
+    assert(Jdbc.readTable(spark, cfgFor(db3), "ORDERS").count() === 3)
+  }
+
+  test("dump/load CLI runs against a live database with no --fk/--pk flags") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jdbc_cli").toString
+    val db = s"$tmp/src"
+    createSchema(db)
+    insertData(db)
+
+    graft.cli.DumpMain.run(Seq(
+      "--jdbc-url", s"jdbc:derby:$db",
+      "--jdbc-user", "app", "--jdbc-password", "app",
+      "--jdbc-driver", DerbyDriver,
+      "-o", s"$tmp/dump",
+      "-f", "REGION",
+      "-p", "ORDERS:SELECT * FROM ORDERS WHERE O_TOTAL > 100"), spark)
+    assert(spark.read.parquet(s"$tmp/dump/data/CUST").count() === 2)
+
+    val db2 = s"$tmp/target"
+    createSchema(db2)
+    graft.cli.LoadMain.run(Seq(
+      "-i", s"$tmp/dump",
+      "--jdbc-url", s"jdbc:derby:$db2",
+      "--jdbc-user", "app", "--jdbc-password", "app",
+      "--jdbc-driver", DerbyDriver), spark)
+    assert(Jdbc.readTable(spark, cfgFor(db2), "CUST").count() === 2)
+  }
+
+  test("introspection restricted to an explicit schema") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jdbc_schema").toString
+    val db = s"$tmp/src"
+    createSchema(db)
+    val meta = Jdbc.introspect(cfgFor(db), schema = Some("APP"))
+    assert(meta.tables.toSet === Set("REGION", "NATION", "CUST", "ORDERS"))
+    assert(meta.qualifiedNames("ORDERS") === "APP.ORDERS")
+    assert(meta.partitionColumns("ORDERS") === "O_ID")
+  }
+}
