@@ -263,6 +263,11 @@ object SparkEntry {
           k = 10, centEvery = 40)
         .orderBy("query_id", "rank")),
 
+    "ann_ivf_probe2" -> ((s, dir) =>
+      Similarity.annIvf(cat(s, dir).table("embeddings"), col("vec_id") % 50 === 0,
+          k = 10, centEvery = 40, nprobe = 2)
+        .orderBy("query_id", "rank")),
+
     "events_hourly" -> { (s, dir) =>
       // ts is epoch-nanos (nanosAsLong read); bucket to hour starts.
       // Sums go through exact decimals: double addition is not associative,
@@ -759,6 +764,32 @@ object SparkEntry {
            FROM ac) WHERE rn = 1),
          q AS (SELECT vec_id AS query_id, v AS vq, nrm AS nq, cent_id AS qcent
            FROM asg WHERE vec_id % 50 = 0),
+         p AS (SELECT q.query_id, x.vec_id AS neighbor_id,
+           list_reduce(list_transform(range(1, len(q.vq) + 1), i -> q.vq[i] * x.v[i]),
+                (a, b) -> a + b) / (q.nq * x.nrm) AS cos
+         FROM asg x JOIN q ON x.cent_id = q.qcent AND x.vec_id <> q.query_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         FROM p)
+         SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", round(cos, 4) AS cosine
+         FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+
+    "ann_ivf_probe2" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (SELECT vec_id, v,
+           sqrt(list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
+                (a, b) -> a + b)) AS nrm
+         FROM e),
+         c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 40 = 1),
+         ac AS (SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+           list_reduce(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i]),
+                (a, b) -> a + b) / (n.nrm * c.cnrm) AS cos_c
+         FROM n CROSS JOIN c),
+         acr AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn
+           FROM ac),
+         asg AS (SELECT vec_id, v, nrm, cent_id FROM acr WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, v AS vq, nrm AS nq, cent_id AS qcent
+           FROM acr WHERE rn <= 2 AND vec_id % 50 = 0),
          p AS (SELECT q.query_id, x.vec_id AS neighbor_id,
            list_reduce(list_transform(range(1, len(q.vq) + 1), i -> q.vq[i] * x.v[i]),
                 (a, b) -> a + b) / (q.nq * x.nrm) AS cos

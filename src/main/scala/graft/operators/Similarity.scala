@@ -243,33 +243,38 @@ object Similarity {
     * acts as a centroid (the deterministic, engine-portable stand-in for a
     * k-means codebook — swapping in trained centroids changes nothing
     * downstream); each vector is assigned to its nearest centroid by
-    * cosine; queries probe only their own centroid's cell (nprobe = 1).
+    * cosine; queries probe their `nprobe` nearest cells (the standard IVF
+    * recall knob — the index side is never touched, only the query fans
+    * out; a neighbor lives in exactly one cell, so no pair dedup needed).
     *
     * The 100 TB shape: centroids broadcast (a codebook is small by
     * construction), assignment is one map-side argmax pass, and the search
     * join is an equi-join on `cent_id` — shuffle O(rows), verification
-    * O(cell size) per query. Recall is probabilistic: neighbors assigned
-    * to a different cell are unseen (raise nprobe for higher recall).
+    * O(nprobe × cell size) per query. Recall is probabilistic: neighbors
+    * in unprobed cells are unseen (raise nprobe for higher recall).
     */
   def annIvf(
       emb: DataFrame,
       queryFilter: Column,
       k: Int = 10,
-      centEvery: Int = 40): DataFrame = {
+      centEvery: Int = 40,
+      nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val e = normalized(emb)
     val cents = e.where(col("vec_id") % centEvery === 1)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-    // Nearest centroid per vector: broadcast the codebook, score every
-    // (vector, centroid), keep the argmax. Ties break on cent_id.
+    // Centroid ranking per vector: broadcast the codebook, score every
+    // (vector, centroid). Ties break on cent_id. rank 1 = home cell
+    // (index side); ranks 1..nprobe = the query's probe cells.
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos_c").desc, col("cent_id"))
-    val assigned = e.join(broadcast(cents))
+    val ranked = e.join(broadcast(cents))
       .withColumn("cos_c", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
       .withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") === 1)
+    val assigned = ranked.where(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
-    val q = assigned.where(queryFilter)
+    val q = ranked.where(col("rn") <= nprobe).where(queryFilter)
       .select(col("vec_id").as("query_id"), col("v").as("vq"),
         col("nrm").as("nq"), col("cent_id").as("qcent"))
     val scored = assigned.join(broadcast(q),

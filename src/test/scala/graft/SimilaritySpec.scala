@@ -84,6 +84,16 @@ class SimilaritySpec extends SparkSpec {
     assert(p2.count() >= p1.count())
   }
 
+  test("multi-probe IVF widens the candidate set, never shrinks it") {
+    val p1 = Similarity.annIvf(emb, col("vec_id") % 100 === 0, k = 1000, centEvery = 20)
+      .select("query_id", "neighbor_id", "cosine")
+    val p2 = Similarity.annIvf(emb, col("vec_id") % 100 === 0, k = 1000, centEvery = 20,
+      nprobe = 2)
+      .select("query_id", "neighbor_id", "cosine")
+    assert(p1.except(p2).count() === 0)
+    assert(p2.count() >= p1.count())
+  }
+
   test("similarity operators yield empty results on an empty frame (no throw)") {
     val empty = emb.where(lit(false))
     assert(Similarity.annLsh(empty, col("vec_id") % 100 === 0, nprobe = 2).count() === 0)
