@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.FunctionBridge
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, SimHash48}
 
 /** SQL-surface registration for graft's custom Catalyst expressions.
   *
@@ -35,6 +35,12 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, s"dot_product takes 2 arguments, got ${children.length}")
         DotProduct(children(0), children(1))
+      }),
+    ("simhash48",
+      new ExpressionInfo(classOf[SimHash48].getName, "simhash48"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, s"simhash48 takes 1 argument, got ${children.length}")
+        SimHash48(children(0))
       }))
 
   /** Registers every graft function on an already-built session. */

@@ -24,6 +24,15 @@ class FunctionsSpec extends SparkSpec {
       .head().isNullAt(0))
   }
 
+  test("simhash48 SQL function matches the operator's signature column") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT simhash48(array(CAST(5 AS BIGINT), CAST(5 AS BIGINT), CAST(2 AS BIGINT)))")
+      .head().getLong(0)
+    // bits 0 and 2 voted by two 5s (101) vs one 2 (010): majority 101 = 5
+    assert(viaSql === 5L)
+  }
+
   test("DotProduct column API matches SQL function result") {
     import spark.implicits._
     GraftExtensions.register(spark)
