@@ -531,7 +531,9 @@ object SparkEntry {
          FROM t),
          sg AS (SELECT doc_id, s,
            list_transform(range(0, 16), i -> list_min(list_transform(s,
-             x -> CAST('0x' || substr(md5(i::VARCHAR || '|' || x), 1, 15) AS BIGINT)))) AS sig
+             x -> ((CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1073741824)
+               * ([8996855, 469992016, 2004217628, 1334294656, 768128343, 2105057655, 1160867219, 479758600, 1419844726, 1603376584, 210333, 1211524435, 710539482, 258642846, 794256414, 579260634][i + 1])
+               + ([405351280, 2046289441, 1592421689, 855095894, 760324133, 1694457692, 292335934, 554079960, 966378448, 485777283, 440949495, 1180586447, 1230674157, 2111880311, 85434598, 657399781][i + 1])) % 2147483647))) AS sig
          FROM sh WHERE len(s) > 0),
          bands AS (SELECT doc_id,
            r.b::VARCHAR || ':' || sig[2 * r.b + 1]::VARCHAR || ':' || sig[2 * r.b + 2]::VARCHAR AS bkey
@@ -600,7 +602,9 @@ object SparkEntry {
          FROM t),
          sg AS (SELECT doc_id, s,
            list_transform(range(0, 16), i -> list_min(list_transform(s,
-             x -> CAST('0x' || substr(md5(i::VARCHAR || '|' || x), 1, 15) AS BIGINT)))) AS sig
+             x -> ((CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1073741824)
+               * ([8996855, 469992016, 2004217628, 1334294656, 768128343, 2105057655, 1160867219, 479758600, 1419844726, 1603376584, 210333, 1211524435, 710539482, 258642846, 794256414, 579260634][i + 1])
+               + ([405351280, 2046289441, 1592421689, 855095894, 760324133, 1694457692, 292335934, 554079960, 966378448, 485777283, 440949495, 1180586447, 1230674157, 2111880311, 85434598, 657399781][i + 1])) % 2147483647))) AS sig
          FROM sh WHERE len(s) > 0),
          bands AS (SELECT doc_id,
            r.b::VARCHAR || ':' || sig[2 * r.b + 1]::VARCHAR || ':' || sig[2 * r.b + 2]::VARCHAR AS bkey

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import org.apache.spark.storage.StorageLevel
 
-import TextAnalysis.{bindOnce, hexHash, seededHash, shingles, tokens}
+import TextAnalysis.{bindOnce, hexHash, shingles, tokens}
 
 /** Near-duplicate detection for the LLM-data-pipeline tier (SURVEY.md §2):
   * MinHash+LSH, SimHash, and exact n-gram Jaccard over a
@@ -26,20 +26,50 @@ import TextAnalysis.{bindOnce, hexHash, seededHash, shingles, tokens}
   */
 object Dedup {
 
-  /** MinHash signature: sig_i = min over shingles of h_i(shingle), with k
-    * INDEPENDENT seeded md5 hashes. (A cheaper affine family h_i = a + i·b
-    * mod p was tried and rejected: its hashes are correlated across i — one
-    * shingle with small (a, b) dominates every signature position, which
-    * wrecks both the signature-match estimator and the banding recall
-    * guarantee. Callers amortize the k·|shingles| md5 cost by persisting
-    * the signature frame — see minhashPairs.)
+  /** Modulus (2³¹ − 1, Mersenne prime) and base-hash width (2³⁰) of the
+    * MinHash family: products a_i·h stay under 2⁶¹, so every intermediate
+    * is an exact non-negative signed long in Spark AND DuckDB.
+    */
+  private val MhPrime = 2147483647L
+  private val MhBase = 1073741824L
+
+  /** Per-index coefficient of the universal family, md5-derived like
+    * Similarity.planeWeight — deterministic, engine-replayable, computed
+    * driver-side and folded into the plan as literals.
+    */
+  private[operators] def mhParam(kind: String, i: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"mh|$kind|$i".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** MinHash signature: sig_i = min over shingles of h_i(shingle), with the
+    * textbook universal family h_i(x) = (a_i·h(x) + b_i) mod p over ONE
+    * 30-bit base hash h(x) — independent (a_i, b_i) per index, the same
+    * construction MLlib's MinHashLSH uses. One md5 per shingle instead of
+    * k: the digest (with its per-call string concat) was the dominant cost
+    * of the whole operator, and the k per-index hashes become k fused
+    * multiply-mods.
+    *
+    * Two rejected alternatives, both measured: the STRUCTURED affine
+    * family h_i = a + i·b (correlated across i — one shingle with a small
+    * base hash dominates every signature position, wrecking the estimator
+    * and the banding recall guarantee; independence of (a_i, b_i) is what
+    * the universal-family analysis needs), and k independent seeded md5
+    * digests (sound but 16× the digest cost for no recall gain). The
+    * 30-bit base leaves collision bias ≈ |vocab|/2³⁰ — immaterial next to
+    * the banding's own false-negative rate.
     */
   def minhashSignature(sh: Column, k: Int): Column =
-    // sh is let-bound: referenced inside the per-hash-index lambda, a raw
-    // expression argument would re-evaluate once per hash index.
-    bindOnce(sh, s =>
-      transform(sequence(lit(0), lit(k - 1)),
-        i => array_min(transform(s, x => seededHash(i, x)))))
+    // The base-hash array is let-bound: referenced by every per-index min,
+    // a raw expression argument would re-digest once per hash index.
+    bindOnce(transform(sh, x => TextAnalysis.hexHash(x) % MhBase), hs =>
+      array((0 until k).map { i =>
+        val a = mhParam("a", i) % (MhPrime - 1) + 1
+        val b = mhParam("b", i) % MhPrime
+        array_min(transform(hs, h => (h * lit(a) + lit(b)) % MhPrime))
+      }: _*))
 
   private def withShingles(docs: DataFrame, n: Int): DataFrame =
     docs
@@ -135,17 +165,24 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding guarantees recall only for hamming <= 3")
-    val chunks = simhash(docs)
+    // Signatures persist across the self-join's two sides — 16 bytes/doc;
+    // without this the tokenize + 48-bit vote runs twice per document.
+    val sims = simhash(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val chunks = sims
       .select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("cv", expr("shiftright(simhash, 12 * c) & 4095"))
-    chunks.as("x").join(chunks.as("y"),
+    val out = chunks.as("x").join(chunks.as("y"),
         col("x.c") === col("y.c") && col("x.cv") === col("y.cv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
+      // eager pair materialization, then cache release (minhashPairs note)
+      .localCheckpoint()
+    sims.unpersist()
+    out
   }
 
   /** Exact word-n-gram Jaccard pairs via the inverted-index join: explode
@@ -166,8 +203,14 @@ object Dedup {
       n: Int = 3,
       minJaccard: Double = 0.3,
       maxDf: Int = 100): DataFrame = {
+    // The exploded index is referenced four ways (document-frequency cap,
+    // per-doc sizes, both inverted-join sides); persisting the narrow
+    // (doc_id, 8-byte hash) pairs means tokenize + shingle + md5 runs once
+    // per document instead of four times. Same spill-safe pattern as the
+    // MinHash signature frame.
     val ex = withShingles(docs, n)
       .select(col("doc_id"), explode(transform(col("sh"), hexHash(_))).as("sg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val rare = ex.groupBy("sg").count().where(col("count") <= maxDf).select("sg")
     val kept = ex.join(rare, Seq("sg"), "left_semi")
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -175,13 +218,17 @@ object Dedup {
         col("x.sg") === col("y.sg") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    pairs
+    val out = pairs
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
       .withColumn("uni", col("na") + col("nb") - col("inter"))
       .withColumn("jaccard", col("inter") / col("uni"))
       .where(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"), col("jaccard"))
+      // eager pair materialization, then cache release (minhashPairs note)
+      .localCheckpoint()
+    ex.unpersist()
+    out
   }
 
   /** Connected components over an undirected near-duplicate pair set —

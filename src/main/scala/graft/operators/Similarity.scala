@@ -94,10 +94,14 @@ object Similarity {
         val dim = probeDim(emb)
         // Band i uses plane indices [i·planes, (i+1)·planes) of the shared
         // deterministic plane family — bands are independent by seed.
+        // localCheckpoint: the (vec_id, band, bkey) frame is the self-join's
+        // both sides — without it the bands × planes plane-dots run twice
+        // per vector. Narrow (id + int + short string), rows × bands.
         val bucketed = e.select(col("vec_id"), posexplode(
             array((0 until bands).map(i =>
               lshBucket(col("v"), planes, dim, planeOffset = i * planes)): _*))
           .as(Seq("band", "bkey")))
+          .localCheckpoint()
         val cand = bucketed.as("x").join(bucketed.as("y"),
             col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
               col("x.vec_id") < col("y.vec_id"))

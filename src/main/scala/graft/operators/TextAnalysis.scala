@@ -39,10 +39,6 @@ object TextAnalysis {
   def hexHash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Seeded hash family: h_i(x) = hexHash(i || '|' || x). */
-  def seededHash(seed: Column, c: Column): Column =
-    hexHash(concat(seed.cast("string"), lit("|"), c))
-
   /** Lowercased whitespace tokens, empties dropped. */
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)

@@ -17,10 +17,12 @@ class DedupSpec extends SparkSpec {
     assert(pairs.where(col("jaccard") >= 0.9 && col("est_jaccard") < 0.5).count() === 0)
   }
 
-  test("minhashPairs releases its signature cache before returning") {
+  test("pair operators release their internal caches before returning") {
     Dedup.minhashPairs(docs, minJaccard = 0.5).count()
-    // the signature frame is persisted internally for 4-way reuse; the
-    // operator must not leak it into a long-lived session's cache
+    Dedup.simhashPairs(docs).count()
+    Dedup.ngramJaccard(docs).count()
+    // intermediate frames are persisted internally for multi-way reuse; the
+    // operators must not leak them into a long-lived session's cache
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
