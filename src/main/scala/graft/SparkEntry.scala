@@ -218,6 +218,23 @@ object SparkEntry {
     "text_normalize" -> ((s, dir) =>
       TextAnalysis.textNormalize(cat(s, dir).table("documents")).orderBy("doc_id")),
 
+    // The composed corpus-cleaning pipeline — quality gate → exact-dedup
+    // canonical keep → deterministic sample, the three stages every
+    // training-data run chains, as ONE declarative plan (each stage a
+    // left-semi join, so Catalyst fuses scans and pushes the projections).
+    "corpus_clean" -> { (s, dir) =>
+      val docs = cat(s, dir).table("documents")
+      val quality = TextAnalysis.qualityScore(docs)
+        .where(col("passes_quality")).select("doc_id")
+      val keep = TextAnalysis.dedupExact(docs).select(col("keep_id").as("doc_id"))
+      val cleaned = docs
+        .join(quality, Seq("doc_id"), "left_semi")
+        .join(keep, Seq("doc_id"), "left_semi")
+      TextAnalysis.hashSample(cleaned, pct = 50, salt = "clean")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    },
+
     // ── LLM-data-pipeline: multimodal plumbing (binary column + metadata) ─
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.mediaMeta(
@@ -634,6 +651,21 @@ object SparkEntry {
          SELECT doc_id, n AS norm_text, md5(n) AS norm_md5,
            CAST(len(n) AS BIGINT) AS n_chars_norm
          FROM t ORDER BY doc_id""",
+
+    "corpus_clean" ->
+      """WITH t AS (SELECT doc_id, text,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+         FROM documents),
+         q AS (SELECT doc_id FROM t
+           WHERE len(toks) >= 5 AND len(text) >= 40
+             AND len(list_filter(toks, x -> list_contains(
+               ['the','a','an','and','of','to','in','is','it','that'], x))) > 0),
+         k AS (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY md5(text)),
+         s AS (SELECT doc_id FROM documents
+           WHERE CAST('0x' || substr(md5('clean|' || doc_id::VARCHAR), 1, 15) AS BIGINT) % 100 < 50)
+         SELECT d.doc_id, d.lang, d.source FROM documents d
+         JOIN q USING (doc_id) JOIN k USING (doc_id) JOIN s USING (doc_id)
+         ORDER BY doc_id""",
 
     "embed_cosine_dup" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

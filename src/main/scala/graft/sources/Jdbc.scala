@@ -14,6 +14,13 @@ import graft.core.ForeignKey
   * JdbcCatalogSpec); the same code paths drive Postgres/MySQL/etc. with the
   * matching driver on the classpath.
   */
+/** @param sessionInit SQL executed on every new read connection (Spark's
+  *   `sessionInitStatement`) — the hook for server-side snapshot sharing:
+  *   against Postgres, `SET TRANSACTION ISOLATION LEVEL REPEATABLE READ;
+  *   SET TRANSACTION SNAPSHOT '<id>'` makes every partitioned connection
+  *   read the SAME exported snapshot, restoring the reference's
+  *   one-transaction consistency (postgresql.py:77) without giving up the
+  *   parallel scan. */
 final case class JdbcConfig(
     url: String,
     user: String,
@@ -21,7 +28,8 @@ final case class JdbcConfig(
     driver: String = "org.postgresql.Driver",
     fetchSize: Int = 10000,
     batchSize: Int = 10000,
-    numPartitions: Int = 32)
+    numPartitions: Int = 32,
+    sessionInit: Option[String] = None)
 
 /** Relational metadata introspected from a live database — the engine-side
   * analog of the reference's pg_catalog / `PRAGMA foreign_key_list` queries
@@ -47,13 +55,15 @@ final case class DbMeta(
 
 object Jdbc {
 
-  private def base(spark: SparkSession, cfg: JdbcConfig) =
-    spark.read.format("jdbc")
+  private def base(spark: SparkSession, cfg: JdbcConfig) = {
+    val r = spark.read.format("jdbc")
       .option("url", cfg.url)
       .option("user", cfg.user)
       .option("password", cfg.password)
       .option("driver", cfg.driver)
       .option("fetchsize", cfg.fetchSize)
+    cfg.sessionInit.fold(r)(sql => r.option("sessionInitStatement", sql))
+  }
 
   /** Full-table read, range-partitioned on `partitionColumn` so the scan is
     * parallel across executors. Bounds default to a min/max probe query.
@@ -68,9 +78,10 @@ object Jdbc {
     * (what `Catalog.jdbc(consistent = true)` forces) reads each table over
     * a single connection — per-table snapshot consistency at the isolation
     * level the server grants that connection. Cross-TABLE consistency for
-    * a live, concurrently-written database still needs a quiesced source, a
-    * server-side exported snapshot shared by every connection (Postgres
-    * `SET TRANSACTION SNAPSHOT`), or a replica frozen for the dump.
+    * a live, concurrently-written database needs a quiesced source, a
+    * replica frozen for the dump, or a server-side exported snapshot
+    * shared by every connection — for which see `JdbcConfig.sessionInit`
+    * (Postgres `SET TRANSACTION SNAPSHOT` on each partition's connection).
     */
   def readTable(
       spark: SparkSession,

@@ -39,4 +39,24 @@ class JdbcSpec extends SparkSpec {
     Jdbc.writeTable(src.limit(3), cfg, "t1", SaveMode.Append)
     assert(Jdbc.readTable(spark, cfg, "t1").count() === 8)
   }
+
+  test("sessionInit SQL runs on every read connection") {
+    import spark.implicits._
+    val db = java.nio.file.Files.createTempDirectory("graft_derby_si").toString + "/db"
+    val cfg = JdbcConfig(
+      url = s"jdbc:derby:$db;create=true", user = "app", password = "app",
+      driver = "org.apache.derby.jdbc.EmbeddedDriver", numPartitions = 2)
+    Jdbc.writeTable((1L to 10L).toDF("ID"), cfg, "t1", SaveMode.Overwrite)
+
+    // schema-qualified via the per-connection init statement (the Postgres
+    // deployment passes SET TRANSACTION SNAPSHOT here — same mechanism)
+    val init = cfg.copy(sessionInit = Some("SET SCHEMA APP"))
+    assert(Jdbc.readTable(spark, init, "t1", partitionColumn = Some("ID")).count() === 10)
+
+    // a failing init statement surfaces (proves it actually executes)
+    val bad = cfg.copy(sessionInit = Some("SET SCHEMA NO_SUCH_SCHEMA"))
+    assertThrows[Exception] {
+      Jdbc.readTable(spark, bad, "t1").count()
+    }
+  }
 }
