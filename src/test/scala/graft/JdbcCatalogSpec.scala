@@ -137,6 +137,34 @@ class JdbcCatalogSpec extends SparkSpec {
     assert(Jdbc.readTable(spark, cfgFor(db2), "CUST").count() === 2)
   }
 
+  test("self-referencing FK introspects and closes recursively off a live DB") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jdbc_rec").toString
+    val db = s"$tmp/src"
+    Class.forName(DerbyDriver)
+    val conn = DriverManager.getConnection(s"jdbc:derby:$db;create=true", "app", "app")
+    try {
+      val st = conn.createStatement()
+      // employee → manager: the reference's recursive-CTE case (base.py:253)
+      st.execute("CREATE TABLE EMP (E_ID INT PRIMARY KEY, E_NAME VARCHAR(32), " +
+        "E_MGR INT REFERENCES EMP(E_ID))")
+      // chain 1 ← 2 ← 3 ← 4, plus isolated 10
+      st.execute("INSERT INTO EMP VALUES (1, 'root', NULL), (2, 'a', 1), " +
+        "(3, 'b', 2), (4, 'c', 3), (10, 'solo', NULL)")
+      st.close()
+    } finally conn.close()
+
+    val cat = Catalog.jdbc(spark, cfgFor(db))
+    assert(cat.foreignKeys === Seq(ForeignKey("EMP", "E_MGR", "EMP", "E_ID")))
+    assert(cat.foreignKeys.head.isRecursive)
+
+    // seed = the leaf; the dump must pull the whole management chain
+    val dump = s"$tmp/dump"
+    Dump.write(cat, DumpSpec(
+      partialTables = Map("EMP" -> cat.table("EMP").where(col("E_ID") === 4))), dump)
+    assert(spark.read.parquet(s"$dump/data/EMP")
+      .select("E_ID").collect().map(_.getInt(0)).sorted === Seq(1, 2, 3, 4))
+  }
+
   test("introspection restricted to an explicit schema") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_jdbc_schema").toString
     val db = s"$tmp/src"
