@@ -72,6 +72,18 @@ class ClosureSpec extends SparkSpec {
     assert(danglingOrd.count() === 0) // every resolvable back-edge is closed
   }
 
+  test("cyclic catalog with only full tables (no partial seeds) does not throw") {
+    val cyc = new Catalog(spark, sfDir, Seq("orders", "customer"),
+      Seq(ForeignKey("orders", "o_custkey", "customer", "c_custkey"),
+        ForeignKey("customer", "c_custkey", "orders", "o_orderkey")),
+      Map("orders" -> Seq("o_orderkey"), "customer" -> Seq("c_custkey")))
+    // partial = empty: the first row-count probe sees no selections yet —
+    // the guarded totalRows must return 0, not throw on an empty reduce
+    val sel = Closure.relatedData(cyc, fullTables = Seq("orders", "customer"))
+    // full tables are never pulled *into*, so nothing is selected
+    assert(sel.isEmpty)
+  }
+
   test("topo levels respect every FK edge") {
     val lv = TableGraph.loadLevels(cat.tables, cat.foreignKeys)
     cat.foreignKeys.filterNot(_.isRecursive).foreach { fk =>

@@ -33,6 +33,18 @@ class FunctionsSpec extends SparkSpec {
     assert(viaSql === 5L)
   }
 
+  test("DotProduct null-on-mismatch holds through whole-stage codegen") {
+    import spark.implicits._
+    // non-literal inputs, so this runs the generated code path (the SQL
+    // literal tests above are constant-folded through eval)
+    val df = Seq(
+      (Array(1.0, 2.0), Array(1.0, 2.0, 3.0)),
+      (Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    val out = df.select(Similarity.dot(col("a"), col("b")).as("d")).collect()
+    assert(out(0).isNullAt(0))
+    assert(out(1).getDouble(0) === 11.0)
+  }
+
   test("DotProduct column API matches SQL function result") {
     import spark.implicits._
     GraftExtensions.register(spark)
