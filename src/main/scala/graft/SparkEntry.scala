@@ -224,11 +224,9 @@ object SparkEntry {
     // left-semi join, so Catalyst fuses scans and pushes the projections).
     "corpus_clean" -> { (s, dir) =>
       val docs = cat(s, dir).table("documents")
-      val quality = TextAnalysis.qualityScore(docs)
-        .where(col("passes_quality")).select("doc_id")
       val keep = TextAnalysis.dedupExact(docs).select(col("keep_id").as("doc_id"))
       val cleaned = docs
-        .join(quality, Seq("doc_id"), "left_semi")
+        .where(TextAnalysis.passesQuality(col("text")))
         .join(keep, Seq("doc_id"), "left_semi")
       TextAnalysis.hashSample(cleaned, pct = 50, salt = "clean")
         .select(col("doc_id"), col("lang"), col("source"))

@@ -78,6 +78,14 @@ object TextAnalysis {
   private def countIn(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(_.asInstanceOf[Any]): _*))).cast("long")
 
+  /** The boolean quality gate on its own — shared by the batch
+    * `qualityScore` report, the `corpus_clean` pipeline and the streaming
+    * ingest filter, so "passes quality" means exactly one thing everywhere.
+    */
+  def passesQuality(text: Column): Column =
+    bindOnce(tokens(text), toks =>
+      size(toks) >= 5 && length(text) >= 40 && countIn(toks, EnStop) > 0)
+
   /** Heuristic document quality: length, token stats, punctuation density,
     * stopword ratio, uppercase ratio — the classic cheap filters a corpus
     * pipeline applies before anything expensive (cf. C4/Gopher rules).

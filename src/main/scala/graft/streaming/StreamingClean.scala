@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Streaming corpus cleaning — the ingest-time twin of the batch
+  * `corpus_clean` pipeline (SparkEntry): quality gate → content-digest
+  * dedup within the watermark horizon → deterministic hash sample, as one
+  * streaming query.
+  *
+  * The stateless stages (quality, sample) are literally the batch column
+  * expressions (`TextAnalysis.passesQuality`, `TextAnalysis.hashSample`) —
+  * one definition, both execution modes. Only the dedup stage changes
+  * shape: batch keeps the min-doc_id copy per digest, a stream keeps the
+  * FIRST-ARRIVING copy (`dropDuplicatesWithinWatermark`) — the only
+  * causally available choice at ingest time. State is one
+  * (16-byte digest → timestamp) entry per distinct in-horizon document,
+  * bounded by ingest rate × horizon, independent of stream length.
+  */
+object StreamingClean {
+
+  /** `docs` needs `ts` (epoch seconds), `doc_id`, `text`. Works on a
+    * streaming frame; emits first-arriving, quality-passing, sample-kept
+    * rows with their original columns.
+    */
+  def cleanStream(
+      docs: DataFrame,
+      watermark: String = "1 hour",
+      pct: Int = 100,
+      salt: String = "clean"): DataFrame = {
+    val deduped = docs
+      .where(TextAnalysis.passesQuality(col("text")))
+      .withColumn("event_time", expr("timestamp_seconds(ts)"))
+      .withWatermark("event_time", watermark)
+      .withColumn("text_md5", md5(col("text")))
+      .dropDuplicatesWithinWatermark("text_md5")
+    TextAnalysis.hashSample(deduped, pct = pct, salt = salt)
+      .drop("event_time", "text_md5")
+  }
+}

@@ -33,6 +33,49 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming clean gates quality, dedups in-horizon, samples deterministically") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val goodA = "the quick brown fox jumps over the lazy dog today"
+    val goodB = "a slow green turtle walks under the bright warm sun"
+    val stream = MemoryStream[(Long, Long, String)]
+    val q = graft.streaming.StreamingClean.cleanStream(
+        stream.toDF().toDF("ts", "doc_id", "text"), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("clean_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        (100L, 1L, goodA),   // quality ok, first of its digest
+        (150L, 2L, "short"), // fails the quality gate
+        (200L, 3L, goodA),   // in-horizon duplicate of 1 → dropped
+        (250L, 4L, goodB)))  // quality ok
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("clean_stream").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got === Set(1L, 4L))
+
+    // the sample stage is the SAME deterministic filter as the batch
+    // operator: pct=50 keeps exactly the ids batch hashSample keeps
+    val survivors = Seq((100L, 1L, goodA), (250L, 4L, goodB))
+    val expect = graft.operators.TextAnalysis.hashSample(
+        survivors.toDF("ts", "doc_id", "text"), pct = 50, salt = "clean")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val stream2 = MemoryStream[(Long, Long, String)]
+    val q2 = graft.streaming.StreamingClean.cleanStream(
+        stream2.toDF().toDF("ts", "doc_id", "text"), watermark = "10 minutes", pct = 50)
+      .writeStream.format("memory").queryName("clean_stream_sampled")
+      .outputMode("append").start()
+    try {
+      stream2.addData(survivors)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got2 = spark.table("clean_stream_sampled").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got2 === expect)
+  }
+
   test("streaming dedup drops digests already seen within the watermark") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
