@@ -1,5 +1,8 @@
 package graft.sources
 
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
 import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -48,7 +51,7 @@ object Dump {
     * the dump loads without FK violations — the reference's core guarantee.
     */
   def write(catalog: Catalog, spec: DumpSpec, path: String): Unit = {
-    val metrics = collection.mutable.Map.empty[String, (Long, Long)]
+    val metrics = collection.concurrent.TrieMap.empty[String, (Long, Long)]
 
     def spool(t: String, df: DataFrame): DataFrame =
       if (!spec.dumpData) df
@@ -71,7 +74,15 @@ object Dump {
 
     val closed = Closure.relatedData(
       catalog, spec.fullTables, spec.partialTables, onFinal = spool)
-    spec.fullTables.foreach(t => spool(t, catalog.table(t)))
+    // Full tables are never pulled *into* (only out of), so their writes
+    // have no mutual ordering constraint — submit them as concurrent Spark
+    // jobs. The scheduler interleaves their stages across the cluster, so
+    // a dump with many whole-copied tables isn't serialized on its largest
+    // one. Partial tables keep the closure's finalization order (each
+    // write feeds the downstream pulls that read it back).
+    val writes: Seq[Future[DataFrame]] =
+      spec.fullTables.map(t => Future(spool(t, catalog.table(t)))(ExecutionContext.global))
+    writes.foreach(w => Await.result(w, Duration.Inf))
 
     val tables = (spec.fullTables ++ closed.keys).distinct
     if (spec.dumpSchema) writeSchema(catalog, tables.sorted, path)

@@ -33,6 +33,20 @@ class DumpSpecTest extends SparkSpec {
     assert(order.indexOf("customer") < order.indexOf("orders"))
   }
 
+  test("many full tables spool concurrently with correct manifest metrics") {
+    val dir = tmp()
+    Dump.write(cat, DumpSpec(
+      fullTables = Seq("region", "nation", "supplier", "part", "documents")), dir)
+    val manifest = Dump.readManifest(spark, dir)
+    // every table written whole, counts recorded by the concurrent writes
+    Seq("region", "nation", "supplier", "part", "documents").foreach { t =>
+      assert(manifest.rows(t) === cat.table(t).count(), s"row count for $t")
+      assert(spark.read.parquet(s"$dir/data/$t").count() === cat.table(t).count())
+    }
+    // sequence state rode each concurrent write's observe()
+    assert(manifest.sequences("region") === 4)
+  }
+
   test("csv dump preserves schema via dumped DDL") {
     val dir = tmp()
     Dump.write(cat, DumpSpec(
