@@ -122,13 +122,13 @@ object Cli {
     .getOrCreate()
 
   /** JdbcConfig from `--jdbc-*` flags (url is `opts.value("jdbc-url")`). */
-  def jdbcConfig(opts: Opts, url: String): graft.sources.JdbcConfig =
-    graft.sources.JdbcConfig(
+  def jdbcConfig(opts: Opts, url: String): graft.sources.JdbcConfig = {
+    val base = graft.sources.JdbcConfig(
       url = url,
       user = opts.value("jdbc-user").getOrElse(""),
-      password = opts.value("jdbc-password").getOrElse(""),
-      driver = opts.value("jdbc-driver")
-        .getOrElse(graft.sources.JdbcConfig(url = "", user = "", password = "").driver))
+      password = opts.value("jdbc-password").getOrElse(""))
+    opts.value("jdbc-driver").fold(base)(d => base.copy(driver = d))
+  }
 
   /** Source catalog: a live database when `--jdbc-url` is given (metadata
     * introspected; `--fk`/`--pk` add edges on top), else the

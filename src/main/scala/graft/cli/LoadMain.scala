@@ -37,15 +37,21 @@ object LoadMain {
     val opts = Cli.parse(args)
     val rawInput = opts.required("input", short = "i")
     // A .zip input (DumpMain --archive) is unpacked next to itself first —
-    // the reference loads straight from its zip archive (base.py:220).
-    val input =
-      if (!rawInput.endsWith(".zip")) rawInput
-      else {
-        val dir = java.nio.file.Files.createTempDirectory("graft_unzip").toString
-        Dump.unarchive(spark, rawInput, dir)
-        dir
-      }
+    // the reference loads straight from its zip archive (base.py:220) —
+    // and the extraction directory is deleted after the load.
+    val unzipDir =
+      if (!rawInput.endsWith(".zip")) None
+      else Some(java.nio.file.Files.createTempDirectory("graft_unzip").toString)
+    unzipDir.foreach(dir => Dump.unarchive(spark, rawInput, dir))
+    val input = unzipDir.getOrElse(rawInput)
+    try runOn(opts, input, spark)
+    finally unzipDir.foreach { dir =>
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
 
+  private def runOn(opts: Cli.Opts, input: String, spark: SparkSession): Unit = {
     opts.value("jdbc-url").foreach { url =>
       Dump.loadIntoJdbc(spark, input, Cli.jdbcConfig(opts, url),
         cleanup = opts.value("cleanup-method", short = "m"))

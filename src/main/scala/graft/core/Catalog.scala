@@ -36,12 +36,16 @@ final class Catalog(
     val tables: Seq[String],
     val foreignKeys: Seq[ForeignKey],
     val primaryKeys: Map[String, Seq[String]],
-    reader: Option[String => DataFrame] = None)
+    // @transient like spark: the reader closure captures the session, and
+    // the Serializable contract here only promises the METADATA survives —
+    // table() is driver-side by construction (it builds logical plans).
+    @transient private val reader: Option[String => DataFrame] = None)
     extends Serializable {
 
   def table(name: String): DataFrame = {
     require(tables.contains(name), s"unknown table: $name")
-    reader match {
+    // Option(...).flatten: a deserialized catalog has reader == null
+    Option(reader).flatten match {
       case Some(read) => read(name)
       case None       => spark.read.parquet(s"$dir/$name.parquet")
     }

@@ -198,13 +198,20 @@ object Dump {
   }
 
   /** Loads a dump into a live database over JDBC — the reference's `xload`
-    * against Postgres/SQLite (xdump/base.py:220, cli/load.py:63). Tables
-    * are written in manifest load order (parents before children), so an
-    * FK-enforcing target accepts every batch. `cleanup`:
-    * None → append; "truncate" → clear rows, keep tables + constraints
-    * (≙ postgresql.py:212); "recreate" → drop + re-create from Spark's
-    * schema (≙ recreate_database, base.py:202 — constraints are NOT
-    * restored; prefer truncate against a schema-managed target).
+    * against Postgres/SQLite (xdump/base.py:220, cli/load.py:63). Cleanup
+    * runs as a separate CHILDREN-FIRST pass (reverse manifest order) before
+    * any write: clearing a parent while children still reference it is
+    * refused by every FK-enforcing engine, so interleaving cleanup with the
+    * parent-first writes can never work against the very targets this
+    * exists for. Then tables are written in manifest load order (parents
+    * before children), so every constraint is satisfied. `cleanup`:
+    * None → append; "truncate" → `DELETE FROM` per table, children first —
+    * keeps tables + constraints on any engine (engines disagree on whether
+    * TRUNCATE may touch FK-referenced tables at all; ≙ postgresql.py:212);
+    * "recreate" → `DROP TABLE` children first, tables re-created from
+    * Spark's schema by the writes (≙ recreate_database, base.py:202 —
+    * constraints are NOT restored; prefer truncate against a
+    * schema-managed target).
     *
     * Sequence state is NOT replayed (the manifest carries it; engines
     * disagree on `ALTER SEQUENCE`/`RESTART WITH` syntax, so resuming id
@@ -215,13 +222,24 @@ object Dump {
       dumpPath: String,
       cfg: JdbcConfig,
       cleanup: Option[String] = None): Unit = {
-    val mode = cleanup match {
-      case Some("truncate") | Some("recreate") => SaveMode.Overwrite
-      case Some(other) => sys.error(s"unknown cleanup method (use truncate|recreate): $other")
-      case None => SaveMode.Append
+    val tables = load(spark, dumpPath) // manifest load order
+    cleanup.foreach { method =>
+      val childrenFirst = tables.map(_._1).reverse
+      method match {
+        case "truncate" =>
+          Jdbc.execute(cfg, childrenFirst.map(t => s"DELETE FROM $t"))
+        case "recreate" =>
+          childrenFirst.foreach { t =>
+            // missing table is fine — recreate of a partially-created target
+            try Jdbc.execute(cfg, Seq(s"DROP TABLE $t"))
+            catch { case _: java.sql.SQLException => () }
+          }
+        case other =>
+          sys.error(s"unknown cleanup method (use truncate|recreate): $other")
+      }
     }
-    load(spark, dumpPath).foreach { case (t, df) =>
-      Jdbc.writeTable(df, cfg, t, mode, recreate = cleanup.contains("recreate"))
+    tables.foreach { case (t, df) =>
+      Jdbc.writeTable(df, cfg, t, SaveMode.Append)
     }
   }
 
@@ -245,11 +263,13 @@ object Dump {
     * Hadoop FS API (local, HDFS, S3A, ...).
     */
   def archive(spark: SparkSession, dumpPath: String, zipPath: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(dumpPath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = root.getFileSystem(conf)
     val rootUri = fs.makeQualified(root).toUri
-    val out = new java.util.zip.ZipOutputStream(
-      fs.create(new org.apache.hadoop.fs.Path(zipPath), true))
+    // the zip may live on a different filesystem than the dump directory
+    val zp = new org.apache.hadoop.fs.Path(zipPath)
+    val out = new java.util.zip.ZipOutputStream(zp.getFileSystem(conf).create(zp, true))
     try {
       val files = fs.listFiles(root, true)
       while (files.hasNext) {
@@ -268,15 +288,25 @@ object Dump {
     * on load, xdump/base.py:220).
     */
   def unarchive(spark: SparkSession, zipPath: String, targetDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val zp = new org.apache.hadoop.fs.Path(zipPath)
-    val fs = zp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = new java.util.zip.ZipInputStream(fs.open(zp))
+    val in = new java.util.zip.ZipInputStream(zp.getFileSystem(conf).open(zp))
+    // entries extract onto the TARGET's filesystem (the zip may be remote)
+    val tp = new org.apache.hadoop.fs.Path(targetDir)
+    val tfs = tp.getFileSystem(conf)
+    val rootUri = tfs.makeQualified(tp).toUri
     try {
       var e = in.getNextEntry
       while (e != null) {
         if (!e.isDirectory) {
           val target = new org.apache.hadoop.fs.Path(s"$targetDir/${e.getName}")
-          val out = fs.create(target, true)
+          // zip-slip guard: a crafted entry name ("../../etc/passwd") must
+          // not resolve outside the extraction directory
+          val resolved = tfs.makeQualified(target).toUri.normalize()
+          require(!rootUri.relativize(resolved).equals(resolved) &&
+              !rootUri.relativize(resolved).getPath.startsWith(".."),
+            s"zip entry escapes the extraction directory: ${e.getName}")
+          val out = tfs.create(target, true)
           try in.transferTo(out) finally out.close()
         }
         in.closeEntry()

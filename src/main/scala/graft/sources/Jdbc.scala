@@ -152,6 +152,31 @@ object Jdbc {
     buf.result()
   }
 
+  /** Escapes JDBC metadata search-pattern wildcards (`_`, `%`) in a literal
+    * identifier — `getColumns` treats its table/column arguments as
+    * patterns, and almost every real identifier contains `_` (O_ID,
+    * c_custkey), which would otherwise match any character.
+    */
+  private def escapePattern(md: java.sql.DatabaseMetaData, s: String): String = {
+    val esc = md.getSearchStringEscape
+    s.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
+  }
+
+  /** Runs statements over one driver-side connection — used by the
+    * children-first cleanup pass of `Dump.loadIntoJdbc`.
+    */
+  private[sources] def execute(cfg: JdbcConfig, sqls: Seq[String]): Unit = {
+    Class.forName(cfg.driver)
+    val props = new java.util.Properties()
+    props.setProperty("user", cfg.user)
+    props.setProperty("password", cfg.password)
+    val conn = java.sql.DriverManager.getConnection(cfg.url, props)
+    try {
+      val st = conn.createStatement()
+      try sqls.foreach(st.execute) finally st.close()
+    } finally conn.close()
+  }
+
   /** FK/PK/table introspection over one metadata connection — what the
     * reference reads from pg_catalog (postgresql.py:19) or
     * `PRAGMA foreign_key_list` (sqlite.py:71), here via the portable
@@ -186,12 +211,18 @@ object Jdbc {
           (r.getShort("KEY_SEQ"), r.getString("COLUMN_NAME"))).sortBy(_._1).map(_._2)
       }.toMap.filter { case (_, cols) => cols.nonEmpty }
 
+      // FK edges whose parent lies outside the introspected table set (a
+      // different schema under an explicit `schema` filter) are dropped:
+      // the catalog could never resolve the pull's foreign table, and an
+      // out-of-scope parent is by definition not part of this dump.
+      val nameSet = names.toSet
       val fks = tabs.flatMap { case (sc, t) =>
         rows(md.getImportedKeys(null, sc.orNull, t))(r =>
           (r.getShort("KEY_SEQ"), ForeignKey(
             r.getString("FKTABLE_NAME"), r.getString("FKCOLUMN_NAME"),
             r.getString("PKTABLE_NAME"), r.getString("PKCOLUMN_NAME"))))
           .filter(_._1 == 1).map(_._2) // composite FK: keep the first column (see DbMeta)
+          .filter(fk => nameSet(fk.foreignTable))
       }
 
       val numeric = Set(java.sql.Types.TINYINT, java.sql.Types.SMALLINT,
@@ -199,8 +230,13 @@ object Jdbc {
         java.sql.Types.NUMERIC)
       val partCols = tabs.flatMap { case (sc, t) =>
         pks.get(t).flatMap(_.headOption).flatMap { c =>
-          rows(md.getColumns(null, sc.orNull, t, c))(r => r.getInt("DATA_TYPE"))
-            .headOption.filter(numeric).map(_ => t -> c)
+          // table/column args of getColumns are PATTERNS — escape them, and
+          // match COLUMN_NAME exactly (O_ID as a pattern would also match
+          // OWID and pick up the wrong column's type).
+          rows(md.getColumns(null, sc.map(escapePattern(md, _)).orNull,
+              escapePattern(md, t), escapePattern(md, c)))(r =>
+              (r.getString("COLUMN_NAME"), r.getInt("DATA_TYPE")))
+            .collectFirst { case (name, tpe) if name == c && numeric(tpe) => t -> c }
         }
       }.toMap
 

@@ -24,19 +24,18 @@ class JdbcCatalogSpec extends SparkSpec {
   /** CREATE the FK-constrained star schema in a fresh Derby db. INT keys on
     * purpose: exercises the non-BIGINT bounds probe in partitioned reads.
     */
-  private def createSchema(db: String, withFks: Boolean = true): Unit = {
+  private def createSchema(db: String): Unit = {
     Class.forName(DerbyDriver)
     val conn = DriverManager.getConnection(s"jdbc:derby:$db;create=true", "app", "app")
     try {
       val st = conn.createStatement()
-      def ref(sql: String) = if (withFks) sql else ""
       st.execute("CREATE TABLE REGION (R_ID INT PRIMARY KEY, R_NAME VARCHAR(32))")
       st.execute("CREATE TABLE NATION (N_ID INT PRIMARY KEY, N_NAME VARCHAR(32), " +
-        s"N_RID INT${ref(" REFERENCES REGION(R_ID)")})")
+        "N_RID INT REFERENCES REGION(R_ID))")
       st.execute("CREATE TABLE CUST (C_ID INT PRIMARY KEY, C_NAME VARCHAR(32), " +
-        s"C_NID INT${ref(" REFERENCES NATION(N_ID)")})")
+        "C_NID INT REFERENCES NATION(N_ID))")
       st.execute("CREATE TABLE ORDERS (O_ID INT PRIMARY KEY, O_TOTAL DOUBLE, " +
-        s"O_CID INT${ref(" REFERENCES CUST(C_ID)")})")
+        "O_CID INT REFERENCES CUST(C_ID))")
       st.close()
     } finally conn.close()
   }
@@ -102,14 +101,13 @@ class JdbcCatalogSpec extends SparkSpec {
     assert(Jdbc.readTable(spark, cfgFor(db2), "CUST").count() === 2)
     assert(Jdbc.readTable(spark, cfgFor(db2), "REGION").count() === 2)
 
-    // truncate cleanup (reload over existing rows) — against a
-    // constraint-free target: engines refuse TRUNCATE on FK-referenced
-    // tables (Derby statically, Postgres without CASCADE).
-    val db3 = s"$tmp/target_nofk"
-    createSchema(db3, withFks = false)
-    Dump.loadIntoJdbc(spark, dump, cfgFor(db3))
-    Dump.loadIntoJdbc(spark, dump, cfgFor(db3), cleanup = Some("truncate"))
-    assert(Jdbc.readTable(spark, cfgFor(db3), "ORDERS").count() === 3)
+    // truncate cleanup (reload over existing rows) — against the SAME
+    // FK-enforcing target: the children-first DELETE pass clears
+    // referencing rows before their parents, then the parent-first writes
+    // re-satisfy every constraint.
+    Dump.loadIntoJdbc(spark, dump, cfgFor(db2), cleanup = Some("truncate"))
+    assert(Jdbc.readTable(spark, cfgFor(db2), "ORDERS").count() === 3)
+    assert(Jdbc.readTable(spark, cfgFor(db2), "CUST").count() === 2)
   }
 
   test("dump/load CLI runs against a live database with no --fk/--pk flags") {
@@ -169,9 +167,38 @@ class JdbcCatalogSpec extends SparkSpec {
     val tmp = java.nio.file.Files.createTempDirectory("graft_jdbc_schema").toString
     val db = s"$tmp/src"
     createSchema(db)
+    // adversarial metadata-pattern case: TXID (numeric, declared first)
+    // would match the PK name T_ID as an UNESCAPED getColumns pattern
+    // ('_' = any char) — the probe must match the column name exactly and
+    // classify the VARCHAR key as non-partitionable
+    val conn = DriverManager.getConnection(s"jdbc:derby:$db", "app", "app")
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE TAGS (TXID INT, T_ID VARCHAR(10) PRIMARY KEY)")
+      st.close()
+    } finally conn.close()
+
     val meta = Jdbc.introspect(cfgFor(db), schema = Some("APP"))
-    assert(meta.tables.toSet === Set("REGION", "NATION", "CUST", "ORDERS"))
+    assert(meta.tables.toSet === Set("REGION", "NATION", "CUST", "ORDERS", "TAGS"))
     assert(meta.qualifiedNames("ORDERS") === "APP.ORDERS")
     assert(meta.partitionColumns("ORDERS") === "O_ID")
+    assert(!meta.partitionColumns.contains("TAGS"))
+  }
+
+  test("jdbc catalog serializes: metadata survives, reader is transient") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jdbc_ser").toString
+    val db = s"$tmp/src"
+    createSchema(db)
+    val cat = Catalog.jdbc(spark, cfgFor(db))
+    val bytes = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bytes)
+    oos.writeObject(cat)
+    oos.close()
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bytes.toByteArray)).readObject()
+      .asInstanceOf[Catalog]
+    assert(back.tables === cat.tables)
+    assert(back.primaryKey("ORDERS") === Seq("O_ID"))
+    assert(back.foreignKeys === cat.foreignKeys)
   }
 }
