@@ -283,6 +283,10 @@ object SparkEntry {
           k = 10, centEvery = 40, nprobe = 2)
         .orderBy("query_id", "rank")),
 
+    "embed_pq" -> ((s, dir) =>
+      Similarity.pqEncode(cat(s, dir).table("embeddings"), m = 8, k = 16)
+        .orderBy("vec_id")),
+
     "events_hourly" -> { (s, dir) =>
       // ts is epoch-nanos (nanosAsLong read); bucket to hour starts.
       // Sums go through exact decimals: double addition is not associative,
@@ -806,6 +810,22 @@ object SparkEntry {
          FROM p)
          SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", round(cos, 4) AS cosine
          FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+
+    "embed_pq" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         ce AS (SELECT vec_id,
+           list_transform(range(0, 8), m ->
+             list_transform(range(0, 16), c ->
+               list_reduce(list_transform(range(0, 8), d ->
+                 (v[m * 8 + d + 1] - ((CAST('0x' || substr(md5('pq|' || m::VARCHAR || '|' || c::VARCHAR || '|' || (d + 1)::VARCHAR), 1, 15) AS BIGINT) % 2001 - 1000) / 1000.0))
+                 * (v[m * 8 + d + 1] - ((CAST('0x' || substr(md5('pq|' || m::VARCHAR || '|' || c::VARCHAR || '|' || (d + 1)::VARCHAR), 1, 15) AS BIGINT) % 2001 - 1000) / 1000.0))),
+                 (a, b) -> a + b))) AS dss
+         FROM e)
+         SELECT vec_id,
+           array_to_string(list_transform(dss, ds -> list_position(ds, list_min(ds)) - 1), ':') AS pq_code,
+           round(sqrt(list_reduce(list_prepend(0.0, list_transform(dss, ds -> list_min(ds))), (a, b) -> a + b)), 4) AS recon_err
+         FROM ce ORDER BY vec_id""",
 
     "ann_ivf_probe2" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -243,6 +243,59 @@ object Similarity {
         col("rank").cast("long").as("rank"), round(col("cos"), 4).as("cosine"))
   }
 
+  /** Pseudo-random product-quantization codebook component for
+    * (subspace m, centroid c, dimension d ≥ 1) — same md5-derived family
+    * as planeWeight, so the DuckDB oracle draws the identical codebook.
+    * A trained codebook (k-means per subspace) swaps in without changing
+    * the plan.
+    */
+  private[operators] def pqWeight(m: Int, c: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"pq|$m|$c|$d".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(15)
+    (java.lang.Long.parseLong(hex, 16) % 2001 - 1000) / 1000.0
+  }
+
+  /** Product-quantization encoding: the vector splits into `m` subspaces
+    * of dim/m dimensions; each subvector is replaced by the id of its
+    * nearest (L2) centroid from a `k`-entry per-subspace codebook —
+    * dim × 8 bytes become m small codes (32× at 64-dim float → 8 codes),
+    * THE standard way a 100 TB embedding corpus gets cheap enough to keep
+    * hot (Jégou et al., TPAMI'11). Emits the code string ("c0:c1:…"),
+    * plus the reconstruction error as quantization-quality telemetry.
+    *
+    * One map-side pass: the codebook is m × k × dim/m plan literals
+    * (driver-side md5 family — see pqWeight; swap in trained centroids
+    * without changing the plan), distances are fused multiply-adds, the
+    * argmin is `array_position(ds, array_min(ds))` — no shuffle, no UDF,
+    * engine-portable (the oracle replays it with `list_position`).
+    */
+  def pqEncode(emb: DataFrame, m: Int = 8, k: Int = 16): DataFrame = {
+    val dim = probeDim(emb)
+    require(dim % m == 0, s"embedding width $dim must divide into $m subspaces")
+    val sub = dim / m
+    val e = emb.select(col("vec_id"), vec(col("embedding")).as("v"))
+    // squared L2 distance of subspace mi's subvector to centroid ci
+    def dist2(mi: Int, ci: Int): Column =
+      (0 until sub).map { d =>
+        val diff = element_at(col("v"), mi * sub + d + 1) - lit(pqWeight(mi, ci, d + 1))
+        diff * diff
+      }.reduce(_ + _)
+    // per-subspace distances are let-bound; argmin ties break on the lower
+    // centroid id (array_position returns the FIRST index of the minimum)
+    def codeAndErr(mi: Int): Column =
+      bindOnce(array((0 until k).map(ci => dist2(mi, ci)): _*), ds =>
+        struct((array_position(ds, array_min(ds)) - 1).as("c"),
+          array_min(ds).as("err")))
+    e.select(col("vec_id"),
+        array((0 until m).map(codeAndErr): _*).as("ce"))
+      .select(col("vec_id"),
+        array_join(transform(col("ce"), s => s.getField("c").cast("string")), ":")
+          .as("pq_code"),
+        round(sqrt(aggregate(transform(col("ce"), s => s.getField("err")),
+          lit(0.0), (acc, x) => acc + x)), 4).as("recon_err"))
+  }
+
   /** IVF-bucketed ANN (inverted-file index): every `centEvery`-th vector
     * acts as a centroid (the deterministic, engine-portable stand-in for a
     * k-means codebook — swapping in trained centroids changes nothing

@@ -94,6 +94,21 @@ class SimilaritySpec extends SparkSpec {
     assert(p2.count() >= p1.count())
   }
 
+  test("pqEncode emits one bounded code per subspace, partitioning-independent") {
+    val enc = Similarity.pqEncode(emb, m = 8, k = 16)
+    val rows = enc.orderBy("vec_id").collect()
+    assert(rows.length === emb.count())
+    rows.foreach { r =>
+      val codes = r.getString(1).split(":").map(_.toInt)
+      assert(codes.length === 8)
+      assert(codes.forall(c => c >= 0 && c < 16))
+      assert(r.getDouble(2) >= 0.0)
+    }
+    val repart = Similarity.pqEncode(emb.repartition(7), m = 8, k = 16)
+      .orderBy("vec_id").collect()
+    assert(rows.toSeq === repart.toSeq)
+  }
+
   test("similarity operators yield empty results on an empty frame (no throw)") {
     val empty = emb.where(lit(false))
     assert(Similarity.annLsh(empty, col("vec_id") % 100 === 0, nprobe = 2).count() === 0)
