@@ -287,6 +287,11 @@ object SparkEntry {
       Similarity.pqEncode(cat(s, dir).table("embeddings"), m = 8, k = 16)
         .orderBy("vec_id")),
 
+    "pq_search" -> ((s, dir) =>
+      Similarity.pqSearch(cat(s, dir).table("embeddings"), col("vec_id") % 50 === 0,
+          kNN = 10, m = 8, k = 16)
+        .orderBy("query_id", "rank")),
+
     "events_hourly" -> { (s, dir) =>
       // ts is epoch-nanos (nanosAsLong read); bucket to hour starts.
       // Sums go through exact decimals: double addition is not associative,
@@ -826,6 +831,30 @@ object SparkEntry {
            array_to_string(list_transform(dss, ds -> list_position(ds, list_min(ds)) - 1), ':') AS pq_code,
            round(sqrt(list_reduce(list_prepend(0.0, list_transform(dss, ds -> list_min(ds))), (a, b) -> a + b)), 4) AS recon_err
          FROM ce ORDER BY vec_id""",
+
+    "pq_search" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         ce AS (SELECT vec_id,
+           list_transform(range(0, 8), m ->
+             list_transform(range(0, 16), c ->
+               list_reduce(list_transform(range(0, 8), d ->
+                 (v[m * 8 + d + 1] - ((CAST('0x' || substr(md5('pq|' || m::VARCHAR || '|' || c::VARCHAR || '|' || (d + 1)::VARCHAR), 1, 15) AS BIGINT) % 2001 - 1000) / 1000.0))
+                 * (v[m * 8 + d + 1] - ((CAST('0x' || substr(md5('pq|' || m::VARCHAR || '|' || c::VARCHAR || '|' || (d + 1)::VARCHAR), 1, 15) AS BIGINT) % 2001 - 1000) / 1000.0))),
+                 (a, b) -> a + b))) AS dss
+         FROM e),
+         t AS (SELECT vec_id, dss,
+           list_transform(dss, ds -> list_position(ds, list_min(ds)) - 1) AS codes
+         FROM ce),
+         q AS (SELECT vec_id AS query_id, dss AS qlut FROM t WHERE vec_id % 50 = 0),
+         p AS (SELECT q.query_id, x.vec_id AS neighbor_id,
+           list_reduce(list_transform(range(0, 8), mi ->
+             qlut[mi + 1][CAST(x.codes[mi + 1] + 1 AS INT)]), (a, b) -> a + b) AS adist
+         FROM t x JOIN q ON x.vec_id <> q.query_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
+         FROM p)
+         SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", round(adist, 4) AS approx_dist2
+         FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
 
     "ann_ivf_probe2" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -256,21 +256,16 @@ object Similarity {
     (java.lang.Long.parseLong(hex, 16) % 2001 - 1000) / 1000.0
   }
 
-  /** Product-quantization encoding: the vector splits into `m` subspaces
-    * of dim/m dimensions; each subvector is replaced by the id of its
-    * nearest (L2) centroid from a `k`-entry per-subspace codebook —
-    * dim × 8 bytes become m small codes (32× at 64-dim float → 8 codes),
-    * THE standard way a 100 TB embedding corpus gets cheap enough to keep
-    * hot (Jégou et al., TPAMI'11). Emits the code string ("c0:c1:…"),
-    * plus the reconstruction error as quantization-quality telemetry.
-    *
-    * One map-side pass: the codebook is m × k × dim/m plan literals
-    * (driver-side md5 family — see pqWeight; swap in trained centroids
-    * without changing the plan), distances are fused multiply-adds, the
-    * argmin is `array_position(ds, array_min(ds))` — no shuffle, no UDF,
-    * engine-portable (the oracle replays it with `list_position`).
+  /** The PQ working frame: per row, `dss` = the m × k matrix of squared
+    * L2 distances from each subvector to every codebook centroid, and
+    * `codes` = the per-subspace argmin ids. One map-side pass; the
+    * codebook is m × k × dim/m plan literals (driver-side md5 family —
+    * see pqWeight; swap in trained centroids without changing the plan);
+    * the argmin is `array_position(ds, array_min(ds))` — ties break on the
+    * lower centroid id, engine-portable (the oracle replays it with
+    * `list_position`). `dss` doubles as the ADC lookup table of pqSearch.
     */
-  def pqEncode(emb: DataFrame, m: Int = 8, k: Int = 16): DataFrame = {
+  private def pqTable(emb: DataFrame, m: Int, k: Int): DataFrame = {
     val dim = probeDim(emb)
     require(dim % m == 0, s"embedding width $dim must divide into $m subspaces")
     val sub = dim / m
@@ -281,19 +276,61 @@ object Similarity {
         val diff = element_at(col("v"), mi * sub + d + 1) - lit(pqWeight(mi, ci, d + 1))
         diff * diff
       }.reduce(_ + _)
-    // per-subspace distances are let-bound; argmin ties break on the lower
-    // centroid id (array_position returns the FIRST index of the minimum)
-    def codeAndErr(mi: Int): Column =
-      bindOnce(array((0 until k).map(ci => dist2(mi, ci)): _*), ds =>
-        struct((array_position(ds, array_min(ds)) - 1).as("c"),
-          array_min(ds).as("err")))
     e.select(col("vec_id"),
-        array((0 until m).map(codeAndErr): _*).as("ce"))
-      .select(col("vec_id"),
-        array_join(transform(col("ce"), s => s.getField("c").cast("string")), ":")
-          .as("pq_code"),
-        round(sqrt(aggregate(transform(col("ce"), s => s.getField("err")),
-          lit(0.0), (acc, x) => acc + x)), 4).as("recon_err"))
+        array((0 until m).map(mi =>
+          array((0 until k).map(ci => dist2(mi, ci)): _*)): _*).as("dss"))
+      .select(col("vec_id"), col("dss"),
+        transform(col("dss"), ds => array_position(ds, array_min(ds)) - 1).as("codes"))
+  }
+
+  /** Product-quantization encoding: the vector splits into `m` subspaces
+    * of dim/m dimensions; each subvector is replaced by the id of its
+    * nearest (L2) centroid from a `k`-entry per-subspace codebook —
+    * dim × 8 bytes become m small codes (32× at 64-dim float → 8 codes),
+    * THE standard way a 100 TB embedding corpus gets cheap enough to keep
+    * hot (Jégou et al., TPAMI'11). Emits the code string ("c0:c1:…"),
+    * plus the reconstruction error as quantization-quality telemetry.
+    */
+  def pqEncode(emb: DataFrame, m: Int = 8, k: Int = 16): DataFrame =
+    pqTable(emb, m, k).select(col("vec_id"),
+      array_join(transform(col("codes"), _.cast("string")), ":").as("pq_code"),
+      round(sqrt(aggregate(transform(col("dss"), ds => array_min(ds)),
+        lit(0.0), (acc, x) => acc + x)), 4).as("recon_err"))
+
+  /** Approximate nearest neighbors over the PQ-compressed corpus by
+    * asymmetric distance computation (ADC, Jégou et al.): the query keeps
+    * full precision and its per-subspace distance matrix doubles as a
+    * lookup table, so scoring a neighbor is m table probes + adds against
+    * its m-byte code — the corpus's vectors are never touched. Queries
+    * (with LUTs) broadcast; codes stream map-side; two-phase top-k as in
+    * annTopK. The exact-rank baseline is annTopK; this is what replaces
+    * it when the corpus only exists in compressed form.
+    */
+  def pqSearch(
+      emb: DataFrame,
+      queryFilter: Column,
+      kNN: Int = 10,
+      m: Int = 8,
+      k: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = pqTable(emb, m, k)
+    val corpus = t.select(col("vec_id"), col("codes"))
+    val q = t.where(queryFilter)
+      .select(col("vec_id").as("query_id"), col("dss").as("qlut"))
+    val scored = broadcast(q).join(corpus, col("vec_id") =!= col("query_id"))
+      .withColumn("adist", (0 until m).map(mi =>
+        element_at(element_at(col("qlut"), mi + 1),
+          (element_at(col("codes"), mi + 1) + 1).cast("int"))).reduce(_ + _))
+      .withColumn("part", spark_partition_id())
+    val local = Window.partitionBy(col("query_id"), col("part"))
+      .orderBy(col("adist"), col("vec_id"))
+    val survivors = scored.withColumn("lrank", row_number().over(local))
+      .where(col("lrank") <= kNN)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
+    survivors.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= kNN)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("adist"), 4).as("approx_dist2"))
   }
 
   /** IVF-bucketed ANN (inverted-file index): every `centEvery`-th vector

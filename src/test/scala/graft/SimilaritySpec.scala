@@ -109,6 +109,24 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.toSeq === repart.toSeq)
   }
 
+  test("pqSearch ranks by ADC distance, exact rank contract as annTopK") {
+    val res = Similarity.pqSearch(emb, col("vec_id") % 100 === 0, kNN = 5)
+    val perQuery = res.groupBy("query_id").count()
+    assert(perQuery.where(col("count") =!= 5).count() === 0)
+    assert(res.where(col("neighbor_id") === col("query_id")).count() === 0)
+    // distance non-decreasing in rank
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy("rank")
+    val viol = res.withColumn("prev", lag(col("approx_dist2"), 1).over(w))
+      .where(col("prev").isNotNull && col("prev") > col("approx_dist2"))
+      .count()
+    assert(viol === 0)
+    // deterministic under repartitioning
+    val repart = Similarity.pqSearch(emb.repartition(13), col("vec_id") % 100 === 0, kNN = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(res.orderBy("query_id", "rank").collect().toSeq === repart)
+  }
+
   test("similarity operators yield empty results on an empty frame (no throw)") {
     val empty = emb.where(lit(false))
     assert(Similarity.annLsh(empty, col("vec_id") % 100 === 0, nprobe = 2).count() === 0)
