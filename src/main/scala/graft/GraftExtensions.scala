@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.FunctionBridge
 
-import graft.functions.{DotProduct, SimHash48}
+import graft.functions.{AdcDistance, DotProduct, SimHash48}
 
 /** SQL-surface registration for graft's custom Catalyst expressions.
   *
@@ -41,6 +41,12 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 1, s"simhash48 takes 1 argument, got ${children.length}")
         SimHash48(children(0))
+      }),
+    ("adc_distance",
+      new ExpressionInfo(classOf[AdcDistance].getName, "adc_distance"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"adc_distance takes 2 arguments, got ${children.length}")
+        AdcDistance(children(0), children(1))
       }))
 
   /** Registers every graft function on an already-built session. */

@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** Codegen'd asymmetric-distance (ADC) probe: given a query's per-subspace
+  * distance lookup table `lut: array<array<double>>` (m × k) and a
+  * neighbor's PQ codes `codes: array<bigint>` (m 0-based centroid ids),
+  * returns Σ_m lut[m][codes[m]] — the approximate squared L2 distance.
+  *
+  * This runs once per (query, candidate) pair in `Similarity.pqSearch`,
+  * the operator's hot loop; the composable form — m chained dynamic
+  * `element_at`s reduced with `+` — is interpreted per probe with boxed
+  * array access. Here it is one primitive loop inside whole-stage codegen.
+  * Fold order is the same strict sequential left sum the column form and
+  * the DuckDB oracle's `list_reduce` replay use, so results are
+  * bit-identical. Mismatched m (|lut| ≠ |codes|) → NULL, like
+  * [[DotProduct]]'s unequal-length contract; out-of-range codes are a
+  * construction error and surface as the index exception they are.
+  */
+case class AdcDistance(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  // NULL on subspace-count mismatch even for non-null inputs (see DotProduct)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(ArrayType(DoubleType, _), _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"adc_distance expects (array<array<double>>, array<bigint>), got ($l, $r)")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val lut = a.asInstanceOf[ArrayData]
+    val codes = b.asInstanceOf[ArrayData]
+    if (lut.numElements() != codes.numElements()) null
+    else {
+      val m = codes.numElements()
+      var acc = 0.0
+      var i = 0
+      while (i < m) {
+        acc += lut.getArray(i).getDouble(codes.getLong(i).toInt)
+        i += 1
+      }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $m = $b.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    $acc += $a.getArray($i).getDouble((int) $b.getLong($i));
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcDistance =
+    copy(left = newLeft, right = newRight)
+}
+
+object AdcDistance {
+  /** Column-API entry point: `AdcDistance($"qlut", $"codes")`. */
+  def apply(lut: Column, codes: Column): Column =
+    ColumnBridge.column(
+      AdcDistance(ColumnBridge.expression(lut), ColumnBridge.expression(codes)))
+}

@@ -45,6 +45,17 @@ class FunctionsSpec extends SparkSpec {
     assert(out(1).getDouble(0) === 11.0)
   }
 
+  test("adc_distance sums the coded lookup-table cells; mismatch is NULL") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      "SELECT adc_distance(array(array(1.0d, 2.0d), array(10.0d, 20.0d)), " +
+        "array(CAST(1 AS BIGINT), CAST(0 AS BIGINT)))").head()
+    assert(row.getDouble(0) === 12.0) // lut[0][1] + lut[1][0]
+    assert(spark.sql(
+      "SELECT adc_distance(array(array(1.0d)), " +
+        "array(CAST(0 AS BIGINT), CAST(0 AS BIGINT)))").head().isNullAt(0))
+  }
+
   test("DotProduct column API matches SQL function result") {
     import spark.implicits._
     GraftExtensions.register(spark)
