@@ -353,38 +353,70 @@ object Similarity {
     * recall knob — the index side is never touched, only the query fans
     * out; a neighbor lives in exactly one cell, so no pair dedup needed).
     *
-    * The 100 TB shape: centroids broadcast (a codebook is small by
-    * construction), assignment is one map-side argmax pass, and the search
-    * join is an equi-join on `cent_id` — shuffle O(rows), verification
-    * O(nprobe × cell size) per query. Recall is probabilistic: neighbors
-    * in unprobed cells are unseen (raise nprobe for higher recall).
+    * The 100 TB shape: the codebook is fixed-size — the sampled centroids
+    * are capped at `maxCents` and fetched DRIVER-SIDE at plan time (a
+    * codebook is small by construction; the fetch is one tiny job over the
+    * pushed-down sampling filter), then baked into the plan as literal
+    * arrays, the pqTable pattern. Assignment is one map-side argmax pass
+    * over those literals — cosine to each centroid inside whole-stage
+    * codegen, `array_position(css, array_max(css))` for the argmax (first
+    * occurrence ⇒ ties break on the lower cell id, the codebook being
+    * cent_id-ordered) — NO shuffle, NO per-vector window, NO join against
+    * a corpus-sized centroid frame. The search join is an equi-join on
+    * `cell` — shuffle O(rows), verification O(nprobe × cell size) per
+    * query. Recall is probabilistic: neighbors in unprobed cells are
+    * unseen (raise nprobe for higher recall).
     */
   def annIvf(
       emb: DataFrame,
       queryFilter: Column,
       k: Int = 10,
       centEvery: Int = 40,
-      nprobe: Int = 1): DataFrame = {
+      nprobe: Int = 1,
+      maxCents: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val e = normalized(emb)
-    val cents = e.where(col("vec_id") % centEvery === 1)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-    // Centroid ranking per vector: broadcast the codebook, score every
-    // (vector, centroid). Ties break on cent_id. rank 1 = home cell
-    // (index side); ranks 1..nprobe = the query's probe cells.
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos_c").desc, col("cent_id"))
-    val ranked = e.join(broadcast(cents))
-      .withColumn("cos_c", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(wAssign))
-    val assigned = ranked.where(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
-    val q = ranked.where(col("rn") <= nprobe).where(queryFilter)
-      .select(col("vec_id").as("query_id"), col("v").as("vq"),
-        col("nrm").as("nq"), col("cent_id").as("qcent"))
+    // Plan-time codebook: the capped, cent_id-ordered sample. (vector,
+    // norm) pairs are collected from the SAME normalized frame every row
+    // flows through, so the literal doubles are bit-identical to what a
+    // join against that frame would have seen.
+    val cents: Array[(Array[Double], Double)] =
+      e.where(col("vec_id") % centEvery === 1)
+        .orderBy(col("vec_id")).limit(maxCents)
+        .select(col("v"), col("nrm"))
+        .collect()
+        .map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+    if (cents.isEmpty)
+      // empty corpus (or nothing matched the sampling rule): empty result
+      // with the contract schema, no throw
+      return e.select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        lit(0L).as("rank"), lit(0.0).as("cosine")).where(lit(false))
+    val nc = cents.length
+    // cosine to every centroid, cell id = codebook index (cent_id order)
+    def centCos(v: Column, nrm: Column): Column =
+      array(cents.map { case (cv, cn) =>
+        dot(v, array(cv.map(lit(_)): _*)) / (nrm * lit(cn))
+      }: _*)
+    val withCss = e.select(col("vec_id"), col("v"), col("nrm"),
+      centCos(col("v"), col("nrm")).as("css"))
+    val assigned = withCss.select(col("vec_id"), col("v"), col("nrm"),
+      (array_position(col("css"), array_max(col("css"))) - 1).cast("int").as("cell"))
+    // Query probe cells: the nprobe best cells by (cos desc, cell asc),
+    // expressed as a count-based rank over the css array (no sort — the
+    // same engine-portable trick as lshProbes). O(nc²) per QUERY row only.
+    val probeCells = filter(sequence(lit(0), lit(nc - 1)), c =>
+      size(filter(sequence(lit(0), lit(nc - 1)), c2 =>
+        element_at(col("css"), c2 + 1) > element_at(col("css"), c + 1) ||
+          (element_at(col("css"), c2 + 1) === element_at(col("css"), c + 1) && c2 < c))) <
+        nprobe)
+    // queryFilter is on vec_id, so it pushes below the css projection: the
+    // query side recomputes css for its own rows only.
+    val q = withCss.where(queryFilter)
+      .select(col("vec_id").as("query_id"), col("v").as("vq"), col("nrm").as("nq"),
+        explode(probeCells).as("qcell"))
     val scored = assigned.join(broadcast(q),
-        col("cent_id") === col("qcent") && col("vec_id") =!= col("query_id"))
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("vq"), col("v")) / (col("nq") * col("nrm")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
