@@ -90,12 +90,39 @@ object Dump {
   }
 
   /** CREATE TABLE DDL per table — the `pg_dump -s` analog
-    * (xdump/postgresql.py:129). */
-  private def writeSchema(catalog: Catalog, tables: Seq[String], path: String): Unit =
+    * (xdump/postgresql.py:129). Besides column types, the file carries the
+    * table's PK and FK constraints from the Catalog metadata as separate
+    * `ALTER TABLE … ADD CONSTRAINT` statements (the reference's dumped DDL
+    * keeps PK/FK too — pg_dump restores them on load, base.py:227), so a
+    * load into an empty database can restore referential integrity, not
+    * just column shapes. FK edges whose parent is outside the dumped table
+    * set are omitted — they could never validate against this dump.
+    */
+  private def writeSchema(catalog: Catalog, tables: Seq[String], path: String): Unit = {
+    val inSet = tables.toSet
     tables.foreach { t =>
-      val ddl = s"CREATE TABLE $t (${catalog.table(t).schema.toDDL});"
-      writeText(catalog.spark, s"$path/schema/$t.sql", ddl)
+      val create = s"CREATE TABLE $t (${catalog.table(t).schema.toDDL});"
+      val pk = catalog.primaryKeys.get(t).filter(_.nonEmpty).map(cols =>
+        s"ALTER TABLE $t ADD CONSTRAINT ${t}_pk PRIMARY KEY (${cols.mkString(", ")});")
+      val fks = catalog.foreignKeys
+        .filter(fk => fk.table == t && inSet(fk.foreignTable))
+        .map(fk => s"ALTER TABLE $t ADD CONSTRAINT ${t}_${fk.column}_fk " +
+          s"FOREIGN KEY (${fk.column}) REFERENCES ${fk.foreignTable} (${fk.foreignColumn});")
+      writeText(catalog.spark, s"$path/schema/$t.sql",
+        (Seq(create) ++ pk ++ fks).mkString("\n"))
     }
+  }
+
+  /** The dumped DDL statements of one table, semicolons stripped (JDBC
+    * `Statement.execute` rejects them): the CREATE TABLE first, then any
+    * ALTER TABLE constraint statements. Empty if the dump carries no
+    * schema for `t`.
+    */
+  private[sources] def schemaStatements(
+      spark: SparkSession, dumpPath: String, t: String): Seq[String] =
+    try readText(spark, s"$dumpPath/schema/$t.sql")
+      .split(";").map(_.trim).filter(_.nonEmpty).toSeq
+    catch { case _: java.io.IOException => Nil }
 
   /** Manifest: load order (TableGraph), per-table row counts, and sequence
     * state — max(pk) per table, the analog of the reference's sequences
@@ -171,9 +198,10 @@ object Dump {
   def load(spark: SparkSession, path: String): Seq[(String, DataFrame)] = {
     val manifest = readManifest(spark, path)
     manifest.loadOrder.map { t =>
+      // first statement is the CREATE TABLE; constraint ALTERs may follow
       val schema = StructType.fromDDL(
-        readText(spark, s"$path/schema/$t.sql")
-          .stripPrefix(s"CREATE TABLE $t (").stripSuffix(");"))
+        readText(spark, s"$path/schema/$t.sql").takeWhile(_ != ';')
+          .stripPrefix(s"CREATE TABLE $t (").stripSuffix(")"))
       t -> readData(spark, path, t, manifest.format, schema)
     }
   }
@@ -209,19 +237,28 @@ object Dump {
     * keeps tables + constraints on any engine (engines disagree on whether
     * TRUNCATE may touch FK-referenced tables at all; ≙ postgresql.py:212);
     * "recreate" → `DROP TABLE` children first, tables re-created from
-    * Spark's schema by the writes (≙ recreate_database, base.py:202 —
-    * constraints are NOT restored; prefer truncate against a
-    * schema-managed target).
+    * Spark's schema by the writes, then the dumped PK/FK constraint DDL is
+    * replayed (≙ recreate_database + initial_setup replay, base.py:202,
+    * base.py:227) — constraints land AFTER the data, the standard
+    * bulk-load order, so no write is validated row-by-row and parent PKs
+    * exist before the FKs that reference them.
     *
-    * Sequence state is NOT replayed (the manifest carries it; engines
-    * disagree on `ALTER SEQUENCE`/`RESTART WITH` syntax, so resuming id
-    * generation is the deployment's one engine-specific step).
+    * Sequence state from the manifest is replayed last (best-effort, per
+    * table — see [[replaySequences]]): a target whose id columns are
+    * identity/serial resumes generation past the loaded rows, the
+    * reference's sequences.sql-on-load behavior (postgresql.py:144,
+    * base.py:227); plain-integer targets (e.g. what recreate just
+    * created — Spark only knows column types) have no generator to
+    * restart and are skipped. Call [[replaySequences]] directly for the
+    * per-table outcomes.
     */
   def loadIntoJdbc(
       spark: SparkSession,
       dumpPath: String,
       cfg: JdbcConfig,
-      cleanup: Option[String] = None): Unit = {
+      cleanup: Option[String] = None,
+      restoreConstraints: Boolean = true,
+      restoreSequences: Boolean = true): Unit = {
     val tables = load(spark, dumpPath) // manifest load order
     cleanup.foreach { method =>
       val childrenFirst = tables.map(_._1).reverse
@@ -241,6 +278,68 @@ object Dump {
     tables.foreach { case (t, df) =>
       Jdbc.writeTable(df, cfg, t, SaveMode.Append)
     }
+    // Only a recreate left the target constraint-less; truncate/append
+    // targets own their schema (reference: initial_setup replay is the
+    // recreate path, base.py:227).
+    if (cleanup.contains("recreate") && restoreConstraints)
+      replayConstraints(spark, dumpPath, cfg, tables.map(_._1))
+    if (restoreSequences) replaySequences(spark, dumpPath, cfg)
+  }
+
+  private val PkStmt =
+    """ALTER TABLE (\S+) ADD CONSTRAINT \S+ PRIMARY KEY \(([^)]*)\)""".r
+
+  /** Replays the dumped PK/FK DDL onto a live target, bulk-load order:
+    * every PK column is first made NOT NULL (Spark's JDBC writer creates
+    * nullable columns, and no engine accepts a PK over one — dialect
+    * handled by [[Jdbc.notNullSql]]), then all PRIMARY KEY statements,
+    * then all FOREIGN KEY statements (their parents' PKs exist by then,
+    * regardless of FK-graph order).
+    */
+  private def replayConstraints(
+      spark: SparkSession, dumpPath: String, cfg: JdbcConfig,
+      tables: Seq[String]): Unit = {
+    val stmts = tables.flatMap(t => schemaStatements(spark, dumpPath, t))
+    val pkStmts = stmts.filter(_.contains(" PRIMARY KEY "))
+    val fkStmts = stmts.filter(_.contains(" FOREIGN KEY "))
+    val notNulls = pkStmts.flatMap {
+      case PkStmt(t, cols) =>
+        cols.split(",").map(c => Jdbc.notNullSql(cfg, t, c.trim)).toSeq
+      case _ => Nil
+    }
+    Jdbc.execute(cfg, notNulls ++ pkStmts ++ fkStmts)
+  }
+
+  /** Replays the manifest's sequence state onto a live JDBC target — the
+    * reference's sequences.sql-on-load (postgresql.py:136-146, base.py:227):
+    * each table's id generator restarts just past the dumped max, so rows
+    * inserted after the load don't collide with loaded ids. The generator
+    * column is the dumped PK's first column; the restart statement is
+    * dialect-routed (Postgres `setval(pg_get_serial_sequence(…))`,
+    * Derby/DB2/H2 `ALTER TABLE … RESTART WITH`). Best-effort BY DESIGN:
+    * a target whose id column is a plain integer (no identity/serial —
+    * e.g. a table `recreate` just created) has no generator, and the
+    * engine refuses the statement; that table's outcome reports the error
+    * instead of failing the load.
+    *
+    * @return per table: None = replayed; Some(reason) = skipped/refused.
+    */
+  def replaySequences(
+      spark: SparkSession, dumpPath: String,
+      cfg: JdbcConfig): Map[String, Option[String]] = {
+    val manifest = readManifest(spark, dumpPath)
+    manifest.loadOrder.map { t =>
+      val pkCol = schemaStatements(spark, dumpPath, t).collectFirst {
+        case PkStmt(_, cols) => cols.split(",").head.trim
+      }
+      t -> (pkCol match {
+        case None => Some("no primary key in dumped schema")
+        case Some(c) =>
+          val next = manifest.sequences.getOrElse(t, 0L) + 1
+          try { Jdbc.execute(cfg, Seq(Jdbc.restartSequenceSql(cfg, t, c, next))); None }
+          catch { case e: java.sql.SQLException => Some(String.valueOf(e.getMessage)) }
+      })
+    }.toMap
   }
 
   /** Sequence state of a load target — what the next id per table should

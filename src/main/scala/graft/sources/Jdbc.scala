@@ -162,6 +162,27 @@ object Jdbc {
     s.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
   }
 
+  /** Dialect: make `t.c` NOT NULL — the prerequisite for ADD PRIMARY KEY
+    * on a Spark-created table (the JDBC writer emits nullable columns).
+    * Postgres/MySQL-family use `SET NOT NULL`/`MODIFY`; the SQL-standard
+    * `ALTER COLUMN c NOT NULL` covers Derby/DB2; engines outside both
+    * families get the standard form too (best-known default).
+    */
+  private[sources] def notNullSql(cfg: JdbcConfig, t: String, c: String): String =
+    if (cfg.driver.contains("postgresql")) s"ALTER TABLE $t ALTER COLUMN $c SET NOT NULL"
+    else s"ALTER TABLE $t ALTER COLUMN $c NOT NULL"
+
+  /** Dialect: restart `t.c`'s id generator so the next generated value is
+    * `next` — Postgres serial/identity via `setval` on the backing
+    * sequence (`setval(seq, n)` ⇒ nextval n+1), Derby/DB2/H2 identity via
+    * the standard `RESTART WITH`.
+    */
+  private[sources] def restartSequenceSql(
+      cfg: JdbcConfig, t: String, c: String, next: Long): String =
+    if (cfg.driver.contains("postgresql"))
+      s"SELECT setval(pg_get_serial_sequence('$t', '$c'), ${next - 1})"
+    else s"ALTER TABLE $t ALTER COLUMN $c RESTART WITH $next"
+
   /** Runs statements over one driver-side connection — used by the
     * children-first cleanup pass of `Dump.loadIntoJdbc`.
     */

@@ -110,6 +110,96 @@ class JdbcCatalogSpec extends SparkSpec {
     assert(Jdbc.readTable(spark, cfgFor(db2), "CUST").count() === 2)
   }
 
+  test("recreate load into an EMPTY database restores PK/FK constraints") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jdbc_ddl").toString
+    val db = s"$tmp/src"
+    createSchema(db)
+    insertData(db)
+    val dump = s"$tmp/dump"
+    Dump.write(Catalog.jdbc(spark, cfgFor(db)), DumpSpec(
+      fullTables = Seq("REGION"),
+      partialTables = Map("ORDERS" ->
+        Catalog.jdbc(spark, cfgFor(db)).table("ORDERS").where(col("O_TOTAL") > 100))),
+      dump)
+
+    // the target database exists but has NO tables — the reference's
+    // recreate_database + initial_setup replay case (base.py:202, :227)
+    val db2 = s"$tmp/empty"
+    Class.forName(DerbyDriver)
+    DriverManager.getConnection(s"jdbc:derby:$db2;create=true", "app", "app").close()
+    Dump.loadIntoJdbc(spark, dump, cfgFor(db2), cleanup = Some("recreate"))
+
+    // data arrived…
+    assert(Jdbc.readTable(spark, cfgFor(db2), "ORDERS").count() === 3)
+    assert(Jdbc.readTable(spark, cfgFor(db2), "REGION").count() === 2)
+    // …and the PK/FK edges came back: introspecting the target yields the
+    // same relational metadata the source had.
+    val meta = Jdbc.introspect(cfgFor(db2), schema = Some("APP"))
+    assert(meta.primaryKeys("ORDERS") === Seq("O_ID"))
+    assert(meta.primaryKeys("REGION") === Seq("R_ID"))
+    assert(meta.foreignKeys.toSet === Set(
+      ForeignKey("NATION", "N_RID", "REGION", "R_ID"),
+      ForeignKey("CUST", "C_NID", "NATION", "N_ID"),
+      ForeignKey("ORDERS", "O_CID", "CUST", "C_ID")))
+    // the restored constraints ENFORCE: an orphan order must be refused
+    val conn = DriverManager.getConnection(s"jdbc:derby:$db2", "app", "app")
+    try {
+      val st = conn.createStatement()
+      intercept[java.sql.SQLException] {
+        st.execute("INSERT INTO ORDERS VALUES (99, 1.0, 404)")
+      }
+      st.close()
+    } finally conn.close()
+  }
+
+  test("sequence state replays onto identity-column load targets") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jdbc_seq").toString
+    val db = s"$tmp/src"
+    createSchema(db)
+    insertData(db)
+    val dump = s"$tmp/dump"
+    Dump.write(Catalog.jdbc(spark, cfgFor(db)), DumpSpec(
+      fullTables = Seq("REGION"),
+      partialTables = Map("ORDERS" ->
+        Catalog.jdbc(spark, cfgFor(db)).table("ORDERS").where(col("O_TOTAL") > 100))),
+      dump)
+
+    // schema-managed target: ORDERS.O_ID is an identity column (the Derby
+    // analog of a Postgres serial backed by a sequence)
+    val db2 = s"$tmp/target"
+    Class.forName(DerbyDriver)
+    val conn = DriverManager.getConnection(s"jdbc:derby:$db2;create=true", "app", "app")
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE REGION (R_ID INT PRIMARY KEY, R_NAME VARCHAR(32))")
+      st.execute("CREATE TABLE NATION (N_ID INT PRIMARY KEY, N_NAME VARCHAR(32), " +
+        "N_RID INT REFERENCES REGION(R_ID))")
+      st.execute("CREATE TABLE CUST (C_ID INT PRIMARY KEY, C_NAME VARCHAR(32), " +
+        "C_NID INT REFERENCES NATION(N_ID))")
+      st.execute("CREATE TABLE ORDERS (O_ID INT GENERATED BY DEFAULT AS IDENTITY " +
+        "PRIMARY KEY, O_TOTAL DOUBLE, O_CID INT REFERENCES CUST(C_ID))")
+      st.close()
+    } finally conn.close()
+
+    // dumped orders are 1, 3, 5 → sequence state 5; the load replays it
+    Dump.loadIntoJdbc(spark, dump, cfgFor(db2))
+    val outcomes = Dump.replaySequences(spark, dump, cfgFor(db2))
+    assert(outcomes("ORDERS") === None)      // identity column: replayed
+    assert(outcomes("REGION").isDefined)     // plain INT: refused, reported
+
+    // id generation resumes PAST the loaded rows (reference: sequences.sql
+    // replayed on load, postgresql.py:144) — no collision with loaded ids
+    val c2 = DriverManager.getConnection(s"jdbc:derby:$db2", "app", "app")
+    try {
+      val st = c2.createStatement()
+      st.execute("INSERT INTO ORDERS (O_TOTAL, O_CID) VALUES (9.0, 1)")
+      val rs = st.executeQuery("SELECT max(O_ID) FROM ORDERS")
+      rs.next()
+      assert(rs.getInt(1) === 6)
+      rs.close(); st.close()
+    } finally c2.close()
+  }
+
   test("dump/load CLI runs against a live database with no --fk/--pk flags") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_jdbc_cli").toString
     val db = s"$tmp/src"
