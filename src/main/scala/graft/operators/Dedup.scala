@@ -83,6 +83,18 @@ object Dedup {
     *
     * Banding recall: P(candidate | J) = 1 − (1 − J²)⁸ (≈ 1 − 2·10⁻⁶ at
     * J = 0.9); pairs missed by every band are unseen, by MinHash design.
+    *
+    * SCALING RULE (why these defaults need no corpus-count hint, unlike
+    * Similarity.planesFor): a band bucket here is keyed by `rows` 31-bit
+    * signature values, so two DISSIMILAR docs collide in a band with
+    * p ≈ (2/p_prime)^rows ≈ 10⁻¹⁸ at rows = 2 — expected false candidates
+    * ≈ n²·bands·10⁻¹⁸, still < 10⁶ at n = 10⁹. Bucket width is driven by
+    * genuinely-similar content, not corpus size; the quadratic term a
+    * fixed sign-LSH plane count suffers does not exist in this keying.
+    * What DOES grow with near-dup-heavy corpora is the verify join on real
+    * candidate pairs — raise `rows` (and `numHashes` with it) to push the
+    * banding threshold (1/bands)^(1/rows) up before reaching for bigger
+    * clusters.
     */
   def minhashPairs(
       docs: DataFrame,

@@ -62,6 +62,23 @@ object Similarity {
   private def probeDim(emb: DataFrame): Int =
     emb.select(size(col("embedding"))).head(1).headOption.map(_.getInt(0)).getOrElse(1)
 
+  /** Hyperplane count for a corpus of `corpusCount` vectors:
+    * `ceil(log₂(corpusCount / targetBucket))`, floored at the default 4.
+    *
+    * The scaling rule: a band hashes into 2^planes buckets, and the
+    * within-bucket verify work is Σ bucket² ≈ n²/2^planes per band — LINEAR
+    * in n only while 2^planes grows with n (expected bucket size pinned at
+    * `targetBucket`). A fixed plane count quietly turns the verify stage
+    * quadratic at 100× the corpus: planes must follow log₂(n). At the test
+    * SFs this returns the long-standing default 4; at 10⁹ vectors, 24
+    * (≈ 16 M buckets/band, the FAISS-scale regime).
+    */
+  def planesFor(corpusCount: Long, targetBucket: Long = 64): Int = {
+    val buckets = math.max(1L, (corpusCount + targetBucket - 1) / targetBucket)
+    val ceilLog2 = if (buckets <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
+    math.max(4, ceilLog2)
+  }
+
   /** All vector pairs with cosine ≥ `threshold` — embedding near-dup
     * detection.
     *
@@ -78,13 +95,20 @@ object Similarity {
     * `exact = true` keeps the all-pairs broadcast plan: exhaustive, but
     * O(n²) pairs with the build side in memory — a verification baseline
     * for bucket-parameter tuning, not a corpus-scale operator.
+    *
+    * `corpusHint` (vector count, or any same-order estimate) derives
+    * `planes` via [[planesFor]] — REQUIRED at corpus scale: the `planes`
+    * default is tuned for test-SF data, and a fixed plane count makes the
+    * within-bucket verify quadratic as the corpus grows (see planesFor).
     */
   def embedCosineDup(
       emb: DataFrame,
       threshold: Double = 0.4,
       exact: Boolean = false,
       bands: Int = 8,
-      planes: Int = 4): DataFrame = {
+      planes: Int = 4,
+      corpusHint: Option[Long] = None): DataFrame = {
+    val effPlanes = corpusHint.map(planesFor(_)).getOrElse(planes)
     val e = normalized(emb)
     val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
@@ -99,7 +123,7 @@ object Similarity {
         // per vector. Narrow (id + int + short string), rows × bands.
         val bucketed = e.select(col("vec_id"), posexplode(
             array((0 until bands).map(i =>
-              lshBucket(col("v"), planes, dim, planeOffset = i * planes)): _*))
+              lshBucket(col("v"), effPlanes, dim, planeOffset = i * effPlanes)): _*))
           .as(Seq("band", "bkey")))
           .localCheckpoint()
         val cand = bucketed.as("x").join(bucketed.as("y"),
@@ -218,21 +242,27 @@ object Similarity {
     * flips — see lshProbes) for recall without touching the indexed side;
     * a neighbor matches at most one probe (buckets are distinct strings),
     * so no pair dedup is needed.
+    *
+    * `corpusHint` derives `planes` via [[planesFor]] — required at corpus
+    * scale, where the fixed default leaves buckets O(n) wide (see
+    * planesFor's scaling rule).
     */
   def annLsh(
       emb: DataFrame,
       queryFilter: Column,
       k: Int = 10,
       planes: Int = 4,
-      nprobe: Int = 1): DataFrame = {
+      nprobe: Int = 1,
+      corpusHint: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(nprobe >= 1 && nprobe <= planes + 1,
-      s"nprobe must be in [1, planes + 1 = ${planes + 1}], got $nprobe")
+    val effPlanes = corpusHint.map(planesFor(_)).getOrElse(planes)
+    require(nprobe >= 1 && nprobe <= effPlanes + 1,
+      s"nprobe must be in [1, planes + 1 = ${effPlanes + 1}], got $nprobe")
     val dim = probeDim(emb)
-    val e = normalized(emb).withColumn("bucket", lshBucket(col("v"), planes, dim))
+    val e = normalized(emb).withColumn("bucket", lshBucket(col("v"), effPlanes, dim))
     val q = e.where(queryFilter)
       .select(col("vec_id").as("query_id"), col("v").as("vq"), col("nrm").as("nq"),
-        explode(lshProbes(col("v"), planes, dim, nprobe)).as("qbucket"))
+        explode(lshProbes(col("v"), effPlanes, dim, nprobe)).as("qbucket"))
     val scored = e.join(broadcast(q),
         col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("vq"), col("v")) / (col("nq") * col("nrm")))

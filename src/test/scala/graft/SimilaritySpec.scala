@@ -132,6 +132,28 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.annLsh(empty, col("vec_id") % 100 === 0, nprobe = 2).count() === 0)
     assert(Similarity.embedCosineDup(empty).count() === 0)
     assert(Similarity.annTopK(empty, col("vec_id") % 100 === 0).count() === 0)
+    assert(Similarity.annIvf(empty, col("vec_id") % 100 === 0).count() === 0)
+  }
+
+  test("lsh plane count scales with the corpus-count hint") {
+    // test-SF corpora keep the long-standing default
+    assert(Similarity.planesFor(1) === 4)
+    assert(Similarity.planesFor(1000) === 4)
+    // 64 vectors per bucket ⇒ planes = log2(n/64)
+    assert(Similarity.planesFor(64L << 10) === 10)
+    assert(Similarity.planesFor(64L << 24) === 24)
+    // monotone: more corpus, never fewer buckets
+    val grid = Seq(1L, 1000L, 100000L, 10000000L, 1000000000L)
+    grid.sliding(2).foreach { case Seq(a, b) =>
+      assert(Similarity.planesFor(a) <= Similarity.planesFor(b))
+    }
+    // the hint wires through annLsh and stays a subset of exact scoring
+    val exact = Similarity.annTopK(emb, col("vec_id") % 100 === 0, k = 1000)
+      .select("query_id", "neighbor_id", "cosine")
+    val hinted = Similarity.annLsh(emb, col("vec_id") % 100 === 0, k = 5,
+        corpusHint = Some(emb.count()))
+      .select("query_id", "neighbor_id", "cosine")
+    assert(hinted.except(exact).count() === 0)
   }
 
   test("dot product expression matches the higher-order-function fold bitwise") {
