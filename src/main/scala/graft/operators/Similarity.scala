@@ -288,36 +288,101 @@ object Similarity {
 
   /** The PQ working frame: per row, `dss` = the m × k matrix of squared
     * L2 distances from each subvector to every codebook centroid, and
-    * `codes` = the per-subspace argmin ids. One map-side pass; the
-    * codebook is m × k × dim/m plan literals (driver-side md5 family —
-    * see pqWeight; swap in trained centroids without changing the plan);
-    * the argmin is `array_position(ds, array_min(ds))` — ties break on the
-    * lower centroid id, engine-portable (the oracle replays it with
-    * `list_position`). `dss` doubles as the ADC lookup table of pqSearch.
+    * `codes` = the per-subspace argmin ids. One map-side pass through the
+    * codegen'd [[graft.functions.PqDistances]] probe (three primitive
+    * loops over the literal codebook — constant generated-code size, so
+    * whole-stage codegen holds for ANY m/k; the previous fully-unrolled
+    * expression tree blew Janino's 64 KB method limit at the defaults and
+    * ran interpreted). The codebook is one flat plan literal — the
+    * deterministic md5 family (pqWeight) by default, a trained k-means
+    * codebook ([[trainPqCodebook]]) via `codebook`; the plan is identical
+    * either way. The argmin is `array_position(ds, array_min(ds))` — ties
+    * break on the lower centroid id, engine-portable (the oracle replays
+    * it with `list_position`). `dss` doubles as the ADC lookup table of
+    * pqSearch.
     */
-  private def pqTable(emb: DataFrame, m: Int, k: Int): DataFrame = {
+  private def pqTable(
+      emb: DataFrame, m: Int, k: Int,
+      codebook: Option[Array[Double]] = None): DataFrame = {
     val dim = probeDim(emb)
     require(dim % m == 0, s"embedding width $dim must divide into $m subspaces")
     val sub = dim / m
+    val cb = codebook.getOrElse(defaultCodebook(m, k, sub))
+    require(cb.length == m * k * sub,
+      s"codebook must be m × k × dim/m = ${m * k * sub} flat doubles, got ${cb.length}")
     val e = emb.select(col("vec_id"), vec(col("embedding")).as("v"))
-    // Fully unrolled m × k × sub distance tree: ~1000 fused multiply-adds
-    // of plan literals per row, all inside whole-stage codegen. The
-    // HOF-looped alternative (codebook as one folded literal, transform/
-    // aggregate over it) was measured 3× slower on the full-corpus encode —
-    // interpreted lambda dispatch per term beats the one-time cost of
-    // compiling the large generated method, and on a long-lived cluster
-    // plan the compile amortizes to nothing.
-    // squared L2 distance of subspace mi's subvector to centroid ci
-    def dist2(mi: Int, ci: Int): Column =
-      (0 until sub).map { d =>
-        val diff = element_at(col("v"), mi * sub + d + 1) - lit(pqWeight(mi, ci, d + 1))
-        diff * diff
-      }.reduce(_ + _)
     e.select(col("vec_id"),
-        array((0 until m).map(mi =>
-          array((0 until k).map(ci => dist2(mi, ci)): _*)): _*).as("dss"))
+        graft.functions.PqDistances(col("v"), typedLit(cb.toSeq), m, k).as("dss"))
       .select(col("vec_id"), col("dss"),
         transform(col("dss"), ds => array_position(ds, array_min(ds)) - 1).as("codes"))
+  }
+
+  /** The deterministic md5-family codebook as the flat
+    * `cb[(mi·k + ci)·sub + d]` layout [[graft.functions.PqDistances]]
+    * reads. */
+  private def defaultCodebook(m: Int, k: Int, sub: Int): Array[Double] =
+    Array.tabulate(m * k * sub) { i =>
+      pqWeight(i / (k * sub), i / sub % k, i % sub + 1)
+    }
+
+  /** Trained PQ codebook: per-subspace k-means (Lloyd) on a driver-side
+    * sample, returned in the flat layout `pqEncode`/`pqSearch` accept —
+    * the trained alternative to the md5 family, feeding the IDENTICAL
+    * literal-codebook plan (swap the literal, nothing else moves).
+    *
+    * Deterministic end to end: the sample is the `sampleN` lowest vec_ids
+    * (TakeOrderedAndProject — a per-partition top-N, not a corpus sort),
+    * initial centroids are the first k distinct subvectors in that order
+    * (k-means++ would add data-dependent randomness; on a shuffled-id
+    * corpus first-k behaves comparably), and Lloyd iterations are exact
+    * driver-side arithmetic: sampleN × k × sub flops per pass, seconds at
+    * the 10⁴-sample default. Subspaces with fewer than k distinct
+    * subvectors pad with md5-family centroids; empty clusters keep their
+    * previous centroid (standard Lloyd degeneracy handling).
+    */
+  def trainPqCodebook(
+      emb: DataFrame,
+      m: Int = 8,
+      k: Int = 16,
+      sampleN: Int = 10000,
+      iters: Int = 10): Array[Double] = {
+    val dim = probeDim(emb)
+    require(dim % m == 0, s"embedding width $dim must divide into $m subspaces")
+    val sub = dim / m
+    val sample: Array[Array[Double]] = emb
+      .orderBy(col("vec_id")).limit(sampleN)
+      .select(vec(col("embedding")))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val cb = Array.ofDim[Double](m * k * sub)
+    for (mi <- 0 until m) {
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub))
+      val init = pts.map(_.toSeq).distinct.take(k).map(_.toArray)
+      var cents = init ++ Array.tabulate(k - init.length, sub)((ci, d) =>
+        pqWeight(mi, init.length + ci, d + 1))
+      for (_ <- 0 until iters if pts.nonEmpty) {
+        val sums = Array.ofDim[Double](k, sub)
+        val counts = new Array[Long](k)
+        pts.foreach { p =>
+          var best = 0; var bestD = Double.MaxValue
+          var ci = 0
+          while (ci < k) {
+            var acc = 0.0; var d = 0
+            while (d < sub) { val df = p(d) - cents(ci)(d); acc += df * df; d += 1 }
+            if (acc < bestD) { bestD = acc; best = ci }
+            ci += 1
+          }
+          counts(best) += 1
+          var d = 0
+          while (d < sub) { sums(best)(d) += p(d); d += 1 }
+        }
+        cents = Array.tabulate(k)(ci =>
+          if (counts(ci) == 0) cents(ci)
+          else Array.tabulate(sub)(d => sums(ci)(d) / counts(ci)))
+      }
+      for (ci <- 0 until k; d <- 0 until sub)
+        cb((mi * k + ci) * sub + d) = cents(ci)(d)
+    }
+    cb
   }
 
   /** Product-quantization encoding: the vector splits into `m` subspaces
@@ -327,9 +392,13 @@ object Similarity {
     * THE standard way a 100 TB embedding corpus gets cheap enough to keep
     * hot (Jégou et al., TPAMI'11). Emits the code string ("c0:c1:…"),
     * plus the reconstruction error as quantization-quality telemetry.
+    * `codebook`: flat trained centroids ([[trainPqCodebook]]); default is
+    * the deterministic md5 family the DuckDB oracle replays.
     */
-  def pqEncode(emb: DataFrame, m: Int = 8, k: Int = 16): DataFrame =
-    pqTable(emb, m, k).select(col("vec_id"),
+  def pqEncode(
+      emb: DataFrame, m: Int = 8, k: Int = 16,
+      codebook: Option[Array[Double]] = None): DataFrame =
+    pqTable(emb, m, k, codebook).select(col("vec_id"),
       array_join(transform(col("codes"), _.cast("string")), ":").as("pq_code"),
       round(sqrt(aggregate(transform(col("dss"), ds => array_min(ds)),
         lit(0.0), (acc, x) => acc + x)), 4).as("recon_err"))
@@ -348,9 +417,10 @@ object Similarity {
       queryFilter: Column,
       kNN: Int = 10,
       m: Int = 8,
-      k: Int = 16): DataFrame = {
+      k: Int = 16,
+      codebook: Option[Array[Double]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = pqTable(emb, m, k)
+    val t = pqTable(emb, m, k, codebook)
     // The codes frame is the compressed index — in a deployment it is the
     // STORED artifact (encode once, search many). Materializing it here
     // (vec_id + m small ids per row) keeps the expensive codebook-distance

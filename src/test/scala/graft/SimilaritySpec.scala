@@ -109,6 +109,27 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.toSeq === repart.toSeq)
   }
 
+  test("trained PQ codebook lowers reconstruction error through the same plan") {
+    val trained = Similarity.trainPqCodebook(emb, m = 8, k = 16, sampleN = 1000)
+    assert(trained.length === 8 * 16 * 8)
+    val base = Similarity.pqEncode(emb, m = 8, k = 16)
+      .agg(sum("recon_err")).head().getDouble(0)
+    val tuned = Similarity.pqEncode(emb, m = 8, k = 16, codebook = Some(trained))
+      .agg(sum("recon_err")).head().getDouble(0)
+    // k-means on the corpus sample must beat the hash-random codebook
+    assert(tuned < base)
+    // codes stay bounded and partitioning-independent under the trained book
+    val rows = Similarity.pqEncode(emb, m = 8, k = 16, codebook = Some(trained))
+      .orderBy("vec_id").collect()
+    rows.foreach { r =>
+      val codes = r.getString(1).split(":").map(_.toInt)
+      assert(codes.forall(c => c >= 0 && c < 16))
+    }
+    val repart = Similarity.pqEncode(emb.repartition(7), m = 8, k = 16,
+      codebook = Some(trained)).orderBy("vec_id").collect()
+    assert(rows.toSeq === repart.toSeq)
+  }
+
   test("pqSearch ranks by ADC distance, exact rank contract as annTopK") {
     val res = Similarity.pqSearch(emb, col("vec_id") % 100 === 0, kNN = 5)
     val perQuery = res.groupBy("query_id").count()
