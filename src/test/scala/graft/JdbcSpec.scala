@@ -58,5 +58,22 @@ class JdbcSpec extends SparkSpec {
     assertThrows[Exception] {
       Jdbc.readTable(spark, bad, "t1").count()
     }
+
+    // and the init shapes what the partitioned connections READ: a second
+    // schema's same-named table is reachable only through the redirect, so
+    // seeing exactly its rows proves every connection (bounds probe
+    // included) ran the statement
+    Class.forName(cfg.driver)
+    val conn = java.sql.DriverManager.getConnection(s"jdbc:derby:$db", "app", "app")
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE SCHEMA OTHER")
+      st.execute("CREATE TABLE OTHER.T1 (ID BIGINT)")
+      st.execute("INSERT INTO OTHER.T1 VALUES (41), (42)")
+      st.close()
+    } finally conn.close()
+    val redirected = cfg.copy(sessionInit = Some("SET SCHEMA OTHER"))
+    assert(Jdbc.readTable(spark, redirected, "t1", partitionColumn = Some("ID"))
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(41L, 42L))
   }
 }
