@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.FunctionBridge
 
-import graft.functions.{AdcDistance, DotProduct, SimHash48}
+import graft.functions.{AdcDistance, DotProduct, PqDistances, SimHash48}
 
 /** SQL-surface registration for graft's custom Catalyst expressions.
   *
@@ -47,7 +47,23 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, s"adc_distance takes 2 arguments, got ${children.length}")
         AdcDistance(children(0), children(1))
+      }),
+    ("pq_distances",
+      new ExpressionInfo(classOf[PqDistances].getName, "pq_distances"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          s"pq_distances takes (vec, codebook, m, k), got ${children.length} arguments")
+        PqDistances(children(0), children(1), litInt(children(2), "m"), litInt(children(3), "k"))
       }))
+
+  /** m/k arrive from SQL as literal expressions; they shape the plan (loop
+    * bounds baked into codegen), so non-foldable arguments are rejected.
+    */
+  private def litInt(e: Expression, name: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"pq_distances: $name must be an integer literal, got $other")
+  }
 
   /** Registers every graft function on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -56,6 +56,29 @@ class FunctionsSpec extends SparkSpec {
         "array(CAST(0 AS BIGINT), CAST(0 AS BIGINT)))").head().isNullAt(0))
   }
 
+  test("pq_distances SQL function computes the m x k squared-L2 matrix") {
+    GraftExtensions.register(spark)
+    // m=2 subspaces of 1 dim, k=2 centroids: cb = [[0],[10]] per subspace
+    val row = spark.sql(
+      "SELECT pq_distances(array(3.0d, 9.0d), array(0.0d, 10.0d, 0.0d, 10.0d), 2, 2) AS m")
+      .head()
+    val mat = row.getSeq[Seq[Double]](0)
+    assert(mat === Seq(Seq(9.0, 49.0), Seq(81.0, 1.0)))
+    // vector width != m * sub -> NULL (same contract as dot_product)
+    assert(spark.sql(
+      "SELECT pq_distances(array(3.0d), array(0.0d, 10.0d, 0.0d, 10.0d), 2, 2)")
+      .head().isNullAt(0))
+  }
+
+  test("pq_distances rejects non-literal m/k") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT pq_distances(array(1.0d), array(1.0d), CAST(rand() AS INT), 1)").head()
+    }
+    assert(e.getMessage.contains("integer literal") ||
+      String.valueOf(e.getCause).contains("integer literal"))
+  }
+
   test("DotProduct column API matches SQL function result") {
     import spark.implicits._
     GraftExtensions.register(spark)
