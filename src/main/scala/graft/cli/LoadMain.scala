@@ -53,6 +53,17 @@ object LoadMain {
 
   private def runOn(opts: Cli.Opts, input: String, spark: SparkSession): Unit = {
     opts.value("jdbc-url").foreach { url =>
+      // --recreate-database <name>: database-level recreate before the load
+      // (≙ xload -m recreate → backend.recreate_database(), load.py:34) —
+      // drops connections, drops and re-creates the database itself, then
+      // loads into the genuinely empty target. Postgres: point
+      // --jdbc-admin-url at the maintenance database (you cannot drop the
+      // db you are connected to); Derby: <name> is the database path.
+      opts.value("recreate-database").foreach { db =>
+        val adminUrl = opts.value("jdbc-admin-url").getOrElse(url)
+        graft.sources.JdbcAdmin.recreateDatabase(Cli.jdbcConfig(opts, adminUrl), db)
+        println(s"Recreated database $db")
+      }
       Dump.loadIntoJdbc(spark, input, Cli.jdbcConfig(opts, url),
         cleanup = opts.value("cleanup-method", short = "m"))
       println(s"Loaded ${Dump.readManifest(spark, input).loadOrder.size} tables into $url")

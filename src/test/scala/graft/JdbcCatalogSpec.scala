@@ -225,6 +225,48 @@ class JdbcCatalogSpec extends SparkSpec {
     assert(Jdbc.readTable(spark, cfgFor(db2), "CUST").count() === 2)
   }
 
+  test("--recreate-database load wipes a polluted target database first") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jdbc_rdb").toString
+    val db = s"$tmp/src"
+    createSchema(db)
+    insertData(db)
+    graft.cli.DumpMain.run(Seq(
+      "--jdbc-url", s"jdbc:derby:$db",
+      "--jdbc-user", "app", "--jdbc-password", "app",
+      "--jdbc-driver", DerbyDriver,
+      "-o", s"$tmp/dump",
+      "-f", "REGION",
+      "-p", "ORDERS:SELECT * FROM ORDERS WHERE O_TOTAL > 100"), spark)
+
+    // the target db exists and carries junk the dump does NOT cover — a
+    // per-table cleanup would leave LEFTOVER standing; database-level
+    // recreate (≙ xload -m recreate → recreate_database, load.py:34)
+    // must not
+    val db2 = s"$tmp/target"
+    createSchema(db2)
+    val junk = DriverManager.getConnection(s"jdbc:derby:$db2", "app", "app")
+    try {
+      val st = junk.createStatement()
+      st.execute("CREATE TABLE LEFTOVER (X INT)")
+      st.execute("INSERT INTO LEFTOVER VALUES (7)")
+      st.close()
+    } finally junk.close()
+
+    graft.cli.LoadMain.run(Seq(
+      "-i", s"$tmp/dump",
+      "--jdbc-url", s"jdbc:derby:$db2",
+      "--jdbc-user", "app", "--jdbc-password", "app",
+      "--jdbc-driver", DerbyDriver,
+      "--recreate-database", db2,
+      "-m", "recreate"), spark)
+
+    assert(Jdbc.readTable(spark, cfgFor(db2), "CUST").count() === 2)
+    val meta = Jdbc.introspect(cfgFor(db2), schema = Some("APP"))
+    assert(!meta.tables.contains("LEFTOVER"))
+    // constraint DDL replayed into the fresh database (the -m recreate path)
+    assert(meta.primaryKeys("CUST") === Seq("C_ID"))
+  }
+
   test("self-referencing FK introspects and closes recursively off a live DB") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_jdbc_rec").toString
     val db = s"$tmp/src"
