@@ -218,6 +218,15 @@ object SparkEntry {
     "text_normalize" -> ((s, dir) =>
       TextAnalysis.textNormalize(cat(s, dir).table("documents")).orderBy("doc_id")),
 
+    "repetition_score" -> ((s, dir) =>
+      TextAnalysis.repetitionScore(cat(s, dir).table("documents")).orderBy("doc_id")),
+
+    // Benchmark set ≙ every 50th doc (the ANN query-set convention);
+    // training side = everything else.
+    "contamination" -> ((s, dir) =>
+      Dedup.contamination(cat(s, dir).table("documents"), col("doc_id") % 50 === 0)
+        .orderBy("doc_id")),
+
     // The composed corpus-cleaning pipeline — quality gate → exact-dedup
     // canonical keep → deterministic sample, the three stages every
     // training-data run chains, as ONE declarative plan (each stage a
@@ -530,6 +539,37 @@ object SparkEntry {
            list_reduce(hs, (a, b) -> xor(a, b)) AS fp_xor,
            CAST(ns AS BIGINT) AS n_shingles
          FROM h ORDER BY doc_id""",
+
+    "repetition_score" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+         FROM documents),
+         g AS (SELECT doc_id, toks, CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+             ELSE [] END AS gs FROM t)
+         SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 4) AS distinct_token_ratio,
+           round(CASE WHEN len(gs) > 0 THEN 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs) ELSE 0.0 END, 4) AS dup_3gram_ratio,
+           round(CASE WHEN len(toks) > 0 THEN CAST(list_max(list_transform(list_distinct(toks), t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS top_token_ratio
+         FROM g ORDER BY doc_id""",
+
+    "contamination" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+         FROM documents),
+         sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 4
+             THEN list_transform(range(1, len(toks) - 2), i -> array_to_string(toks[i:i+3], ' '))
+             ELSE [] END) AS s FROM t),
+         ex AS (SELECT doc_id, unnest(list_transform(s, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS sg
+           FROM sh WHERE len(s) > 0),
+         bench AS (SELECT doc_id AS bench_id, sg FROM ex WHERE doc_id % 50 = 0),
+         train AS (SELECT * FROM ex WHERE doc_id % 50 <> 0)
+         SELECT train.doc_id AS doc_id,
+           CAST(count(DISTINCT train.sg) AS BIGINT) AS n_shared_ngrams,
+           CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
+         FROM train JOIN bench USING (sg)
+         GROUP BY 1 ORDER BY doc_id""",
 
     "multimodal_meta" ->
       """SELECT doc_id, 'image/fake' AS media_type,

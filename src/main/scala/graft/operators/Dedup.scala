@@ -243,6 +243,40 @@ object Dedup {
     out
   }
 
+  /** Benchmark-contamination check: which training documents share a word
+    * n-gram with any document in the benchmark/eval set — the decontam
+    * pass every serious training-data pipeline runs (GPT-3 appx. C /
+    * PaLM-style n-gram overlap) so eval questions don't leak into
+    * training. `benchFilter` marks the benchmark rows inside `docs`;
+    * everything else is the training side. Emits one row per contaminated
+    * training doc: how many distinct n-grams it shares and with how many
+    * benchmark docs.
+    *
+    * The 100 TB plan: both sides explode to (doc_id, 8-byte n-gram hash) —
+    * the hash trick from [[ngramJaccard]], the shuffle payload is never
+    * the text — and the benchmark side (an eval suite: thousands of docs,
+    * not billions) is `broadcast`, so the overlap join is map-side against
+    * the streamed training corpus; the only shuffle is the final narrow
+    * groupBy on contaminated doc ids. No DF cap here on purpose —
+    * contamination wants EVERY shared n-gram reported, and the benchmark
+    * side being small bounds the join fan-out by itself.
+    */
+  def contamination(
+      docs: DataFrame,
+      benchFilter: Column,
+      n: Int = 4): DataFrame = {
+    val ex = withShingles(docs, n)
+      .select(col("doc_id"), explode(transform(col("sh"), hexHash(_))).as("sg"))
+    val bench = ex.where(benchFilter)
+      .select(col("doc_id").as("bench_id"), col("sg"))
+    val train = ex.where(!benchFilter)
+    train.join(broadcast(bench), "sg")
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("sg")).as("n_shared_ngrams"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
+
   /** Connected components over an undirected near-duplicate pair set —
     * the canonicalization step of a dedup pipeline: every document in a
     * component maps to the component's minimum doc id (`group_id`), so

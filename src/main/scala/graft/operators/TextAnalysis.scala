@@ -175,6 +175,42 @@ object TextAnalysis {
             length(n).cast("long").as("n_chars_norm"))).as("s"))
       .select(col("doc_id"), col("s.norm_text"), col("s.norm_md5"), col("s.n_chars_norm"))
 
+  /** Within-document repetition metrics — the Gopher-family quality rules
+    * (Rae et al. '21 §A1.1) that catch boilerplate, keyword stuffing and
+    * templated spam *before* any cross-document dedup:
+    * `distinct_token_ratio` (type/token ratio), `dup_3gram_ratio` (fraction
+    * of word-3gram positions whose 3-gram already occurred in the doc) and
+    * `top_token_ratio` (most-frequent-token share). One map-side pass of
+    * pure column algebra: the token array and the NON-distinct 3-gram list
+    * are each let-bound (bindOnce) — the per-distinct-token frequency scan
+    * is O(types × tokens) per row, on the row's own arrays only, no
+    * shuffle anywhere.
+    */
+  def repetitionScore(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        bindOnce(tokens(col("text")), tk =>
+          bindOnce(
+            // all 3-gram positions, duplicates KEPT (shingles() dedups —
+            // repetition is precisely the signal dedup would erase)
+            when(size(tk) >= 3,
+              transform(sequence(lit(1), size(tk) - 2),
+                i => concat_ws(" ", slice(tk, i, lit(3)))))
+              .otherwise(array().cast("array<string>")),
+            gs => struct(
+              size(tk).cast("long").as("n_tokens"),
+              round(size(array_distinct(tk)).cast("double") /
+                greatest(size(tk), lit(1)), 4).as("distinct_token_ratio"),
+              round(when(size(gs) > 0,
+                  lit(1.0) - size(array_distinct(gs)).cast("double") / size(gs))
+                .otherwise(lit(0.0)), 4).as("dup_3gram_ratio"),
+              round(when(size(tk) > 0,
+                  array_max(transform(array_distinct(tk),
+                    t => size(filter(tk, x => x === t)))).cast("double") / size(tk))
+                .otherwise(lit(0.0)), 4).as("top_token_ratio")))).as("s"))
+      .select(col("doc_id"), col("s.n_tokens"), col("s.distinct_token_ratio"),
+        col("s.dup_3gram_ratio"), col("s.top_token_ratio"))
+
   /** Rolling-hash document fingerprint: min / max / xor-fold over the
     * shingle hash set — an order-independent content signature (winnowing's
     * cheap cousin). Equal fingerprints ⇒ near-certain duplicate content;

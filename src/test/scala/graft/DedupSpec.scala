@@ -26,6 +26,21 @@ class DedupSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("contamination reports training docs overlapping the benchmark set") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "one two three four five"),   // benchmark (id % 2 == 0 below)
+      (1L, "zz two three four five yy"), // shares "two three four five"
+      (3L, "totally different words here"),
+      (5L, "one two three")              // only a 3-gram — no 4-gram overlap
+    ).toDF("doc_id", "text")
+    val out = Dedup.contamination(df, col("doc_id") % 2 === 0, n = 4)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L))
+    assert(out(0).getAs[Long]("n_shared_ngrams") === 1)
+    assert(out(0).getAs[Long]("n_bench_docs") === 1)
+  }
+
   test("exact duplicate text yields jaccard 1 pair") {
     val two = docs.limit(1).select(col("doc_id"), col("text"))
       .union(docs.limit(1).select(col("doc_id") + 1000000, col("text")))

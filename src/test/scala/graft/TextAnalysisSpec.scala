@@ -59,6 +59,31 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("repetitionScore separates repeated from varied text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x x x x x"),         // one type, fully repeated 3-grams
+      (2L, "a b c d e"),         // all distinct
+      (3L, "hi")                 // too short for any 3-gram
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionScore(df).orderBy("doc_id").collect()
+
+    assert(out(0).getAs[Long]("n_tokens") === 5)
+    assert(out(0).getAs[Double]("distinct_token_ratio") === 0.2)
+    // 3 positions, 1 distinct 3-gram -> 1 - 1/3
+    assert(out(0).getAs[Double]("dup_3gram_ratio") === 0.6667)
+    assert(out(0).getAs[Double]("top_token_ratio") === 1.0)
+
+    assert(out(1).getAs[Double]("distinct_token_ratio") === 1.0)
+    assert(out(1).getAs[Double]("dup_3gram_ratio") === 0.0)
+    assert(out(1).getAs[Double]("top_token_ratio") === 0.2)
+
+    // sub-3-token docs still score (no row dropped), with dup ratio 0
+    assert(out(2).getAs[Long]("n_tokens") === 1)
+    assert(out(2).getAs[Double]("dup_3gram_ratio") === 0.0)
+    assert(out(2).getAs[Double]("top_token_ratio") === 1.0)
+  }
+
   test("textNormalize digest is case/whitespace-insensitive") {
     import spark.implicits._
     val two = Seq((1L, "Hello   World"), (2L, "  hello world \n")).toDF("doc_id", "text")
