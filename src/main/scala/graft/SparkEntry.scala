@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Catalog, ForeignKey, TableGraph}
-import graft.operators.{Closure, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Chunk, Closure, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sources.{Dump, DumpSpec}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -221,6 +221,31 @@ object SparkEntry {
     "repetition_score" -> ((s, dir) =>
       TextAnalysis.repetitionScore(cat(s, dir).table("documents")).orderBy("doc_id")),
 
+    "unigram_lm" -> ((s, dir) =>
+      TextAnalysis.unigramLm(cat(s, dir).table("documents")).orderBy("doc_id")),
+
+    // The synthetic corpus carries no real PII, so the demo query injects
+    // a deterministic email / IPv4 / phone per row before scrubbing —
+    // exercising match counting AND replacement against the oracle.
+    "pii_scrub" -> ((s, dir) =>
+      TextAnalysis.piiScrub(
+        cat(s, dir).table("documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com from 10.0."), (col("doc_id") % 250).cast("string"),
+            lit(".7 call 555-867-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text")))
+        .orderBy("doc_id")),
+
+    // ── LLM-data-pipeline: training-sequence prep ────────────────────────
+    "doc_chunk" -> ((s, dir) =>
+      Chunk.docChunk(cat(s, dir).table("documents"), window = 120, overlap = 20)
+        .orderBy("doc_id", "chunk_id")),
+
+    "pack_sequences" -> ((s, dir) =>
+      Chunk.packSequences(cat(s, dir).table("documents"), budget = 256, buckets = 8)
+        .orderBy("doc_id")),
+
     // Benchmark set ≙ every 50th doc (the ANN query-set convention);
     // training side = everything else.
     "contamination" -> ((s, dir) =>
@@ -291,6 +316,11 @@ object SparkEntry {
       Similarity.annIvf(cat(s, dir).table("embeddings"), col("vec_id") % 50 === 0,
           k = 10, centEvery = 40, nprobe = 2)
         .orderBy("query_id", "rank")),
+
+    "semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(cat(s, dir).table("embeddings"),
+          threshold = 0.4, centEvery = 40)
+        .orderBy("vec_id")),
 
     "embed_pq" -> ((s, dir) =>
       Similarity.pqEncode(cat(s, dir).table("embeddings"), m = 8, k = 16)
@@ -553,6 +583,61 @@ object SparkEntry {
            round(CASE WHEN len(gs) > 0 THEN 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs) ELSE 0.0 END, 4) AS dup_3gram_ratio,
            round(CASE WHEN len(toks) > 0 THEN CAST(list_max(list_transform(list_distinct(toks), t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS top_token_ratio
          FROM g ORDER BY doc_id""",
+
+    "unigram_lm" ->
+      """WITH tk AS (SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS tok
+         FROM documents),
+         f AS (SELECT tok, count(*) AS tf FROM tk GROUP BY tok),
+         tot AS (SELECT count(*) AS total FROM tk),
+         s AS (SELECT tk.doc_id, f.tf,
+           CAST(round(ln(CAST(f.tf AS DOUBLE) / tot.total), 6) AS DECIMAL(18,6)) AS lp
+         FROM tk JOIN f USING (tok) CROSS JOIN tot)
+         SELECT doc_id, count(*) AS n_tokens,
+           round(-CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_neg_logprob,
+           round(CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS hapax_ratio
+         FROM s GROUP BY doc_id ORDER BY doc_id""",
+
+    "pii_scrub" ->
+      """WITH d AS (SELECT doc_id,
+           text || ' contact user' || doc_id::VARCHAR || '@example.com from 10.0.'
+                || (doc_id % 250)::VARCHAR || '.7 call 555-867-'
+                || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
+         FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+             '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g') AS clean_text
+         FROM d ORDER BY doc_id""",
+
+    "doc_chunk" ->
+      """WITH s AS (SELECT doc_id, text,
+           unnest(range(1, greatest(len(text) - 20, 1) + 1, 100)) AS chunk_start
+         FROM documents)
+         SELECT doc_id,
+           CAST((chunk_start - 1) // 100 AS BIGINT) AS chunk_id,
+           CAST(chunk_start AS BIGINT) AS chunk_start,
+           substring(text, CAST(chunk_start AS INT), 120) AS chunk_text,
+           CAST(len(substring(text, CAST(chunk_start AS INT), 120)) AS BIGINT) AS n_chars_chunk
+         FROM s ORDER BY doc_id, chunk_id""",
+
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+           CAST(CAST('0x' || substr(md5('pack|' || doc_id::VARCHAR), 1, 15) AS BIGINT) % 8 AS INT) AS bucket
+         FROM documents),
+         c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM t WHERE n_tokens > 0)
+         SELECT doc_id, bucket, n_tokens,
+           CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_first,
+           CAST((cum - 1) // 256 AS BIGINT) AS seq_last,
+           CAST((cum - n_tokens) % 256 AS BIGINT) AS seq_offset
+         FROM c ORDER BY doc_id""",
 
     "contamination" ->
       """WITH t AS (SELECT doc_id,
@@ -829,6 +914,29 @@ object SparkEntry {
          FROM p)
          SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", round(cos, 4) AS cosine
          FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+
+    "semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (SELECT vec_id, v,
+           sqrt(list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
+                (a, b) -> a + b)) AS nrm
+         FROM e),
+         c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 40 = 1),
+         ac AS (SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+           list_reduce(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i]),
+                (a, b) -> a + b) / (n.nrm * c.cnrm) AS cos_c
+         FROM n CROSS JOIN c),
+         asg AS (SELECT vec_id, v, nrm, cent_id AS cell_id FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn
+           FROM ac) WHERE rn = 1),
+         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
+                (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
+         FROM asg a JOIN asg b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id),
+         d AS (SELECT id_b, min(id_a) AS dup_of FROM p WHERE cos >= 0.4 GROUP BY id_b)
+         SELECT asg.vec_id, asg.cell_id, d.dup_of IS NOT NULL AS is_dup, d.dup_of
+         FROM asg LEFT JOIN d ON asg.vec_id = d.id_b ORDER BY asg.vec_id""",
 
     "ann_ivf" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-sequence preparation: document chunking and sequence packing —
+  * the last mile of an LLM data pipeline, where a cleaned corpus becomes
+  * fixed-size model inputs. Both operators are pure column algebra with
+  * DuckDB-mirrorable semantics, and both are shaped for 100 TB:
+  * chunking is a map-side explode (no shuffle at all), packing shuffles
+  * once on a hash bucket whose count — not the corpus size — bounds every
+  * window partition.
+  */
+object Chunk {
+
+  /** Fixed-window character chunking with overlap: document `text` becomes
+    * chunks of up to `window` chars starting every `window - overlap`
+    * chars — the standard context-window / RAG-passage splitter. Chunk
+    * starts are `1, 1+step, …` while `start ≤ max(len - overlap, 1)`, so
+    * the final chunk always reaches the last character and no chunk is
+    * wholly contained in its predecessor. Map-side only: one `sequence` +
+    * `explode` per row, shuffle-free at any corpus size.
+    */
+  def docChunk(docs: DataFrame, window: Int = 200, overlap: Int = 40): DataFrame = {
+    require(overlap >= 0 && window > overlap,
+      s"need window > overlap >= 0, got window=$window overlap=$overlap")
+    val step = window - overlap
+    docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(
+          lit(1), greatest(length(col("text")) - overlap, lit(1)), lit(step)))
+          .as("chunk_start"))
+      .select(
+        col("doc_id"),
+        ((col("chunk_start") - 1) / step).cast("long").as("chunk_id"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        col("text").substr(col("chunk_start"), lit(window)).as("chunk_text"))
+      .withColumn("n_chars_chunk", length(col("chunk_text")).cast("long"))
+  }
+
+  /** Sequence packing, GPT-pretraining style: conceptually concatenate all
+    * documents (within a pack stream) and cut every `budget` tokens; each
+    * document lands in training sequences `[seq_first, seq_last]` at token
+    * `seq_offset` of its first one. Documents hash into `buckets`
+    * independent pack streams — the parallelism knob: each stream is one
+    * running-sum window partition, so a 100 TB corpus packs with
+    * `buckets` ≈ cores × executors while no single task ever sees more
+    * than ~1/buckets of the rows. The cut points come from a cumulative
+    * token count ordered by doc_id, so the layout is deterministic under
+    * any partitioning. Zero-token documents are dropped — they occupy no
+    * tokens and have no position in any sequence.
+    */
+  def packSequences(docs: DataFrame, budget: Int = 256, buckets: Int = 8): DataFrame = {
+    require(budget > 0 && buckets > 0,
+      s"need budget > 0 and buckets > 0, got budget=$budget buckets=$buckets")
+    val t = docs
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+        (TextAnalysis.hexHash(concat(lit("pack|"), col("doc_id").cast("string")))
+          % buckets).cast("int").as("bucket"))
+      .where(col("n_tokens") > 0)
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(
+        col("doc_id"), col("bucket"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / budget).as("seq_first"),
+        floor((col("cum") - 1) / budget).as("seq_last"),
+        ((col("cum") - col("n_tokens")) % budget).as("seq_offset"))
+  }
+}

@@ -467,6 +467,82 @@ object Similarity {
     * query. Recall is probabilistic: neighbors in unprobed cells are
     * unseen (raise nprobe for higher recall).
     */
+  /** Plan-time IVF codebook: every `centEvery`-th vector, capped at
+    * `maxCents`, cent_id-ordered — (vec_id, vector, norm) triples. The
+    * deterministic, engine-portable stand-in for a trained k-means
+    * codebook (swap the sample for trained centroids and nothing
+    * downstream moves). Collected from the SAME normalized frame every
+    * row flows through, so the literal doubles are bit-identical to what
+    * a join against that frame would have seen; the fetch is one tiny job
+    * over the pushed-down sampling filter — a codebook is small by
+    * construction.
+    */
+  private[operators] def sampleCentroids(
+      e: DataFrame, centEvery: Int, maxCents: Int): Array[(Long, Array[Double], Double)] =
+    e.where(col("vec_id") % centEvery === 1)
+      .orderBy(col("vec_id")).limit(maxCents)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+
+  /** Cosine to every codebook centroid as one literal-array expression —
+    * cell id = array index (cent_id order). Map-side, inside whole-stage
+    * codegen; the per-row cost is nc × dim fused multiply-adds.
+    */
+  private def centCos(
+      cents: Array[(Long, Array[Double], Double)])(v: Column, nrm: Column): Column =
+    array(cents.map { case (_, cv, cn) =>
+      dot(v, array(cv.map(lit(_)): _*)) / (nrm * lit(cn))
+    }: _*)
+
+  /** Semantic deduplication (SemDeDup, Abbas et al. '23): cluster the
+    * embedding corpus, then near-dup only WITHIN clusters — the way
+    * embedding dedup actually runs at 100 TB, because the cluster
+    * assignment is a map-side pass and the quadratic verify is confined
+    * to one cell at a time. Cells are the IVF assignment (literal
+    * codebook, argmax inside codegen — see annIvf); within a cell, every
+    * pair with cosine ≥ `threshold` marks the higher vec_id a duplicate
+    * of the lowest qualifying earlier one (`dup_of`), keeping the min-id
+    * representative per near-dup neighborhood. Pairs split across cells
+    * are unseen — the SemDeDup trade: recall follows cluster granularity
+    * (`centEvery`/`maxCents`), cost stays Σ cell² instead of n².
+    *
+    * The assigned frame (id, vector, norm, cell) is localCheckpointed:
+    * it feeds both sides of the within-cell self-join plus the final
+    * output, and the nc × dim assignment pass should run once, not three
+    * times.
+    */
+  def semanticDedup(
+      emb: DataFrame,
+      threshold: Double = 0.4,
+      centEvery: Int = 40,
+      maxCents: Int = 256): DataFrame = {
+    val e = normalized(emb)
+    val cents = sampleCentroids(e, centEvery, maxCents)
+    if (cents.isEmpty)
+      return e.select(col("vec_id"), lit(-1L).as("cell_id"),
+        lit(false).as("is_dup"), lit(null).cast("long").as("dup_of")).where(lit(false))
+    val centIds = cents.map(_._1).toSeq
+    // cell_id is the CENTROID's vec_id (not the codebook index): stable
+    // under codebook growth and directly joinable against the corpus.
+    val assigned = e.select(col("vec_id"), col("v"), col("nrm"),
+        bindOnce(centCos(cents)(col("v"), col("nrm")), css =>
+          element_at(typedLit(centIds),
+            array_position(css, array_max(css)).cast("int"))).as("cell_id"))
+      .localCheckpoint()
+    val x = assigned.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"), col("cell_id").as("cell_a"))
+    val y = assigned.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("cell_id").as("cell_b"))
+    val dups = x.join(y, col("cell_a") === col("cell_b") && col("id_a") < col("id_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("cos") >= threshold)
+      .groupBy(col("id_b")).agg(min(col("id_a")).as("dup_of"))
+    assigned.join(dups, col("vec_id") === col("id_b"), "left")
+      .select(col("vec_id"), col("cell_id"),
+        col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+  }
+
   def annIvf(
       emb: DataFrame,
       queryFilter: Column,
@@ -477,29 +553,15 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val e = normalized(emb)
-    // Plan-time codebook: the capped, cent_id-ordered sample. (vector,
-    // norm) pairs are collected from the SAME normalized frame every row
-    // flows through, so the literal doubles are bit-identical to what a
-    // join against that frame would have seen.
-    val cents: Array[(Array[Double], Double)] =
-      e.where(col("vec_id") % centEvery === 1)
-        .orderBy(col("vec_id")).limit(maxCents)
-        .select(col("v"), col("nrm"))
-        .collect()
-        .map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+    val cents = sampleCentroids(e, centEvery, maxCents)
     if (cents.isEmpty)
       // empty corpus (or nothing matched the sampling rule): empty result
       // with the contract schema, no throw
       return e.select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
         lit(0L).as("rank"), lit(0.0).as("cosine")).where(lit(false))
     val nc = cents.length
-    // cosine to every centroid, cell id = codebook index (cent_id order)
-    def centCos(v: Column, nrm: Column): Column =
-      array(cents.map { case (cv, cn) =>
-        dot(v, array(cv.map(lit(_)): _*)) / (nrm * lit(cn))
-      }: _*)
     val withCss = e.select(col("vec_id"), col("v"), col("nrm"),
-      centCos(col("v"), col("nrm")).as("css"))
+      centCos(cents)(col("v"), col("nrm")).as("css"))
     val assigned = withCss.select(col("vec_id"), col("v"), col("nrm"),
       (array_position(col("css"), array_max(col("css"))) - 1).cast("int").as("cell"))
     // Query probe cells: the nprobe best cells by (cos desc, cell asc),

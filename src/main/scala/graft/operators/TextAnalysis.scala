@@ -211,6 +211,67 @@ object TextAnalysis {
       .select(col("doc_id"), col("s.n_tokens"), col("s.distinct_token_ratio"),
         col("s.dup_3gram_ratio"), col("s.top_token_ratio"))
 
+  /** Corpus-unigram LM scoring — the cheap statistical stand-in for the
+    * KenLM-perplexity quality filter (cf. CCNet): every document is scored
+    * by the average negative log-probability of its tokens under the
+    * corpus's own unigram distribution, plus its hapax ratio (fraction of
+    * tokens occurring exactly once corpus-wide). High avg_neg_logprob ⇒
+    * rare-token-heavy (noise, codes, mojibake); near-zero ⇒ degenerate
+    * repetition of corpus-dominant tokens.
+    *
+    * Plan: one token explode feeding (a) the vocabulary aggregation and
+    * (b) the scoring join — two hash shuffles on the token key, both
+    * AQE-skew-eligible (stopword keys are the classic heavy hitters). The
+    * 100 TB variant broadcasts a capped top-K vocabulary with an OOV floor
+    * instead of shuffle-joining the full one; the scoring math is
+    * unchanged. Per-token log-probs are rounded to 6 decimals and summed
+    * as DECIMAL(18,6), so the per-doc sum is exact and order-independent
+    * under any partitioning (a double sum would drift with partition
+    * order). Zero-token documents have no rows to score and drop out.
+    */
+  def unigramLm(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val freqs = tok.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val total = freqs.agg(sum(col("tf")).as("total"))
+    tok.join(freqs, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("lp",
+        round(log(col("tf").cast("double") / col("total")), 6).cast("decimal(18,6)"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(-sum(col("lp")).cast("double") / count(lit(1)), 4).as("avg_neg_logprob"),
+        round(sum(when(col("tf") === 1, 1L).otherwise(0L)).cast("double") / count(lit(1)), 4)
+          .as("hapax_ratio"))
+  }
+
+  /** PII patterns scrubbed by [[piiScrub]]: (name, regex, replacement).
+    * The regexes stay inside the syntax common to Java regex (Spark) and
+    * RE2 (DuckDB/production scanners) — no lookarounds, no backrefs — so
+    * the same patterns run identically everywhere.
+    */
+  private val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
+    ("phone", "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "[PHONE]"))
+
+  /** PII redaction — the compliance pass every training corpus gets before
+    * anything ships: emails, IPv4 addresses and phone-shaped numbers are
+    * replaced by typed placeholders, with per-category match counts (on
+    * the original text) as scrubbing telemetry. One map-side regex pass,
+    * no shuffle; patterns apply email → ip → phone so a replacement never
+    * fabricates a later pattern's match.
+    */
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val counts = PiiPatterns.map { case (nm, re, _) =>
+      size(regexp_extract_all(col(textCol), lit(re), lit(0))).cast("long").as(s"n_${nm}s")
+    }
+    val cleaned = PiiPatterns.foldLeft(col(textCol)) { case (c, (_, re, repl)) =>
+      regexp_replace(c, re, repl)
+    }
+    docs.select((col("doc_id") +: counts :+ cleaned.as("clean_text")): _*)
+  }
+
   /** Rolling-hash document fingerprint: min / max / xor-fold over the
     * shingle hash set — an order-independent content signature (winnowing's
     * cheap cousin). Equal fingerprints ⇒ near-certain duplicate content;

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Chunk, Similarity, TextAnalysis}
+
+/** Round-6 operator specs: chunking, packing, unigram LM scoring, PII
+  * scrubbing and semantic dedup.
+  */
+class ChunkSpec extends SparkSpec {
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("docChunk covers every character and respects window/overlap") {
+    val window = 120; val overlap = 20; val step = window - overlap
+    val chunks = Chunk.docChunk(docs, window, overlap)
+    // no chunk exceeds the window
+    assert(chunks.where(col("n_chars_chunk") > window).count() === 0)
+    // consecutive chunks start exactly `step` apart
+    assert(chunks
+      .where(col("chunk_start") =!= col("chunk_id") * step + 1).count() === 0)
+    // the last chunk of every doc reaches the doc's final character
+    val lastReach = chunks.groupBy("doc_id")
+      .agg(max(col("chunk_start") + col("n_chars_chunk") - 1).as("covered"))
+      .join(docs.select(col("doc_id"), length(col("text")).as("len")), "doc_id")
+      .where(col("covered") =!= col("len"))
+    assert(lastReach.count() === 0)
+    // reassembling chunk 0 + each later chunk's non-overlapped suffix
+    // reproduces every document byte-for-byte
+    val rebuilt = chunks
+      .withColumn("piece",
+        when(col("chunk_id") === 0, col("chunk_text"))
+          .otherwise(col("chunk_text").substr(lit(overlap + 1), lit(window))))
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("chunk_id"), col("piece")))),
+        s => s.getField("piece")), "").as("glued"))
+    val bad = rebuilt.join(docs, "doc_id")
+      .where(col("glued") =!= col("text")).count()
+    assert(bad === 0)
+  }
+
+  test("docChunk is map-side only — no shuffle in the plan") {
+    val plan = Chunk.docChunk(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("packSequences packs every token exactly once per bucket stream") {
+    val budget = 256
+    val packed = Chunk.packSequences(docs, budget = budget, buckets = 8)
+    // offsets stay inside the budget
+    assert(packed.where(col("seq_offset") < 0 || col("seq_offset") >= budget).count() === 0)
+    // a doc spans sequences seq_first..seq_last consistently with its size
+    assert(packed.where(col("seq_last") < col("seq_first")).count() === 0)
+    assert(packed.where(
+      floor((col("seq_offset") + col("n_tokens") - 1) / budget) + col("seq_first")
+        =!= col("seq_last")).count() === 0)
+    // within a bucket, consecutive docs tile without gaps: sum of tokens =
+    // last doc's end position
+    val tiles = packed.groupBy("bucket")
+      .agg(sum("n_tokens").as("tot"),
+        max(col("seq_last") * budget +
+          pmod(col("seq_offset") + col("n_tokens") - 1, lit(budget)) + 1)
+          .as("reach"))
+      .where(col("tot") =!= col("reach"))
+    assert(tiles.count() === 0)
+    // deterministic under repartitioning
+    val a = packed.orderBy("doc_id").collect()
+    val b = Chunk.packSequences(docs.repartition(7), budget = budget, buckets = 8)
+      .orderBy("doc_id").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("unigramLm scores rare-token docs above common-token docs") {
+    import spark.implicits._
+    val corpus = (Seq.fill(50)("the the the") :+ "zyzzyva qwerty")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val scored = TextAnalysis.unigramLm(corpus).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // the all-"the" docs share one low score; the rare-token doc is higher
+    assert(scored(50L) > scored(0L))
+    // hapax ratio: the rare doc is 100% hapax, the common docs 0%
+    val hapax = TextAnalysis.unigramLm(corpus).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(hapax(50L) === 1.0 && hapax(0L) === 0.0)
+  }
+
+  test("piiScrub redacts emails, IPs and phones and counts them") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "from 192.168.0.1 and 10.0.0.255"),
+      (3L, "call 555-867-5309 or 555.867.5309"),
+      (4L, "nothing personal here")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(df).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_emails") === 1)
+    assert(out(0).getAs[String]("clean_text") === "mail [EMAIL] now")
+    assert(out(1).getAs[Long]("n_ips") === 2)
+    assert(out(1).getAs[String]("clean_text") === "from [IP] and [IP]")
+    assert(out(2).getAs[Long]("n_phones") === 2)
+    assert(out(2).getAs[String]("clean_text") === "call [PHONE] or [PHONE]")
+    assert(out(3).getAs[String]("clean_text") === "nothing personal here")
+    assert(out(3).getAs[Long]("n_emails") + out(3).getAs[Long]("n_ips") +
+      out(3).getAs[Long]("n_phones") === 0)
+  }
+
+  test("semanticDedup marks within-cell near-dups against the exact baseline") {
+    val res = Similarity.semanticDedup(emb, threshold = 0.4, centEvery = 40)
+    assert(res.count() === emb.count())
+    // dup_of is an earlier vector in the SAME cell
+    val cellOf = res.select(col("vec_id").as("dup_of"), col("cell_id").as("cell_of_dup"))
+    val bad = res.where(col("is_dup"))
+      .join(cellOf, "dup_of")
+      .where(col("dup_of") >= col("vec_id") || col("cell_of_dup") =!= col("cell_id"))
+    assert(bad.count() === 0)
+    // every marked pair really clears the threshold (verify via exact pairs)
+    val exact = Similarity.embedCosineDup(emb, threshold = 0.4, exact = true)
+      .select(col("id_a"), col("id_b"))
+    val marked = res.where(col("is_dup"))
+      .select(col("dup_of").as("id_a"), col("vec_id").as("id_b"))
+    assert(marked.except(exact).count() === 0)
+    // non-trivial on the test corpus: some dups found
+    assert(res.where(col("is_dup")).count() > 0)
+  }
+
+  test("semanticDedup assignment matches annIvf cell semantics") {
+    // every vector lands in exactly one cell, and cells are centroid ids
+    val res = Similarity.semanticDedup(emb, threshold = 0.4, centEvery = 40)
+    val cents = emb.where(col("vec_id") % 40 === 1)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val cells = res.select("cell_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(cells.subsetOf(cents))
+  }
+}
