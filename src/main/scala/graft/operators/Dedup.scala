@@ -214,7 +214,48 @@ object Dedup {
       docs: DataFrame,
       n: Int = 3,
       minJaccard: Double = 0.3,
-      maxDf: Int = 100): DataFrame = {
+      maxDf: Int = 100): DataFrame =
+    ngramScoredPairs(docs, n, maxDf) { counted =>
+      counted
+        .withColumn("uni", col("na") + col("nb") - col("inter"))
+        .withColumn("jaccard", col("inter") / col("uni"))
+        .where(col("jaccard") >= minJaccard)
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"), col("jaccard"))
+    }
+
+  /** Exact n-gram CONTAINMENT pairs — the asymmetric twin of
+    * [[ngramJaccard]]: containment = |A∩B| / min(|A|, |B|), the score that
+    * catches a document embedded inside a larger one (quote farms,
+    * boilerplate wrappers, page-of-pages scrapes). Jaccard misses exactly
+    * this case: a 100-shingle doc fully contained in a 10000-shingle doc
+    * has J ≈ 0.01 but containment 1.0 (Broder's resemblance-vs-containment
+    * distinction). Same inverted-index plan, same DF cap, same shuffle
+    * shape — only the final score differs.
+    */
+  def ngramContainment(
+      docs: DataFrame,
+      n: Int = 3,
+      minContainment: Double = 0.6,
+      maxDf: Int = 100): DataFrame =
+    ngramScoredPairs(docs, n, maxDf) { counted =>
+      counted
+        .withColumn("containment", col("inter") / least(col("na"), col("nb")))
+        .where(col("containment") >= minContainment)
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          col("na"), col("nb"), col("containment"))
+    }
+
+  /** Shared inverted-index pair machinery for [[ngramJaccard]] /
+    * [[ngramContainment]]: explode to (doc_id, 60-bit shingle hash), drop
+    * shingles appearing in more than `maxDf` docs, self-join on the
+    * shingle, count shared shingles and attach both doc sizes. `score`
+    * turns the counted frame (doc_a, doc_b, inter, na, nb) into the final
+    * filtered result BEFORE the eager materialization, so only surviving
+    * pairs (small by construction) are checkpointed.
+    */
+  private def ngramScoredPairs(
+      docs: DataFrame, n: Int, maxDf: Int)(
+      score: DataFrame => DataFrame): DataFrame = {
     // The exploded index is referenced four ways (document-frequency cap,
     // per-doc sizes, both inverted-join sides); persisting the narrow
     // (doc_id, 8-byte hash) pairs means tokenize + shingle + md5 runs once
@@ -230,15 +271,11 @@ object Dedup {
         col("x.sg") === col("y.sg") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    val out = pairs
+    val counted = pairs
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
-      .withColumn("uni", col("na") + col("nb") - col("inter"))
-      .withColumn("jaccard", col("inter") / col("uni"))
-      .where(col("jaccard") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"), col("jaccard"))
-      // eager pair materialization, then cache release (minhashPairs note)
-      .localCheckpoint()
+    // eager pair materialization, then cache release (minhashPairs note)
+    val out = score(counted).localCheckpoint()
     ex.unpersist()
     out
   }

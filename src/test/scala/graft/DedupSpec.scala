@@ -68,6 +68,21 @@ class DedupSpec extends SparkSpec {
     assert(mh.except(ng).count() === 0)
   }
 
+  test("ngramContainment catches a doc embedded in a larger one that jaccard misses") {
+    import spark.implicits._
+    val small = (1 to 12).map(i => s"alpha$i beta$i gamma$i").mkString(" ")
+    val big = small + " " + (1 to 300).map(i => s"filler$i pad$i more$i").mkString(" ")
+    val df = Seq((1L, small), (2L, big)).toDF("doc_id", "text")
+    // containment sees the embedding (small ⊂ big ⇒ containment ≈ 1)...
+    val cont = Dedup.ngramContainment(df, minContainment = 0.6, maxDf = 100).collect()
+    assert(cont.length === 1)
+    assert(cont.head.getAs[Long]("doc_a") === 1L)
+    assert(cont.head.getAs[Double]("containment") > 0.9)
+    // ...while symmetric jaccard scores the same pair far below threshold
+    val j = Dedup.ngramJaccard(df, minJaccard = 0.3, maxDf = 100).count()
+    assert(j === 0)
+  }
+
   test("operators are partitioning-independent") {
     val a = Dedup.minhashPairs(docs).orderBy("doc_a", "doc_b").collect()
     val b = Dedup.minhashPairs(docs.repartition(7)).orderBy("doc_a", "doc_b").collect()
