@@ -255,6 +255,22 @@ object TextAnalysis {
     ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
     ("phone", "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "[PHONE]"))
 
+  /** The redaction expression on its own — text with every PII pattern
+    * replaced by its typed placeholder. Shared by the batch [[piiScrub]]
+    * report and the streaming ingest cleaner, so "scrubbed" means exactly
+    * one thing everywhere (the passesQuality pattern).
+    */
+  def piiClean(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (_, re, repl)) =>
+      regexp_replace(c, re, repl)
+    }
+
+  /** Per-category PII match counts on the given text column. */
+  def piiCounts(text: Column): Seq[Column] =
+    PiiPatterns.map { case (nm, re, _) =>
+      size(regexp_extract_all(text, lit(re), lit(0))).cast("long").as(s"n_${nm}s")
+    }
+
   /** PII redaction — the compliance pass every training corpus gets before
     * anything ships: emails, IPv4 addresses and phone-shaped numbers are
     * replaced by typed placeholders, with per-category match counts (on
@@ -262,15 +278,9 @@ object TextAnalysis {
     * no shuffle; patterns apply email → ip → phone so a replacement never
     * fabricates a later pattern's match.
     */
-  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val counts = PiiPatterns.map { case (nm, re, _) =>
-      size(regexp_extract_all(col(textCol), lit(re), lit(0))).cast("long").as(s"n_${nm}s")
-    }
-    val cleaned = PiiPatterns.foldLeft(col(textCol)) { case (c, (_, re, repl)) =>
-      regexp_replace(c, re, repl)
-    }
-    docs.select((col("doc_id") +: counts :+ cleaned.as("clean_text")): _*)
-  }
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select((col("doc_id") +: piiCounts(col(textCol)) :+
+      piiClean(col(textCol)).as("clean_text")): _*)
 
   /** Rolling-hash document fingerprint: min / max / xor-fold over the
     * shingle hash set — an order-independent content signature (winnowing's

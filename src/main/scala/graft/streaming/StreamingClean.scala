@@ -23,20 +23,27 @@ object StreamingClean {
 
   /** `docs` needs `ts` (epoch seconds), `doc_id`, `text`. Works on a
     * streaming frame; emits first-arriving, quality-passing, sample-kept
-    * rows with their original columns.
+    * rows with their original columns. `scrubPii = true` additionally
+    * redacts PII from `text` — the same `TextAnalysis.piiClean` expression
+    * as the batch scrub, applied AFTER the digest dedup so the dedup state
+    * keys on the original content (a scrub-then-dedup would conflate docs
+    * differing only in their redacted spans).
     */
   def cleanStream(
       docs: DataFrame,
       watermark: String = "1 hour",
       pct: Int = 100,
-      salt: String = "clean"): DataFrame = {
+      salt: String = "clean",
+      scrubPii: Boolean = false): DataFrame = {
     val deduped = docs
       .where(TextAnalysis.passesQuality(col("text")))
       .withColumn("event_time", expr("timestamp_seconds(ts)"))
       .withWatermark("event_time", watermark)
       .withColumn("text_md5", md5(col("text")))
       .dropDuplicatesWithinWatermark("text_md5")
-    TextAnalysis.hashSample(deduped, pct = pct, salt = salt)
+    val sampled = TextAnalysis.hashSample(deduped, pct = pct, salt = salt)
       .drop("event_time", "text_md5")
+    if (scrubPii) sampled.withColumn("text", TextAnalysis.piiClean(col("text")))
+    else sampled
   }
 }

@@ -76,6 +76,29 @@ class StreamingSpec extends SparkSpec {
     assert(got2 === expect)
   }
 
+  test("streaming clean scrubs PII with the batch expression when asked") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val withPii = "please contact the team at alice@example.com for the details today"
+    val stream = MemoryStream[(Long, Long, String)]
+    val q = graft.streaming.StreamingClean.cleanStream(
+        stream.toDF().toDF("ts", "doc_id", "text"),
+        watermark = "10 minutes", scrubPii = true)
+      .writeStream.format("memory").queryName("clean_stream_pii")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq((100L, 1L, withPii)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("clean_stream_pii").select("text").head().getString(0)
+    // identical to the batch scrub of the same text
+    val batch = graft.operators.TextAnalysis.piiScrub(
+      Seq((1L, withPii)).toDF("doc_id", "text")).head().getAs[String]("clean_text")
+    assert(got === batch)
+    assert(got.contains("[EMAIL]") && !got.contains("alice@example.com"))
+  }
+
   test("streaming dedup drops digests already seen within the watermark") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
