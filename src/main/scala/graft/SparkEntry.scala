@@ -228,6 +228,10 @@ object SparkEntry {
     "unigram_lm" -> ((s, dir) =>
       TextAnalysis.unigramLm(cat(s, dir).table("documents")).orderBy("doc_id")),
 
+    "tfidf_topk" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(cat(s, dir).table("documents"), k = 5)
+        .orderBy("doc_id", "rank")),
+
     // The synthetic corpus carries no real PII, so the demo query injects
     // a deterministic email / IPv4 / phone per row before scrubbing —
     // exercising match counting AND replacement against the oracle.
@@ -601,6 +605,21 @@ object SparkEntry {
            round(-CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_neg_logprob,
            round(CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS hapax_ratio
          FROM s GROUP BY doc_id ORDER BY doc_id""",
+
+    "tfidf_topk" ->
+      """WITH tk AS (SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS term
+         FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+         s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 4) AS tfidf
+         FROM tf JOIN df USING (term) CROSS JOIN nd),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+         FROM s)
+         SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS BIGINT) AS "rank"
+         FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk""",
 
     "pii_scrub" ->
       """WITH d AS (SELECT doc_id,

@@ -255,6 +255,35 @@ object TextAnalysis {
     ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
     ("phone", "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "[PHONE]"))
 
+  /** Per-document top-k TF-IDF terms — the classic keyword/topic signal a
+    * curation pipeline uses for domain mixing and near-topic filtering.
+    * tf is the in-doc term count, idf = ln(N / df) over the corpus, score
+    * = tf · idf rounded to 4 (ties break on the term, so the top-k is
+    * deterministic and engine-portable).
+    *
+    * Plan: one token explode → (doc, term) counts; df is a second
+    * aggregation OVER THE (doc, term) FRAME (never re-reading the corpus);
+    * N rides in as a 1-row broadcast. The top-k window partitions by
+    * doc_id — per-doc partitions, so no task ever sorts more than one
+    * document's vocabulary, at any corpus size.
+    */
+  def tfidfTopK(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rank"))
+  }
+
   /** The redaction expression on its own — text with every PII pattern
     * replaced by its typed placeholder. Shared by the batch [[piiScrub]]
     * report and the streaming ingest cleaner, so "scrubbed" means exactly

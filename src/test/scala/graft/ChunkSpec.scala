@@ -86,6 +86,22 @@ class ChunkSpec extends SparkSpec {
     assert(hapax(50L) === 1.0 && hapax(0L) === 0.0)
   }
 
+  test("tfidfTopK surfaces doc-specific terms over corpus-common ones") {
+    import spark.implicits._
+    val corpus = ((1 to 20).map(i => (i.toLong, "common words everywhere always")) :+
+      (99L, "common quasar pulsar quasar")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopK(corpus, k = 2)
+      .where(col("doc_id") === 99L).orderBy("rank").collect()
+    // quasar (tf=2, df=1) ranks above pulsar (tf=1, df=1); "common" (df=21)
+    // has idf 0 and never makes the top slots
+    assert(top.map(_.getAs[String]("term")).toSeq === Seq("quasar", "pulsar"))
+    assert(top.head.getAs[Long]("tf") === 2L)
+    // every doc gets at most k rows, ranks are 1..k
+    val all = TextAnalysis.tfidfTopK(corpus, k = 2)
+    assert(all.groupBy("doc_id").count().where(col("count") > 2).count() === 0)
+    assert(all.where(col("rank") < 1 || col("rank") > 2).count() === 0)
+  }
+
   test("piiScrub redacts emails, IPs and phones and counts them") {
     import spark.implicits._
     val df = Seq(
