@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Catalog, ForeignKey, TableGraph}
-import graft.operators.{Chunk, Closure, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Chunk, Closure, Dedup, Multimodal, Similarity, Temporal, TextAnalysis}
 import graft.sources.{Dump, DumpSpec}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -180,6 +180,32 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("event_type"), col("value"), col("rn"))
         .orderBy("user_id", "rn")
     },
+
+    // Point-in-time lookup: each event joined to the customer's latest
+    // order on or before the event — the as-of join. Timestamps normalize
+    // to epoch seconds (Catalog reads events.ts as epoch nanos); the right
+    // side is pre-aggregated to one row per (customer, date) so "latest"
+    // is well-defined; the oracle replays it with DuckDB's native ASOF
+    // JOIN.
+    "asof_join" -> { (s, dir) =>
+      val c = cat(s, dir)
+      val ev = c.table("events")
+        .select(col("event_id"), expr("ts div 1000000000").as("ts"), col("user_id"))
+      val latestOrders = c.table("orders")
+        .groupBy(col("o_custkey").as("user_id"),
+          col("o_orderdate").cast("timestamp").cast("long").as("ts"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      Temporal.asofJoin(ev, latestOrders, keyCol = "user_id", tsCol = "ts",
+          payloadCols = Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"), col("o_orderkey"))
+        .orderBy("event_id")
+    },
+
+    "sessionize" -> ((s, dir) =>
+      Temporal.sessionize(
+          cat(s, dir).table("events").withColumn("ts", expr("ts div 1000000000")),
+          gapSeconds = 1800)
+        .orderBy("user_id", "session_seq")),
 
     // ── LLM-data-pipeline: text analysis ─────────────────────────────────
     "token_count" -> ((s, dir) =>
@@ -605,6 +631,34 @@ object SparkEntry {
            round(-CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_neg_logprob,
            round(CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS hapax_ratio
          FROM s GROUP BY doc_id ORDER BY doc_id""",
+
+    "asof_join" ->
+      """WITH ev AS (SELECT event_id, epoch_ns(ts) // 1000000000 AS ts, user_id
+           FROM events),
+         o AS (SELECT o_custkey AS user_id,
+           epoch_ns(CAST(o_orderdate AS TIMESTAMP)) // 1000000000 AS ots,
+           max(o_orderkey) AS o_orderkey
+         FROM orders GROUP BY 1, 2)
+         SELECT ev.event_id, ev.user_id, o.o_orderkey
+         FROM ev ASOF LEFT JOIN o
+           ON ev.user_id = o.user_id AND ev.ts >= o.ots
+         ORDER BY ev.event_id""",
+
+    "sessionize" ->
+      """WITH e AS (SELECT user_id, event_id,
+           epoch_ns(ts) // 1000000000 AS se FROM events),
+         l AS (SELECT *, lag(se) OVER (PARTITION BY user_id ORDER BY se, event_id) AS prev
+         FROM e),
+         f AS (SELECT *, CASE WHEN prev IS NULL OR se - prev > 1800 THEN 1 ELSE 0 END AS nw
+         FROM l),
+         s AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY se, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         FROM f)
+         SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           min(se) AS session_start_s, max(se) AS session_end_s,
+           count(*) AS n_events, max(se) - min(se) AS duration_s
+         FROM s GROUP BY user_id, session_seq
+         ORDER BY user_id, session_seq""",
 
     "tfidf_topk" ->
       """WITH tk AS (SELECT doc_id,

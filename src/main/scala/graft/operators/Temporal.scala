@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators Spark's built-in surface lacks as first-class
+  * constructs: the as-of join and inactivity-gap sessionization. Both are
+  * expressed as single-shuffle window plans — partitioned by the join/
+  * session key, never a corpus-wide window — so they scale with key
+  * cardinality like any hash shuffle.
+  */
+object Temporal {
+
+  /** As-of join: for every left row, the latest right row with
+    * `right.tsCol ≤ left.tsCol` on the same key — the point-in-time
+    * lookup (market data, feature stores, slowly-changing dims) that
+    * relational engines ship natively (DuckDB `ASOF JOIN`) and Spark
+    * doesn't.
+    *
+    * NOT a join at all in the plan: both sides are unioned, tagged and
+    * sorted per key by (ts, side) — right before left on equal
+    * timestamps, so "≤" holds — and the right payload propagates forward
+    * with `last(ignoreNulls) OVER (rows unbounded preceding)`, the
+    * merge-asof shape. ONE shuffle on the key, no range-condition
+    * explosion, no O(left × right-per-key) intermediate: the standard
+    * scalable rewrite of what would otherwise be a theta-join. Left rows
+    * with no earlier right row keep NULL payload (left-outer semantics).
+    *
+    * The caller must ensure at most one right row per (key, ts) —
+    * otherwise "the latest" is ambiguous in any engine; pre-aggregate the
+    * right side to make it deterministic.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val payload = struct(payloadCols.map(col): _*)
+    val leftCols = left.columns
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__payload", lit(null).cast(right.select(payload).schema.head.dataType))
+    val r = right.select(
+      (col(keyCol) +: col(tsCol) +: lit(0).as("__side") +: payload.as("__payload") +:
+        leftCols.filterNot(c => c == keyCol || c == tsCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(leftCols.map(col) :+ col("__match"): _*)
+      .select(leftCols.map(col) ++ payloadCols.map(c => col(s"__match.$c")): _*)
+  }
+
+  /** Inactivity-gap sessionization: events of one key belong to the same
+    * session while consecutive gaps stay ≤ `gapSeconds`; a larger gap
+    * starts a new session (the classic web-analytics / user-journey
+    * segmentation). Emits one row per session: key, ordinal session
+    * number, start/end epoch seconds, event count and duration.
+    *
+    * One shuffle on the key: session boundaries are a lag-compare, the
+    * session number a running sum of boundary flags, the rollup a groupBy
+    * on (key, session) — all within per-key window partitions, bounded by
+    * one key's history, not the table. Ties on ts break by `idCol`, so
+    * the segmentation is deterministic under any partitioning.
+    */
+  def sessionize(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      idCol: String = "event_id",
+      gapSeconds: Long = 1800): DataFrame = {
+    val se = col(tsCol).cast("long")
+    val w = Window.partitionBy(col(keyCol)).orderBy(se, col(idCol))
+    events
+      .withColumn("__se", se)
+      .withColumn("__new",
+        when(lag(col("__se"), 1).over(w).isNull ||
+          col("__se") - lag(col("__se"), 1).over(w) > gapSeconds, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("session_seq"))
+      .agg(
+        min(col("__se")).as("session_start_s"),
+        max(col("__se")).as("session_end_s"),
+        count(lit(1)).as("n_events"))
+      .withColumn("duration_s", col("session_end_s") - col("session_start_s"))
+  }
+}

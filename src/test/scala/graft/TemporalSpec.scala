@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Temporal
+
+class TemporalSpec extends SparkSpec {
+
+  test("asofJoin picks the latest right row at or before each left ts") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, "u1"), (2L, 200L, "u1"), (3L, 50L, "u1"),
+      (4L, 100L, "u2"), (5L, 999L, "u3"))
+      .toDF("event_id", "t", "k")
+      .withColumn("ts", col("t").cast("timestamp")).drop("t")
+    val right = Seq(
+      ("u1", 100L, "a"), ("u1", 150L, "b"),
+      ("u2", 101L, "c"), ("u9", 1L, "z"))
+      .toDF("k", "t", "tag")
+      .withColumn("ts", col("t").cast("timestamp")).drop("t")
+    val out = Temporal.asofJoin(left, right, "k", "ts", Seq("tag"))
+      .select("event_id", "tag").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "a")   // equal ts matches (<= semantics)
+    assert(out(2L) === "b")   // latest of two earlier rows
+    assert(out(3L) === null)  // nothing at or before ts=50
+    assert(out(4L) === null)  // right row is strictly later
+    assert(out(5L) === null)  // key absent on the right
+  }
+
+  // events.ts is parquet TIMESTAMP(NANOS); read as epoch-nanos long (the
+  // Catalog convention) and normalize to epoch seconds.
+  private def eventsSeconds = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("ts div 1000000000"))
+  }
+
+  test("asofJoin is deterministic under repartitioning") {
+    val events = eventsSeconds.select(col("event_id"), col("ts"), col("user_id"))
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy(col("o_custkey").as("user_id"),
+        col("o_orderdate").cast("timestamp").cast("long").as("ts"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val a = Temporal.asofJoin(events, orders, "user_id", "ts", Seq("o_orderkey"))
+      .orderBy("event_id").collect()
+    val b = Temporal.asofJoin(events.repartition(7), orders.repartition(3),
+        "user_id", "ts", Seq("o_orderkey"))
+      .orderBy("event_id").collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.length === events.count())
+  }
+
+  test("sessionize splits on gaps and rolls up counts and durations") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: two sessions — gap of 2000 s between t=300 and t=2300
+      (1L, 100L, 7L), (2L, 300L, 7L), (3L, 2300L, 7L), (4L, 2400L, 7L),
+      // u2: one single-event session
+      (5L, 50L, 8L))
+      .toDF("event_id", "t", "user_id")
+      .withColumn("ts", col("t").cast("timestamp")).drop("t")
+    val s = Temporal.sessionize(ev, gapSeconds = 1800).orderBy("user_id", "session_seq")
+      .collect()
+    assert(s.length === 3)
+    val (s1, s2, s3) = (s(0), s(1), s(2))
+    assert(s1.getAs[Long]("user_id") === 7L && s1.getAs[Long]("n_events") === 2L &&
+      s1.getAs[Long]("session_start_s") === 100L && s1.getAs[Long]("duration_s") === 200L)
+    assert(s2.getAs[Long]("user_id") === 7L && s2.getAs[Long]("n_events") === 2L &&
+      s2.getAs[Long]("session_start_s") === 2300L && s2.getAs[Long]("duration_s") === 100L)
+    assert(s3.getAs[Long]("user_id") === 8L && s3.getAs[Long]("n_events") === 1L &&
+      s3.getAs[Long]("duration_s") === 0L)
+  }
+
+  test("sessionize covers every event exactly once") {
+    val events = eventsSeconds
+    val sessions = Temporal.sessionize(events, gapSeconds = 1800)
+    assert(sessions.agg(sum("n_events")).head().getLong(0) === events.count())
+    // sessions of one user never overlap: next start > previous end + gap
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("session_seq")
+    val bad = sessions
+      .withColumn("prev_end", lag(col("session_end_s"), 1).over(w))
+      .where(col("prev_end").isNotNull &&
+        col("session_start_s") <= col("prev_end") + 1800)
+    assert(bad.count() === 0)
+  }
+}
