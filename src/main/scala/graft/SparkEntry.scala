@@ -356,6 +356,11 @@ object SparkEntry {
           threshold = 0.4, centEvery = 40)
         .orderBy("vec_id")),
 
+    "cluster_sample" -> ((s, dir) =>
+      Similarity.clusterSample(cat(s, dir).table("embeddings"), perCell = 8,
+          centEvery = 40)
+        .orderBy("vec_id")),
+
     "embed_pq" -> ((s, dir) =>
       Similarity.pqEncode(cat(s, dir).table("embeddings"), m = 8, k = 16)
         .orderBy("vec_id")),
@@ -1037,6 +1042,28 @@ object SparkEntry {
          d AS (SELECT id_b, min(id_a) AS dup_of FROM p WHERE cos >= 0.4 GROUP BY id_b)
          SELECT asg.vec_id, asg.cell_id, d.dup_of IS NOT NULL AS is_dup, d.dup_of
          FROM asg LEFT JOIN d ON asg.vec_id = d.id_b ORDER BY asg.vec_id""",
+
+    "cluster_sample" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (SELECT vec_id, v,
+           sqrt(list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
+                (a, b) -> a + b)) AS nrm
+         FROM e),
+         c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 40 = 1),
+         ac AS (SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+           list_reduce(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i]),
+                (a, b) -> a + b) / (n.nrm * c.cnrm) AS cos_c
+         FROM n CROSS JOIN c),
+         asg AS (SELECT vec_id, cent_id AS cell_id FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn
+           FROM ac) WHERE rn = 1),
+         r AS (SELECT vec_id, cell_id, row_number() OVER (PARTITION BY cell_id
+             ORDER BY CAST('0x' || substr(md5('cs|' || vec_id::VARCHAR), 1, 15) AS BIGINT),
+               vec_id) AS pick
+         FROM asg)
+         SELECT vec_id, cell_id, CAST(pick AS BIGINT) AS pick
+         FROM r WHERE pick <= 8 ORDER BY vec_id""",
 
     "ann_ivf" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

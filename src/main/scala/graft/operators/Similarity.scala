@@ -512,6 +512,52 @@ object Similarity {
     * output, and the nc × dim assignment pass should run once, not three
     * times.
     */
+  /** Nearest-centroid cell assignment over a literal codebook: (vec_id,
+    * v, nrm, cell_id), one map-side argmax pass. cell_id is the
+    * CENTROID's vec_id (not the codebook index): stable under codebook
+    * growth and directly joinable against the corpus.
+    */
+  private def assignCells(
+      e: DataFrame, cents: Array[(Long, Array[Double], Double)]): DataFrame = {
+    val centIds = cents.map(_._1).toSeq
+    e.select(col("vec_id"), col("v"), col("nrm"),
+      bindOnce(centCos(cents)(col("v"), col("nrm")), css =>
+        element_at(typedLit(centIds),
+          array_position(css, array_max(css)).cast("int"))).as("cell_id"))
+  }
+
+  /** Cluster-balanced subsampling: keep at most `perCell` vectors per IVF
+    * cell, chosen by a deterministic salted-hash order within the cell —
+    * the diversity-sampling step that pairs with [[semanticDedup]]
+    * (SemDeDup prunes redundancy; this caps per-mode mass so dominant
+    * clusters can't swamp the training mix, cf. cluster-balanced data
+    * curation). Map-side assignment + ONE shuffle on cell_id; each top-N
+    * window partition is one cell, never the corpus. The hash order makes
+    * the kept set reproducible across engines, runs and partitionings,
+    * and unbiased within a cell (the hash is independent of every vector
+    * attribute).
+    */
+  def clusterSample(
+      emb: DataFrame,
+      perCell: Int = 8,
+      centEvery: Int = 40,
+      maxCents: Int = 256,
+      salt: String = "cs"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = normalized(emb)
+    val cents = sampleCentroids(e, centEvery, maxCents)
+    if (cents.isEmpty)
+      return e.select(col("vec_id"), lit(-1L).as("cell_id"), lit(0L).as("pick"))
+        .where(lit(false))
+    val w = Window.partitionBy(col("cell_id")).orderBy(
+      TextAnalysis.hexHash(concat(lit(s"$salt|"), col("vec_id").cast("string"))),
+      col("vec_id"))
+    assignCells(e, cents)
+      .withColumn("pick", row_number().over(w).cast("long"))
+      .where(col("pick") <= perCell)
+      .select(col("vec_id"), col("cell_id"), col("pick"))
+  }
+
   def semanticDedup(
       emb: DataFrame,
       threshold: Double = 0.4,
@@ -522,14 +568,7 @@ object Similarity {
     if (cents.isEmpty)
       return e.select(col("vec_id"), lit(-1L).as("cell_id"),
         lit(false).as("is_dup"), lit(null).cast("long").as("dup_of")).where(lit(false))
-    val centIds = cents.map(_._1).toSeq
-    // cell_id is the CENTROID's vec_id (not the codebook index): stable
-    // under codebook growth and directly joinable against the corpus.
-    val assigned = e.select(col("vec_id"), col("v"), col("nrm"),
-        bindOnce(centCos(cents)(col("v"), col("nrm")), css =>
-          element_at(typedLit(centIds),
-            array_position(css, array_max(css)).cast("int"))).as("cell_id"))
-      .localCheckpoint()
+    val assigned = assignCells(e, cents).localCheckpoint()
     val x = assigned.select(col("vec_id").as("id_a"), col("v").as("va"),
       col("nrm").as("na"), col("cell_id").as("cell_a"))
     val y = assigned.select(col("vec_id").as("id_b"), col("v").as("vb"),

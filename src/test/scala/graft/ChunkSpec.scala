@@ -140,6 +140,23 @@ class ChunkSpec extends SparkSpec {
     assert(res.where(col("is_dup")).count() > 0)
   }
 
+  test("clusterSample caps every cell at perCell with deterministic picks") {
+    val sampled = Similarity.clusterSample(emb, perCell = 8, centEvery = 40)
+    // cap respected, picks are 1..perCell per cell
+    assert(sampled.groupBy("cell_id").count().where(col("count") > 8).count() === 0)
+    assert(sampled.where(col("pick") < 1 || col("pick") > 8).count() === 0)
+    // cells agree with semanticDedup's assignment
+    val cells = Similarity.semanticDedup(emb, centEvery = 40)
+      .select("vec_id", "cell_id")
+    assert(sampled.select("vec_id", "cell_id").except(cells).count() === 0)
+    // deterministic under repartitioning
+    val again = Similarity.clusterSample(emb.repartition(7), perCell = 8, centEvery = 40)
+      .orderBy("vec_id").collect()
+    assert(sampled.orderBy("vec_id").collect().toSeq === again.toSeq)
+    // a full cell keeps exactly 8
+    assert(sampled.groupBy("cell_id").count().where(col("count") === 8).count() > 0)
+  }
+
   test("semanticDedup assignment matches annIvf cell semantics") {
     // every vector lands in exactly one cell, and cells are centroid ids
     val res = Similarity.semanticDedup(emb, threshold = 0.4, centEvery = 40)
