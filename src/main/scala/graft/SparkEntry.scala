@@ -241,6 +241,10 @@ object SparkEntry {
       Dedup.dedupGroups(Dedup.minhashPairs(cat(s, dir).table("documents")))
         .orderBy("doc_id")),
 
+    "dup_spans" -> ((s, dir) =>
+      Dedup.dupSpans(cat(s, dir).table("documents"), w = 15, stride = 5)
+        .orderBy("doc_id", "span_start", "span_hash")),
+
     "stratified_sample" -> ((s, dir) =>
       TextAnalysis.hashSample(cat(s, dir).table("documents"))
         .select(col("doc_id"), col("lang"), col("source")).orderBy("doc_id")),
@@ -820,6 +824,23 @@ object SparkEntry {
            inter / (a.n_sh + b.n_sh - inter) AS jaccard
          FROM pr JOIN sz a ON a.doc_id = doc_a JOIN sz b ON b.doc_id = doc_b
          WHERE inter / (a.n_sh + b.n_sh - inter) >= 0.3 ORDER BY doc_a, doc_b""",
+
+    "dup_spans" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+         FROM documents),
+         sp AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 15 THEN
+             list_transform(range(1, len(toks) - 14 + 1, 5), p ->
+               struct_pack(span_start := p,
+                 span_hash := CAST('0x' || substr(md5(array_to_string(toks[p:p+14], ' ')), 1, 15) AS BIGINT)))
+             ELSE [] END) AS s
+         FROM t),
+         e AS (SELECT doc_id, CAST(s.span_start AS BIGINT) AS span_start, s.span_hash AS span_hash
+         FROM sp),
+         hot AS (SELECT span_hash, count(DISTINCT doc_id) AS n_docs
+         FROM e GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
+         SELECT e.doc_id, e.span_start, e.span_hash, hot.n_docs
+         FROM e JOIN hot USING (span_hash) ORDER BY doc_id, span_start, span_hash""",
 
     "ngram_containment" ->
       """WITH t AS (SELECT doc_id,

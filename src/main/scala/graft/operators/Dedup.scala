@@ -314,6 +314,53 @@ object Dedup {
         countDistinct(col("bench_id")).as("n_bench_docs"))
   }
 
+  /** Cross-document duplicated-span detection — the bounded, distributable
+    * form of exact substring dedup (Lee et al. '21, "Deduplicating
+    * Training Data Makes Language Models Better"): every `w`-token window
+    * (sampled every `stride` tokens) is hashed, and windows whose hash
+    * occurs in ≥ `minDocs` DISTINCT documents are reported with their
+    * in-document token offset — the repeated passages (licenses, headers,
+    * templated paragraphs) that survive document-level dedup because the
+    * surrounding text differs. The suffix-array construction finds every
+    * such span exactly; rolling windows at stride s find any duplicated
+    * run of ≥ w + s − 1 tokens while keeping the plan two hash shuffles
+    * on 8-byte keys (window hash agg + the report join) over a frame of
+    * rows × positions/stride — contamination-class volume, corpus-scale.
+    * Within-doc repeats don't trigger (distinct-doc count); stride 1
+    * recovers exact-w sensitivity.
+    */
+  def dupSpans(
+      docs: DataFrame,
+      w: Int = 15,
+      stride: Int = 5,
+      minDocs: Int = 2): DataFrame = {
+    require(w >= 2 && stride >= 1, s"need w >= 2, stride >= 1, got w=$w stride=$stride")
+    val spans = docs
+      .select(col("doc_id"),
+        bindOnce(tokens(col("text")), tk =>
+          when(size(tk) >= w,
+            transform(sequence(lit(1), size(tk) - (w - 1), lit(stride)),
+              p => struct(p.as("span_start"),
+                hexHash(concat_ws(" ", slice(tk, p, lit(w)))).as("span_hash"))))
+            .otherwise(array().cast("array<struct<span_start:int,span_hash:bigint>>")))
+          .as("sp"))
+      .select(col("doc_id"), explode(col("sp")).as("s"))
+      .select(col("doc_id"), col("s.span_start").cast("long").as("span_start"),
+        col("s.span_hash").as("span_hash"))
+      // referenced by the hot-hash aggregation AND the report join: hash
+      // the windows once (narrow 24-byte rows, spill-safe)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hot = spans.groupBy(col("span_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+    val out = spans.join(hot, "span_hash")
+      .select(col("doc_id"), col("span_start"), col("span_hash"), col("n_docs"))
+      // eager materialization, then cache release (minhashPairs note)
+      .localCheckpoint()
+    spans.unpersist()
+    out
+  }
+
   /** Connected components over an undirected near-duplicate pair set —
     * the canonicalization step of a dedup pipeline: every document in a
     * component maps to the component's minimum doc id (`group_id`), so

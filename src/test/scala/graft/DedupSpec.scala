@@ -83,6 +83,29 @@ class DedupSpec extends SparkSpec {
     assert(j === 0)
   }
 
+  test("dupSpans finds a shared passage at the right offsets, ignores within-doc repeats") {
+    import spark.implicits._
+    val passage = (1 to 20).map(i => s"shared$i").mkString(" ")
+    val df = Seq(
+      (1L, "intro one two three " + passage),                   // passage at token 5
+      (2L, passage + " totally different tail here"),           // passage at token 1
+      (3L, "unrelated " + passage.replace("shared", "other")),  // no overlap
+      // within-doc repetition only — must NOT be reported (distinct docs < 2)
+      (4L, ("again " * 40).trim))
+      .toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(df, w = 15, stride = 1, minDocs = 2)
+    val byDoc = spans.collect().groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.contains(1L) && byDoc.contains(2L))
+    assert(!byDoc.contains(3L) && !byDoc.contains(4L))
+    // doc 2's copy starts w-strides earlier: offsets differ by the prefix
+    val starts1 = byDoc(1L).map(_.getAs[Long]("span_start")).sorted
+    val starts2 = byDoc(2L).map(_.getAs[Long]("span_start")).sorted
+    assert(starts1.head === 5L && starts2.head === 1L)
+    assert(starts1.length === starts2.length) // same number of shared windows
+    // every reported hash really occurs in both docs
+    assert(spans.groupBy("span_hash").count().where(col("count") < 2).count() === 0)
+  }
+
   test("operators are partitioning-independent") {
     val a = Dedup.minhashPairs(docs).orderBy("doc_a", "doc_b").collect()
     val b = Dedup.minhashPairs(docs.repartition(7)).orderBy("doc_a", "doc_b").collect()
