@@ -249,6 +249,13 @@ object SparkEntry {
       TextAnalysis.hashSample(cat(s, dir).table("documents"))
         .select(col("doc_id"), col("lang"), col("source")).orderBy("doc_id")),
 
+    // Target mix: upweight English, keep some German/French, drop the rest
+    // — the domain-reweighting pass of a training-mix builder.
+    "mix_sample" -> ((s, dir) =>
+      TextAnalysis.mixSample(cat(s, dir).table("documents"),
+          weights = Map("en" -> 80, "de" -> 40, "fr" -> 20), byCol = "lang")
+        .select(col("doc_id"), col("lang"), col("source")).orderBy("doc_id")),
+
     "text_normalize" -> ((s, dir) =>
       TextAnalysis.textNormalize(cat(s, dir).table("documents")).orderBy("doc_id")),
 
@@ -901,6 +908,13 @@ object SparkEntry {
     "stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents
          WHERE CAST('0x' || substr(md5('sample|' || doc_id::VARCHAR), 1, 15) AS BIGINT) % 100 < 10
+         ORDER BY doc_id""",
+
+    "mix_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE CAST('0x' || substr(md5('mix|' || doc_id::VARCHAR), 1, 15) AS BIGINT) % 100 <
+           CASE WHEN lang = 'en' THEN 80 WHEN lang = 'de' THEN 40
+                WHEN lang = 'fr' THEN 20 ELSE 0 END
          ORDER BY doc_id""",
 
     "text_normalize" ->

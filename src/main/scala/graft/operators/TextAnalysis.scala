@@ -161,6 +161,31 @@ object TextAnalysis {
       idCol: String = "doc_id"): DataFrame =
     docs.where(hexHash(concat(lit(s"$salt|"), col(idCol).cast("string"))) % 100 < pct)
 
+  /** Domain-mixture sampling: per-stratum keep rates — the mixing step
+    * that turns raw corpus proportions into a target training mix (the
+    * Pile/DoReMi-style domain weighting, realized as subsampling). A row
+    * is kept iff its salted id-hash lands under its stratum's percentage;
+    * strata absent from `weights` get `defaultPct`. Same deterministic
+    * map-side filter as [[hashSample]] — reproducible across engines,
+    * runs and partitionings, no shuffle — but the rate is
+    * stratum-conditional, so relative domain proportions are reshaped
+    * instead of preserved.
+    */
+  def mixSample(
+      docs: DataFrame,
+      weights: Map[String, Int],
+      byCol: String = "lang",
+      defaultPct: Int = 0,
+      salt: String = "mix",
+      idCol: String = "doc_id"): DataFrame = {
+    require((weights.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
+      "stratum percentages must be in [0, 100]")
+    val pct = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (alt, (k, p)) => when(col(byCol) === k, lit(p)).otherwise(alt)
+    }
+    docs.where(hexHash(concat(lit(s"$salt|"), col(idCol).cast("string"))) % 100 < pct)
+  }
+
   /** Text normalization: lowercase, collapse whitespace runs to single
     * spaces, trim — plus the md5 of the normalized form, the standard
     * pre-pass that turns exact dedup into whitespace/case-insensitive

@@ -121,6 +121,32 @@ class ChunkSpec extends SparkSpec {
       out(3).getAs[Long]("n_phones") === 0)
   }
 
+  test("mixSample reshapes domain proportions and drops unweighted strata") {
+    val out = TextAnalysis.mixSample(docs,
+      weights = Map("en" -> 80, "de" -> 40), byCol = "lang")
+    val kept = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // unweighted strata vanish entirely
+    assert(kept.keySet.subsetOf(Set("en", "de")))
+    // keep rates land near the stratum targets (loose bounds, small data)
+    val enRate = kept.getOrElse("en", 0L).toDouble / total("en")
+    val deRate = kept.getOrElse("de", 0L).toDouble / total("de")
+    assert(enRate > 0.6 && enRate <= 1.0, s"en rate $enRate")
+    assert(deRate > 0.2 && deRate < 0.6, s"de rate $deRate")
+    // deterministic: same result twice
+    assert(out.orderBy("doc_id").collect().toSeq ===
+      TextAnalysis.mixSample(docs, Map("en" -> 80, "de" -> 40), byCol = "lang")
+        .orderBy("doc_id").collect().toSeq)
+    // within a kept stratum, the kept set agrees with a plain hashSample at
+    // the same pct and salt: the filter is the same hash, stratum-gated
+    val en80 = TextAnalysis.hashSample(docs.where(col("lang") === "en"),
+      pct = 80, salt = "mix").select("doc_id")
+    assert(out.where(col("lang") === "en").select("doc_id")
+      .except(en80).count() === 0)
+  }
+
   test("semanticDedup marks within-cell near-dups against the exact baseline") {
     val res = Similarity.semanticDedup(emb, threshold = 0.4, centEvery = 40)
     assert(res.count() === emb.count())
