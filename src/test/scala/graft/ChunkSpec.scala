@@ -41,6 +41,42 @@ class ChunkSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("docChunk reassembles exactly across window/overlap combos and edge lengths") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // edge lengths around every boundary: empty, single char, window±1,
+    // step multiples, plus random sizes; mixed-width chars included
+    val lengths = Seq(0, 1, 39, 40, 41, 79, 80, 81, 100, 119, 120, 121, 200) ++
+      Seq.fill(20)(rnd.nextInt(400))
+    val alphabet = "ab é≈語 xyz".toCharArray
+    val docs = lengths.zipWithIndex.map { case (len, i) =>
+      (i.toLong, Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }.toDF("doc_id", "text")
+    for ((window, overlap) <- Seq((120, 20), (40, 0), (41, 40), (7, 3))) {
+      val step = window - overlap
+      val chunks = Chunk.docChunk(docs, window, overlap)
+      assert(chunks.where(col("n_chars_chunk") > window).count() === 0,
+        s"overlong chunk at window=$window overlap=$overlap")
+      val rebuilt = chunks
+        .withColumn("piece",
+          when(col("chunk_id") === 0, col("chunk_text"))
+            .otherwise(col("chunk_text").substr(lit(overlap + 1), lit(window))))
+        .groupBy("doc_id")
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("chunk_id"), col("piece")))),
+          s => s.getField("piece")), "").as("glued"))
+      val bad = rebuilt.join(docs, "doc_id")
+        .where(col("glued") =!= col("text")).count()
+      assert(bad === 0, s"reassembly failed at window=$window overlap=$overlap")
+      // chunk count matches the closed form: ceil(max(len-overlap,1) / step)
+      val counts = chunks.groupBy("doc_id").count()
+        .join(docs.select(col("doc_id"), length(col("text")).as("len")), "doc_id")
+        .where(col("count") =!=
+          ceil(greatest(col("len") - overlap, lit(1)).cast("double") / step))
+      assert(counts.count() === 0, s"chunk count off at window=$window overlap=$overlap")
+    }
+  }
+
   test("docChunk is map-side only — no shuffle in the plan") {
     val plan = Chunk.docChunk(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
