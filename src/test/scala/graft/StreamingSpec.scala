@@ -127,6 +127,44 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains(4L)) // re-admitted after watermark eviction
   }
 
+  test("streaming sessionize closes sessions on gap and on event-time timeout") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val stream = MemoryStream[(Long, Long, Long)]
+    val q = graft.streaming.StreamingSessionize.sessionize(
+        stream.toDF().toDF("ts", "event_id", "user_id"),
+        gapSeconds = 1800, watermark = "10 seconds")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // u7: two events 200s apart → one open session
+      stream.addData(Seq((100L, 1L, 7L), (300L, 2L, 7L)))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() === 0) // still open, nothing emitted
+      // a u7 event past the gap closes the first session inline
+      stream.addData(Seq((5000L, 3L, 7L)))
+      q.processAllAvailable()
+      val first = spark.table("sessions").collect()
+      assert(first.length === 1)
+      assert(first.head.getAs[Long]("user_id") === 7L &&
+        first.head.getAs[Long]("session_start_s") === 100L &&
+        first.head.getAs[Long]("session_end_s") === 300L &&
+        first.head.getAs[Long]("n_events") === 2L &&
+        first.head.getAs[Long]("duration_s") === 200L)
+      // push the watermark far past 5000 + gap → the open session times out
+      stream.addData(Seq((20000L, 4L, 9L)))
+      q.processAllAvailable()
+      stream.addData(Seq((20001L, 5L, 9L)))
+      q.processAllAvailable()
+      val flushed = spark.table("sessions")
+        .where(col("session_start_s") === 5000L).collect()
+      assert(flushed.length === 1)
+      assert(flushed.head.getAs[Long]("n_events") === 1L &&
+        flushed.head.getAs[Long]("duration_s") === 0L)
+    } finally q.stop()
+  }
+
   test("watermark bounds state: late window closes in append mode") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
