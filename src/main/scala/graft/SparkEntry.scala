@@ -313,6 +313,22 @@ object SparkEntry {
     },
 
     // ── LLM-data-pipeline: multimodal plumbing (binary column + metadata) ─
+    // End-to-end: cleaned corpus straight into packed training sequences —
+    // quality gate → exact-dedup keep → deterministic sample → concat-and-
+    // cut packing, ONE declarative plan (the full raw-text-to-model-input
+    // path; every stage is the same operator the standalone queries run).
+    "corpus_to_sequences" -> { (s, dir) =>
+      val docs = cat(s, dir).table("documents")
+      val keep = TextAnalysis.dedupExact(docs).select(col("keep_id").as("doc_id"))
+      val cleaned = docs
+        .where(TextAnalysis.passesQuality(col("text")))
+        .join(keep, Seq("doc_id"), "left_semi")
+      Chunk.packSequences(
+          TextAnalysis.hashSample(cleaned, pct = 50, salt = "clean"),
+          budget = 256, buckets = 8)
+        .orderBy("doc_id")
+    },
+
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.mediaMeta(
         Multimodal.mediaFromDocuments(cat(s, dir).table("documents")))
@@ -938,6 +954,29 @@ object SparkEntry {
          SELECT d.doc_id, d.lang, d.source FROM documents d
          JOIN q USING (doc_id) JOIN k USING (doc_id) JOIN s USING (doc_id)
          ORDER BY doc_id""",
+
+    "corpus_to_sequences" ->
+      """WITH t AS (SELECT doc_id, text,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+         FROM documents),
+         q AS (SELECT doc_id FROM t
+           WHERE len(toks) >= 5 AND len(text) >= 40
+             AND len(list_filter(toks, x -> list_contains(
+               ['the','a','an','and','of','to','in','is','it','that'], x))) > 0),
+         k AS (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY md5(text)),
+         s AS (SELECT doc_id FROM documents
+           WHERE CAST('0x' || substr(md5('clean|' || doc_id::VARCHAR), 1, 15) AS BIGINT) % 100 < 50),
+         cleaned AS (SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(CAST('0x' || substr(md5('pack|' || t.doc_id::VARCHAR), 1, 15) AS BIGINT) % 8 AS INT) AS bucket
+         FROM t JOIN q USING (doc_id) JOIN k USING (doc_id) JOIN s USING (doc_id)),
+         c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM cleaned WHERE n_tokens > 0)
+         SELECT doc_id, bucket, n_tokens,
+           CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_first,
+           CAST((cum - 1) // 256 AS BIGINT) AS seq_last,
+           CAST((cum - n_tokens) % 256 AS BIGINT) AS seq_offset
+         FROM c ORDER BY doc_id""",
 
     "embed_cosine_dup" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
