@@ -40,6 +40,32 @@ class SimilaritySpec extends SparkSpec {
     assert(viol === 0)
   }
 
+  test("measured recall@10: multi-probe lifts LSH/IVF; PQ ADC ranks usably") {
+    // Ground truth: exact top-10 per query from the brute-force baseline.
+    val qf = col("vec_id") % 20 === 0
+    val truth = Similarity.annTopK(emb, qf, k = 10)
+      .select("query_id", "neighbor_id")
+    val nTruth = truth.count().toDouble
+    def recall(approx: org.apache.spark.sql.DataFrame): Double =
+      approx.select("query_id", "neighbor_id").intersect(truth).count() / nTruth
+    val lsh1 = recall(Similarity.annLsh(emb, qf, k = 10, planes = 4))
+    val lsh2 = recall(Similarity.annLsh(emb, qf, k = 10, planes = 4, nprobe = 3))
+    val ivf1 = recall(Similarity.annIvf(emb, qf, k = 10, centEvery = 40))
+    val ivf2 = recall(Similarity.annIvf(emb, qf, k = 10, centEvery = 40, nprobe = 3))
+    val pqDefault = recall(Similarity.pqSearch(emb, qf, kNN = 10))
+    val trained = Similarity.trainPqCodebook(emb)
+    val pqTrained = recall(Similarity.pqSearch(emb, qf, kNN = 10, codebook = Some(trained)))
+    info(f"recall@10 — lsh: $lsh1%.3f, lsh probe3: $lsh2%.3f, " +
+      f"ivf: $ivf1%.3f, ivf probe3: $ivf2%.3f, " +
+      f"pq-adc default: $pqDefault%.3f, trained: $pqTrained%.3f")
+    // multi-probe must not lose recall, and should find something extra here
+    assert(lsh2 >= lsh1 && ivf2 >= ivf1)
+    assert(lsh2 > 0.2 && ivf2 > 0.2, s"multi-probe recall floor: lsh2=$lsh2 ivf2=$ivf2")
+    // the k-means codebook must beat the md5-random one it replaces — the
+    // measured justification for trainPqCodebook existing at all
+    assert(pqTrained > pqDefault, s"trained $pqTrained vs default $pqDefault")
+  }
+
   test("annLsh results are a subset of brute-force scoring, same bucket only") {
     val exact = Similarity.annTopK(emb, col("vec_id") % 100 === 0, k = 1000)
       .select("query_id", "neighbor_id", "cosine")
