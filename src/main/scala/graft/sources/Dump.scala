@@ -12,10 +12,11 @@ import graft.operators.Closure
 
 /** What to dump — mirrors the reference's `dump()` signature
   * (xdump/base.py:87): whole tables, per-table partial selections, and
-  * schema/data toggles. `format` is parquet (the 100 TB-sane archive) or
-  * csv-with-header (the reference's wire format, xdump/base.py:197).
+  * schema/data toggles. `format` is parquet (the 100 TB-sane archive),
+  * csv-with-header (the reference's wire format, xdump/base.py:197), or
+  * jsonl (the LLM-corpus wire format, via [[Jsonl]]).
   * `compression` maps to the writer codec (reference: zip deflate,
-  * base.py:87) — snappy/zstd/gzip for parquet, gzip/none for csv.
+  * base.py:87) — snappy/zstd/gzip for parquet, gzip/none for csv/jsonl.
   */
 final case class DumpSpec(
     fullTables: Seq[String] = Nil,
@@ -63,8 +64,9 @@ object Dump {
         val w = observed.write.mode(SaveMode.Overwrite)
           .option("compression", spec.compression)
         spec.format match {
-          case "csv" => w.option("header", "true").csv(s"$path/data/$t")
-          case _     => w.parquet(s"$path/data/$t")
+          case "csv"   => w.option("header", "true").csv(s"$path/data/$t")
+          case "jsonl" => w.json(s"$path/data/$t")
+          case _       => w.parquet(s"$path/data/$t")
         }
         val m = obs.get
         metrics(t) = (m("n").asInstanceOf[Long],
@@ -188,6 +190,10 @@ object Dump {
     format match {
       case "csv" =>
         spark.read.option("header", "true").schema(schema).csv(s"$path/data/$t")
+      case "jsonl" =>
+        // a dump's own shards are well-formed by construction; readClean
+        // drops nothing but keeps the contract uniform
+        Jsonl.readClean(spark, s"$path/data/$t", schema)
       case _ => spark.read.parquet(s"$path/data/$t")
     }
 

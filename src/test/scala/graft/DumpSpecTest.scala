@@ -58,6 +58,23 @@ class DumpSpecTest extends SparkSpec {
     assert(loaded("nation").count() === orig.count())
   }
 
+  test("jsonl dump roundtrips rows and schema with gzip shards") {
+    val dir = tmp()
+    Dump.write(cat, DumpSpec(
+      fullTables = Seq("nation", "region"),
+      format = "jsonl",
+      compression = "gzip"), dir)
+    val files = new java.io.File(s"$dir/data/nation").listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".json.gz")), s"expected gzip parts, got ${files.toSeq}")
+    val loaded = Dump.load(spark, dir).toMap
+    for (t <- Seq("nation", "region")) {
+      val orig = cat.table(t)
+      assert(loaded(t).schema === orig.schema)
+      assert(loaded(t).orderBy(orig.columns.head).collect().toSeq ===
+        orig.orderBy(orig.columns.head).collect().toSeq)
+    }
+  }
+
   test("csv dump honors the compression option (gzip) and roundtrips") {
     val dir = tmp()
     Dump.write(cat, DumpSpec(
