@@ -59,13 +59,29 @@ object LoadMain {
       // loads into the genuinely empty target. Postgres: point
       // --jdbc-admin-url at the maintenance database (you cannot drop the
       // db you are connected to); Derby: <name> is the database path.
-      opts.value("recreate-database").foreach { db =>
-        val adminUrl = opts.value("jdbc-admin-url").getOrElse(url)
+      val recreatedDb = opts.value("recreate-database")
+      recreatedDb.foreach { db =>
+        // Postgres cannot drop the database it is connected to, so the
+        // load URL is never a valid admin connection there — require the
+        // maintenance URL explicitly instead of failing after terminating
+        // every other session.
+        val adminUrl = opts.value("jdbc-admin-url").getOrElse {
+          if (url.contains("postgresql")) sys.error(
+            "--recreate-database on PostgreSQL needs --jdbc-admin-url " +
+              "pointing at a maintenance database (e.g. .../postgres) — " +
+              "an engine cannot drop the database it is connected to")
+          url
+        }
         graft.sources.JdbcAdmin.recreateDatabase(Cli.jdbcConfig(opts, adminUrl), db)
         println(s"Recreated database $db")
       }
-      Dump.loadIntoJdbc(spark, input, Cli.jdbcConfig(opts, url),
-        cleanup = opts.value("cleanup-method", short = "m"))
+      // A freshly recreated database is constraint-less: default the
+      // cleanup method to "recreate" so the dumped PK/FK DDL and sequence
+      // restarts replay onto it (the reference's initial_setup-on-load,
+      // base.py:227). An explicit -m still wins.
+      val cleanup = opts.value("cleanup-method", short = "m")
+        .orElse(recreatedDb.map(_ => "recreate"))
+      Dump.loadIntoJdbc(spark, input, Cli.jdbcConfig(opts, url), cleanup = cleanup)
       println(s"Loaded ${Dump.readManifest(spark, input).loadOrder.size} tables into $url")
       return
     }

@@ -476,6 +476,14 @@ object Similarity {
     * a join against that frame would have seen; the fetch is one tiny job
     * over the pushed-down sampling filter — a codebook is small by
     * construction.
+    *
+    * NOTE on the cap: the DuckDB oracles replay the sampling rule
+    * (`vec_id % centEvery = 1`) WITHOUT the `maxCents` cap — they agree
+    * as long as the corpus yields ≤ maxCents candidates (true at every
+    * test SF; 256 × 40 = 10 240 vec_ids at the defaults). Beyond that
+    * the cap is the intended production behavior (a codebook must not
+    * grow with the corpus) and the oracle, not the engine, is the side
+    * that stops modeling it.
     */
   private[operators] def sampleCentroids(
       e: DataFrame, centEvery: Int, maxCents: Int): Array[(Long, Array[Double], Double)] =

@@ -164,9 +164,12 @@ object Jdbc {
 
   /** Dialect: make `t.c` NOT NULL — the prerequisite for ADD PRIMARY KEY
     * on a Spark-created table (the JDBC writer emits nullable columns).
-    * Postgres/MySQL-family use `SET NOT NULL`/`MODIFY`; the SQL-standard
-    * `ALTER COLUMN c NOT NULL` covers Derby/DB2; engines outside both
-    * families get the standard form too (best-known default).
+    * Postgres uses `SET NOT NULL`; everything else gets the SQL-standard
+    * `ALTER COLUMN c NOT NULL` (covers Derby/DB2/H2). Engines whose
+    * syntax must restate the column type (MySQL's `MODIFY col type NOT
+    * NULL`) are NOT supported here — the type is not available at this
+    * layer, and the statement fails loudly on such a target rather than
+    * guessing.
     */
   private[sources] def notNullSql(cfg: JdbcConfig, t: String, c: String): String =
     if (cfg.driver.contains("postgresql")) s"ALTER TABLE $t ALTER COLUMN $c SET NOT NULL"
@@ -175,12 +178,18 @@ object Jdbc {
   /** Dialect: restart `t.c`'s id generator so the next generated value is
     * `next` — Postgres serial/identity via `setval` on the backing
     * sequence (`setval(seq, n)` ⇒ nextval n+1), Derby/DB2/H2 identity via
-    * the standard `RESTART WITH`.
+    * the standard `RESTART WITH`. The Postgres form COALESCEs the
+    * sequence lookup into a nonexistent relation name: bare
+    * `setval(pg_get_serial_sequence(...), n)` silently returns NULL when
+    * the column has no backing sequence, which would report "replayed"
+    * for a generator that was never restarted — the cast makes it error
+    * like every other engine.
     */
   private[sources] def restartSequenceSql(
       cfg: JdbcConfig, t: String, c: String, next: Long): String =
     if (cfg.driver.contains("postgresql"))
-      s"SELECT setval(pg_get_serial_sequence('$t', '$c'), ${next - 1})"
+      s"SELECT setval(COALESCE(pg_get_serial_sequence('$t', '$c'), " +
+        s"'graft_no_sequence_for_${t}_$c')::regclass, ${next - 1})"
     else s"ALTER TABLE $t ALTER COLUMN $c RESTART WITH $next"
 
   /** Runs statements over one driver-side connection — used by the

@@ -92,13 +92,16 @@ object JdbcAdmin {
     */
   def createDatabase(cfg: JdbcConfig, dbName: String, owner: Option[String] = None): Unit = {
     checkName(dbName)
-    // validate BEFORE any driver load / connection — a refused identifier
-    // must not depend on the driver being present
-    val who = owner.getOrElse(cfg.user)
-    require(who.matches("[A-Za-z0-9_]+"), s"suspicious owner '$who'")
-    if (isPostgres(cfg)) withConnection(cfg) { conn =>
-      val st = conn.createStatement()
-      try st.execute(s"CREATE DATABASE $dbName WITH OWNER $who") finally st.close()
+    if (isPostgres(cfg)) {
+      // validate BEFORE any driver load / connection — a refused identifier
+      // must not depend on the driver being present. Only Postgres ever
+      // interpolates an owner; Derby must not trip over an empty cfg.user.
+      val who = owner.getOrElse(cfg.user)
+      require(who.matches("[A-Za-z0-9_]+"), s"suspicious owner '$who'")
+      withConnection(cfg) { conn =>
+        val st = conn.createStatement()
+        try st.execute(s"CREATE DATABASE $dbName WITH OWNER $who") finally st.close()
+      }
     }
     else if (isDerby(cfg)) {
       Class.forName(cfg.driver)
@@ -112,8 +115,11 @@ object JdbcAdmin {
 
   /** Drop connections → drop → create: the reference's `recreate_database`
     * composition (postgresql.py:190 → base.py:202). After this the target
-    * is a genuinely empty database ready for
-    * `Dump.loadIntoJdbc(cleanup = None)`.
+    * is a genuinely empty database; load into it with
+    * `Dump.loadIntoJdbc(cleanup = Some("recreate"))` so the dumped PK/FK
+    * DDL replays onto the fresh tables (the drop-table pass is a no-op on
+    * an empty database) — `cleanup = None` would leave the restored
+    * schema constraint-less.
     */
   def recreateDatabase(cfg: JdbcConfig, dbName: String, owner: Option[String] = None): Unit = {
     dropConnections(cfg, dbName)
@@ -125,7 +131,10 @@ object JdbcAdmin {
     * get a single-database shutdown (both "succeed" by raising SQLState
     * 08006 — the documented Derby contract) and then a recursive delete of
     * the directory. A database that was never created is success, matching
-    * the reference's FileNotFoundError pass (sqlite.py:117).
+    * the reference's FileNotFoundError pass (sqlite.py:117). The delete
+    * REFUSES a directory that exists but is not a Derby database (no
+    * `service.properties` marker): a mistyped path must never be wiped
+    * just because the engine said "no database there".
     */
   private def dropDerby(cfg: JdbcConfig, dbName: String): Unit = {
     Class.forName(cfg.driver)
@@ -143,6 +152,9 @@ object JdbcAdmin {
       import java.nio.file.{Files, Path, Paths}
       val root: Path = Paths.get(dbName)
       if (Files.exists(root)) {
+        require(Files.exists(root.resolve("service.properties")),
+          s"refusing to delete '$dbName': directory exists but is not a Derby " +
+            "database (no service.properties)")
         val all = Files.walk(root)
         try all.sorted(java.util.Comparator.reverseOrder[Path]())
           .forEach(p => Files.delete(p))

@@ -39,9 +39,14 @@ object Jsonl {
     val withCorrupt = schema.add(CorruptCol, "string")
     spark.read.text(path)
       .select(from_json(col("value"), withCorrupt,
-        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)).as("j"))
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)).as("j"),
+        col("value"))
+      // blank/whitespace lines parse to a NULL struct (not a populated
+      // corrupt field) — without the fallback they'd pass readClean as
+      // phantom all-null documents
       .select(schema.fieldNames.map(f => col(s"j.`$f`")) :+
-        col(s"j.`$CorruptCol`").as(CorruptCol): _*)
+        when(col("j").isNull, col("value"))
+          .otherwise(col(s"j.`$CorruptCol`")).as(CorruptCol): _*)
   }
 
   /** The well-formed rows only. */

@@ -69,6 +69,24 @@ class JdbcAdminSpec extends SparkSpec {
     assert(JdbcAdmin.dropConnections(cfg, "anything") === 0)
   }
 
+  test("dropDatabase refuses to delete a directory that is not a Derby database") {
+    val dir = java.nio.file.Files.createTempDirectory("notaderbydb")
+    val precious = dir.resolve("precious.txt")
+    java.nio.file.Files.writeString(precious, "do not delete")
+    val ex = intercept[IllegalArgumentException] {
+      JdbcAdmin.dropDatabase(cfg, dir.toString)
+    }
+    assert(ex.getMessage.contains("not a Derby database"))
+    assert(java.nio.file.Files.exists(precious)) // nothing was touched
+  }
+
+  test("recreateDatabase works with an empty user (Derby needs no owner)") {
+    val db = java.nio.file.Files.createTempDirectory("derbyadmin").toString + "/emptyuser"
+    val anon = JdbcConfig(url = "unused", user = "", password = "", driver = DerbyDriver)
+    JdbcAdmin.recreateDatabase(anon, db) // must not trip owner validation
+    assert(new java.io.File(db, "service.properties").exists())
+  }
+
   test("suspicious database names are refused before reaching DDL") {
     intercept[IllegalArgumentException] {
       JdbcAdmin.dropDatabase(cfg, "db; DROP TABLE users")

@@ -28,15 +28,17 @@ class JsonlSpec extends SparkSpec {
     val w = new java.io.PrintWriter(f)
     w.println("""{"doc_id": 1, "text": "good line"}""")
     w.println("""{"doc_id": 2, "text": "truncated...""")
+    w.println("   ") // blank separator line — corrupt, NOT a phantom all-null doc
     w.println("""{"doc_id": 3, "text": "another good one"}""")
     w.close()
     val schema = new org.apache.spark.sql.types.StructType()
       .add("doc_id", "long").add("text", "string")
     val all = Jsonl.read(spark, dir, schema)
-    assert(all.count() === 3)
-    assert(all.where(col(Jsonl.CorruptCol).isNotNull).count() === 1)
+    assert(all.count() === 4)
+    assert(all.where(col(Jsonl.CorruptCol).isNotNull).count() === 2)
     val clean = Jsonl.readClean(spark, dir, schema)
     assert(clean.count() === 2)
     assert(clean.columns.toSeq === Seq("doc_id", "text"))
+    assert(clean.where(col("doc_id").isNull).count() === 0)
   }
 }
