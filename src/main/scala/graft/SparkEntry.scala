@@ -262,6 +262,9 @@ object SparkEntry {
     "repetition_score" -> ((s, dir) =>
       TextAnalysis.repetitionScore(cat(s, dir).table("documents")).orderBy("doc_id")),
 
+    "gopher_quality" -> ((s, dir) =>
+      TextAnalysis.gopherQuality(cat(s, dir).table("documents")).orderBy("doc_id")),
+
     "unigram_lm" -> ((s, dir) =>
       TextAnalysis.unigramLm(cat(s, dir).table("documents")).orderBy("doc_id")),
 
@@ -649,6 +652,33 @@ object SparkEntry {
            round(CASE WHEN len(gs) > 0 THEN 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs) ELSE 0.0 END, 4) AS dup_3gram_ratio,
            round(CASE WHEN len(toks) > 0 THEN CAST(list_max(list_transform(list_distinct(toks), t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS top_token_ratio
          FROM g ORDER BY doc_id""",
+
+    "gopher_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks,
+           string_split(text, chr(10)) AS lns
+         FROM documents),
+         m AS (SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(toks, w -> CAST(len(w) AS BIGINT))), (a, b) -> a + b) AS DOUBLE)
+             / greatest(len(toks), 1), 4) AS mean_word_len,
+           round(CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+             / greatest(len(toks), 1), 4) AS frac_alpha_words,
+           round(CAST(len(list_filter(lns, l -> starts_with(trim(l), '-')
+               OR starts_with(trim(l), '*') OR starts_with(trim(l), '•'))) AS DOUBLE)
+             / greatest(len(lns), 1), 4) AS frac_bullet_lines,
+           round(CAST(len(list_filter(lns, l -> ends_with(trim(l), '...')
+               OR ends_with(trim(l), '…'))) AS DOUBLE)
+             / greatest(len(lns), 1), 4) AS frac_ellipsis_lines,
+           CAST(len(list_intersect(list_distinct(toks),
+             ['the','a','an','and','of','to','in','is','it','that'])) AS BIGINT) AS n_stop_distinct
+         FROM t)
+         SELECT *, (n_words >= 50 AND n_words <= 100000
+           AND mean_word_len >= 3 AND mean_word_len <= 10
+           AND frac_alpha_words >= 0.8 AND n_stop_distinct >= 2
+           AND frac_bullet_lines <= 0.9 AND frac_ellipsis_lines <= 0.3) AS passes_gopher
+         FROM m ORDER BY doc_id""",
 
     "unigram_lm" ->
       """WITH tk AS (SELECT doc_id,

@@ -236,6 +236,48 @@ object TextAnalysis {
       .select(col("doc_id"), col("s.n_tokens"), col("s.distinct_token_ratio"),
         col("s.dup_3gram_ratio"), col("s.top_token_ratio"))
 
+  /** The Gopher quality-filter battery (Rae et al. '21 §A1.1) — the
+    * canonical rule set corpus pipelines apply verbatim: word-count
+    * bounds, mean-word-length bounds, minimum alphabetic-word fraction,
+    * minimum distinct-stopword count, and the line-shape rules (bullet /
+    * ellipsis line fractions, which flag listicles and truncated
+    * scrapes). Emits every metric plus the composed `passes_gopher`
+    * verdict so thresholds stay auditable. One map-side pass; the token
+    * and line arrays are each let-bound; the word-length sum is an exact
+    * integer fold, so every ratio is bit-reproducible.
+    */
+  def gopherQuality(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        bindOnce(tokens(col("text")), tk =>
+          bindOnce(split(col("text"), "\n"), ln => {
+            val nW = greatest(size(tk), lit(1))
+            val nL = greatest(size(ln), lit(1))
+            val bullet = size(filter(ln, l =>
+              trim(l).startsWith("-") || trim(l).startsWith("*") ||
+                trim(l).startsWith("•")))
+            val ellip = size(filter(ln, l =>
+              trim(l).endsWith("...") || trim(l).endsWith("…")))
+            struct(
+              size(tk).cast("long").as("n_words"),
+              round(aggregate(transform(tk, length(_).cast("long")),
+                lit(0L), (a, x) => a + x).cast("double") / nW, 4).as("mean_word_len"),
+              round(size(filter(tk, w => w.rlike("[a-z]"))).cast("double") / nW, 4)
+                .as("frac_alpha_words"),
+              round(bullet.cast("double") / nL, 4).as("frac_bullet_lines"),
+              round(ellip.cast("double") / nL, 4).as("frac_ellipsis_lines"),
+              size(array_intersect(array_distinct(tk),
+                array(EnStop.map(lit(_)): _*))).cast("long").as("n_stop_distinct"))
+          })).as("s"))
+      .select(col("doc_id"), col("s.*"))
+      .withColumn("passes_gopher",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_word_len") >= 3 && col("mean_word_len") <= 10 &&
+          col("frac_alpha_words") >= 0.8 &&
+          col("n_stop_distinct") >= 2 &&
+          col("frac_bullet_lines") <= 0.9 &&
+          col("frac_ellipsis_lines") <= 0.3)
+
   /** Corpus-unigram LM scoring — the cheap statistical stand-in for the
     * KenLM-perplexity quality filter (cf. CCNet): every document is scored
     * by the average negative log-probability of its tokens under the

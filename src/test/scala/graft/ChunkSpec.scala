@@ -108,6 +108,28 @@ class ChunkSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("gopherQuality applies the canonical rule battery") {
+    import spark.implicits._
+    val goodText =
+      ("the quick brown network processes tokens and it is running in production " * 6).trim
+    val df = Seq(
+      (1L, goodText),                                 // passes everything
+      (2L, "too short to pass the word count"),       // n_words < 50
+      (3L, ("- bullet one\n" * 20) + "- and the final of bullets\n" + goodText.take(0) +
+        (1 to 60).map(i => s"word$i").mkString(" ")), // 21 of 22 lines are bullets
+      (4L, (1 to 60).map(_ => "12345").mkString(" ")))// no alphabetic words, no stopwords
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQuality(df).orderBy("doc_id").collect()
+    assert(out(0).getAs[Boolean]("passes_gopher"))
+    assert(!out(1).getAs[Boolean]("passes_gopher") &&
+      out(1).getAs[Long]("n_words") < 50)
+    assert(!out(2).getAs[Boolean]("passes_gopher") &&
+      out(2).getAs[Double]("frac_bullet_lines") > 0.9)
+    assert(!out(3).getAs[Boolean]("passes_gopher") &&
+      out(3).getAs[Double]("frac_alpha_words") === 0.0 &&
+      out(3).getAs[Long]("n_stop_distinct") === 0L)
+  }
+
   test("unigramLm scores rare-token docs above common-token docs") {
     import spark.implicits._
     val corpus = (Seq.fill(50)("the the the") :+ "zyzzyva qwerty")
