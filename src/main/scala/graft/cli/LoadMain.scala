@@ -60,27 +60,40 @@ object LoadMain {
       // --jdbc-admin-url at the maintenance database (you cannot drop the
       // db you are connected to); Derby: <name> is the database path.
       val recreatedDb = opts.value("recreate-database")
+      // A freshly recreated database is constraint-less: the cleanup
+      // method is forced to "recreate" so the dumped PK/FK DDL and
+      // sequence restarts replay onto it (the reference's
+      // initial_setup-on-load, base.py:227). Any other -m is refused —
+      // BEFORE the database is touched: "truncate" would DELETE FROM
+      // tables that no longer exist, aborting only after the original
+      // database was already destroyed.
+      val explicit = opts.value("cleanup-method", short = "m")
+      if (recreatedDb.isDefined && !explicit.forall(_ == "recreate")) sys.error(
+        s"-m ${explicit.get} cannot combine with --recreate-database " +
+          "(the database is already empty; only 'recreate' makes sense)")
       recreatedDb.foreach { db =>
         // Postgres cannot drop the database it is connected to, so the
-        // load URL is never a valid admin connection there — require the
-        // maintenance URL explicitly instead of failing after terminating
-        // every other session.
-        val adminUrl = opts.value("jdbc-admin-url").getOrElse {
-          if (url.contains("postgresql")) sys.error(
+        // load URL is never a valid admin connection there — require a
+        // DIFFERENT maintenance URL explicitly instead of failing after
+        // terminating every other session. Dialect routing follows the
+        // resolved driver (same rule as JdbcAdmin/Jdbc), not the URL text.
+        val isPg = Cli.jdbcConfig(opts, url).driver.contains("postgresql")
+        val adminUrl = opts.value("jdbc-admin-url") match {
+          case Some(a) if isPg && a == url => sys.error(
+            "--jdbc-admin-url must point at a DIFFERENT (maintenance) " +
+              "database than --jdbc-url — PostgreSQL cannot drop the " +
+              "database it is connected to")
+          case Some(a) => a
+          case None if isPg => sys.error(
             "--recreate-database on PostgreSQL needs --jdbc-admin-url " +
               "pointing at a maintenance database (e.g. .../postgres) — " +
               "an engine cannot drop the database it is connected to")
-          url
+          case None => url
         }
         graft.sources.JdbcAdmin.recreateDatabase(Cli.jdbcConfig(opts, adminUrl), db)
         println(s"Recreated database $db")
       }
-      // A freshly recreated database is constraint-less: default the
-      // cleanup method to "recreate" so the dumped PK/FK DDL and sequence
-      // restarts replay onto it (the reference's initial_setup-on-load,
-      // base.py:227). An explicit -m still wins.
-      val cleanup = opts.value("cleanup-method", short = "m")
-        .orElse(recreatedDb.map(_ => "recreate"))
+      val cleanup = explicit.orElse(recreatedDb.map(_ => "recreate"))
       Dump.loadIntoJdbc(spark, input, Cli.jdbcConfig(opts, url), cleanup = cleanup)
       println(s"Loaded ${Dump.readManifest(spark, input).loadOrder.size} tables into $url")
       return

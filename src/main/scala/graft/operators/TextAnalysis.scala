@@ -250,14 +250,15 @@ object TextAnalysis {
     docs
       .select(col("doc_id"),
         bindOnce(tokens(col("text")), tk =>
-          bindOnce(split(col("text"), "\n"), ln => {
+          // lines are bound already TRIMMED — the per-branch trim(l) would
+          // otherwise re-run up to five times per line (bindOnce's rule)
+          bindOnce(transform(split(col("text"), "\n"), trim(_)), ln => {
             val nW = greatest(size(tk), lit(1))
             val nL = greatest(size(ln), lit(1))
             val bullet = size(filter(ln, l =>
-              trim(l).startsWith("-") || trim(l).startsWith("*") ||
-                trim(l).startsWith("•")))
+              l.startsWith("-") || l.startsWith("*") || l.startsWith("•")))
             val ellip = size(filter(ln, l =>
-              trim(l).endsWith("...") || trim(l).endsWith("…")))
+              l.endsWith("...") || l.endsWith("…")))
             struct(
               size(tk).cast("long").as("n_words"),
               round(aggregate(transform(tk, length(_).cast("long")),
@@ -266,8 +267,9 @@ object TextAnalysis {
                 .as("frac_alpha_words"),
               round(bullet.cast("double") / nL, 4).as("frac_bullet_lines"),
               round(ellip.cast("double") / nL, 4).as("frac_ellipsis_lines"),
-              size(array_intersect(array_distinct(tk),
-                array(EnStop.map(lit(_)): _*))).cast("long").as("n_stop_distinct"))
+              // array_intersect already dedups — no array_distinct pre-pass
+              size(array_intersect(tk, array(EnStop.map(lit(_)): _*)))
+                .cast("long").as("n_stop_distinct"))
           })).as("s"))
       .select(col("doc_id"), col("s.*"))
       .withColumn("passes_gopher",

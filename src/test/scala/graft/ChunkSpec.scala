@@ -115,7 +115,7 @@ class ChunkSpec extends SparkSpec {
     val df = Seq(
       (1L, goodText),                                 // passes everything
       (2L, "too short to pass the word count"),       // n_words < 50
-      (3L, ("- bullet one\n" * 20) + "- and the final of bullets\n" + goodText.take(0) +
+      (3L, ("- bullet one\n" * 20) + "- and the final of bullets\n" +
         (1 to 60).map(i => s"word$i").mkString(" ")), // 21 of 22 lines are bullets
       (4L, (1 to 60).map(_ => "12345").mkString(" ")))// no alphabetic words, no stopwords
       .toDF("doc_id", "text")

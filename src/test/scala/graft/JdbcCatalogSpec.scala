@@ -265,6 +265,20 @@ class JdbcCatalogSpec extends SparkSpec {
     assert(!meta.tables.contains("LEFTOVER"))
     // constraint DDL replayed into the fresh database (the -m recreate path)
     assert(meta.primaryKeys("CUST") === Seq("C_ID"))
+
+    // -m truncate alongside --recreate-database is refused BEFORE the
+    // database is touched: DELETE FROM on a freshly emptied database can
+    // only abort after the original data is gone
+    val ex = intercept[RuntimeException] {
+      graft.cli.LoadMain.run(Seq(
+        "-i", s"$tmp/dump",
+        "--jdbc-url", s"jdbc:derby:$db2",
+        "--jdbc-user", "app", "--jdbc-password", "app",
+        "--jdbc-driver", DerbyDriver,
+        "--recreate-database", db2,
+        "-m", "truncate"), spark)
+    }
+    assert(ex.getMessage.contains("cannot combine"))
   }
 
   test("self-referencing FK introspects and closes recursively off a live DB") {
