@@ -39,8 +39,11 @@ final class Catalog(
     // @transient like spark: the reader closure captures the session, and
     // the Serializable contract here only promises the METADATA survives —
     // table() is driver-side by construction (it builds logical plans).
-    @transient private val reader: Option[String => DataFrame] = None)
-    extends Serializable {
+    @transient private val reader: Option[String => DataFrame] = None,
+    // driver-side resource pinning the catalog's consistency (the exported-
+    // snapshot holder connection) — released by close()
+    @transient private val resource: Option[AutoCloseable] = None)
+    extends Serializable with AutoCloseable {
 
   def table(name: String): DataFrame = {
     require(tables.contains(name), s"unknown table: $name")
@@ -67,10 +70,17 @@ final class Catalog(
     primaryKeys.getOrElse(name, sys.error(s"no primary key registered for $name"))
 
   def withForeignKeys(extra: ForeignKey*): Catalog =
-    new Catalog(spark, dir, tables, foreignKeys ++ extra, primaryKeys, reader)
+    new Catalog(spark, dir, tables, foreignKeys ++ extra, primaryKeys, reader, resource)
 
   def withPrimaryKeys(extra: (String, Seq[String])*): Catalog =
-    new Catalog(spark, dir, tables, foreignKeys, primaryKeys ++ extra, reader)
+    new Catalog(spark, dir, tables, foreignKeys, primaryKeys ++ extra, reader, resource)
+
+  /** Releases any resource pinning this catalog's consistency (the exported-
+    * snapshot holder of `Catalog.jdbc(consistentSnapshot = true)`). Reads
+    * planned before but executed after close() lose the snapshot guarantee —
+    * close only after the dump's actions have run. No-op otherwise.
+    */
+  override def close(): Unit = Option(resource).flatten.foreach(_.close())
 }
 
 object Catalog {
@@ -86,18 +96,46 @@ object Catalog {
     * numeric (parallel scan across executors); `consistent = true` forces
     * every table onto a single connection instead — see the snapshot
     * caveat on [[graft.sources.Jdbc.readTable]].
+    *
+    * `consistentSnapshot = true` is the turnkey form of the reference's
+    * one-transaction dump (xdump/postgresql.py:77) WITHOUT giving up the
+    * parallel scan: a holder connection exports a server-side snapshot
+    * ([[graft.sources.Jdbc.exportedSnapshot]], Postgres-only) and every
+    * partitioned read connection attaches to it via its init statement, so
+    * all partitions of all tables read one point-in-time state. The holder
+    * stays open inside the catalog — `close()` it when the dump's actions
+    * have completed.
     */
   def jdbc(
       spark: SparkSession,
       cfg: graft.sources.JdbcConfig,
       schema: Option[String] = None,
-      consistent: Boolean = false): Catalog = {
-    val meta = graft.sources.Jdbc.introspect(cfg, schema)
+      consistent: Boolean = false,
+      consistentSnapshot: Boolean = false): Catalog =
+    jdbcWith(spark, cfg, schema, consistent, consistentSnapshot,
+      graft.sources.Jdbc.exportedSnapshot)
+
+  /** [[jdbc]] with the snapshot provider injectable — the seam that lets the
+    * wiring be spec-tested against engines without `pg_export_snapshot`
+    * (embedded Derby): everything downstream of the provider (config
+    * rewrite, reader propagation, holder lifecycle) is identical.
+    */
+  private[graft] def jdbcWith(
+      spark: SparkSession,
+      cfg: graft.sources.JdbcConfig,
+      schema: Option[String],
+      consistent: Boolean,
+      consistentSnapshot: Boolean,
+      snapshotProvider: graft.sources.JdbcConfig => graft.sources.SnapshotHolder)
+      : Catalog = {
+    val holder = if (consistentSnapshot) Some(snapshotProvider(cfg)) else None
+    val effCfg = holder.fold(cfg)(_.config(cfg))
+    val meta = graft.sources.Jdbc.introspect(effCfg, schema)
     val read = (t: String) => graft.sources.Jdbc.readTable(
-      spark, cfg, meta.qualifiedNames.getOrElse(t, t),
+      spark, effCfg, meta.qualifiedNames.getOrElse(t, t),
       partitionColumn = if (consistent) None else meta.partitionColumns.get(t))
-    new Catalog(spark, cfg.url, meta.tables, meta.foreignKeys, meta.primaryKeys,
-      Some(read))
+    new Catalog(spark, effCfg.url, meta.tables, meta.foreignKeys, meta.primaryKeys,
+      Some(read), holder)
   }
 
   /** The TPC-H-ish test schema (TESTDATA.md) with its natural FK graph. */

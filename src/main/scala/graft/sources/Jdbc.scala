@@ -16,11 +16,13 @@ import graft.core.ForeignKey
   */
 /** @param sessionInit SQL executed on every new read connection (Spark's
   *   `sessionInitStatement`) — the hook for server-side snapshot sharing:
-  *   against Postgres, `SET TRANSACTION ISOLATION LEVEL REPEATABLE READ;
-  *   SET TRANSACTION SNAPSHOT '<id>'` makes every partitioned connection
-  *   read the SAME exported snapshot, restoring the reference's
+  *   against Postgres, `BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ
+  *   READ ONLY; SET TRANSACTION SNAPSHOT '<id>'` makes every partitioned
+  *   connection read the SAME exported snapshot, restoring the reference's
   *   one-transaction consistency (postgresql.py:77) without giving up the
-  *   parallel scan. */
+  *   parallel scan. [[Jdbc.exportedSnapshot]] builds this turnkey (and
+  *   holds the exporting transaction open for you); set it by hand only
+  *   for engines with their own snapshot-attach dialect. */
 final case class JdbcConfig(
     url: String,
     user: String,
@@ -53,7 +55,105 @@ final case class DbMeta(
     qualifiedNames: Map[String, String],
     partitionColumns: Map[String, String])
 
+/** A server-side exported snapshot, held open by its exporting transaction —
+  * the distributed re-expression of the reference's run-the-whole-dump-in-one-
+  * REPEATABLE-READ-transaction guarantee (xdump/postgresql.py:77). The holder
+  * connection's open transaction pins the snapshot on the server; every
+  * partitioned read connection then attaches to it via
+  * `SET TRANSACTION SNAPSHOT` in its `sessionInitStatement`, so all
+  * partitions of all tables see the SAME point-in-time database state.
+  *
+  * Keep the holder open for the entire dump (Postgres discards an exported
+  * snapshot when the exporting transaction ends); `close()` rolls the
+  * transaction back and releases the connection. Use try-with-resources /
+  * `Using`, or `Catalog.jdbc(consistentSnapshot = true)` which carries the
+  * holder for you.
+  */
+final class SnapshotHolder private[graft] (
+    conn: java.sql.Connection,
+    val snapshotId: String,
+    /** The per-connection init statement that attaches a new connection to
+      * this snapshot. */
+    val sessionInit: String) extends AutoCloseable {
+
+  /** `cfg` rewritten so every read connection joins this snapshot. */
+  def config(cfg: JdbcConfig): JdbcConfig = cfg.copy(sessionInit = Some(sessionInit))
+
+  override def close(): Unit =
+    try conn.rollback() finally conn.close()
+}
+
 object Jdbc {
+
+  /** Exporting statement run on the holder connection (Postgres ≥ 9.2). */
+  private[graft] val ExportSnapshotSql = "SELECT pg_export_snapshot()"
+
+  /** The `sessionInitStatement` that attaches a fresh connection to an
+    * exported snapshot. `SET TRANSACTION SNAPSHOT` is only legal inside an
+    * explicit transaction block at the same isolation level, and Spark's
+    * init statement runs on a just-opened autocommit connection — so the
+    * statement must itself open the transaction (`BEGIN`), not merely `SET`
+    * properties the next autocommit statement would discard. The partition's
+    * SELECT then runs inside this transaction, reading the pinned snapshot.
+    */
+  private[graft] def snapshotSessionInit(snapshotId: String): String = {
+    // ids are server-generated ("00000003-0000001B-1"); reject anything that
+    // could escape the literal rather than quote-escaping blindly
+    require(snapshotId.matches("[A-Fa-f0-9-]+"), s"implausible snapshot id: $snapshotId")
+    s"BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ READ ONLY; " +
+      s"SET TRANSACTION SNAPSHOT '$snapshotId'"
+  }
+
+  /** Opens the holder connection and exports a snapshot — the turnkey form
+    * of the consistency recipe documented on [[readTable]]. PostgreSQL-only
+    * by nature (`pg_export_snapshot`); other engines need a quiesced source
+    * or a frozen replica, and this fails loudly rather than pretending.
+    *
+    * Reference: xdump/postgresql.py:66–81 runs the whole dump inside one
+    * REPEATABLE READ transaction; here that transaction is the holder, and
+    * every partitioned reader joins it server-side.
+    */
+  def exportedSnapshot(cfg: JdbcConfig): SnapshotHolder = {
+    require(cfg.driver.contains("postgresql"),
+      s"exported-snapshot consistency requires PostgreSQL (pg_export_snapshot); " +
+        s"driver is ${cfg.driver}. For other engines dump from a quiesced " +
+        s"source or a frozen replica, or pass a dialect-appropriate " +
+        s"JdbcConfig.sessionInit by hand.")
+    exportedSnapshotOn(connect(cfg))
+  }
+
+  /** Protocol core, factored over an existing connection so the transaction
+    * choreography is unit-testable without a Postgres server: REPEATABLE
+    * READ + autocommit off (the exporting transaction must stay open),
+    * export, hold.
+    */
+  private[graft] def exportedSnapshotOn(conn: java.sql.Connection): SnapshotHolder =
+    try {
+      conn.setAutoCommit(false)
+      conn.setTransactionIsolation(java.sql.Connection.TRANSACTION_REPEATABLE_READ)
+      val st = conn.createStatement()
+      val id =
+        try {
+          val rs = st.executeQuery(ExportSnapshotSql)
+          require(rs.next(), "pg_export_snapshot returned no rows")
+          val s = rs.getString(1)
+          rs.close()
+          s
+        } finally st.close()
+      new SnapshotHolder(conn, id, snapshotSessionInit(id))
+    } catch {
+      case e: Throwable =>
+        try conn.close() catch { case _: Throwable => () }
+        throw e
+    }
+
+  private def connect(cfg: JdbcConfig): java.sql.Connection = {
+    Class.forName(cfg.driver)
+    val props = new java.util.Properties()
+    props.setProperty("user", cfg.user)
+    props.setProperty("password", cfg.password)
+    java.sql.DriverManager.getConnection(cfg.url, props)
+  }
 
   private def base(spark: SparkSession, cfg: JdbcConfig) = {
     val r = spark.read.format("jdbc")
@@ -80,8 +180,9 @@ object Jdbc {
     * level the server grants that connection. Cross-TABLE consistency for
     * a live, concurrently-written database needs a quiesced source, a
     * replica frozen for the dump, or a server-side exported snapshot
-    * shared by every connection — for which see `JdbcConfig.sessionInit`
-    * (Postgres `SET TRANSACTION SNAPSHOT` on each partition's connection).
+    * shared by every connection — turnkey via [[exportedSnapshot]] /
+    * `Catalog.jdbc(consistentSnapshot = true)` (Postgres
+    * `SET TRANSACTION SNAPSHOT` on each partition's connection).
     */
   def readTable(
       spark: SparkSession,
@@ -196,11 +297,7 @@ object Jdbc {
     * children-first cleanup pass of `Dump.loadIntoJdbc`.
     */
   private[sources] def execute(cfg: JdbcConfig, sqls: Seq[String]): Unit = {
-    Class.forName(cfg.driver)
-    val props = new java.util.Properties()
-    props.setProperty("user", cfg.user)
-    props.setProperty("password", cfg.password)
-    val conn = java.sql.DriverManager.getConnection(cfg.url, props)
+    val conn = connect(cfg)
     try {
       val st = conn.createStatement()
       try sqls.foreach(st.execute) finally st.close()
@@ -219,11 +316,7 @@ object Jdbc {
     *               must then be unique across them.
     */
   def introspect(cfg: JdbcConfig, schema: Option[String] = None): DbMeta = {
-    Class.forName(cfg.driver)
-    val props = new java.util.Properties()
-    props.setProperty("user", cfg.user)
-    props.setProperty("password", cfg.password)
-    val conn = java.sql.DriverManager.getConnection(cfg.url, props)
+    val conn = connect(cfg)
     try {
       val md = conn.getMetaData
       val tabs = rows(md.getTables(null, schema.orNull, "%", Array("TABLE")))(r =>
