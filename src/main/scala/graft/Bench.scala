@@ -59,7 +59,12 @@ object Bench {
         while (all.isEmpty || (kept.size < reps && all.size < reps + maxExtra))
           all :+= once(fn)
         val ks = kept.sorted
-        val (median, mn) = (ks(ks.size / 2), ks.head)
+        // true median: even kept counts (possible after stall discards)
+        // average the two middle elements instead of biasing upper-middle
+        val median =
+          if (ks.size % 2 == 1) ks(ks.size / 2)
+          else (ks(ks.size / 2 - 1) + ks(ks.size / 2)) / 2.0
+        val mn = ks.head
         Some(name -> (median, mn, all.size - ks.size, median / mn > 2.0))
       } catch {
         case e: Throwable =>

@@ -268,6 +268,12 @@ object SparkEntry {
     "unigram_lm" -> ((s, dir) =>
       TextAnalysis.unigramLm(cat(s, dir).table("documents")).orderBy("doc_id")),
 
+    // k = 20 < the synthetic corpus's 31-token vocabulary, so the OOV floor
+    // path is actually exercised by the oracle
+    "unigram_lm_capped" -> ((s, dir) =>
+      TextAnalysis.unigramLm(cat(s, dir).table("documents"), vocabTopK = Some(20))
+        .orderBy("doc_id")),
+
     "tfidf_topk" -> ((s, dir) =>
       TextAnalysis.tfidfTopK(cat(s, dir).table("documents"), k = 5)
         .orderBy("doc_id", "rank")),
@@ -692,6 +698,21 @@ object SparkEntry {
          SELECT doc_id, count(*) AS n_tokens,
            round(-CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_neg_logprob,
            round(CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS hapax_ratio
+         FROM s GROUP BY doc_id ORDER BY doc_id""",
+
+    "unigram_lm_capped" ->
+      """WITH tk AS (SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS tok
+         FROM documents),
+         f AS (SELECT tok, count(*) AS tf FROM tk GROUP BY tok),
+         tot AS (SELECT count(*) AS total FROM tk),
+         top AS (SELECT tok, tf FROM f ORDER BY tf DESC, tok LIMIT 20),
+         s AS (SELECT tk.doc_id, top.tf,
+           CAST(round(ln(COALESCE(CAST(top.tf AS DOUBLE), 1.0) / tot.total), 6) AS DECIMAL(18,6)) AS lp
+         FROM tk LEFT JOIN top USING (tok) CROSS JOIN tot)
+         SELECT doc_id, count(*) AS n_tokens,
+           round(-CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_neg_logprob,
+           round(CAST(sum(CASE WHEN tf IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS oov_ratio
          FROM s GROUP BY doc_id ORDER BY doc_id""",
 
     "asof_join" ->

@@ -288,30 +288,68 @@ object TextAnalysis {
     * rare-token-heavy (noise, codes, mojibake); near-zero ⇒ degenerate
     * repetition of corpus-dominant tokens.
     *
-    * Plan: one token explode feeding (a) the vocabulary aggregation and
-    * (b) the scoring join — two hash shuffles on the token key, both
-    * AQE-skew-eligible (stopword keys are the classic heavy hitters). The
-    * 100 TB variant broadcasts a capped top-K vocabulary with an OOV floor
-    * instead of shuffle-joining the full one; the scoring math is
-    * unchanged. Per-token log-probs are rounded to 6 decimals and summed
-    * as DECIMAL(18,6), so the per-doc sum is exact and order-independent
+    * Plan (exact, `vocabTopK = None`): one token explode feeding (a) the
+    * vocabulary aggregation and (b) the scoring join — two hash shuffles
+    * on the token key, both AQE-skew-eligible (stopword keys are the
+    * classic heavy hitters). Correct at any size, but the scoring join
+    * moves every token occurrence — not the 100 TB plan.
+    *
+    * Plan (capped, `vocabTopK = Some(k)`): the 100 TB variant. The
+    * vocabulary is aggregated once (map-side combine reduces the shuffle
+    * to per-partition DISTINCT tokens), truncated to the k most frequent
+    * terms, and BROADCAST; scoring is then a map-side broadcast join with
+    * an out-of-vocabulary log-prob floor of `log(1/total)` (an OOV token
+    * scores as if it occurred once), and the per-doc aggregation
+    * partial-aggregates map-side (explode keeps a document's tokens in one
+    * partition), so the only corpus-volume shuffle left is the vocabulary
+    * count itself. Because truncation hides true counts of dropped terms,
+    * the capped variant reports `oov_ratio` (fraction of tokens outside
+    * the top-k vocabulary) in place of `hapax_ratio` — with k ≥ |vocab|
+    * it degenerates to the exact scores with `oov_ratio = 0`.
+    *
+    * Per-token log-probs are rounded to 6 decimals and summed as
+    * DECIMAL(18,6), so the per-doc sum is exact and order-independent
     * under any partitioning (a double sum would drift with partition
     * order). Zero-token documents have no rows to score and drop out.
     */
-  def unigramLm(docs: DataFrame): DataFrame = {
+  def unigramLm(docs: DataFrame, vocabTopK: Option[Int] = None): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val freqs = tok.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
-    val total = freqs.agg(sum(col("tf")).as("total"))
-    tok.join(freqs, "tok")
-      .crossJoin(broadcast(total))
-      .withColumn("lp",
-        round(log(col("tf").cast("double") / col("total")), 6).cast("decimal(18,6)"))
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        round(-sum(col("lp")).cast("double") / count(lit(1)), 4).as("avg_neg_logprob"),
-        round(sum(when(col("tf") === 1, 1L).otherwise(0L)).cast("double") / count(lit(1)), 4)
-          .as("hapax_ratio"))
+    vocabTopK match {
+      case None =>
+        val total = freqs.agg(sum(col("tf")).as("total"))
+        tok.join(freqs, "tok")
+          .crossJoin(broadcast(total))
+          .withColumn("lp",
+            round(log(col("tf").cast("double") / col("total")), 6).cast("decimal(18,6)"))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            round(-sum(col("lp")).cast("double") / count(lit(1)), 4).as("avg_neg_logprob"),
+            round(sum(when(col("tf") === 1, 1L).otherwise(0L)).cast("double") / count(lit(1)), 4)
+              .as("hapax_ratio"))
+      case Some(k) =>
+        require(k > 0, s"vocabTopK must be positive: $k")
+        // the vocabulary frame is read twice (grand total + top-k cut);
+        // persist for exactly those two actions, eagerly materialize the
+        // small results, release — the Dedup signature-cache discipline
+        val f = freqs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val total = f.agg(sum(col("tf")).as("total")).localCheckpoint()
+        // ties on the term keep the cut deterministic and engine-portable
+        val top = f.orderBy(col("tf").desc, col("tok")).limit(k).localCheckpoint()
+        f.unpersist()
+        tok.join(broadcast(top), Seq("tok"), "left")
+          .crossJoin(broadcast(total))
+          .withColumn("lp",
+            round(log(coalesce(col("tf").cast("double"), lit(1.0)) / col("total")), 6)
+              .cast("decimal(18,6)"))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            round(-sum(col("lp")).cast("double") / count(lit(1)), 4).as("avg_neg_logprob"),
+            round(sum(when(col("tf").isNull, 1L).otherwise(0L)).cast("double") / count(lit(1)), 4)
+              .as("oov_ratio"))
+    }
   }
 
   /** PII patterns scrubbed by [[piiScrub]]: (name, regex, replacement).

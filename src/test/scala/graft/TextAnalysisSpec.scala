@@ -92,4 +92,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(res.map(_.getAs[String]("norm_md5")).distinct.length === 1)
     assert(res.head.getAs[Long]("n_chars_norm") === 11L)
   }
+
+  test("unigramLm capped variant matches exact scores on in-vocab tokens") {
+    val exact = TextAnalysis.unigramLm(docs)
+
+    // k ≥ |vocab| ⇒ nothing is OOV and the broadcast plan degenerates to
+    // the exact scores (same counts, same grand total, same rounding)
+    val vocabSize = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("t"))
+      .where(length(col("t")) > 0).select("t").distinct().count().toInt
+    val full = TextAnalysis.unigramLm(docs, vocabTopK = Some(vocabSize + 10))
+    assert(full.where(col("oov_ratio") =!= 0.0).count() === 0)
+    val joined = exact.as("e").join(full.as("f"), "doc_id")
+      .where(col("e.avg_neg_logprob") =!= col("f.avg_neg_logprob") ||
+        col("e.n_tokens") =!= col("f.n_tokens"))
+    assert(joined.count() === 0)
+
+    // a small cap scores every in-vocab token identically to the exact
+    // plan: docs with zero OOV tokens must agree score-for-score
+    val capped = TextAnalysis.unigramLm(docs, vocabTopK = Some(10))
+    val inVocabDocs = capped.where(col("oov_ratio") === 0.0)
+    val diff = exact.as("e").join(inVocabDocs.as("c"), "doc_id")
+      .where(col("e.avg_neg_logprob") =!= col("c.avg_neg_logprob"))
+    assert(diff.count() === 0)
+    // and the cap must actually bite somewhere at this corpus size
+    assert(capped.where(col("oov_ratio") > 0.0).count() > 0)
+  }
 }
