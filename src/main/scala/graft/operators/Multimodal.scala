@@ -7,14 +7,27 @@ import org.apache.spark.sql.functions._
   * column with a typed metadata struct, plus the decode / feature-extract
   * surface a training pipeline needs.
   *
-  * The decode step is a clearly-marked DETERMINISTIC STUB — this container
-  * has no image/audio codecs — but everything Spark-side is real: the
-  * schema, the binary payload, the partition-wise batch iteration
-  * (`mapPartitions` over a typed Dataset — the Scala analog of
-  * `mapInPandas` batches), and the feature-vector shape. Swapping the stub
-  * body for a real JNI/ffmpeg decoder changes no plumbing.
+  * Image decode/scale/re-encode is REAL via `javax.imageio` (JDK-only —
+  * PNG/JPEG/GIF/BMP in any JVM, no native deps): payloads that decode are
+  * resized through a bilinear `Graphics2D` kernel and re-encoded. Payloads
+  * no registered reader accepts (audio/video — no JDK codec exists) fall
+  * back to a clearly-labelled deterministic byte-stride stand-in, so the
+  * partition-streaming plumbing (`mapPartitions` over a typed Dataset — the
+  * Scala analog of `mapInPandas` batches) stays exercised end-to-end for
+  * every media type. Swapping the fallback for an ffmpeg JNI kernel
+  * changes no plumbing.
   */
 object Multimodal {
+
+  /** Decodes `bytes` if some registered ImageIO reader accepts them.
+    * `setUseCache(false)` keeps decode in-memory — the default spills
+    * through a temp FILE per call, pathological inside an executor loop.
+    */
+  private def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException => None }
+  }
 
   /** One media row: id + opaque payload + typed metadata. */
   final case class MediaRow(
@@ -45,51 +58,101 @@ object Multimodal {
       (col("n_chars") % 480).cast("int").as("height"))
 
   /** Partition-wise feature extraction over the binary column. Batches
-    * stream through each partition once (constant memory); the decoder is
-    * a STUB: a real implementation would decode `content` with an image
-    * library here — the fake derives a 4-float feature deterministically
-    * from the payload bytes so plumbing and tests are end-to-end real.
+    * stream through each partition once (constant memory). Payloads that
+    * decode as images yield REAL pixel features (width, height, mean
+    * luma, luma variance — the cheap filter signals an image-curation
+    * pipeline keys on); anything else gets the labelled byte-moment
+    * FALLBACK so the plumbing runs end-to-end for every media type.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        // STUB DECODER — replace with a real codec (e.g. javax.imageio /
-        // ffmpeg JNI). Deterministic fake: byte-sum / length moments.
         val bytes = r.content
-        val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
-        val feature = Array(
-          bytes.length.toFloat,
-          (sum.toDouble / math.max(bytes.length, 1)).toFloat,
-          (bytes.headOption.getOrElse(0: Byte) & 0xff).toFloat,
-          (bytes.lastOption.getOrElse(0: Byte) & 0xff).toFloat)
+        val feature = decodeImage(bytes) match {
+          case Some(img) =>
+            // mean/variance of 8-bit luma (ITU-R BT.601 weights)
+            var sum = 0.0; var sq = 0.0
+            val (w, h) = (img.getWidth, img.getHeight)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val luma = 0.299 * ((rgb >> 16) & 0xff) +
+                  0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                sum += luma; sq += luma * luma
+                x += 1
+              }
+              y += 1
+            }
+            val n = math.max(w.toLong * h, 1L).toDouble
+            val mean = sum / n
+            Array(w.toFloat, h.toFloat, mean.toFloat, (sq / n - mean * mean).toFloat)
+          case None =>
+            // FALLBACK (non-image payloads): byte-sum / length moments
+            val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+            Array(
+              bytes.length.toFloat,
+              (sum.toDouble / math.max(bytes.length, 1)).toFloat,
+              (bytes.headOption.getOrElse(0: Byte) & 0xff).toFloat,
+              (bytes.lastOption.getOrElse(0: Byte) & 0xff).toFloat)
+        }
         MediaFeatures(r.doc_id, r.media_type, bytes.length.toLong, feature)
       }
     }
   }
 
-  /** Partition-wise media resize. The pixel work is a STUB (no codecs in
-    * this container): metadata is rescaled for real, and the payload is
-    * deterministically downsampled by byte-striding — the stand-in for a
-    * decode→scale→re-encode kernel. Swapping the stub body for a real
-    * scaler changes no plumbing: same typed Dataset in/out, same
-    * partition-streaming batch shape, constant memory per partition.
+  /** Partition-wise media resize: decode → bilinear scale so the longest
+    * side is `maxDim` → re-encode as PNG, all with JDK `javax.imageio` /
+    * `Graphics2D` (real pixels, no native deps). Constant memory per
+    * partition: rows stream one at a time, each image living only for its
+    * own decode-scale-encode. Metadata (width/height) is corrected from
+    * the DECODED image — the declared struct can lie, the pixels can't.
+    *
+    * Payloads no ImageIO reader accepts (audio/video) take the labelled
+    * FALLBACK: metadata rescaled for real, payload deterministically
+    * byte-strided — the stand-in for an ffmpeg kernel this JVM lacks.
     */
   def resize(media: Dataset[MediaRow], maxDim: Int = 256): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
+    require(maxDim > 0, s"maxDim must be positive: $maxDim")
     media.mapPartitions { rows =>
       rows.map { r =>
-        val longest = math.max(math.max(r.width, r.height), 1)
-        val scale = math.min(1.0, maxDim.toDouble / longest)
-        // STUB SCALER — a real implementation decodes r.content, scales,
-        // re-encodes. Deterministic fake: stride the payload by 1/scale.
-        val stride = math.max(1, math.round(1.0 / math.max(scale, 1e-9)).toInt)
-        val content =
-          if (stride == 1) r.content
-          else r.content.indices.collect { case i if i % stride == 0 => r.content(i) }.toArray
-        MediaRow(r.doc_id, r.media_type, content,
-          math.max(1, math.round(r.width * scale).toInt),
-          math.max(1, math.round(r.height * scale).toInt))
+        decodeImage(r.content) match {
+          case Some(img) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            val scale = math.min(1.0, maxDim.toDouble / math.max(math.max(w, h), 1))
+            if (scale >= 1.0) r.copy(width = w, height = h) // already small enough
+            else {
+              val nw = math.max(1, math.round(w * scale).toInt)
+              val nh = math.max(1, math.round(h * scale).toInt)
+              val kind =
+                if (img.getColorModel.hasAlpha) java.awt.image.BufferedImage.TYPE_INT_ARGB
+                else java.awt.image.BufferedImage.TYPE_INT_RGB
+              val out = new java.awt.image.BufferedImage(nw, nh, kind)
+              val g = out.createGraphics()
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, nw, nh, null)
+              g.dispose()
+              val buf = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", buf)
+              MediaRow(r.doc_id, "image/png", buf.toByteArray, nw, nh)
+            }
+          case None =>
+            // FALLBACK (non-image payloads — no JDK codec): stride the
+            // payload by 1/scale, rescale metadata
+            val longest = math.max(math.max(r.width, r.height), 1)
+            val scale = math.min(1.0, maxDim.toDouble / longest)
+            val stride = math.max(1, math.round(1.0 / math.max(scale, 1e-9)).toInt)
+            val content =
+              if (stride == 1) r.content
+              else r.content.indices.collect { case i if i % stride == 0 => r.content(i) }.toArray
+            MediaRow(r.doc_id, r.media_type, content,
+              math.max(1, math.round(r.width * scale).toInt),
+              math.max(1, math.round(r.height * scale).toInt))
+        }
       }
     }
   }

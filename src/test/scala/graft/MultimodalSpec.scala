@@ -41,6 +41,57 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(r => r.doc_id -> r.content.toSeq).toMap === again)
   }
 
+  /** A real encoded PNG (gradient, so scaling has pixels to interpolate). */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 255 / w) << 16) | ((y * 255 / h) << 8) | 0x40)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  test("resize really decodes, scales and re-encodes image payloads") {
+    import spark.implicits._
+    val rows = Seq(
+      MediaRow(1L, "image/png", pngBytes(640, 480), 640, 480),
+      MediaRow(2L, "image/png", pngBytes(64, 48), 64, 48), // already under maxDim
+      MediaRow(3L, "audio/fake", Array.tabulate(1000)(_.toByte), 0, 0)) // no JDK codec
+    val out = Multimodal.resize(rows.toDS(), maxDim = 100)
+      .collect().map(r => r.doc_id -> r).toMap
+
+    // 640x480 → 100x75, and the OUTPUT payload is a decodable PNG of
+    // exactly those pixel dimensions (the metadata can't lie: re-decode)
+    val big = out(1L)
+    assert((big.width, big.height) === (100, 75))
+    assert(big.media_type === "image/png")
+    val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(big.content))
+    assert((decoded.getWidth, decoded.getHeight) === (100, 75))
+
+    // under-the-cap image passes through untouched (payload preserved)
+    assert(out(2L).content.toSeq === pngBytes(64, 48).toSeq)
+    assert((out(2L).width, out(2L).height) === (64, 48))
+
+    // non-image payload takes the labelled fallback and still flows
+    assert(out(3L).content.nonEmpty)
+  }
+
+  test("extractFeatures emits real pixel features for decodable images") {
+    import spark.implicits._
+    val solid = { // uniform mid-gray → luma mean 128±1, variance ~0
+      val img = new java.awt.image.BufferedImage(32, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics(); g.setColor(new java.awt.Color(128, 128, 128))
+      g.fillRect(0, 0, 32, 16); g.dispose()
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf); buf.toByteArray
+    }
+    val f = Multimodal.extractFeatures(
+      Seq(MediaRow(7L, "image/png", solid, 32, 16)).toDS()).head()
+    assert(f.feature(0) === 32.0f && f.feature(1) === 16.0f)
+    assert(math.abs(f.feature(2) - 128.0f) <= 1.0f)
+    assert(f.feature(3) <= 1.0f)
+  }
+
   test("frameSample explodes every Nth frame index") {
     val frames = Multimodal.frameSample(media.limit(5), everyN = 100)
     assert(frames.count() >= 5) // at least frame 0 per doc
