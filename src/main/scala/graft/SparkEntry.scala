@@ -237,6 +237,10 @@ object SparkEntry {
       Dedup.ngramContainment(cat(s, dir).table("documents"), minContainment = 0.5)
         .orderBy("doc_a", "doc_b")),
 
+    "ngram_scores" -> ((s, dir) =>
+      Dedup.ngramScores(cat(s, dir).table("documents"), minContainment = 0.5)
+        .orderBy("doc_a", "doc_b")),
+
     "dedup_groups" -> ((s, dir) =>
       Dedup.dedupGroups(Dedup.minhashPairs(cat(s, dir).table("documents")))
         .orderBy("doc_id")),
@@ -938,6 +942,31 @@ object SparkEntry {
            inter / least(a.n_sh, b.n_sh) AS containment
          FROM pr JOIN sz a ON a.doc_id = doc_a JOIN sz b ON b.doc_id = doc_b
          WHERE inter / least(a.n_sh, b.n_sh) >= 0.5 ORDER BY doc_a, doc_b""",
+
+    "ngram_scores" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+         FROM documents),
+         sh AS (SELECT doc_id,
+           list_distinct(CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' '))
+             ELSE [] END) AS s
+         FROM t),
+         ex AS (SELECT doc_id, unnest(list_transform(s,
+             x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS sg
+           FROM sh WHERE len(s) > 0),
+         rare AS (SELECT sg FROM ex GROUP BY sg HAVING count(*) <= 100),
+         kept AS (SELECT ex.doc_id, ex.sg FROM ex JOIN rare USING (sg)),
+         sz AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+         pr AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+         FROM kept x JOIN kept y ON x.sg = y.sg AND x.doc_id < y.doc_id GROUP BY 1, 2)
+         SELECT doc_a, doc_b, inter, a.n_sh AS na, b.n_sh AS nb,
+           inter / (a.n_sh + b.n_sh - inter) AS jaccard,
+           inter / least(a.n_sh, b.n_sh) AS containment
+         FROM pr JOIN sz a ON a.doc_id = doc_a JOIN sz b ON b.doc_id = doc_b
+         WHERE inter / (a.n_sh + b.n_sh - inter) >= 0.3
+            OR inter / least(a.n_sh, b.n_sh) >= 0.5 ORDER BY doc_a, doc_b""",
 
     "dedup_groups" ->
       """WITH RECURSIVE t AS (SELECT doc_id,

@@ -245,8 +245,35 @@ object Dedup {
           col("na"), col("nb"), col("containment"))
     }
 
+  /** Both n-gram scores — Jaccard AND containment — from ONE inverted-index
+    * pass: a pipeline that wants both (symmetric near-dups + embedded-doc
+    * detection is the standard pairing) pays one explode / DF-cap /
+    * self-join instead of two. Standalone, [[ngramJaccard]] +
+    * [[ngramContainment]] each rebuild the index (~3 s apiece at sf0.1 —
+    * at corpus scale the duplicated work is the whole operator); here the
+    * counted pair frame is scored twice for free. A pair survives if it
+    * clears EITHER threshold; which one(s) it cleared is readable off the
+    * score columns.
+    */
+  def ngramScores(
+      docs: DataFrame,
+      n: Int = 3,
+      minJaccard: Double = 0.3,
+      minContainment: Double = 0.6,
+      maxDf: Int = 100): DataFrame =
+    ngramScoredPairs(docs, n, maxDf) { counted =>
+      counted
+        .withColumn("uni", col("na") + col("nb") - col("inter"))
+        .withColumn("jaccard", col("inter") / col("uni"))
+        .withColumn("containment", col("inter") / least(col("na"), col("nb")))
+        .where(col("jaccard") >= minJaccard || col("containment") >= minContainment)
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          col("na"), col("nb"), col("jaccard"), col("containment"))
+    }
+
   /** Shared inverted-index pair machinery for [[ngramJaccard]] /
-    * [[ngramContainment]]: explode to (doc_id, 60-bit shingle hash), drop
+    * [[ngramContainment]] / [[ngramScores]]: explode to (doc_id, 60-bit
+    * shingle hash), drop
     * shingles appearing in more than `maxDf` docs, self-join on the
     * shingle, count shared shingles and attach both doc sizes. `score`
     * turns the counted frame (doc_a, doc_b, inter, na, nb) into the final

@@ -83,6 +83,23 @@ class DedupSpec extends SparkSpec {
     assert(j === 0)
   }
 
+  test("ngramScores single pass reproduces both standalone scorers") {
+    val both = Dedup.ngramScores(docs, minJaccard = 0.3, minContainment = 0.5)
+    val j = Dedup.ngramJaccard(docs, minJaccard = 0.3)
+    val c = Dedup.ngramContainment(docs, minContainment = 0.5)
+
+    // every standalone hit appears in the dual pass with the same score
+    val missJ = j.select("doc_a", "doc_b", "jaccard")
+      .except(both.select("doc_a", "doc_b", "jaccard")).count()
+    val missC = c.select("doc_a", "doc_b", "containment")
+      .except(both.select("doc_a", "doc_b", "containment")).count()
+    assert(missJ === 0 && missC === 0)
+    // and nothing beyond the union of the two survives
+    val extra = both.select("doc_a", "doc_b")
+      .except(j.select("doc_a", "doc_b").union(c.select("doc_a", "doc_b"))).count()
+    assert(extra === 0)
+  }
+
   test("dupSpans finds a shared passage at the right offsets, ignores within-doc repeats") {
     import spark.implicits._
     val passage = (1 to 20).map(i => s"shared$i").mkString(" ")
