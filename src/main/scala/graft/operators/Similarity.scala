@@ -493,6 +493,77 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
 
+  /** Trained IVF codebook: full-dimension k-means (Lloyd) on a driver-side
+    * sample of the NORMALIZED corpus, returned as the (cell_id, centroid)
+    * pairs [[annIvf]]/[[semanticDedup]]/[[clusterSample]] accept — the
+    * trained alternative to the deterministic every-Nth-vector sample,
+    * feeding the IDENTICAL literal-codebook plan (swap the literals,
+    * nothing downstream moves — the [[trainPqCodebook]] pattern at the
+    * whole-vector level). Trained centroids sit at cluster means instead
+    * of arbitrary corpus points, so cells are tighter and a query's
+    * nearest neighbors land in its probe cells more often — measured
+    * recall lift in SimilaritySpec `measured recall@10`.
+    *
+    * Deterministic end to end, same discipline as [[trainPqCodebook]]:
+    * sample = the `sampleN` lowest vec_ids (per-partition top-N, not a
+    * corpus sort), init = first k distinct sampled vectors, empty clusters
+    * keep their previous centroid, exact driver-side Lloyd arithmetic
+    * (sampleN × k × dim flops per pass). Cell ids are the codebook indices
+    * 0..k-1 (synthetic — trained centroids correspond to no corpus row).
+    */
+  def trainIvfCodebook(
+      emb: DataFrame,
+      k: Int = 64,
+      sampleN: Int = 10000,
+      iters: Int = 10): Array[(Long, Array[Double])] = {
+    require(k > 0, s"k must be positive: $k")
+    val sample: Array[Array[Double]] = normalized(emb)
+      .orderBy(col("vec_id")).limit(sampleN)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    if (sample.isEmpty) return Array.empty
+    val dim = sample.head.length
+    var cents = sample.map(_.toSeq).distinct.take(k).map(_.toArray)
+    val kk = cents.length // fewer distinct sample points than k ⇒ fewer cells
+    for (_ <- 0 until iters) {
+      val sums = Array.ofDim[Double](kk, dim)
+      val counts = new Array[Long](kk)
+      sample.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var ci = 0
+        while (ci < kk) {
+          var acc = 0.0; var d = 0
+          while (d < dim) { val df = p(d) - cents(ci)(d); acc += df * df; d += 1 }
+          if (acc < bestD) { bestD = acc; best = ci }
+          ci += 1
+        }
+        counts(best) += 1
+        var d = 0
+        while (d < dim) { sums(best)(d) += p(d); d += 1 }
+      }
+      cents = Array.tabulate(kk)(ci =>
+        if (counts(ci) == 0) cents(ci)
+        else Array.tabulate(dim)(d => sums(ci)(d) / counts(ci)))
+    }
+    cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+  }
+
+  /** Codebook resolution shared by the IVF family: an explicit (trained)
+    * codebook wins; otherwise the deterministic every-Nth-vector sample.
+    * Norms are computed here so callers hand over bare (id, vector) pairs.
+    */
+  private def resolveCentroids(
+      e: DataFrame, centEvery: Int, maxCents: Int,
+      codebook: Option[Array[(Long, Array[Double])]]): Array[(Long, Array[Double], Double)] =
+    codebook match {
+      case Some(cb) =>
+        cb.map { case (id, v) =>
+          val n = math.sqrt(v.map(x => x * x).sum)
+          require(n > 0, s"zero-norm codebook centroid $id")
+          (id, v, n)
+        }
+      case None => sampleCentroids(e, centEvery, maxCents)
+    }
+
   /** Cosine to every codebook centroid as one literal-array expression —
     * cell id = array index (cent_id order). Map-side, inside whole-stage
     * codegen; the per-row cost is nc × dim fused multiply-adds.
@@ -550,10 +621,11 @@ object Similarity {
       perCell: Int = 8,
       centEvery: Int = 40,
       maxCents: Int = 256,
-      salt: String = "cs"): DataFrame = {
+      salt: String = "cs",
+      codebook: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = normalized(emb)
-    val cents = sampleCentroids(e, centEvery, maxCents)
+    val cents = resolveCentroids(e, centEvery, maxCents, codebook)
     if (cents.isEmpty)
       return e.select(col("vec_id"), lit(-1L).as("cell_id"), lit(0L).as("pick"))
         .where(lit(false))
@@ -570,9 +642,10 @@ object Similarity {
       emb: DataFrame,
       threshold: Double = 0.4,
       centEvery: Int = 40,
-      maxCents: Int = 256): DataFrame = {
+      maxCents: Int = 256,
+      codebook: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
     val e = normalized(emb)
-    val cents = sampleCentroids(e, centEvery, maxCents)
+    val cents = resolveCentroids(e, centEvery, maxCents, codebook)
     if (cents.isEmpty)
       return e.select(col("vec_id"), lit(-1L).as("cell_id"),
         lit(false).as("is_dup"), lit(null).cast("long").as("dup_of")).where(lit(false))
@@ -596,11 +669,12 @@ object Similarity {
       k: Int = 10,
       centEvery: Int = 40,
       nprobe: Int = 1,
-      maxCents: Int = 256): DataFrame = {
+      maxCents: Int = 256,
+      codebook: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val e = normalized(emb)
-    val cents = sampleCentroids(e, centEvery, maxCents)
+    val cents = resolveCentroids(e, centEvery, maxCents, codebook)
     if (cents.isEmpty)
       // empty corpus (or nothing matched the sampling rule): empty result
       // with the contract schema, no throw

@@ -55,8 +55,16 @@ class SimilaritySpec extends SparkSpec {
     val pqDefault = recall(Similarity.pqSearch(emb, qf, kNN = 10))
     val trained = Similarity.trainPqCodebook(emb)
     val pqTrained = recall(Similarity.pqSearch(emb, qf, kNN = 10, codebook = Some(trained)))
+    // trained IVF codebook with the same cell count the sampled path
+    // yields at this SF (500 vectors, vec_id % 40 == 1 ⇒ 13 centroids),
+    // so the comparison is apples to apples
+    val nCells = Similarity.trainIvfCodebook(emb, k = 13)
+    val ivfTrained = recall(Similarity.annIvf(emb, qf, k = 10, codebook = Some(nCells)))
+    val ivfTrained3 = recall(
+      Similarity.annIvf(emb, qf, k = 10, nprobe = 3, codebook = Some(nCells)))
     info(f"recall@10 — lsh: $lsh1%.3f, lsh probe3: $lsh2%.3f, " +
       f"ivf: $ivf1%.3f, ivf probe3: $ivf2%.3f, " +
+      f"ivf trained: $ivfTrained%.3f, trained probe3: $ivfTrained3%.3f, " +
       f"pq-adc default: $pqDefault%.3f, trained: $pqTrained%.3f")
     // multi-probe must not lose recall, and should find something extra here
     assert(lsh2 >= lsh1 && ivf2 >= ivf1)
@@ -64,6 +72,10 @@ class SimilaritySpec extends SparkSpec {
     // the k-means codebook must beat the md5-random one it replaces — the
     // measured justification for trainPqCodebook existing at all
     assert(pqTrained > pqDefault, s"trained $pqTrained vs default $pqDefault")
+    // k-means cells must not LOSE recall vs arbitrary corpus-point cells
+    // at matched cell count (and multi-probe composes with them)
+    assert(ivfTrained >= ivf1, s"trained IVF $ivfTrained vs sampled $ivf1")
+    assert(ivfTrained3 >= ivfTrained)
   }
 
   test("annLsh results are a subset of brute-force scoring, same bucket only") {
