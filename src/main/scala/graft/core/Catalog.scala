@@ -8,14 +8,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the analog of the reference's FK-introspection queries
   * (reference: xdump/postgresql.py:19 `BASE_RELATIONS_QUERY`,
   * xdump/sqlite.py:67 `PRAGMA foreign_key_list`).
+  *
+  * Composite FKs carry their trailing key parts in `moreColumns` (in
+  * KEY_SEQ order); the closure then semi-joins on the WHOLE key tuple, so
+  * the pull is exact — the reference's FK metadata is single-column only
+  * (postgresql.py:19 joins on one attnum), so anything beyond `column` is
+  * parity-plus.
   */
 final case class ForeignKey(
     table: String,
     column: String,
     foreignTable: String,
-    foreignColumn: String) {
+    foreignColumn: String,
+    moreColumns: Seq[(String, String)] = Nil) {
   /** Self-referencing FK (employee→manager style). */
   def isRecursive: Boolean = table == foreignTable
+
+  /** All (column, foreignColumn) key parts, leading column first. */
+  def columnPairs: Seq[(String, String)] = (column, foreignColumn) +: moreColumns
 }
 
 /** A named set of tables plus relational metadata (primary keys, foreign

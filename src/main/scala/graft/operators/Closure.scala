@@ -126,13 +126,22 @@ object Closure {
 
   /** One FK pull: rows of `foreignTable` referenced by `source` —
     * `SELECT * FROM f WHERE fcol IN (SELECT col FROM source)` as a semi-join
-    * (xdump/base.py:154).
+    * (xdump/base.py:154). Composite FKs semi-join on the whole key tuple
+    * (exact, not the first-column superset); per SQL MATCH SIMPLE, a source
+    * row with ANY null key part references nothing and is dropped from the
+    * key set.
     */
-  def pull(foreignTable: DataFrame, source: DataFrame, fk: ForeignKey): DataFrame =
-    foreignTable.join(
-      source.select(col(fk.column).alias("__graft_key")).where(col("__graft_key").isNotNull),
-      foreignTable(fk.foreignColumn) === col("__graft_key"),
+  def pull(foreignTable: DataFrame, source: DataFrame, fk: ForeignKey): DataFrame = {
+    val pairs = fk.columnPairs
+    val keys = source
+      .select(pairs.zipWithIndex.map { case ((c, _), i) => col(c).alias(s"__graft_key_$i") }: _*)
+      .where(pairs.indices.map(i => col(s"__graft_key_$i").isNotNull).reduce(_ && _))
+    foreignTable.join(keys,
+      pairs.zipWithIndex.map { case ((_, f), i) =>
+        foreignTable(f) === col(s"__graft_key_$i")
+      }.reduce(_ && _),
       "left_semi")
+  }
 
   /** Transitive closure along a self-FK (xdump/base.py:253
     * `RECURSIVE_QUERY_TEMPLATE`): seed rows plus every ancestor reachable by
@@ -165,11 +174,18 @@ object Closure {
     var depth = 0
     var converged = false
     while (!converged && depth < maxDepth) {
-      // Parents of the frontier...
-      val parents = table.join(
-        frontier.select(col(fk.column).alias("__graft_key"))
-          .where(col("__graft_key").isNotNull).distinct(),
-        table(fk.foreignColumn) === col("__graft_key"),
+      // Parents of the frontier (whole key tuple for composite self-FKs,
+      // same MATCH SIMPLE null rule as `pull`)...
+      val pairs = fk.columnPairs
+      val frontierKeys = frontier
+        .select(pairs.zipWithIndex.map { case ((c, _), i) =>
+          col(c).alias(s"__graft_key_$i") }: _*)
+        .where(pairs.indices.map(i => col(s"__graft_key_$i").isNotNull).reduce(_ && _))
+        .distinct()
+      val parents = table.join(frontierKeys,
+        pairs.zipWithIndex.map { case ((_, f), i) =>
+          table(f) === col(s"__graft_key_$i")
+        }.reduce(_ && _),
         "left_semi")
       // ...minus rows already accumulated (semi-naive delta). Aliased key
       // columns avoid self-join ambiguity (both sides share lineage).

@@ -109,7 +109,8 @@ object Dump {
       val fks = catalog.foreignKeys
         .filter(fk => fk.table == t && inSet(fk.foreignTable))
         .map(fk => s"ALTER TABLE $t ADD CONSTRAINT ${t}_${fk.column}_fk " +
-          s"FOREIGN KEY (${fk.column}) REFERENCES ${fk.foreignTable} (${fk.foreignColumn});")
+          s"FOREIGN KEY (${fk.columnPairs.map(_._1).mkString(", ")}) " +
+          s"REFERENCES ${fk.foreignTable} (${fk.columnPairs.map(_._2).mkString(", ")});")
       writeText(catalog.spark, s"$path/schema/$t.sql",
         (Seq(create) ++ pk ++ fks).mkString("\n"))
     }

@@ -39,10 +39,10 @@ final case class JdbcConfig(
   * `java.sql.DatabaseMetaData` instead of per-engine SQL.
   *
   * @param tables           bare table names (unique across schemas, enforced)
-  * @param foreignKeys      single-column FK edges; of a composite FK only the
-  *                         first column is kept — pulling on it selects a
-  *                         superset of the referenced rows, so the dump stays
-  *                         referentially closed (just not minimal)
+  * @param foreignKeys      FK edges; composite FKs carry every key part (in
+  *                         KEY_SEQ order — leading column + `moreColumns`),
+  *                         so closure pulls semi-join on the whole key tuple
+  *                         and select exactly the referenced rows
   * @param primaryKeys      PK columns in KEY_SEQ order
   * @param qualifiedNames   table → "SCHEMA.TABLE" as the server resolves it
   * @param partitionColumns tables whose first PK column is numeric — the
@@ -340,12 +340,24 @@ object Jdbc {
       // out-of-scope parent is by definition not part of this dump.
       val nameSet = names.toSet
       val fks = tabs.flatMap { case (sc, t) =>
-        rows(md.getImportedKeys(null, sc.orNull, t))(r =>
-          (r.getShort("KEY_SEQ"), ForeignKey(
+        val parts = rows(md.getImportedKeys(null, sc.orNull, t))(r =>
+          (r.getShort("KEY_SEQ").toInt,
             r.getString("FKTABLE_NAME"), r.getString("FKCOLUMN_NAME"),
-            r.getString("PKTABLE_NAME"), r.getString("PKCOLUMN_NAME"))))
-          .filter(_._1 == 1).map(_._2) // composite FK: keep the first column (see DbMeta)
-          .filter(fk => nameSet(fk.foreignTable))
+            r.getString("PKTABLE_NAME"), r.getString("PKCOLUMN_NAME")))
+        // getImportedKeys emits each constraint's parts consecutively with
+        // KEY_SEQ ascending; KEY_SEQ 1 starts a new constraint. Splitting
+        // on that is driver-portable — FK_NAME is nullable in several
+        // drivers, so grouping on it would merge anonymous constraints.
+        val grouped = parts.foldLeft(Vector.empty[Vector[(Int, String, String, String, String)]]) {
+          case (acc, p) if p._1 == 1 || acc.isEmpty => acc :+ Vector(p)
+          case (acc, p)                             => acc.init :+ (acc.last :+ p)
+        }
+        grouped.map { g =>
+          val sorted = g.sortBy(_._1)
+          val head = sorted.head
+          ForeignKey(head._2, head._3, head._4, head._5,
+            sorted.tail.map(p => (p._3, p._5)))
+        }.filter(fk => nameSet(fk.foreignTable))
       }
 
       val numeric = Set(java.sql.Types.TINYINT, java.sql.Types.SMALLINT,

@@ -309,6 +309,56 @@ class JdbcCatalogSpec extends SparkSpec {
       .select("E_ID").collect().map(_.getInt(0)).sorted === Seq(1, 2, 3, 4))
   }
 
+  test("composite FK introspects whole-key and closes exactly, not as a superset") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jdbc_comp").toString
+    val db = s"$tmp/src"
+    Class.forName(DerbyDriver)
+    val conn = DriverManager.getConnection(s"jdbc:derby:$db;create=true", "app", "app")
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE DIM (D_A INT NOT NULL, D_B INT NOT NULL, " +
+        "D_NAME VARCHAR(32), PRIMARY KEY (D_A, D_B))")
+      st.execute("CREATE TABLE FACT (F_ID INT PRIMARY KEY, F_A INT, F_B INT, " +
+        "FOREIGN KEY (F_A, F_B) REFERENCES DIM (D_A, D_B))")
+      st.execute("INSERT INTO DIM VALUES (1, 1, 'aa'), (1, 2, 'ab'), (2, 1, 'ba'), (2, 2, 'bb')")
+      // fact 3 has a half-null key: per MATCH SIMPLE it references nothing
+      st.execute("INSERT INTO FACT VALUES (1, 1, 1), (2, 2, 2), (3, 1, NULL)")
+      st.close()
+    } finally conn.close()
+
+    val cat = Catalog.jdbc(spark, cfgFor(db))
+    // both key parts introspected, KEY_SEQ order
+    assert(cat.foreignKeys === Seq(
+      ForeignKey("FACT", "F_A", "DIM", "D_A", Seq(("F_B", "D_B")))))
+
+    // seed = facts 1 and 3 → referenced dims = {(1,1)} ONLY: a
+    // first-column pull would also drag (1,2) in; the half-null key of
+    // fact 3 must pull nothing at all
+    val dump = s"$tmp/dump"
+    Dump.write(cat, DumpSpec(
+      partialTables = Map("FACT" -> cat.table("FACT").where(col("F_ID") =!= 2))), dump)
+    val dims = spark.read.parquet(s"$dump/data/DIM")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sorted
+    assert(dims === Seq((1, 1)), s"expected exact closure, got ${dims.mkString(", ")}")
+
+    // the dumped constraint DDL carries the whole key, and a recreate load
+    // into an empty database restores + enforces it
+    val db2 = s"$tmp/empty"
+    DriverManager.getConnection(s"jdbc:derby:$db2;create=true", "app", "app").close()
+    Dump.loadIntoJdbc(spark, dump, cfgFor(db2), cleanup = Some("recreate"))
+    val meta = Jdbc.introspect(cfgFor(db2), schema = Some("APP"))
+    assert(meta.foreignKeys === Seq(
+      ForeignKey("FACT", "F_A", "DIM", "D_A", Seq(("F_B", "D_B")))))
+    val c2 = DriverManager.getConnection(s"jdbc:derby:$db2", "app", "app")
+    try {
+      val st = c2.createStatement()
+      intercept[java.sql.SQLException] {
+        st.execute("INSERT INTO FACT VALUES (99, 1, 2)") // (1,2) not in the dump
+      }
+      st.close()
+    } finally c2.close()
+  }
+
   test("introspection restricted to an explicit schema") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_jdbc_schema").toString
     val db = s"$tmp/src"
