@@ -37,6 +37,16 @@ object Temporal {
       keyCol: String,
       tsCol: String,
       payloadCols: Seq[String]): DataFrame = {
+    // the result is left.columns ++ payloadCols under their bare names —
+    // an overlap would silently emit duplicate/clobbered columns
+    val clash = payloadCols.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty,
+      s"payload column(s) ${clash.mkString(", ")} collide with left columns; " +
+        s"alias them on the right side first")
+    val internal = Set("__side", "__payload", "__match")
+    val taken = (left.columns ++ right.columns).toSet.intersect(internal)
+    require(taken.isEmpty, s"column(s) ${taken.mkString(", ")} collide with " +
+      s"asofJoin's internal names; rename them first")
     val payload = struct(payloadCols.map(col): _*)
     val leftCols = left.columns
     val l = left.withColumn("__side", lit(1))

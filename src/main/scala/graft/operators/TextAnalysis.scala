@@ -236,15 +236,18 @@ object TextAnalysis {
       .select(col("doc_id"), col("s.n_tokens"), col("s.distinct_token_ratio"),
         col("s.dup_3gram_ratio"), col("s.top_token_ratio"))
 
-  /** The Gopher quality-filter battery (Rae et al. '21 §A1.1) — the
-    * canonical rule set corpus pipelines apply verbatim: word-count
-    * bounds, mean-word-length bounds, minimum alphabetic-word fraction,
-    * minimum distinct-stopword count, and the line-shape rules (bullet /
-    * ellipsis line fractions, which flag listicles and truncated
-    * scrapes). Emits every metric plus the composed `passes_gopher`
-    * verdict so thresholds stay auditable. One map-side pass; the token
-    * and line arrays are each let-bound; the word-length sum is an exact
-    * integer fold, so every ratio is bit-reproducible.
+  /** Gopher-STYLE quality-filter battery (after Rae et al. '21 §A1.1):
+    * word-count bounds, mean-word-length bounds, minimum alphabetic-word
+    * fraction, minimum distinct-stopword count, and the line-shape rules
+    * (bullet / ellipsis line fractions, which flag listicles and
+    * truncated scrapes). Deliberate deviations from the paper: the
+    * distinct-stopword rule uses this repo's shared 10-word `EnStop` list
+    * rather than Gopher's 8 (the/be/to/of/and/that/have/with), and the
+    * symbol-to-word-ratio rule (#/… density) is not implemented — tune
+    * thresholds accordingly. Emits every metric plus the composed
+    * `passes_gopher` verdict so thresholds stay auditable. One map-side
+    * pass; the token and line arrays are each let-bound; the word-length
+    * sum is an exact integer fold, so every ratio is bit-reproducible.
     */
   def gopherQuality(docs: DataFrame): DataFrame =
     docs

@@ -192,9 +192,10 @@ object Dump {
       case "csv" =>
         spark.read.option("header", "true").schema(schema).csv(s"$path/data/$t")
       case "jsonl" =>
-        // a dump's own shards are well-formed by construction; readClean
-        // drops nothing but keeps the contract uniform
-        Jsonl.readClean(spark, s"$path/data/$t", schema)
+        // a dump's own shards are well-formed by construction — a corrupt
+        // line means a truncated/partial shard, and the load must fail
+        // loudly like the csv/parquet paths do, not restore fewer rows
+        Jsonl.readStrict(spark, s"$path/data/$t", schema)
       case _ => spark.read.parquet(s"$path/data/$t")
     }
 

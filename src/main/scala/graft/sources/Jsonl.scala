@@ -34,6 +34,9 @@ object Jsonl {
     * [[CorruptCol]] (null for well-formed rows).
     */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"schema already contains a '$CorruptCol' field — it would collide with " +
+        s"the corrupt-line channel; rename the data column")
     // from_json's own corrupt-record channel: malformed lines parse to a
     // struct whose only non-null field is the raw line.
     val withCorrupt = schema.add(CorruptCol, "string")
@@ -52,6 +55,23 @@ object Jsonl {
   /** The well-formed rows only. */
   def readClean(spark: SparkSession, path: String, schema: StructType): DataFrame =
     read(spark, path, schema).where(col(CorruptCol).isNull).drop(CorruptCol)
+
+  /** Like [[readClean]], but any corrupt line FAILS the job instead of
+    * being dropped — for sources that are well-formed by contract (a
+    * dump's own shards), where a malformed line means a truncated or
+    * partially-written file and silently restoring fewer rows is the
+    * worst outcome. The guard is a filter predicate (never pruned, stays
+    * distributed): `assert_true` raises with the offending line, and the
+    * coalesce-to-true keeps every surviving row.
+    */
+  def readStrict(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    read(spark, path, schema)
+      .where(coalesce(
+        assert_true(col(CorruptCol).isNull,
+          concat(lit(s"corrupt jsonl line in $path: "),
+            substring(col(CorruptCol), 1, 200))).cast("boolean"),
+        lit(true)))
+      .drop(CorruptCol)
 
   /** Write `df` as jsonl shards under `path` (one file per task). */
   def write(df: DataFrame, path: String, compression: String = "gzip"): Unit =

@@ -40,5 +40,28 @@ class JsonlSpec extends SparkSpec {
     assert(clean.count() === 2)
     assert(clean.columns.toSeq === Seq("doc_id", "text"))
     assert(clean.where(col("doc_id").isNull).count() === 0)
+
+    // the strict reader (the dump-load path) FAILS on the same input
+    // instead of silently restoring fewer rows...
+    val e = intercept[Exception] {
+      Jsonl.readStrict(spark, dir, schema).count()
+    }
+    assert(e.getMessage != null)
+    // ...and passes clean input through whole
+    val cleanDir = Files.createTempDirectory("jsonl_ok").toString
+    val w2 = new java.io.PrintWriter(new java.io.File(cleanDir, "part-0.json"))
+    w2.println("""{"doc_id": 1, "text": "a"}""")
+    w2.println("""{"doc_id": 2, "text": "b"}""")
+    w2.close()
+    assert(Jsonl.readStrict(spark, cleanDir, schema).count() === 2)
+  }
+
+  test("a schema already containing corrupt_line is rejected up front") {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add(Jsonl.CorruptCol, "string")
+    val e = intercept[IllegalArgumentException] {
+      Jsonl.read(spark, "/nonexistent", schema)
+    }
+    assert(e.getMessage.contains(Jsonl.CorruptCol))
   }
 }

@@ -27,6 +27,24 @@ class TemporalSpec extends SparkSpec {
     assert(out(5L) === null)  // key absent on the right
   }
 
+  test("asofJoin rejects payload names colliding with left columns") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "u1")).toDF("event_id", "ts", "k")
+    val right = Seq(("u1", 5L, "x")).toDF("k", "ts", "event_id")
+    // payload 'event_id' would silently clobber/duplicate left's event_id
+    val e = intercept[IllegalArgumentException] {
+      Temporal.asofJoin(left, right, "k", "ts", Seq("event_id"))
+    }
+    assert(e.getMessage.contains("event_id"))
+    // internal-name squatting is refused too
+    val withSide = left.withColumn("__side", lit(0))
+    val e2 = intercept[IllegalArgumentException] {
+      Temporal.asofJoin(withSide, right.withColumnRenamed("event_id", "tag"),
+        "k", "ts", Seq("tag"))
+    }
+    assert(e2.getMessage.contains("__side"))
+  }
+
   // events.ts is parquet TIMESTAMP(NANOS); read as epoch-nanos long (the
   // Catalog convention) and normalize to epoch seconds.
   private def eventsSeconds = {
