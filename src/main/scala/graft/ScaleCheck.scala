@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.operators.{Dedup, Similarity}
+
+/** Scaling spot-check for the pair/ANN family (SURVEY §6): times each
+  * operator at several corpus sizes WITH ITS SCALE KNOBS SET the way a
+  * 100 TB deployment would set them, because that is the claim under
+  * test. The per-round Bench entries deliberately pin small-SF parameter
+  * values so the DuckDB oracles can replay them; two of those pins are
+  * fixed-capacity configurations whose cost is quadratic in corpus size
+  * by construction (documented on the operators), so benching THEM at
+  * 10× would measure the pinned configuration, not the plan:
+  *
+  *  - `embedCosineDup`/`annLsh` without `corpusHint` keep 2^planes
+  *    buckets fixed while the corpus grows — bucket size ∝ n, verify
+  *    work ∝ n². `corpusHint` (the deployment knob) grows planes as
+  *    ceil(log₂(n/64)), pinning expected bucket width at ~64.
+  *  - the n-gram family's cost is Σ_shingle df² bounded by the `maxDf`
+  *    cap at maxDf × shingle volume = O(n·maxDf). The synthetic corpus
+  *    draws from a ~31-token vocabulary, so EVERY shingle's df grows ∝ n
+  *    and the cap must be low enough to bite for the bound to engage
+  *    (real corpora are zipfian: the cap amputates the head, the tail is
+  *    df = O(1)). maxDf = 20 here makes the cap the binding constraint
+  *    at every tested size, demonstrating the O(n·maxDf) regime.
+  *
+  * Usage: `runMain graft.ScaleCheck dir1,dir2,...` — each dir holds
+  * documents.parquet + embeddings.parquet (scripts/scale_corpus.py
+  * builds decorrelated K× variants). Prints one JSON line per dir with
+  * per-operator min-of-3 seconds (same full-materialization noop-sink
+  * discipline as Bench).
+  */
+object ScaleCheck {
+
+  def main(args: Array[String]): Unit = {
+    val dirs = args.headOption.getOrElse("/root/testdata/sf0.1").split(",").toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    for (dir <- dirs) {
+      def docs = spark.read.parquet(s"$dir/documents.parquet")
+      def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val nDocs = docs.count()
+      val nEmb = emb.count()
+      // proportional query set (the oracle-checked shape): queries ∝ n, so
+      // total search work is (n/50)·cost-per-query — reports how the WHOLE
+      // pipeline grows if the query side is a corpus fraction
+      val qf = col("vec_id") % 50 === 0
+      // fixed query batch (the deployment shape: a search serves a bounded
+      // query set against a growing corpus) — isolates per-corpus cost.
+      // scale_corpus copy 0 keeps original ids, so this set is identical
+      // at every K.
+      val qfFixed = col("vec_id") % 50 === 0 && col("vec_id") < 2000
+      // production IVF: trained codebook of FIXED k — assignment cost per
+      // row is constant in corpus size (the sampled default grows its
+      // codebook as n/centEvery until maxCents, a quadratic window)
+      val trained = Similarity.trainIvfCodebook(emb, k = 64)
+
+      val ops: Seq[(String, () => DataFrame)] = Seq(
+        "dedup_minhash" -> (() => Dedup.minhashPairs(docs)),
+        "ngram_scores_df20" -> (() => Dedup.ngramScores(docs, maxDf = 20)),
+        "dup_spans" -> (() => Dedup.dupSpans(docs, w = 15, stride = 5)),
+        "dedup_groups" -> (() => Dedup.dedupGroups(Dedup.minhashPairs(docs))),
+        "embed_cosine_dup_hinted" -> (() =>
+          Similarity.embedCosineDup(emb, threshold = 0.4, corpusHint = Some(nEmb))),
+        "ann_lsh_hinted" -> (() =>
+          Similarity.annLsh(emb, qf, k = 10, corpusHint = Some(nEmb))),
+        "ann_ivf" -> (() => Similarity.annIvf(emb, qf, k = 10, centEvery = 40)),
+        "ann_ivf_fixedq_trained64" -> (() =>
+          Similarity.annIvf(emb, qfFixed, k = 10, codebook = Some(trained))),
+        "pq_search" -> (() => Similarity.pqSearch(emb, qf, kNN = 10)),
+        "pq_search_fixedq" -> (() => Similarity.pqSearch(emb, qfFixed, kNN = 10)),
+        "semantic_dedup" -> (() =>
+          Similarity.semanticDedup(emb, threshold = 0.4, centEvery = 40)))
+
+      def once(fn: () => DataFrame): Double = {
+        val t0 = System.nanoTime()
+        fn().write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+
+      val mins = ops.map { case (name, fn) =>
+        once(fn) // warmup
+        name -> (0 until reps).map(_ => once(fn)).min
+      }
+      val qs = mins.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      // one JSON line per dir, Bench-style
+      println(s"""{"dir":"$dir","n_docs":$nDocs,"n_emb":$nEmb,"queries_min":$qs}""")
+    }
+    spark.stop()
+  }
+}
