@@ -31,7 +31,11 @@ import graft.sources.{Dump, DumpSpec}
   * database: FK/PK metadata comes from DatabaseMetaData introspection like
   * the reference's pg_catalog queries; `--fk`/`--pk` only ADD edges, e.g.
   * soft FKs the schema never declared). `--consistent` forces
-  * single-connection table reads — see Jdbc.readTable's snapshot caveat.
+  * single-connection table reads — see Jdbc.readTable's snapshot caveat;
+  * `--consistent-snapshot` (Postgres) is the turnkey one-transaction dump:
+  * a holder connection exports a server snapshot every partitioned read
+  * attaches to, ≙ the reference's REPEATABLE READ dump transaction
+  * (postgresql.py:66–81) with the parallel scan retained.
   */
 object DumpMain {
 
@@ -55,13 +59,16 @@ object DumpMain {
       t -> spark.sql(sql)
     }.toMap
 
-    Dump.write(catalog, DumpSpec(
+    try Dump.write(catalog, DumpSpec(
       fullTables = opts.multi("full", short = "f"),
       partialTables = partial,
       format = opts.value("format").getOrElse("parquet"),
       compression = opts.value("compression", short = "c").getOrElse("snappy"),
       dumpSchema = !opts.flag("no-schema"),
       dumpData = !opts.flag("no-data")), output)
+    // releases the exported-snapshot holder (--consistent-snapshot) once
+    // every dump action has run; no-op for other sources
+    finally catalog.close()
     // Single-file convenience (≙ the reference's zip wire format) for small
     // dumps; the directory stays the scale artifact.
     if (opts.flag("archive")) Dump.archive(spark, output, s"$output.zip")
@@ -139,7 +146,8 @@ object Cli {
       case Some(url) =>
         Catalog.jdbc(spark, jdbcConfig(opts, url),
             schema = opts.value("jdbc-schema"),
-            consistent = opts.flag("consistent"))
+            consistent = opts.flag("consistent"),
+            consistentSnapshot = opts.flag("consistent-snapshot"))
           .withForeignKeys(parseFks(opts): _*)
           .withPrimaryKeys(parsePks(opts).toSeq: _*)
       case None => catalogFor(spark, opts.required("source"), opts)
