@@ -249,4 +249,33 @@ class ChunkSpec extends SparkSpec {
     val cells = res.select("cell_id").distinct().collect().map(_.getLong(0)).toSet
     assert(cells.subsetOf(cents))
   }
+
+  test("semanticDedup and clusterSample accept a trained codebook with intact invariants") {
+    val trained = Similarity.trainIvfCodebook(emb, k = 13)
+    val trainedIds = trained.map(_._1).toSet
+
+    // semanticDedup: cells come from the trained codebook, every marked
+    // pair still clears the exact-cosine threshold, full corpus covered
+    val res = Similarity.semanticDedup(emb, threshold = 0.4, codebook = Some(trained))
+    assert(res.count() === emb.count())
+    assert(res.select("cell_id").distinct().collect()
+      .map(_.getLong(0)).toSet.subsetOf(trainedIds))
+    val exact = Similarity.embedCosineDup(emb, threshold = 0.4, exact = true)
+      .select(col("id_a"), col("id_b"))
+    val marked = res.where(col("is_dup"))
+      .select(col("dup_of").as("id_a"), col("vec_id").as("id_b"))
+    assert(marked.except(exact).count() === 0)
+
+    // clusterSample: same codebook ⇒ same cells as semanticDedup, caps hold
+    val sampled = Similarity.clusterSample(emb, perCell = 8, codebook = Some(trained))
+    assert(sampled.groupBy("cell_id").count().where(col("count") > 8).count() === 0)
+    assert(sampled.select("vec_id", "cell_id")
+      .except(res.select("vec_id", "cell_id")).count() === 0)
+
+    // a zero-norm centroid is rejected at plan time
+    assertThrows[IllegalArgumentException] {
+      Similarity.clusterSample(emb,
+        codebook = Some(Array((0L, Array(0.0, 0.0)))))
+    }
+  }
 }
