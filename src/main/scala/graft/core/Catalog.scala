@@ -139,13 +139,21 @@ object Catalog {
       snapshotProvider: graft.sources.JdbcConfig => graft.sources.SnapshotHolder)
       : Catalog = {
     val holder = if (consistentSnapshot) Some(snapshotProvider(cfg)) else None
-    val effCfg = holder.fold(cfg)(_.config(cfg))
-    val meta = graft.sources.Jdbc.introspect(effCfg, schema)
-    val read = (t: String) => graft.sources.Jdbc.readTable(
-      spark, effCfg, meta.qualifiedNames.getOrElse(t, t),
-      partitionColumn = if (consistent) None else meta.partitionColumns.get(t))
-    new Catalog(spark, effCfg.url, meta.tables, meta.foreignKeys, meta.primaryKeys,
-      Some(read), holder)
+    try {
+      val effCfg = holder.fold(cfg)(_.config(cfg))
+      val meta = graft.sources.Jdbc.introspect(effCfg, schema)
+      val read = (t: String) => graft.sources.Jdbc.readTable(
+        spark, effCfg, meta.qualifiedNames.getOrElse(t, t),
+        partitionColumn = if (consistent) None else meta.partitionColumns.get(t))
+      new Catalog(spark, effCfg.url, meta.tables, meta.foreignKeys, meta.primaryKeys,
+        Some(read), holder)
+    } catch {
+      // introspection failed after the snapshot opened: release the holder
+      // connection rather than leaking its open transaction
+      case e: Throwable =>
+        holder.foreach(h => try h.close() catch { case _: Throwable => () })
+        throw e
+    }
   }
 
   /** The TPC-H-ish test schema (TESTDATA.md) with its natural FK graph. */

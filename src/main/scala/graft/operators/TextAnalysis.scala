@@ -161,6 +161,19 @@ object TextAnalysis {
       idCol: String = "doc_id"): DataFrame =
     docs.where(hexHash(concat(lit(s"$salt|"), col(idCol).cast("string"))) % 100 < pct)
 
+  /** [[hashSample]] at per-mille resolution — for rates the integer
+    * percent can't express (a 0.5 % eval holdout of a 100 TB corpus is
+    * still 500 GB). Same determinism properties. NOTE: a different
+    * modulus means `permille = 10 × pct` keeps a DIFFERENT (same-sized)
+    * subset than `hashSample(pct)` — pick one resolution per pipeline.
+    */
+  def hashSamplePermille(
+      docs: DataFrame, permille: Int = 100, salt: String = "sample",
+      idCol: String = "doc_id"): DataFrame = {
+    require(permille >= 0 && permille <= 1000, s"permille must be in [0, 1000]: $permille")
+    docs.where(hexHash(concat(lit(s"$salt|"), col(idCol).cast("string"))) % 1000 < permille)
+  }
+
   /** Domain-mixture sampling: per-stratum keep rates — the mixing step
     * that turns raw corpus proportions into a target training mix (the
     * Pile/DoReMi-style domain weighting, realized as subsampling). A row
@@ -177,13 +190,29 @@ object TextAnalysis {
       byCol: String = "lang",
       defaultPct: Int = 0,
       salt: String = "mix",
-      idCol: String = "doc_id"): DataFrame = {
-    require((weights.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
-      "stratum percentages must be in [0, 100]")
-    val pct = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      idCol: String = "doc_id"): DataFrame =
+    mixSampleAt(docs, weights, byCol, defaultPct, salt, idCol, outOf = 100)
+
+  /** [[mixSample]] at per-mille resolution (weights in [0, 1000]) — see
+    * the resolution note on [[hashSamplePermille]]. */
+  def mixSamplePermille(
+      docs: DataFrame,
+      weights: Map[String, Int],
+      byCol: String = "lang",
+      defaultPermille: Int = 0,
+      salt: String = "mix",
+      idCol: String = "doc_id"): DataFrame =
+    mixSampleAt(docs, weights, byCol, defaultPermille, salt, idCol, outOf = 1000)
+
+  private def mixSampleAt(
+      docs: DataFrame, weights: Map[String, Int], byCol: String,
+      default: Int, salt: String, idCol: String, outOf: Int): DataFrame = {
+    require((weights.values ++ Seq(default)).forall(p => p >= 0 && p <= outOf),
+      s"stratum rates must be in [0, $outOf]")
+    val rate = weights.toSeq.sortBy(_._1).foldLeft(lit(default)) {
       case (alt, (k, p)) => when(col(byCol) === k, lit(p)).otherwise(alt)
     }
-    docs.where(hexHash(concat(lit(s"$salt|"), col(idCol).cast("string"))) % 100 < pct)
+    docs.where(hexHash(concat(lit(s"$salt|"), col(idCol).cast("string"))) % outOf < rate)
   }
 
   /** Text normalization: lowercase, collapse whitespace runs to single

@@ -93,6 +93,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(res.head.getAs[Long]("n_chars_norm") === 11L)
   }
 
+  test("per-mille sampling expresses sub-percent rates deterministically") {
+    import spark.implicits._
+    val ids = (0L until 20000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    // 0.5% — inexpressible at integer-percent resolution
+    val kept = TextAnalysis.hashSamplePermille(ids, permille = 5)
+    val n = kept.count().toDouble
+    assert(n > 20 && n < 200, s"~0.5% of 20k expected, got $n")
+    // deterministic under repartitioning
+    assert(TextAnalysis.hashSamplePermille(ids.repartition(7), permille = 5)
+      .select("doc_id").except(kept.select("doc_id")).count() === 0)
+    // stratum-conditional per-mille rates: unweighted strata drop
+    val mixed = TextAnalysis.mixSamplePermille(ids, Map("en" -> 5))
+    assert(mixed.where(col("lang") === "de").count() === 0)
+    assert(mixed.count() > 0)
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.hashSamplePermille(ids, permille = 1001)
+    }
+  }
+
   test("unigramLm capped variant matches exact scores on in-vocab tokens") {
     val exact = TextAnalysis.unigramLm(docs)
 
