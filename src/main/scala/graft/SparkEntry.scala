@@ -253,6 +253,12 @@ object SparkEntry {
       TextAnalysis.hashSample(cat(s, dir).table("documents"))
         .select(col("doc_id"), col("lang"), col("source")).orderBy("doc_id")),
 
+    // sub-percent holdout (2.5 permille-resolution) — inexpressible at
+    // integer-percent resolution
+    "sample_permille" -> ((s, dir) =>
+      TextAnalysis.hashSamplePermille(cat(s, dir).table("documents"), permille = 25)
+        .select(col("doc_id"), col("lang"), col("source")).orderBy("doc_id")),
+
     // Target mix: upweight English, keep some German/French, drop the rest
     // — the domain-reweighting pass of a training-mix builder.
     "mix_sample" -> ((s, dir) =>
@@ -1004,6 +1010,11 @@ object SparkEntry {
     "stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents
          WHERE CAST('0x' || substr(md5('sample|' || doc_id::VARCHAR), 1, 15) AS BIGINT) % 100 < 10
+         ORDER BY doc_id""",
+
+    "sample_permille" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE CAST('0x' || substr(md5('sample|' || doc_id::VARCHAR), 1, 15) AS BIGINT) % 1000 < 25
          ORDER BY doc_id""",
 
     "mix_sample" ->
