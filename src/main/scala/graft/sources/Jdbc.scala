@@ -341,18 +341,32 @@ object Jdbc {
       val nameSet = names.toSet
       val fks = tabs.flatMap { case (sc, t) =>
         val parts = rows(md.getImportedKeys(null, sc.orNull, t))(r =>
-          (r.getShort("KEY_SEQ").toInt,
+          (r.getShort("KEY_SEQ").toInt, Option(r.getString("FK_NAME")),
             r.getString("FKTABLE_NAME"), r.getString("FKCOLUMN_NAME"),
             r.getString("PKTABLE_NAME"), r.getString("PKCOLUMN_NAME")))
-        // getImportedKeys emits each constraint's parts consecutively with
-        // KEY_SEQ ascending; KEY_SEQ 1 starts a new constraint. Splitting
-        // on that is driver-portable — FK_NAME is nullable in several
-        // drivers, so grouping on it would merge anonymous constraints.
-        val grouped = parts.foldLeft(Vector.empty[Vector[(Int, String, String, String, String)]]) {
-          case (acc, p) if p._1 == 1 || acc.isEmpty => acc :+ Vector(p)
-          case (acc, p)                             => acc.init :+ (acc.last :+ p)
+        // Constraint grouping: by FK_NAME when the driver provides one
+        // (unique per child table; first-encounter order preserved). The
+        // JDBC result ordering is (PKTABLE, KEY_SEQ) — two composite FKs
+        // into the SAME parent interleave their rows by KEY_SEQ, so a
+        // consecutive-rows split would zip them together. Anonymous
+        // constraints (null FK_NAME, rare) fall back to the KEY_SEQ = 1
+        // boundary, correct whenever their rows arrive consecutively.
+        val named = scala.collection.mutable.LinkedHashMap
+          .empty[String, Vector[(Int, String, String, String, String)]]
+        var anonCur = Vector.empty[(Int, String, String, String, String)]
+        val anon = Vector.newBuilder[Vector[(Int, String, String, String, String)]]
+        parts.foreach { case (seq, name, ft, fc, pt, pc) =>
+          val p = (seq, ft, fc, pt, pc)
+          name match {
+            case Some(nm) =>
+              named.update(nm, named.getOrElse(nm, Vector.empty) :+ p)
+            case None =>
+              if (seq == 1 && anonCur.nonEmpty) { anon += anonCur; anonCur = Vector(p) }
+              else anonCur :+= p
+          }
         }
-        grouped.map { g =>
+        if (anonCur.nonEmpty) anon += anonCur
+        (named.values.toVector ++ anon.result()).map { g =>
           val sorted = g.sortBy(_._1)
           val head = sorted.head
           ForeignKey(head._2, head._3, head._4, head._5,

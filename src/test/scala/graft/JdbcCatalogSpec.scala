@@ -326,10 +326,26 @@ class JdbcCatalogSpec extends SparkSpec {
       st.close()
     } finally conn.close()
 
+    // adversarial grouping case: a second composite FK from the SAME child
+    // into the SAME parent — getImportedKeys orders by (PKTABLE, KEY_SEQ),
+    // interleaving the two constraints' rows; grouping must reassemble
+    // each by FK_NAME, not by row adjacency
+    val conn2 = DriverManager.getConnection(s"jdbc:derby:$db", "app", "app")
+    try {
+      val st = conn2.createStatement()
+      st.execute("ALTER TABLE FACT ADD COLUMN G_A INT")
+      st.execute("ALTER TABLE FACT ADD COLUMN G_B INT")
+      st.execute("ALTER TABLE FACT ADD CONSTRAINT FACT_G_FK " +
+        "FOREIGN KEY (G_A, G_B) REFERENCES DIM (D_A, D_B)")
+      st.close()
+    } finally conn2.close()
+
     val cat = Catalog.jdbc(spark, cfgFor(db))
-    // both key parts introspected, KEY_SEQ order
-    assert(cat.foreignKeys === Seq(
-      ForeignKey("FACT", "F_A", "DIM", "D_A", Seq(("F_B", "D_B")))))
+    // both composite FKs reassembled whole, each with its key parts in
+    // KEY_SEQ order — never a zipped mix of the two
+    assert(cat.foreignKeys.toSet === Set(
+      ForeignKey("FACT", "F_A", "DIM", "D_A", Seq(("F_B", "D_B"))),
+      ForeignKey("FACT", "G_A", "DIM", "D_A", Seq(("G_B", "D_B")))))
 
     // seed = facts 1 and 3 → referenced dims = {(1,1)} ONLY: a
     // first-column pull would also drag (1,2) in; the half-null key of
@@ -347,13 +363,15 @@ class JdbcCatalogSpec extends SparkSpec {
     DriverManager.getConnection(s"jdbc:derby:$db2;create=true", "app", "app").close()
     Dump.loadIntoJdbc(spark, dump, cfgFor(db2), cleanup = Some("recreate"))
     val meta = Jdbc.introspect(cfgFor(db2), schema = Some("APP"))
-    assert(meta.foreignKeys === Seq(
-      ForeignKey("FACT", "F_A", "DIM", "D_A", Seq(("F_B", "D_B")))))
+    assert(meta.foreignKeys.toSet === Set(
+      ForeignKey("FACT", "F_A", "DIM", "D_A", Seq(("F_B", "D_B"))),
+      ForeignKey("FACT", "G_A", "DIM", "D_A", Seq(("G_B", "D_B")))))
     val c2 = DriverManager.getConnection(s"jdbc:derby:$db2", "app", "app")
     try {
       val st = c2.createStatement()
       intercept[java.sql.SQLException] {
-        st.execute("INSERT INTO FACT VALUES (99, 1, 2)") // (1,2) not in the dump
+        // (1,2) not in the dump
+        st.execute("INSERT INTO FACT VALUES (99, 1, 2, NULL, NULL)")
       }
       st.close()
     } finally c2.close()
