@@ -108,7 +108,10 @@ object Dump {
         s"ALTER TABLE $t ADD CONSTRAINT ${t}_pk PRIMARY KEY (${cols.mkString(", ")});")
       val fks = catalog.foreignKeys
         .filter(fk => fk.table == t && inSet(fk.foreignTable))
-        .map(fk => s"ALTER TABLE $t ADD CONSTRAINT ${t}_${fk.column}_fk " +
+        // name carries every key column: two FKs sharing a leading column
+        // (composite keys differing in later parts) must not collide
+        .map(fk => s"ALTER TABLE $t ADD CONSTRAINT " +
+          s"${t}_${fk.columnPairs.map(_._1).mkString("_")}_fk " +
           s"FOREIGN KEY (${fk.columnPairs.map(_._1).mkString(", ")}) " +
           s"REFERENCES ${fk.foreignTable} (${fk.columnPairs.map(_._2).mkString(", ")});")
       writeText(catalog.spark, s"$path/schema/$t.sql",
