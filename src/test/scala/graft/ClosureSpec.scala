@@ -53,6 +53,37 @@ class ClosureSpec extends SparkSpec {
     assert(keys === Set(100L, 50L, 25L, 12L, 6L, 3L, 1L, 0L))
   }
 
+  test("composite pull and recursive closure follow the whole key tuple") {
+    import spark.implicits._
+    // parent keyed (k1, k2); child references BOTH columns. A
+    // first-column pull would drag (1, 'b') in; the exact pull must not.
+    val parent = Seq((1L, "a", "p1"), (1L, "b", "p2"), (2L, "a", "p3"))
+      .toDF("k1", "k2", "name")
+    val child = Seq((10L, 1L, "a"), (11L, 3L, null)) // half-null: pulls nothing
+      .toDF("id", "r1", "r2")
+    val fk = ForeignKey("child", "r1", "parent", "k1", Seq(("r2", "k2")))
+    val pulled = Closure.pull(parent, child, fk).collect()
+    assert(pulled.map(_.getString(2)).toSeq === Seq("p1"))
+
+    // composite self-FK: (dept, mgr) → (dept, emp) — the chain must stay
+    // inside the department even where mgr ids collide across depts
+    val emp = Seq(
+      ("x", 1L, null.asInstanceOf[java.lang.Long]),
+      ("x", 2L, java.lang.Long.valueOf(1L)),
+      ("x", 3L, java.lang.Long.valueOf(2L)),
+      ("y", 2L, null.asInstanceOf[java.lang.Long]), // same id 2, other dept
+      ("y", 4L, java.lang.Long.valueOf(2L)))
+      .toDF("dept", "emp_id", "mgr_id")
+    val selfFk = ForeignKey("emp", "mgr_id", "emp", "emp_id", Seq(("dept", "dept")))
+    val closed = Closure.recursiveClosure(
+      emp, emp.where(col("dept") === "x" && col("emp_id") === 3),
+      selfFk, Seq("dept", "emp_id"))
+    val got = closed.select("dept", "emp_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === Set(("x", 3L), ("x", 2L), ("x", 1L)),
+      s"must not cross into dept y via the shared mgr id: $got")
+  }
+
   test("relatedData converges row-wise on cyclic FK graphs") {
     // synthetic cycle: orders→customer and customer→orders (by pk);
     // row-level fixpoint must leave no dangling reference on either edge.
