@@ -245,6 +245,10 @@ object SparkEntry {
       Dedup.dedupGroups(Dedup.minhashPairs(cat(s, dir).table("documents")))
         .orderBy("doc_id")),
 
+    "strip_dup_spans" -> ((s, dir) =>
+      Dedup.stripDupSpans(cat(s, dir).table("documents"), w = 15, stride = 5)
+        .orderBy("doc_id")),
+
     "dup_spans" -> ((s, dir) =>
       Dedup.dupSpans(cat(s, dir).table("documents"), w = 15, stride = 5)
         .orderBy("doc_id", "span_start", "span_hash")),
@@ -925,6 +929,31 @@ object SparkEntry {
          FROM e GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
          SELECT e.doc_id, e.span_start, e.span_hash, hot.n_docs
          FROM e JOIN hot USING (span_hash) ORDER BY doc_id, span_start, span_hash""",
+
+    "strip_dup_spans" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+         FROM documents),
+         sp AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 15 THEN
+             list_transform(range(1, len(toks) - 14 + 1, 5), p ->
+               struct_pack(span_start := p,
+                 span_hash := CAST('0x' || substr(md5(array_to_string(toks[p:p+14], ' ')), 1, 15) AS BIGINT)))
+             ELSE [] END) AS s
+         FROM t),
+         e AS (SELECT doc_id, CAST(s.span_start AS BIGINT) AS span_start, s.span_hash AS span_hash
+         FROM sp),
+         hot AS (SELECT span_hash FROM e GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+         drops AS (SELECT e.doc_id, list_sort(list_distinct(list(e.span_start))) AS starts
+         FROM e JOIN hot USING (span_hash) GROUP BY e.doc_id)
+         SELECT t.doc_id,
+           -- COALESCE: DuckDB's array_to_string([]) is NULL, Spark's
+           -- array_join([]) is '' — a fully-stripped doc must agree
+           COALESCE(array_to_string(list_filter(t.toks, (x, i) ->
+             len(list_filter(COALESCE(drops.starts, []), s -> s <= i AND i < s + 15)) = 0), ' '), '') AS text_clean,
+           len(t.toks) AS n_tokens,
+           len(t.toks) - len(list_filter(t.toks, (x, i) ->
+             len(list_filter(COALESCE(drops.starts, []), s -> s <= i AND i < s + 15)) = 0)) AS n_tokens_removed
+         FROM t LEFT JOIN drops USING (doc_id) ORDER BY doc_id""",
 
     "ngram_containment" ->
       """WITH t AS (SELECT doc_id,

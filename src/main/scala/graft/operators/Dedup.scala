@@ -388,6 +388,45 @@ object Dedup {
     out
   }
 
+  /** The REMOVAL step paired with [[dupSpans]]' detection — the actual
+    * dedup of Lee et al. '21's exact-substring method: every token covered
+    * by a window that appears in ≥ `minDocs` distinct documents is dropped
+    * from the text; unique content survives in place. Emits the cleaned
+    * text plus removal telemetry (a pipeline thresholds on
+    * `n_tokens_removed / n_tokens` to kill mostly-boilerplate docs).
+    *
+    * Plan: the hot-span frame (contamination-class volume — only spans
+    * that recur across docs) aggregates to ONE row per affected doc (a
+    * small sorted start-offset array), left-joins the corpus on doc_id,
+    * and the strip itself is a map-side indexed `filter` over the token
+    * array — membership against the per-doc offsets, never a second
+    * corpus shuffle beyond [[dupSpans]]' two 8-byte-key passes.
+    */
+  def stripDupSpans(
+      docs: DataFrame,
+      w: Int = 15,
+      stride: Int = 5,
+      minDocs: Int = 2): DataFrame = {
+    val hot = dupSpans(docs, w, stride, minDocs)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("span_start"))).as("starts"))
+    docs.join(hot, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        bindOnce(tokens(col("text")), tk =>
+          bindOnce(coalesce(col("starts"), array().cast("array<long>")), st => {
+            // token at 1-based position p is covered iff some hot span s
+            // satisfies s <= p < s + w (Spark's filter index is 0-based)
+            val kept = filter(tk, (t, i) =>
+              !exists(st, s => s <= i + 1 && i + 1 < s + w))
+            struct(
+              array_join(kept, " ").as("text_clean"),
+              size(tk).cast("long").as("n_tokens"),
+              (size(tk) - size(kept)).cast("long").as("n_tokens_removed"))
+          })).as("s"))
+      .select(col("doc_id"), col("s.text_clean"),
+        col("s.n_tokens"), col("s.n_tokens_removed"))
+  }
+
   /** Connected components over an undirected near-duplicate pair set —
     * the canonicalization step of a dedup pipeline: every document in a
     * component maps to the component's minimum doc id (`group_id`), so

@@ -123,6 +123,33 @@ class DedupSpec extends SparkSpec {
     assert(spans.groupBy("span_hash").count().where(col("count") < 2).count() === 0)
   }
 
+  test("stripDupSpans removes the shared passage and keeps unique content in place") {
+    import spark.implicits._
+    val passage = (1 to 20).map(i => s"shared$i").mkString(" ")
+    val df = Seq(
+      (1L, "intro one two three " + passage),
+      (2L, passage + " totally different tail here"),
+      (3L, "unrelated unique words only nothing repeats here at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.stripDupSpans(df, w = 15, stride = 1, minDocs = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    // the shared passage is gone from both carriers; each doc's unique
+    // prefix/suffix survives verbatim and in order
+    assert(!out(1L).getAs[String]("text_clean").contains("shared"))
+    assert(out(1L).getAs[String]("text_clean").startsWith("intro one two three"))
+    assert(!out(2L).getAs[String]("text_clean").contains("shared"))
+    assert(out(2L).getAs[String]("text_clean").endsWith("totally different tail here"))
+    // untouched doc passes through whole
+    assert(out(3L).getAs[String]("text_clean") ===
+      "unrelated unique words only nothing repeats here at all")
+    assert(out(3L).getAs[Long]("n_tokens_removed") === 0L)
+    // telemetry consistent: removed = 20 shared tokens for doc 2 (whole
+    // passage covered by windows starting at 1..6 with stride 1)
+    assert(out(2L).getAs[Long]("n_tokens_removed") === 20L)
+    assert(out(2L).getAs[Long]("n_tokens") === 24L)
+  }
+
   test("operators are partitioning-independent") {
     val a = Dedup.minhashPairs(docs).orderBy("doc_a", "doc_b").collect()
     val b = Dedup.minhashPairs(docs.repartition(7)).orderBy("doc_a", "doc_b").collect()
