@@ -273,6 +273,11 @@ object SparkEntry {
     "text_normalize" -> ((s, dir) =>
       TextAnalysis.textNormalize(cat(s, dir).table("documents")).orderBy("doc_id")),
 
+    // spec-only (no DuckDB deflate): driver records the rows-only check
+    "compress_ratio" -> ((s, dir) =>
+      TextAnalysis.compressionRatio(cat(s, dir).table("documents"))
+        .orderBy("doc_id")),
+
     "repetition_score" -> ((s, dir) =>
       TextAnalysis.repetitionScore(cat(s, dir).table("documents")).orderBy("doc_id")),
 

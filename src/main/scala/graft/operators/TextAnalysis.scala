@@ -240,6 +240,40 @@ object TextAnalysis {
     * is O(types × tokens) per row, on the row's own arrays only, no
     * shuffle anywhere.
     */
+  /** Compression-ratio quality signal: `deflate(text).length /
+    * utf8(text).length` — the information-theoretic twin of
+    * [[repetitionScore]] (low ratio ⇒ highly compressible ⇒ repetitive /
+    * templated / boilerplate; near-1 on short high-entropy text). The
+    * classic cheap filter corpus pipelines run alongside the Gopher
+    * rules. No SQL engine exposes deflate, so this operator is spec-only
+    * (no DuckDB oracle) — but it is exactly reproducible: one
+    * `java.util.zip.Deflater` at a fixed level per partition (native
+    * zlib, deterministic for a given input and level), streamed row by
+    * row, constant memory.
+    */
+  def compressionRatio(docs: DataFrame, level: Int = 6): DataFrame = {
+    require(level >= 1 && level <= 9, s"deflate level must be in [1, 9]: $level")
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(level)
+        val buf = new Array[Byte](64 * 1024)
+        rows.map { case (id, text) =>
+          val raw = Option(text).getOrElse("").getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var compressed = 0L
+          while (!deflater.finished()) compressed += deflater.deflate(buf)
+          val ratio =
+            if (raw.length == 0) 1.0
+            else math.rint(compressed.toDouble / raw.length * 10000) / 10000
+          (id, raw.length.toLong, compressed, ratio)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_deflate", "compress_ratio")
+  }
+
   def repetitionScore(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),

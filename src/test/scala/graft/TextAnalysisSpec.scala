@@ -93,6 +93,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(res.head.getAs[Long]("n_chars_norm") === 11L)
   }
 
+  test("compressionRatio separates repetitive from varied text deterministically") {
+    import spark.implicits._
+    val rep = ("the same words again and again " * 30).trim
+    val varied = (1 to 180).map(i => s"w${i}x${i * 7}q${i * i % 97}").mkString(" ")
+    val df = Seq((1L, rep), (2L, varied), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.compressionRatio(df)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val (r1, r2) = (out(1L).getAs[Double]("compress_ratio"),
+      out(2L).getAs[Double]("compress_ratio"))
+    // boilerplate compresses far better than high-entropy text
+    assert(r1 < 0.2, s"repetitive ratio $r1")
+    assert(r2 > r1 * 3, s"varied $r2 vs repetitive $r1")
+    assert(out(3L).getAs[Double]("compress_ratio") === 1.0) // empty: defined
+    assert(out(1L).getAs[Long]("n_bytes") === rep.getBytes("UTF-8").length.toLong)
+    // deterministic under repartitioning (fixed deflate level)
+    val again = TextAnalysis.compressionRatio(df.repartition(3))
+      .orderBy("doc_id").collect().toSeq
+    assert(TextAnalysis.compressionRatio(df).orderBy("doc_id").collect().toSeq === again)
+    // full corpus: every ratio in (0, ~1]
+    val corpus = TextAnalysis.compressionRatio(docs)
+    assert(corpus.where(col("compress_ratio") <= 0 || col("compress_ratio") > 1.2).count() === 0)
+  }
+
   test("per-mille sampling expresses sub-percent rates deterministically") {
     import spark.implicits._
     val ids = (0L until 20000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
