@@ -273,6 +273,11 @@ object SparkEntry {
     "text_normalize" -> ((s, dir) =>
       TextAnalysis.textNormalize(cat(s, dir).table("documents")).orderBy("doc_id")),
 
+    "length_band" -> ((s, dir) =>
+      TextAnalysis.lengthBand(cat(s, dir).table("documents"),
+          pLoPermille = 50, pHiPermille = 950)
+        .orderBy("doc_id")),
+
     // spec-only (no DuckDB deflate): driver records the rows-only check
     "compress_ratio" -> ((s, dir) =>
       TextAnalysis.compressionRatio(cat(s, dir).table("documents"))
@@ -934,6 +939,19 @@ object SparkEntry {
          FROM e GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
          SELECT e.doc_id, e.span_start, e.span_hash, hot.n_docs
          FROM e JOIN hot USING (span_hash) ORDER BY doc_id, span_start, span_hash""",
+
+    "length_band" ->
+      """WITH tc AS (SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+         FROM documents),
+         cum AS (SELECT n_tokens, count(*) OVER (ORDER BY n_tokens) AS c,
+                        count(*) OVER () AS n_all FROM tc),
+         lo AS (SELECT min(n_tokens) AS v FROM cum
+                WHERE c >= GREATEST((n_all * 50 + 999) // 1000, 1)),
+         hi AS (SELECT min(n_tokens) AS v FROM cum
+                WHERE c >= GREATEST((n_all * 950 + 999) // 1000, 1))
+         SELECT tc.doc_id, tc.n_tokens FROM tc, lo, hi
+         WHERE tc.n_tokens BETWEEN lo.v AND hi.v ORDER BY doc_id""",
 
     "strip_dup_spans" ->
       """WITH t AS (SELECT doc_id,

@@ -240,6 +240,49 @@ object TextAnalysis {
     * is O(types × tokens) per row, on the row's own arrays only, no
     * shuffle anywhere.
     */
+  /** Corpus-adaptive length-band filter: keeps documents whose token
+    * count lies inside the corpus's own exact [pLo, pHi] percentile band
+    * — the adaptive form of Gopher's fixed word-count bounds (a threshold
+    * tuned for web text is wrong for code or chat transcripts; the
+    * percentile band self-calibrates per corpus/stratum). The percentile
+    * is EXACT, not a sketch: threshold for rank r = ceil(p·N) is the
+    * smallest length v with #(docs of length ≤ v) ≥ r — deterministic and
+    * engine-portable where `percentile_approx` sketches would never
+    * hash-match an oracle.
+    *
+    * Plan: one map-side pass to (doc, n_tokens); the thresholds come from
+    * the LENGTH HISTOGRAM (distinct token counts — bounded by max doc
+    * length, thousands of rows at any corpus size), fetched driver-side
+    * at plan time like the IVF codebooks, then baked in as literal
+    * bounds, so the filter itself is a pushdown-friendly map-side
+    * BETWEEN. No corpus sort, no corpus-wide window.
+    *
+    * Percentiles are INTEGER per-mille and the rank is integer
+    * arithmetic — `ceil(0.05 · N)` in IEEE doubles lands on 26 where
+    * DECIMAL arithmetic lands on 25 (N = 500), so a float-percentile API
+    * could never hash-match a SQL oracle at integer boundaries.
+    */
+  def lengthBand(
+      docs: DataFrame, pLoPermille: Int = 50, pHiPermille: Int = 950): DataFrame = {
+    require(0 <= pLoPermille && pLoPermille <= pHiPermille && pHiPermille <= 1000,
+      s"need 0 <= pLo <= pHi <= 1000 permille: $pLoPermille, $pHiPermille")
+    val tc = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val hist = tc.groupBy(col("n_tokens")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (hist.isEmpty) return tc.where(lit(false))
+    val n = hist.map(_._2).sum
+    def thresholdAt(permille: Int): Long = {
+      // smallest length whose cumulative count reaches rank ceil(n·p/1000)
+      val rank = math.max((n * permille + 999) / 1000, 1L)
+      var cum = 0L
+      hist.find { case (_, c) => cum += c; cum >= rank }.map(_._1).getOrElse(hist.last._1)
+    }
+    val (lo, hi) = (thresholdAt(pLoPermille), thresholdAt(pHiPermille))
+    tc.where(col("n_tokens").between(lo, hi))
+  }
+
   /** Compression-ratio quality signal: `deflate(text).length /
     * utf8(text).length` — the information-theoretic twin of
     * [[repetitionScore]] (low ratio ⇒ highly compressible ⇒ repetitive /

@@ -93,6 +93,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(res.head.getAs[Long]("n_chars_norm") === 11L)
   }
 
+  test("lengthBand keeps the exact percentile band of token counts") {
+    import spark.implicits._
+    // lengths exactly 1..100, one doc each
+    val df = (1 to 100).map(n => (n.toLong, (1 to n).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val kept = TextAnalysis.lengthBand(df, pLoPermille = 100, pHiPermille = 900)
+      .collect().map(_.getAs[Long]("n_tokens")).sorted
+    // rank ceil(100·0.1)=10 → lo=10; rank ceil(100·0.9)=90 → hi=90
+    assert(kept.head === 10L && kept.last === 90L && kept.length === 81)
+    // degenerate band keeps exactly the median length
+    val med = TextAnalysis.lengthBand(df, pLoPermille = 500, pHiPermille = 500)
+      .collect().map(_.getAs[Long]("n_tokens")).toSeq
+    assert(med === Seq(50L))
+    // full band keeps everything; empty corpus yields empty
+    assert(TextAnalysis.lengthBand(df, 0, 1000).count() === 100)
+    assert(TextAnalysis.lengthBand(df.where(lit(false))).count() === 0)
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.lengthBand(df, 900, 100)
+    }
+  }
+
   test("compressionRatio separates repetitive from varied text deterministically") {
     import spark.implicits._
     val rep = ("the same words again and again " * 30).trim
