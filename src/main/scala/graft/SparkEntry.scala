@@ -278,6 +278,26 @@ object SparkEntry {
           pLoPermille = 50, pHiPermille = 950)
         .orderBy("doc_id")),
 
+    // The round-7 curation capstone: strip duplicated passages, drop
+    // mostly-boilerplate docs (removal > half), keep the adaptive length
+    // band of the CLEANED text, exact-dedup on the cleaned text, per-mille
+    // sample — detect→act operators composed into ONE declarative plan.
+    "corpus_curate" -> { (s, dir) =>
+      val docs = cat(s, dir).table("documents")
+      val surviving = Dedup.stripDupSpans(docs)
+        .where(col("n_tokens_removed") * 2 <= col("n_tokens"))
+        .select(col("doc_id"), col("text_clean").as("text"))
+      val banded = TextAnalysis.lengthBand(surviving)
+      val withText = banded.join(surviving, "doc_id")
+      val keep = TextAnalysis.dedupExact(withText)
+        .select(col("keep_id").as("doc_id"))
+      TextAnalysis.hashSamplePermille(
+          withText.join(keep, Seq("doc_id"), "left_semi"),
+          permille = 500, salt = "curate")
+        .select(col("doc_id"), col("n_tokens"))
+        .orderBy("doc_id")
+    },
+
     // spec-only (no DuckDB deflate): driver records the rows-only check
     "compress_ratio" -> ((s, dir) =>
       TextAnalysis.compressionRatio(cat(s, dir).table("documents"))
@@ -952,6 +972,42 @@ object SparkEntry {
                 WHERE c >= GREATEST((n_all * 950 + 999) // 1000, 1))
          SELECT tc.doc_id, tc.n_tokens FROM tc, lo, hi
          WHERE tc.n_tokens BETWEEN lo.v AND hi.v ORDER BY doc_id""",
+
+    "corpus_curate" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+         FROM documents),
+         sp AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 15 THEN
+             list_transform(range(1, len(toks) - 14 + 1, 5), p ->
+               struct_pack(span_start := p,
+                 span_hash := CAST('0x' || substr(md5(array_to_string(toks[p:p+14], ' ')), 1, 15) AS BIGINT)))
+             ELSE [] END) AS s
+         FROM t),
+         e AS (SELECT doc_id, CAST(s.span_start AS BIGINT) AS span_start, s.span_hash AS span_hash
+         FROM sp),
+         hot AS (SELECT span_hash FROM e GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+         drops AS (SELECT e.doc_id, list_sort(list_distinct(list(e.span_start))) AS starts
+         FROM e JOIN hot USING (span_hash) GROUP BY e.doc_id),
+         clean AS (SELECT t.doc_id,
+           COALESCE(array_to_string(list_filter(t.toks, (x, i) ->
+             len(list_filter(COALESCE(drops.starts, []), s -> s <= i AND i < s + 15)) = 0), ' '), '') AS text_clean,
+           len(t.toks) AS n0,
+           len(t.toks) - len(list_filter(t.toks, (x, i) ->
+             len(list_filter(COALESCE(drops.starts, []), s -> s <= i AND i < s + 15)) = 0)) AS removed
+         FROM t LEFT JOIN drops USING (doc_id)),
+         surv AS (SELECT doc_id, text_clean,
+           CAST(len(list_filter(string_split_regex(lower(text_clean), '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+         FROM clean WHERE removed * 2 <= n0),
+         cum AS (SELECT doc_id, n_tokens, count(*) OVER (ORDER BY n_tokens) AS c,
+                        count(*) OVER () AS n_all FROM surv),
+         lo AS (SELECT min(n_tokens) AS v FROM cum WHERE c >= GREATEST((n_all * 50 + 999) // 1000, 1)),
+         hi AS (SELECT min(n_tokens) AS v FROM cum WHERE c >= GREATEST((n_all * 950 + 999) // 1000, 1)),
+         band AS (SELECT surv.doc_id, surv.text_clean, surv.n_tokens FROM surv, lo, hi
+                  WHERE surv.n_tokens BETWEEN lo.v AND hi.v),
+         k AS (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM band GROUP BY md5(text_clean))
+         SELECT band.doc_id, band.n_tokens FROM band JOIN k USING (doc_id)
+         WHERE CAST('0x' || substr(md5('curate|' || band.doc_id::VARCHAR), 1, 15) AS BIGINT) % 1000 < 500
+         ORDER BY doc_id""",
 
     "strip_dup_spans" ->
       """WITH t AS (SELECT doc_id,
