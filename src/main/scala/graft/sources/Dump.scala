@@ -225,8 +225,19 @@ object Dump {
     * (xdump/postgresql.py:136-146, base.py:227).
     */
   def loadInto(spark: SparkSession, dumpPath: String, targetDir: String): Unit = {
+    val recorded = readManifest(spark, dumpPath).rows
     load(spark, dumpPath).foreach { case (t, df) =>
-      df.write.mode(SaveMode.Overwrite).parquet(s"$targetDir/$t.parquet")
+      // same observe()-riding count verification as loadIntoJdbc: a
+      // vanished dump shard must abort, not restore fewer rows
+      val obs = Observation(s"graft_loadinto_$t")
+      df.observe(obs, count(lit(1)).as("rows"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$targetDir/$t.parquet")
+      recorded.get(t).foreach { expect =>
+        val written = obs.get("rows").asInstanceOf[Long]
+        if (written != expect) sys.error(
+          s"load of $t wrote $written rows but the manifest recorded $expect — " +
+            s"dump at $dumpPath is truncated or partially written")
+      }
     }
     val manifest = readManifest(spark, dumpPath)
     val seqs = manifest.loadOrder.map { t =>
@@ -269,7 +280,8 @@ object Dump {
       cfg: JdbcConfig,
       cleanup: Option[String] = None,
       restoreConstraints: Boolean = true,
-      restoreSequences: Boolean = true): Unit = {
+      restoreSequences: Boolean = true,
+      verifyCounts: Boolean = true): Unit = {
     val tables = load(spark, dumpPath) // manifest load order
     cleanup.foreach { method =>
       val childrenFirst = tables.map(_._1).reverse
@@ -286,8 +298,28 @@ object Dump {
           sys.error(s"unknown cleanup method (use truncate|recreate): $other")
       }
     }
+    val recorded = readManifest(spark, dumpPath).rows
     tables.foreach { case (t, df) =>
+      // Count verification catches what a per-line check cannot: a dump
+      // shard FILE that vanished entirely (any format) restores fewer
+      // rows with no parse error anywhere; the manifest's write-time
+      // count is the ground truth. The written delta comes from two
+      // server-side COUNT(*)s around the write (observe() cannot ride
+      // the V1 JDBC sink — it executes via df.rdd, which posts no
+      // observed metrics). ≙ the reference's all-inside-one-transaction
+      // load, degraded honestly to verify-after-write.
+      // before-probe on a table the write is about to CREATE: 0 rows
+      val before =
+        if (!verifyCounts) 0L
+        else try Jdbc.countTable(cfg, t)
+        catch { case _: java.sql.SQLException => 0L }
       Jdbc.writeTable(df, cfg, t, SaveMode.Append)
+      if (verifyCounts) recorded.get(t).foreach { expect =>
+        val written = Jdbc.countTable(cfg, t) - before
+        if (written != expect) sys.error(
+          s"load of $t wrote $written rows but the manifest recorded $expect — " +
+            s"dump at $dumpPath is truncated or partially written")
+      }
     }
     // Only a recreate left the target constraint-less; truncate/append
     // targets own their schema (reference: initial_setup replay is the

@@ -293,6 +293,24 @@ object Jdbc {
         s"'graft_no_sequence_for_${t}_$c')::regclass, ${next - 1})"
     else s"ALTER TABLE $t ALTER COLUMN $c RESTART WITH $next"
 
+  /** Server-side row count over one driver-side connection — the cheap
+    * integrity probe of `Dump.loadIntoJdbc`'s count verification (the
+    * server scans its own table; no Spark job).
+    */
+  private[sources] def countTable(cfg: JdbcConfig, table: String): Long = {
+    val conn = connect(cfg)
+    try {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(s"SELECT COUNT(*) FROM $table")
+        rs.next()
+        val n = rs.getLong(1)
+        rs.close()
+        n
+      } finally st.close()
+    } finally conn.close()
+  }
+
   /** Runs statements over one driver-side connection — used by the
     * children-first cleanup pass of `Dump.loadIntoJdbc`.
     */

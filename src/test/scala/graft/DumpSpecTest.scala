@@ -93,4 +93,30 @@ class DumpSpecTest extends SparkSpec {
     Dump.loadInto(spark, s"$dir/d", s"$dir/t")
     assert(spark.read.parquet(s"$dir/t/nation.parquet").count() === 25)
   }
+
+  test("a vanished dump shard aborts the load instead of restoring fewer rows") {
+    val dir = tmp()
+    Dump.write(cat, DumpSpec(fullTables = Seq("region", "nation")), s"$dir/d")
+    // simulate a truncated dump: overwrite nation's data with a 5-row
+    // subset (the remainder reads back cleanly in any format — only the
+    // manifest's write-time count knows rows are missing)
+    cat.table("nation").limit(5).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/d/data/nation")
+
+    val e = intercept[RuntimeException] {
+      Dump.loadInto(spark, s"$dir/d", s"$dir/t")
+    }
+    assert(e.getMessage.contains("manifest recorded"), e.getMessage)
+
+    // the JDBC load path verifies identically
+    val db = java.nio.file.Files.createTempDirectory("graft_derby_vc").toString + "/db"
+    val cfg = graft.sources.JdbcConfig(
+      url = s"jdbc:derby:$db;create=true", user = "app", password = "app",
+      driver = "org.apache.derby.jdbc.EmbeddedDriver")
+    val e2 = intercept[RuntimeException] {
+      Dump.loadIntoJdbc(spark, s"$dir/d", cfg)
+    }
+    assert(e2.getMessage.contains("manifest recorded"), e2.getMessage)
+  }
 }
