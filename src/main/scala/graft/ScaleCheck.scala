@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 
 /** Scaling spot-check for the pair/ANN family (SURVEY §6): times each
   * operator at several corpus sizes WITH ITS SCALE KNOBS SET the way a
@@ -69,6 +69,7 @@ object ScaleCheck {
         "dedup_minhash" -> (() => Dedup.minhashPairs(docs)),
         "ngram_scores_df20" -> (() => Dedup.ngramScores(docs, maxDf = 20)),
         "dup_spans" -> (() => Dedup.dupSpans(docs, w = 15, stride = 5)),
+        "strip_dup_spans" -> (() => Dedup.stripDupSpans(docs, w = 15, stride = 5)),
         "dedup_groups" -> (() => Dedup.dedupGroups(Dedup.minhashPairs(docs))),
         "embed_cosine_dup_hinted" -> (() =>
           Similarity.embedCosineDup(emb, threshold = 0.4, corpusHint = Some(nEmb))),
@@ -80,7 +81,26 @@ object ScaleCheck {
         "pq_search" -> (() => Similarity.pqSearch(emb, qf, kNN = 10)),
         "pq_search_fixedq" -> (() => Similarity.pqSearch(emb, qfFixed, kNN = 10)),
         "semantic_dedup" -> (() =>
-          Similarity.semanticDedup(emb, threshold = 0.4, centEvery = 40)))
+          Similarity.semanticDedup(emb, threshold = 0.4, centEvery = 40)),
+        // the composed curation pipeline (SparkEntry "corpus_curate" minus
+        // the oracle-only global sort): its scaling is the max of its
+        // stages' scalings — dominated by the dup-span index
+        "corpus_curate" -> { () =>
+          val surviving = Dedup.stripDupSpans(docs)
+            .where(col("n_tokens_removed") * 2 <= col("n_tokens"))
+            .select(col("doc_id"), col("text_clean").as("text"))
+          val banded = TextAnalysis.lengthBand(surviving)
+          val withText = banded.join(surviving, "doc_id")
+          val keep = TextAnalysis.dedupExact(withText)
+            .select(col("keep_id").as("doc_id"))
+          TextAnalysis.hashSamplePermille(
+            withText.join(keep, Seq("doc_id"), "left_semi"),
+            permille = 500, salt = "curate")
+        })
+
+      // SPARK_GRAFT_SCALE_ONLY=a,b,c runs a subset (merge results by hand)
+      val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
+      val selected = only.fold(ops)(names => ops.filter(o => names(o._1)))
 
       def once(fn: () => DataFrame): Double = {
         val t0 = System.nanoTime()
@@ -88,7 +108,7 @@ object ScaleCheck {
         (System.nanoTime() - t0) / 1e9
       }
 
-      val mins = ops.map { case (name, fn) =>
+      val mins = selected.map { case (name, fn) =>
         once(fn) // warmup
         name -> (0 until reps).map(_ => once(fn)).min
       }
