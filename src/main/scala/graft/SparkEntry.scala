@@ -220,6 +220,24 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       TextAnalysis.dedupExact(cat(s, dir).table("documents")).orderBy("keep_id")),
 
+    // Incremental ingest dedup: the synthetic corpus has no exact dups, so
+    // (pii_scrub-style) the demo constructs a batch that exercises every
+    // path — texts already in the corpus (dropped), novel texts (kept),
+    // and a within-batch duplicate pair (collapsed, n_copies = 2).
+    "incremental_dedup" -> { (s, dir) =>
+      val docs = cat(s, dir).table("documents")
+      val fromCorpus = docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val novelA = docs.where(col("doc_id") % 7 === 1)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" fresh")).as("text"))
+      val novelB = docs.where(col("doc_id") % 7 === 1)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" fresh")).as("text"))
+      Dedup.incrementalDedup(fromCorpus.unionByName(novelA).unionByName(novelB), docs)
+        .orderBy("doc_id")
+    },
+
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.docFingerprint(cat(s, dir).table("documents")).orderBy("doc_id")),
 
@@ -667,6 +685,27 @@ object SparkEntry {
       """SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS keep_id,
            count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY keep_id""",
+
+    "incremental_dedup" ->
+      """WITH batch AS (
+           SELECT doc_id + 100000 AS doc_id, text
+           FROM documents WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id, text || ' fresh' AS text
+           FROM documents WHERE doc_id % 7 = 1
+           UNION ALL
+           SELECT doc_id + 200000 AS doc_id, text || ' fresh' AS text
+           FROM documents WHERE doc_id % 7 = 1
+         ),
+         canon AS (
+           SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS doc_id,
+             count(*) AS n_copies
+           FROM batch GROUP BY 1
+         )
+         SELECT doc_id, text_md5, n_copies FROM canon
+         WHERE NOT EXISTS (
+           SELECT 1 FROM documents e WHERE md5(e.text) = canon.text_md5)
+         ORDER BY doc_id""",
 
     "doc_fingerprint" ->
       """WITH t AS (SELECT doc_id,

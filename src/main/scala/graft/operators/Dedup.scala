@@ -464,4 +464,30 @@ object Dedup {
     }
     labels.select(col("id").as("doc_id"), col("label").as("group_id"))
   }
+
+  /** Incremental exact dedup: filter a NEWLY-INGESTED batch against the
+    * EXISTING corpus — the ingestion shape of a continuously-growing
+    * pipeline, where each new crawl is deduped against everything already
+    * accepted without ever re-reading (let alone re-shuffling) the corpus
+    * text. Both sides reduce map-side to a 16-byte md5 text fingerprint;
+    * the batch keeps its smallest doc_id per fingerprint (within-batch
+    * dedup, same canonical-choice rule as [[TextAnalysis.dedupExact]]),
+    * then anti-joins the existing side's distinct fingerprints. Shuffle
+    * volume is fingerprints + ids — never payload — and in production the
+    * existing side is a persisted fingerprint table maintained across
+    * ingests, so the per-ingest cost is O(batch) + a fingerprint-key join
+    * that AQE turns into a broadcast when the accepted set is small.
+    * Output: one row per surviving batch document (doc_id, text_md5,
+    * n_copies = within-batch multiplicity).
+    */
+  def incrementalDedup(newBatch: DataFrame, existing: DataFrame): DataFrame = {
+    val canon = newBatch
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(
+        min(col("doc_id")).cast("long").as("doc_id"),
+        count(lit(1)).as("n_copies"))
+    val seen = existing.select(md5(col("text")).as("text_md5")).distinct()
+    canon.join(seen, Seq("text_md5"), "left_anti")
+      .select(col("doc_id"), col("text_md5"), col("n_copies"))
+  }
 }

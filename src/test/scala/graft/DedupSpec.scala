@@ -41,6 +41,24 @@ class DedupSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_bench_docs") === 1)
   }
 
+  test("incrementalDedup drops corpus texts, keeps novel, collapses batch dups") {
+    import spark.implicits._
+    val existing = Seq((0L, "alpha beta"), (1L, "gamma delta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta"),   // already in corpus → dropped
+      (11L, "epsilon zeta"), // novel, duplicated within batch → one row, min id
+      (12L, "epsilon zeta"),
+      (13L, "eta theta")     // novel, unique
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(batch, existing).orderBy("doc_id").collect()
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_copies"))).toSeq
+      === Seq((11L, 2L), (13L, 1L)))
+    // no plan reads the existing side's payload past the fingerprint map
+    val plan = Dedup.incrementalDedup(batch, existing).queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"))
+  }
+
   test("exact duplicate text yields jaccard 1 pair") {
     val two = docs.limit(1).select(col("doc_id"), col("text"))
       .union(docs.limit(1).select(col("doc_id") + 1000000, col("text")))
