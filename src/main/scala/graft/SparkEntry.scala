@@ -362,6 +362,10 @@ object SparkEntry {
       Chunk.packSequences(cat(s, dir).table("documents"), budget = 256, buckets = 8)
         .orderBy("doc_id")),
 
+    "train_shuffle" -> ((s, dir) =>
+      Chunk.trainShuffle(cat(s, dir).table("documents"), shards = 8)
+        .orderBy("doc_id")),
+
     // Benchmark set ≙ every 50th doc (the ANN query-set convention);
     // training side = everything else.
     "contamination" -> ((s, dir) =>
@@ -881,6 +885,14 @@ object SparkEntry {
            CAST((cum - 1) // 256 AS BIGINT) AS seq_last,
            CAST((cum - n_tokens) % 256 AS BIGINT) AS seq_offset
          FROM c ORDER BY doc_id""",
+
+    "train_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+           CAST('0x' || substr(md5('shuffle' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         FROM documents)
+         SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos
+         FROM h ORDER BY doc_id""",
 
     "contamination" ->
       """WITH t AS (SELECT doc_id,

@@ -69,4 +69,27 @@ object Chunk {
         floor((col("cum") - 1) / budget).as("seq_last"),
         ((col("cum") - col("n_tokens")) % budget).as("seq_offset"))
   }
+
+  /** Deterministic training-order shuffle: assigns every document a shard
+    * and a position within it, reproducibly across engines, runs and
+    * partitionings — the global-shuffle step between curation and
+    * training, where examples must be decorrelated from their crawl/source
+    * order but the epoch order must be replayable. Shard = salted 60-bit
+    * id-hash mod `shards`; position = rank of that hash within the shard.
+    * The plan is exactly what a 1000-executor shuffle should be: one
+    * exchange on the shard key and one per-shard sort — each window
+    * partition holds n/shards rows, so `shards` is the parallelism knob
+    * and no global sort ever forms. Writers consume this as
+    * `repartition(shards) + sortWithinPartitions(pos)` per shard file.
+    */
+  def trainShuffle(
+      docs: DataFrame, shards: Int = 8, salt: String = "shuffle"): DataFrame = {
+    val h = TextAnalysis.hexHash(concat(lit(salt), col("doc_id").cast("string")))
+    docs.select(col("doc_id"), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(shards)).cast("int"))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("shard").orderBy("h", "doc_id"))
+          .cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
 }

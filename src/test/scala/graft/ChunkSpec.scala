@@ -108,6 +108,33 @@ class ChunkSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("trainShuffle is a deterministic partition-parallel permutation") {
+    val shards = 8
+    val out = Chunk.trainShuffle(docs, shards = shards)
+    val n = docs.count()
+    // every doc appears exactly once, shards are in range
+    assert(out.count() === n)
+    assert(out.select("doc_id").distinct().count() === n)
+    assert(out.where(col("shard") < 0 || col("shard") >= shards).count() === 0)
+    // positions are a gapless 1..size_of_shard sequence per shard
+    val bad = out.groupBy("shard")
+      .agg(count(lit(1)).as("sz"), max("pos").as("mx"), min("pos").as("mn"),
+        countDistinct("pos").as("dp"))
+      .where(col("mx") =!= col("sz") || col("mn") =!= 1 || col("dp") =!= col("sz"))
+    assert(bad.count() === 0)
+    // deterministic under repartitioning; a different salt permutes
+    val a = out.orderBy("doc_id").collect()
+    val b = Chunk.trainShuffle(docs.repartition(5), shards = shards)
+      .orderBy("doc_id").collect()
+    assert(a.toSeq === b.toSeq)
+    val salted = Chunk.trainShuffle(docs, shards = shards, salt = "epoch2")
+      .orderBy("doc_id").collect()
+    assert(a.toSeq !== salted.toSeq)
+    // the plan is shard-parallel: no global single-partition sort window
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"global window:\n$plan")
+  }
+
   test("gopherQuality applies the canonical rule battery") {
     import spark.implicits._
     val goodText =
