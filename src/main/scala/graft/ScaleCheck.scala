@@ -82,6 +82,13 @@ object ScaleCheck {
         "pq_search_fixedq" -> (() => Similarity.pqSearch(emb, qfFixed, kNN = 10)),
         "semantic_dedup" -> (() =>
           Similarity.semanticDedup(emb, threshold = 0.4, centEvery = 40)),
+        // ingest-shape dedup: last 20 % of ids as the "new batch" against
+        // the rest — both sides reduce to fingerprints map-side
+        "incremental_dedup" -> (() =>
+          Dedup.incrementalDedup(
+            docs.where(col("doc_id") % 10 >= 8),
+            docs.where(col("doc_id") % 10 < 8))),
+        "train_shuffle" -> (() => graft.operators.Chunk.trainShuffle(docs, shards = 32)),
         // the composed curation pipeline (SparkEntry "corpus_curate" minus
         // the oracle-only global sort): its scaling is the max of its
         // stages' scalings — dominated by the dup-span index
