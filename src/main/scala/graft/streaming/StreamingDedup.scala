@@ -26,4 +26,25 @@ object StreamingDedup {
       .withWatermark("event_time", watermark)
       .withColumn("text_md5", md5(col("text")))
       .dropDuplicatesWithinWatermark("text_md5")
+
+  /** Stream-static incremental dedup — the streaming twin of
+    * [[graft.operators.Dedup.incrementalDedup]]: the in-horizon
+    * within-stream dedup above PLUS a left_anti join against the ACCEPTED
+    * corpus's fingerprints, so re-crawls of already-ingested content never
+    * reach the sink. Pass a persisted fingerprint table (a frame with a
+    * `text_md5` column) to keep the static side payload-free; a raw
+    * documents frame is fingerprinted in place. Stream-static left_anti
+    * executes per micro-batch with the static side broadcast when small;
+    * the only streaming state is the within-stream dedup store, still
+    * bounded by ingest rate × horizon.
+    */
+  def ingestStream(
+      docs: DataFrame, existing: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    val seen =
+      if (existing.columns.contains("text_md5"))
+        existing.select("text_md5").distinct()
+      else existing.select(md5(col("text")).as("text_md5")).distinct()
+    dedupStream(docs, watermark).join(seen, Seq("text_md5"), "left_anti")
+  }
 }

@@ -127,6 +127,46 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains(4L)) // re-admitted after watermark eviction
   }
 
+  test("streaming ingest drops accepted-corpus texts and in-stream dups") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val existing = Seq((100L, "alpha"), (101L, "beta")).toDF("doc_id", "text")
+    val stream = MemoryStream[(Long, Long, String)]
+    val q = graft.streaming.StreamingDedup.ingestStream(
+        stream.toDF().toDF("ts", "doc_id", "text"), existing,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("ingest_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        (100L, 1L, "alpha"), // already in the accepted corpus → dropped
+        (150L, 2L, "gamma"), // novel → kept
+        (200L, 3L, "gamma"), // in-horizon duplicate of 2 → dropped
+        (250L, 4L, "delta")))// novel → kept
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ingest_stream").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got === Set(2L, 4L))
+
+    // a pre-fingerprinted static side (the persisted-table shape) behaves
+    // identically — the corpus text is never touched
+    val fps = existing.select(md5(col("text")).as("text_md5"))
+    val stream2 = MemoryStream[(Long, Long, String)]
+    val q2 = graft.streaming.StreamingDedup.ingestStream(
+        stream2.toDF().toDF("ts", "doc_id", "text"), fps,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("ingest_stream_fp")
+      .outputMode("append").start()
+    try {
+      stream2.addData(Seq((100L, 1L, "alpha"), (150L, 2L, "gamma")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.table("ingest_stream_fp").select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(2L))
+  }
+
   test("streaming sessionize closes sessions on gap and on event-time timeout") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
