@@ -291,6 +291,10 @@ object SparkEntry {
     "text_normalize" -> ((s, dir) =>
       TextAnalysis.textNormalize(cat(s, dir).table("documents")).orderBy("doc_id")),
 
+    "corpus_profile" -> ((s, dir) =>
+      TextAnalysis.corpusProfile(cat(s, dir).table("documents"))
+        .orderBy("lang", "source")),
+
     "length_band" -> ((s, dir) =>
       TextAnalysis.lengthBand(cat(s, dir).table("documents"),
           pLoPermille = 50, pHiPermille = 950)
@@ -1189,6 +1193,18 @@ object SparkEntry {
          SELECT doc_id, n AS norm_text, md5(n) AS norm_md5,
            CAST(len(n) AS BIGINT) AS n_chars_norm
          FROM t ORDER BY doc_id""",
+
+    "corpus_profile" ->
+      """WITH t AS (SELECT lang, source,
+           CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_toks,
+           md5(text) AS d
+         FROM documents)
+         SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           min(n_toks) AS min_tokens, max(n_toks) AS max_tokens,
+           CAST(sum(CASE WHEN n_toks < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+           count(DISTINCT d) AS n_distinct_texts
+         FROM t GROUP BY 1, 2 ORDER BY lang, source""",
 
     "corpus_clean" ->
       """WITH t AS (SELECT doc_id, text,

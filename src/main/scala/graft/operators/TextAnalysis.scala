@@ -72,6 +72,28 @@ object TextAnalysis {
         (length(col("text")) / greatest(size(col("toks")), lit(1)))
           .as("chars_per_token"))
 
+  /** Corpus profile — the dataset-card rollup: per (lang, source)
+    * stratum, document/token counts, length extremes, the short-doc tally
+    * and the distinct-text count (per-stratum duplication rate). All
+    * aggregates are integers, so the result is hash-exact across engines,
+    * runs and partitionings. The plan is the ideal distributed rollup:
+    * map-side tokenize + partial aggregation, exchanges carry only
+    * (stratum, partial) rows — plus the standard two-phase distinct
+    * aggregation on the 16-byte digest for `n_distinct_texts`, the one
+    * stat worth a digest-volume shuffle.
+    */
+  def corpusProfile(docs: DataFrame, shortTokens: Int = 20): DataFrame =
+    docs
+      .withColumn("n_toks", size(tokens(col("text"))).cast("long"))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        min(col("n_toks")).as("min_tokens"),
+        max(col("n_toks")).as("max_tokens"),
+        sum(when(col("n_toks") < shortTokens, 1L).otherwise(0L)).as("n_short"),
+        countDistinct(md5(col("text"))).as("n_distinct_texts"))
+
   /** English stopwords used by quality scoring and language ID. */
   private val EnStop = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
 

@@ -17,6 +17,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("corpusProfile rolls up consistent per-stratum integer stats") {
+    val prof = TextAnalysis.corpusProfile(docs)
+    // strata partition the corpus exactly
+    assert(prof.agg(sum("n_docs")).head().getLong(0) === docs.count())
+    // internal consistency of every stratum row
+    assert(prof.where(col("min_tokens") > col("max_tokens")).count() === 0)
+    assert(prof.where(col("n_distinct_texts") > col("n_docs")).count() === 0)
+    assert(prof.where(col("n_short") > col("n_docs")).count() === 0)
+    assert(prof.where(
+      col("n_tokens") < col("min_tokens") * col("n_docs") ||
+      col("n_tokens") > col("max_tokens") * col("n_docs")).count() === 0)
+    // deterministic under repartitioning
+    val a = prof.orderBy("lang", "source").collect()
+    val b = TextAnalysis.corpusProfile(docs.repartition(7))
+      .orderBy("lang", "source").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("qualityScore ratios are bounded") {
     val df = TextAnalysis.qualityScore(docs)
     assert(df.where(col("stopword_ratio") < 0 || col("stopword_ratio") > 1).count() === 0)
