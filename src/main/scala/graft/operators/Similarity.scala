@@ -305,16 +305,26 @@ object Similarity {
       emb: DataFrame, m: Int, k: Int,
       codebook: Option[Array[Double]] = None): DataFrame = {
     val dim = probeDim(emb)
-    require(dim % m == 0, s"embedding width $dim must divide into $m subspaces")
-    val sub = dim / m
-    val cb = codebook.getOrElse(defaultCodebook(m, k, sub))
-    require(cb.length == m * k * sub,
-      s"codebook must be m × k × dim/m = ${m * k * sub} flat doubles, got ${cb.length}")
+    val cb = resolvePqCodebook(dim, m, k, codebook)
     val e = emb.select(col("vec_id"), vec(col("embedding")).as("v"))
     e.select(col("vec_id"),
         graft.functions.PqDistances(col("v"), typedLit(cb.toSeq), m, k).as("dss"))
       .select(col("vec_id"), col("dss"),
         transform(col("dss"), ds => array_position(ds, array_min(ds)) - 1).as("codes"))
+  }
+
+  /** PQ codebook resolution: an explicit (trained) flat codebook wins;
+    * otherwise the deterministic md5 family. Validates the m/k/dim layout
+    * either way.
+    */
+  private def resolvePqCodebook(
+      dim: Int, m: Int, k: Int, codebook: Option[Array[Double]]): Array[Double] = {
+    require(dim % m == 0, s"embedding width $dim must divide into $m subspaces")
+    val sub = dim / m
+    val cb = codebook.getOrElse(defaultCodebook(m, k, sub))
+    require(cb.length == m * k * sub,
+      s"codebook must be m × k × dim/m = ${m * k * sub} flat doubles, got ${cb.length}")
+    cb
   }
 
   /** The deterministic md5-family codebook as the flat
@@ -663,6 +673,17 @@ object Similarity {
         col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
   }
 
+  /** Query probe cells: the nprobe best cells by (cos desc, cell asc),
+    * expressed as a count-based rank over the `css` column (no sort — the
+    * same engine-portable trick as lshProbes). O(nc²) per QUERY row only.
+    */
+  private def probeCellsExpr(nc: Int, nprobe: Int): Column =
+    filter(sequence(lit(0), lit(nc - 1)), c =>
+      size(filter(sequence(lit(0), lit(nc - 1)), c2 =>
+        element_at(col("css"), c2 + 1) > element_at(col("css"), c + 1) ||
+          (element_at(col("css"), c2 + 1) === element_at(col("css"), c + 1) && c2 < c))) <
+        nprobe)
+
   def annIvf(
       emb: DataFrame,
       queryFilter: Column,
@@ -685,14 +706,7 @@ object Similarity {
       centCos(cents)(col("v"), col("nrm")).as("css"))
     val assigned = withCss.select(col("vec_id"), col("v"), col("nrm"),
       (array_position(col("css"), array_max(col("css"))) - 1).cast("int").as("cell"))
-    // Query probe cells: the nprobe best cells by (cos desc, cell asc),
-    // expressed as a count-based rank over the css array (no sort — the
-    // same engine-portable trick as lshProbes). O(nc²) per QUERY row only.
-    val probeCells = filter(sequence(lit(0), lit(nc - 1)), c =>
-      size(filter(sequence(lit(0), lit(nc - 1)), c2 =>
-        element_at(col("css"), c2 + 1) > element_at(col("css"), c + 1) ||
-          (element_at(col("css"), c2 + 1) === element_at(col("css"), c + 1) && c2 < c))) <
-        nprobe)
+    val probeCells = probeCellsExpr(nc, nprobe)
     // queryFilter is on vec_id, so it pushes below the css projection: the
     // query side recomputes css for its own rows only.
     val q = withCss.where(queryFilter)
@@ -706,5 +720,77 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rank").cast("long").as("rank"), round(col("cos"), 4).as("cosine"))
+  }
+
+  /** IVF-PQ composed search (IVFADC, Jégou et al. TPAMI'11 — the FAISS
+    * `IndexIVFPQ` shape): the corpus index is (cell, PQ codes) — vectors
+    * are dropped after encoding — and a query probes its `nprobe` nearest
+    * IVF cells, then ADC-scores ONLY the PQ codes inside those cells.
+    * Memory is codes not vectors (m bytes/row at the defaults vs dim × 4),
+    * compute is probed cells not corpus — the configuration that keeps a
+    * 100 TB embedding corpus searchable on a bounded cluster.
+    *
+    * Plan shape: ONE map-side pass over the corpus computes BOTH index
+    * facets — the IVF cell (argmax over the literal-codebook centroid
+    * cosines, as annIvf) and the PQ codes (argmin over the codegen'd
+    * [[graft.functions.PqDistances]] matrix, as pqSearch) — so composing
+    * the two indexes costs no join and no extra scan. The (vec_id, cell,
+    * codes) frame is localCheckpointed: in a deployment it is the STORED
+    * index (encode once, search many). Queries recompute only their own
+    * rows (the vec_id filter pushes below both projections), broadcast
+    * with their ADC lookup tables, and equi-join on the probed cell —
+    * shuffle O(index rows), scoring O(nprobe × cell size) per query, m
+    * table probes + adds per candidate. Recall is doubly probabilistic:
+    * neighbors in unprobed cells are unseen (the IVF trade — raise
+    * `nprobe`), and ADC ranks by quantized distance (the PQ trade — train
+    * the codebook, raise m/k). Both codebooks accept trained variants
+    * ([[trainIvfCodebook]], [[trainPqCodebook]]) through the identical
+    * literal plan.
+    */
+  def ivfPqSearch(
+      emb: DataFrame,
+      queryFilter: Column,
+      kNN: Int = 10,
+      m: Int = 8,
+      k: Int = 16,
+      centEvery: Int = 40,
+      nprobe: Int = 1,
+      maxCents: Int = 256,
+      ivfCodebook: Option[Array[(Long, Array[Double])]] = None,
+      pqCodebook: Option[Array[Double]] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val e = normalized(emb)
+    val cents = resolveCentroids(e, centEvery, maxCents, ivfCodebook)
+    if (cents.isEmpty)
+      // empty corpus: empty result with the contract schema, no throw —
+      // and no PQ-codebook validation against the probe's placeholder dim
+      return e.select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        lit(0L).as("rank"), lit(0.0).as("approx_dist2")).where(lit(false))
+    val dim = probeDim(emb)
+    val pcb = resolvePqCodebook(dim, m, k, pqCodebook)
+    val nc = cents.length
+    // one pass, both facets: centroid cosines (cell) + PQ distance matrix
+    // (codes on the corpus side, the ADC LUT on the query side)
+    val withAll = e.select(col("vec_id"),
+      centCos(cents)(col("v"), col("nrm")).as("css"),
+      graft.functions.PqDistances(col("v"), typedLit(pcb.toSeq), m, k).as("dss"))
+    val index = withAll.select(col("vec_id"),
+        (array_position(col("css"), array_max(col("css"))) - 1).cast("int").as("cell"),
+        transform(col("dss"), ds => array_position(ds, array_min(ds)) - 1).as("codes"))
+      .localCheckpoint()
+    val q = withAll.where(queryFilter)
+      .select(col("vec_id").as("query_id"), col("dss").as("qlut"),
+        explode(probeCellsExpr(nc, nprobe)).as("qcell"))
+    // a neighbor lives in exactly one cell and probe cells are distinct,
+    // so no pair dedup is needed (the annIvf invariant)
+    val scored = index.join(broadcast(q),
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .withColumn("adist", graft.functions.AdcDistance(col("qlut"), col("codes")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= kNN)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("adist"), 4).as("approx_dist2"))
   }
 }

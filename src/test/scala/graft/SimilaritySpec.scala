@@ -62,10 +62,16 @@ class SimilaritySpec extends SparkSpec {
     val ivfTrained = recall(Similarity.annIvf(emb, qf, k = 10, codebook = Some(nCells)))
     val ivfTrained3 = recall(
       Similarity.annIvf(emb, qf, k = 10, nprobe = 3, codebook = Some(nCells)))
+    // the IVFADC composition: same probes as ivf1/ivf2, ADC-quantized ranks
+    val ivfpq1 = recall(Similarity.ivfPqSearch(emb, qf, kNN = 10, centEvery = 40))
+    val ivfpq3 = recall(Similarity.ivfPqSearch(emb, qf, kNN = 10, centEvery = 40, nprobe = 3))
+    val ivfpqTrained3 = recall(Similarity.ivfPqSearch(emb, qf, kNN = 10, nprobe = 3,
+      ivfCodebook = Some(nCells), pqCodebook = Some(trained)))
     info(f"recall@10 — lsh: $lsh1%.3f, lsh probe3: $lsh2%.3f, " +
       f"ivf: $ivf1%.3f, ivf probe3: $ivf2%.3f, " +
       f"ivf trained: $ivfTrained%.3f, trained probe3: $ivfTrained3%.3f, " +
-      f"pq-adc default: $pqDefault%.3f, trained: $pqTrained%.3f")
+      f"pq-adc default: $pqDefault%.3f, trained: $pqTrained%.3f, " +
+      f"ivfpq: $ivfpq1%.3f, probe3: $ivfpq3%.3f, trained probe3: $ivfpqTrained3%.3f")
     // multi-probe must not lose recall, and should find something extra here
     assert(lsh2 >= lsh1 && ivf2 >= ivf1)
     assert(lsh2 > 0.2 && ivf2 > 0.2, s"multi-probe recall floor: lsh2=$lsh2 ivf2=$ivf2")
@@ -76,6 +82,19 @@ class SimilaritySpec extends SparkSpec {
     // at matched cell count (and multi-probe composes with them)
     assert(ivfTrained >= ivf1, s"trained IVF $ivfTrained vs sampled $ivf1")
     assert(ivfTrained3 >= ivfTrained)
+    // IVFADC: the composed index finds true neighbors at all through the
+    // double approximation (probed cells × quantized ranks). NOTE multi-
+    // probe is NOT monotone here, unlike exact-cosine IVF: extra cells add
+    // candidates whose md5-random-codebook ADC ranks are noisy enough to
+    // displace true neighbors from the top-10 (measured 0.100 → 0.068) —
+    // rank quality, not candidate coverage, gates composed recall, which
+    // is exactly why IVFADC deployments train the PQ codebook.
+    assert(ivfpq1 > 0.0, s"ivfpq found nothing: $ivfpq1")
+    // the trained PQ codebook must recover what the random one loses —
+    // the measured justification for the trained path through the
+    // composed plan (0.068 random → ~0.29 trained at probe 3)
+    assert(ivfpqTrained3 > ivfpq3, s"trained ivfpq $ivfpqTrained3 vs random $ivfpq3")
+    assert(ivfpqTrained3 > 0.2, s"trained ivfpq recall floor: $ivfpqTrained3")
   }
 
   test("annLsh results are a subset of brute-force scoring, same bucket only") {
@@ -186,12 +205,46 @@ class SimilaritySpec extends SparkSpec {
     assert(res.orderBy("query_id", "rank").collect().toSeq === repart)
   }
 
+  test("ivfPqSearch: IVFADC contract — ranked ADC, candidates confined to probed cells") {
+    val qf = col("vec_id") % 100 === 0
+    val res = Similarity.ivfPqSearch(emb, qf, kNN = 5, centEvery = 20)
+    assert(res.where(col("neighbor_id") === col("query_id")).count() === 0)
+    // ADC distance non-decreasing in rank
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy("rank")
+    val viol = res.withColumn("prev", lag(col("approx_dist2"), 1).over(w))
+      .where(col("prev").isNotNull && col("prev") > col("approx_dist2"))
+      .count()
+    assert(viol === 0)
+    // the composed index = IVF candidate set ∩ PQ scoring: every IVFADC
+    // (query, neighbor) comes from the query's probed cell (the annIvf
+    // candidate set at the same codebook), and its adist matches what
+    // pqSearch computed for the same pair (k beyond any cell size ⇒ both
+    // frames enumerate their full candidate sets)
+    val ivfCands = Similarity.annIvf(emb, qf, k = 100000, centEvery = 20)
+      .select("query_id", "neighbor_id")
+    val pqAll = Similarity.pqSearch(emb, qf, kNN = 100000)
+      .select("query_id", "neighbor_id", "approx_dist2")
+    assert(res.select("query_id", "neighbor_id").except(ivfCands).count() === 0)
+    assert(res.select("query_id", "neighbor_id", "approx_dist2").except(pqAll).count() === 0)
+    // multi-probe widens, never shrinks
+    val p2 = Similarity.ivfPqSearch(emb, qf, kNN = 100000, centEvery = 20, nprobe = 2)
+      .select("query_id", "neighbor_id")
+    assert(res.select("query_id", "neighbor_id").except(p2).count() === 0)
+    // deterministic under repartitioning
+    val base = res.orderBy("query_id", "rank").collect().toSeq
+    val repart = Similarity.ivfPqSearch(emb.repartition(13), qf, kNN = 5, centEvery = 20)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(base === repart)
+  }
+
   test("similarity operators yield empty results on an empty frame (no throw)") {
     val empty = emb.where(lit(false))
     assert(Similarity.annLsh(empty, col("vec_id") % 100 === 0, nprobe = 2).count() === 0)
     assert(Similarity.embedCosineDup(empty).count() === 0)
     assert(Similarity.annTopK(empty, col("vec_id") % 100 === 0).count() === 0)
     assert(Similarity.annIvf(empty, col("vec_id") % 100 === 0).count() === 0)
+    assert(Similarity.ivfPqSearch(empty, col("vec_id") % 100 === 0).count() === 0)
   }
 
   test("lsh plane count scales with the corpus-count hint") {
