@@ -306,18 +306,28 @@ object SparkEntry {
     // sample — detect→act operators composed into ONE declarative plan.
     "corpus_curate" -> { (s, dir) =>
       val docs = cat(s, dir).table("documents")
+      // The strip subtree (dupSpans' two shuffles) feeds BOTH lengthBand's
+      // plan-time histogram job and the final plan — persist it so the
+      // subtree runs once, not per consumer (the Dedup signature-cache
+      // discipline). The histogram collect populates the cache; the final
+      // sampled frame (narrow: two longs) is materialized eagerly so the
+      // cache can be released here instead of leaking into the session.
       val surviving = Dedup.stripDupSpans(docs)
         .where(col("n_tokens_removed") * 2 <= col("n_tokens"))
         .select(col("doc_id"), col("text_clean").as("text"))
-      val banded = TextAnalysis.lengthBand(surviving)
-      val withText = banded.join(surviving, "doc_id")
-      val keep = TextAnalysis.dedupExact(withText)
-        .select(col("keep_id").as("doc_id"))
-      TextAnalysis.hashSamplePermille(
-          withText.join(keep, Seq("doc_id"), "left_semi"),
-          permille = 500, salt = "curate")
-        .select(col("doc_id"), col("n_tokens"))
-        .orderBy("doc_id")
+        .persist()
+      try {
+        val banded = TextAnalysis.lengthBand(surviving)
+        val withText = banded.join(surviving, "doc_id")
+        val keep = TextAnalysis.dedupExact(withText)
+          .select(col("keep_id").as("doc_id"))
+        TextAnalysis.hashSamplePermille(
+            withText.join(keep, Seq("doc_id"), "left_semi"),
+            permille = 500, salt = "curate")
+          .select(col("doc_id"), col("n_tokens"))
+          .orderBy("doc_id")
+          .localCheckpoint()
+      } finally surviving.unpersist()
     },
 
     // spec-only (no DuckDB deflate): driver records the rows-only check

@@ -283,16 +283,27 @@ object TextAnalysis {
     * arithmetic — `ceil(0.05 · N)` in IEEE doubles lands on 26 where
     * DECIMAL arithmetic lands on 25 (N = 500), so a float-percentile API
     * could never hash-match a SQL oracle at integer boundaries.
+    *
+    * `histCeiling` bounds the driver fetch against adversarial corpora:
+    * token counts clamp to the ceiling BEFORE the groupBy, so the
+    * histogram can never exceed `histCeiling + 1` rows even when a corpus
+    * of million-token documents has a distinct length per doc. Thresholds
+    * strictly below the ceiling are bit-identical to the unclamped
+    * computation (the clamp only merges mass ABOVE them); a threshold
+    * that lands on the ceiling means "the percentile is at or beyond the
+    * clamp", and the band degrades gracefully to a superset — a lo bound
+    * at the ceiling keeps every doc ≥ ceiling, a hi bound there becomes
+    * unbounded above — never mis-filtering any doc below the clamp.
     */
   def lengthBand(
-      docs: DataFrame, pLoPermille: Int = 50, pHiPermille: Int = 950): DataFrame = {
+      docs: DataFrame, pLoPermille: Int = 50, pHiPermille: Int = 950,
+      histCeiling: Long = 1L << 16): DataFrame = {
     require(0 <= pLoPermille && pLoPermille <= pHiPermille && pHiPermille <= 1000,
       s"need 0 <= pLo <= pHi <= 1000 permille: $pLoPermille, $pHiPermille")
+    require(histCeiling > 0, s"histCeiling must be positive: $histCeiling")
     val tc = docs.select(col("doc_id"),
       size(tokens(col("text"))).cast("long").as("n_tokens"))
-    val hist = tc.groupBy(col("n_tokens")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("n_tokens"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hist = lengthHistogram(tc, histCeiling)
     if (hist.isEmpty) return tc.where(lit(false))
     val n = hist.map(_._2).sum
     def thresholdAt(permille: Int): Long = {
@@ -302,8 +313,21 @@ object TextAnalysis {
       hist.find { case (_, c) => cum += c; cum >= rank }.map(_._1).getOrElse(hist.last._1)
     }
     val (lo, hi) = (thresholdAt(pLoPermille), thresholdAt(pHiPermille))
-    tc.where(col("n_tokens").between(lo, hi))
+    val hiBound = if (hi >= histCeiling) Long.MaxValue else hi
+    tc.where(col("n_tokens").between(lo, hiBound))
   }
+
+  /** The clamped length histogram behind [[lengthBand]]: (clamped length,
+    * count) pairs, ascending, at most `histCeiling + 1` rows by
+    * construction. Package-visible so specs can assert the fetch bound
+    * directly.
+    */
+  private[graft] def lengthHistogram(
+      tc: DataFrame, histCeiling: Long): Array[(Long, Long)] =
+    tc.groupBy(least(col("n_tokens"), lit(histCeiling)).as("n_tokens"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
 
   /** Compression-ratio quality signal: `deflate(text).length /
     * utf8(text).length` — the information-theoretic twin of

@@ -132,6 +132,37 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("lengthBand histogram clamp bounds the driver fetch on adversarial corpora") {
+    import spark.implicits._
+    // adversarial shape: every doc has a UNIQUE length, all above the clamp
+    // — unclamped, the histogram would carry one row per doc
+    val long = (1 to 40).map(n => (n.toLong, (1 to 20 + n).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val tc = long.select(col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+    // fetch bound holds: 40 distinct lengths (21..60) collapse into
+    // ≤ ceiling+1 histogram rows (lengths below 10, plus the 10 bucket)
+    val clamped = TextAnalysis.lengthHistogram(tc, histCeiling = 10L)
+    assert(clamped.length <= 11)
+    assert(clamped.map(_._2).sum === 40L)
+    // thresholds strictly below the ceiling are unchanged: lengths 1..100
+    // with ceiling 95 — lo=10 and hi=90 sit below the clamp, so the band
+    // is bit-identical to the unclamped default
+    val df = (1 to 100).map(n => (n.toLong, (1 to n).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val defaultBand = TextAnalysis.lengthBand(df, 100, 900)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val clampedBand = TextAnalysis.lengthBand(df, 100, 900, histCeiling = 95L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(clampedBand === defaultBand)
+    // a hi threshold AT the ceiling degrades to a superset (unbounded
+    // above), never dropping docs below the clamp: ceiling 50 puts hi at
+    // the clamp, so every doc ≥ lo=10 survives
+    val sup = TextAnalysis.lengthBand(df, 100, 900, histCeiling = 50L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(sup === (10L to 100L))
+  }
+
   test("compressionRatio separates repetitive from varied text deterministically") {
     import spark.implicits._
     val rep = ("the same words again and again " * 30).trim
