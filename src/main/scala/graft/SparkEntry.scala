@@ -418,6 +418,24 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Curated corpus straight into the shard writer's frame: quality gate
+    // → exact-dedup keep → deterministic sample → trainOrder, emitted in
+    // the exact (shard, pos) order writeTrainShards lays files out in —
+    // the payload (n_chars here standing in for the text) rides the one
+    // shard exchange instead of being re-joined.
+    "corpus_to_shards" -> { (s, dir) =>
+      val docs = cat(s, dir).table("documents")
+      val keep = TextAnalysis.dedupExact(docs).select(col("keep_id").as("doc_id"))
+      val cleaned = docs
+        .where(TextAnalysis.passesQuality(col("text")))
+        .join(keep, Seq("doc_id"), "left_semi")
+      Chunk.trainOrder(TextAnalysis.hashSample(cleaned, pct = 50, salt = "clean"),
+          shards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("shard", "pos")
+    },
+
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.mediaMeta(
         Multimodal.mediaFromDocuments(cat(s, dir).table("documents")))
@@ -1258,6 +1276,25 @@ object SparkEntry {
            CAST((cum - 1) // 256 AS BIGINT) AS seq_last,
            CAST((cum - n_tokens) % 256 AS BIGINT) AS seq_offset
          FROM c ORDER BY doc_id""",
+
+    "corpus_to_shards" ->
+      """WITH t AS (SELECT doc_id, text,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+         FROM documents),
+         q AS (SELECT doc_id FROM t
+           WHERE len(toks) >= 5 AND len(text) >= 40
+             AND len(list_filter(toks, x -> list_contains(
+               ['the','a','an','and','of','to','in','is','it','that'], x))) > 0),
+         k AS (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY md5(text)),
+         s AS (SELECT doc_id FROM documents
+           WHERE CAST('0x' || substr(md5('clean|' || doc_id::VARCHAR), 1, 15) AS BIGINT) % 100 < 50),
+         cleaned AS (SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars,
+           CAST('0x' || substr(md5('shuffle' || d.doc_id::VARCHAR), 1, 15) AS BIGINT) AS h
+         FROM documents d JOIN q USING (doc_id) JOIN k USING (doc_id) JOIN s USING (doc_id))
+         SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos,
+           n_chars
+         FROM cleaned ORDER BY shard, pos""",
 
     "embed_cosine_dup" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

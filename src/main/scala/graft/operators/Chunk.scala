@@ -83,13 +83,46 @@ object Chunk {
     * `repartition(shards) + sortWithinPartitions(pos)` per shard file.
     */
   def trainShuffle(
+      docs: DataFrame, shards: Int = 8, salt: String = "shuffle"): DataFrame =
+    trainOrder(docs.select(col("doc_id")), shards, salt)
+      .select(col("doc_id"), col("shard"), col("pos"))
+
+  /** [[trainShuffle]] carrying EVERY input column — the frame a shard
+    * writer consumes (payload + shard + pos). Same hash/rank semantics,
+    * same single exchange; the payload rides the shard shuffle instead of
+    * being re-joined afterward.
+    */
+  def trainOrder(
       docs: DataFrame, shards: Int = 8, salt: String = "shuffle"): DataFrame = {
+    require(shards > 0, s"shards must be positive: $shards")
     val h = TextAnalysis.hexHash(concat(lit(salt), col("doc_id").cast("string")))
-    docs.select(col("doc_id"), h.as("h"))
+    docs.withColumn("h", h)
       .withColumn("shard", pmod(col("h"), lit(shards)).cast("int"))
       .withColumn("pos",
         row_number().over(Window.partitionBy("shard").orderBy("h", "doc_id"))
           .cast("long"))
-      .select(col("doc_id"), col("shard"), col("pos"))
+      .drop("h")
   }
+
+  /** The training pipeline's deliverable: the shuffled corpus AS per-shard
+    * files, each internally in epoch order. One `shard=N/` directory per
+    * shard with exactly one data file, rows sorted by `pos` — the layout a
+    * training loader streams sequentially while seeking nothing.
+    *
+    * Plan discipline: the rank window already clusters rows by shard, so
+    * the write rides THAT exchange — `sortWithinPartitions(shard, pos)` is
+    * a local (near-no-op: rows already arrive in hash order) sort and
+    * `partitionBy("shard")` splits directories task-locally. One shuffle
+    * total for assign + order + write, at any corpus size; `shards` is the
+    * parallelism knob. Same salt ⇒ byte-identical shard files across runs
+    * (the hash order is data-independent and the writer sees identical
+    * row sequences), which is what makes a training epoch replayable from
+    * the artifact alone.
+    */
+  def writeTrainShards(
+      docs: DataFrame, outDir: String, shards: Int = 8, salt: String = "shuffle",
+      format: String = "parquet"): Unit =
+    trainOrder(docs, shards, salt)
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").format(format).save(outDir)
 }

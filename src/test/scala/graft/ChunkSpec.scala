@@ -135,6 +135,51 @@ class ChunkSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), s"global window:\n$plan")
   }
 
+  test("writeTrainShards lays out per-shard files in epoch order, byte-identical across runs") {
+    val shards = 4
+    def freshDir() = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val (out1, out2) = (freshDir(), freshDir())
+    Chunk.writeTrainShards(docs, out1, shards = shards, salt = "epoch0")
+    Chunk.writeTrainShards(docs, out2, shards = shards, salt = "epoch0")
+    def dataFiles(dir: String): Map[Int, java.io.File] =
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("shard="))
+        .map { d =>
+          val files = d.listFiles().filter(f => f.getName.endsWith(".parquet"))
+          // the writer's contract: the rank window's own exchange means one
+          // task owns a shard, so each directory holds exactly ONE file
+          assert(files.length === 1, s"${d.getName}: ${files.length} files")
+          d.getName.stripPrefix("shard=").toInt -> files.head
+        }.toMap
+    val (files1, files2) = (dataFiles(out1), dataFiles(out2))
+    assert(files1.keySet === (0 until shards).toSet)
+    // the re-read corpus is exactly trainOrder's assignment
+    val back = spark.read.parquet(out1)
+    val expected = Chunk.trainOrder(docs, shards = shards, salt = "epoch0")
+      .select(col("doc_id"), col("shard"), col("pos"))
+    assert(back.count() === docs.count())
+    assert(back.select(col("doc_id"), col("shard").cast("int"), col("pos"))
+      .except(expected).count() === 0)
+    // within each shard FILE, rows sit in epoch order: pos is 1..n as stored
+    files1.foreach { case (shard, f) =>
+      val pos = spark.read.parquet(f.getPath).select("pos").collect().map(_.getLong(0))
+      assert(pos.toSeq === (1L to pos.length).toSeq, s"shard $shard out of order")
+    }
+    // same salt ⇒ byte-identical artifacts: an epoch is replayable from
+    // the files alone, and a re-run is provably the same epoch
+    files1.foreach { case (shard, f1) =>
+      val b1 = java.nio.file.Files.readAllBytes(f1.toPath)
+      val b2 = java.nio.file.Files.readAllBytes(files2(shard).toPath)
+      assert(java.util.Arrays.equals(b1, b2), s"shard $shard differs between runs")
+    }
+    // a different salt is a different permutation of the same corpus
+    val out3 = freshDir()
+    Chunk.writeTrainShards(docs, out3, shards = shards, salt = "epoch1")
+    val b3 = spark.read.parquet(out3)
+    assert(b3.count() === docs.count())
+    assert(b3.select("doc_id", "shard", "pos").except(
+      back.select("doc_id", "shard", "pos")).count() > 0)
+  }
+
   test("gopherQuality applies the canonical rule battery") {
     import spark.implicits._
     val goodText =
