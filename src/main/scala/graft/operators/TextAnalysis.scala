@@ -97,6 +97,31 @@ object TextAnalysis {
   /** English stopwords used by quality scoring and language ID. */
   private val EnStop = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
 
+  /** Per-language quality tables: the stopword list the gates count and
+    * the character class `gopherQuality` treats as alphabetic. A real
+    * corpus pipeline filters per language — an English stopword gate
+    * rejects every high-quality German document — so the quality battery
+    * ([[passesQuality]], [[qualityScore]], [[gopherQuality]]) takes a pack
+    * and defaults to [[LangPack.en]], keeping every default-path result
+    * (and oracle) bit-identical. Lists are the standard public
+    * function-word sets (the top of each language's frequency table); the
+    * plan is language-independent — packs only swap literal arrays.
+    */
+  final case class LangPack(
+      lang: String, stopwords: Seq[String], alphaPattern: String = "[a-z]")
+
+  object LangPack {
+    val en: LangPack = LangPack("en", EnStop)
+    val de: LangPack = LangPack("de", Seq("der", "die", "das", "und", "ist",
+      "nicht", "ein", "eine", "zu", "den", "von", "mit", "auf", "sich", "dem"))
+    val es: LangPack = LangPack("es", Seq("el", "la", "los", "las", "y", "es",
+      "que", "de", "en", "un", "una", "por", "con", "no", "se"))
+    val fr: LangPack = LangPack("fr", Seq("le", "la", "les", "et", "est", "une",
+      "dans", "de", "un", "du", "des", "que", "pour", "pas", "sur"))
+    val all: Seq[LangPack] = Seq(de, en, es, fr)
+    def forLang(code: String): Option[LangPack] = all.find(_.lang == code)
+  }
+
   private def countIn(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(_.asInstanceOf[Any]): _*))).cast("long")
 
@@ -104,15 +129,17 @@ object TextAnalysis {
     * `qualityScore` report, the `corpus_clean` pipeline and the streaming
     * ingest filter, so "passes quality" means exactly one thing everywhere.
     */
-  def passesQuality(text: Column): Column =
+  def passesQuality(text: Column, pack: LangPack = LangPack.en): Column =
     bindOnce(tokens(text), toks =>
-      size(toks) >= 5 && length(text) >= 40 && countIn(toks, EnStop) > 0)
+      size(toks) >= 5 && length(text) >= 40 && countIn(toks, pack.stopwords) > 0)
 
   /** Heuristic document quality: length, token stats, punctuation density,
     * stopword ratio, uppercase ratio — the classic cheap filters a corpus
     * pipeline applies before anything expensive (cf. C4/Gopher rules).
+    * `pack` selects the language's stopword table; the default keeps the
+    * English battery.
     */
-  def qualityScore(docs: DataFrame): DataFrame =
+  def qualityScore(docs: DataFrame, pack: LangPack = LangPack.en): DataFrame =
     docs
       .withColumn("toks", tokens(col("text")))
       .withColumn("n_tok", greatest(size(col("toks")), lit(1)).cast("long"))
@@ -123,10 +150,10 @@ object TextAnalysis {
         round(length(col("text")).cast("double") / col("n_tok"), 4).as("chars_per_token"),
         size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0)))
           .cast("long").as("punct_count"),
-        round(countIn(col("toks"), EnStop).cast("double") / col("n_tok"), 4)
+        round(countIn(col("toks"), pack.stopwords).cast("double") / col("n_tok"), 4)
           .as("stopword_ratio"),
         (size(col("toks")) >= 5 && length(col("text")) >= 40 &&
-          countIn(col("toks"), EnStop) > 0).as("passes_quality"))
+          countIn(col("toks"), pack.stopwords) > 0).as("passes_quality"))
 
   private val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
@@ -401,7 +428,7 @@ object TextAnalysis {
     * pass; the token and line arrays are each let-bound; the word-length
     * sum is an exact integer fold, so every ratio is bit-reproducible.
     */
-  def gopherQuality(docs: DataFrame): DataFrame =
+  def gopherQuality(docs: DataFrame, pack: LangPack = LangPack.en): DataFrame =
     docs
       .select(col("doc_id"),
         bindOnce(tokens(col("text")), tk =>
@@ -418,12 +445,12 @@ object TextAnalysis {
               size(tk).cast("long").as("n_words"),
               round(aggregate(transform(tk, length(_).cast("long")),
                 lit(0L), (a, x) => a + x).cast("double") / nW, 4).as("mean_word_len"),
-              round(size(filter(tk, w => w.rlike("[a-z]"))).cast("double") / nW, 4)
+              round(size(filter(tk, w => w.rlike(pack.alphaPattern))).cast("double") / nW, 4)
                 .as("frac_alpha_words"),
               round(bullet.cast("double") / nL, 4).as("frac_bullet_lines"),
               round(ellip.cast("double") / nL, 4).as("frac_ellipsis_lines"),
               // array_intersect already dedups — no array_distinct pre-pass
-              size(array_intersect(tk, array(EnStop.map(lit(_)): _*)))
+              size(array_intersect(tk, array(pack.stopwords.map(lit(_)): _*)))
                 .cast("long").as("n_stop_distinct"))
           })).as("s"))
       .select(col("doc_id"), col("s.*"))

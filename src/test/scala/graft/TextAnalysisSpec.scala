@@ -132,6 +132,46 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("LangPack runs the quality battery per language; defaults stay English") {
+    import spark.implicits._
+    val deText = "der hund und die katze sind nicht auf dem sofa weil der regen " +
+      "sie zu den nachbarn mit dem garten treibt"
+    val enText = "the quick brown fox and the lazy dog run to the old barn " +
+      "in that green field of tall grass"
+    val df = Seq((1L, deText), (2L, enText)).toDF("doc_id", "text")
+    def kept(gate: org.apache.spark.sql.Column): Set[Long] =
+      df.where(gate).select("doc_id").collect().map(_.getLong(0)).toSet
+    // the English gate rejects the high-quality German doc — exactly the
+    // failure a per-language pipeline exists to avoid — and vice versa
+    assert(kept(TextAnalysis.passesQuality(col("text"))) === Set(2L))
+    assert(kept(TextAnalysis.passesQuality(col("text"), TextAnalysis.LangPack.de)) === Set(1L))
+    // qualityScore's ratio and verdict follow the pack
+    val qs = TextAnalysis.qualityScore(df, TextAnalysis.LangPack.de)
+      .orderBy("doc_id").collect()
+    assert(qs(0).getAs[Boolean]("passes_quality"))
+    assert(qs(0).getAs[Double]("stopword_ratio") > 0.2)
+    assert(!qs(1).getAs[Boolean]("passes_quality"))
+    assert(qs(1).getAs[Double]("stopword_ratio") === 0.0)
+    // the default battery is bit-identical to an explicit English pack
+    assert(TextAnalysis.qualityScore(df).collect().toSeq ===
+      TextAnalysis.qualityScore(df, TextAnalysis.LangPack.en).collect().toSeq)
+    // gopher battery under the German pack: a 50+-word German doc clears
+    // every rule (incl. >= 2 distinct German stopwords); under the English
+    // pack the same doc fails on the stopword rule alone
+    val longDe = Seq((1L, (deText + " ") * 4 + deText)).toDF("doc_id", "text")
+    val gDe = TextAnalysis.gopherQuality(longDe, TextAnalysis.LangPack.de).head()
+    assert(gDe.getAs[Long]("n_words") >= 50L)
+    assert(gDe.getAs[Long]("n_stop_distinct") >= 2L)
+    assert(gDe.getAs[Boolean]("passes_gopher"))
+    val gEn = TextAnalysis.gopherQuality(longDe).head()
+    assert(gEn.getAs[Long]("n_stop_distinct") === 0L)
+    assert(!gEn.getAs[Boolean]("passes_gopher"))
+    // es/fr packs resolve by code; unknown codes don't
+    assert(TextAnalysis.LangPack.forLang("es").nonEmpty)
+    assert(TextAnalysis.LangPack.forLang("fr").nonEmpty)
+    assert(TextAnalysis.LangPack.forLang("xx").isEmpty)
+  }
+
   test("lengthBand histogram clamp bounds the driver fetch on adversarial corpora") {
     import spark.implicits._
     // adversarial shape: every doc has a UNIQUE length, all above the clamp
