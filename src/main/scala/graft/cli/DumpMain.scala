@@ -70,8 +70,11 @@ object DumpMain {
     // every dump action has run; no-op for other sources
     finally catalog.close()
     // Single-file convenience (≙ the reference's zip wire format) for small
-    // dumps; the directory stays the scale artifact.
-    if (opts.flag("archive")) Dump.archive(spark, output, s"$output.zip")
+    // dumps; the directory stays the scale artifact. --archive-compression
+    // picks the entry method ≙ the reference's COMPRESSION_MAPPING
+    // (stored | deflated | deflated:0-9).
+    if (opts.flag("archive")) Dump.archive(spark, output, s"$output.zip",
+      opts.value("archive-compression").getOrElse("deflated"))
     println(s"Dumped ${(opts.multi("full", short = "f") ++ partial.keys).distinct.size}+ tables to $output" +
       (if (opts.flag("archive")) s" (+ $output.zip)" else ""))
   }
@@ -96,7 +99,7 @@ object Cli {
   private val Valued = Set("source", "output", "o", "full", "f", "partial", "p",
     "compression", "c", "format", "fk", "pk", "input", "i", "cleanup-method", "m",
     "target", "jdbc-url", "jdbc-user", "jdbc-password", "jdbc-driver",
-    "jdbc-schema", "recreate-database", "jdbc-admin-url")
+    "jdbc-schema", "recreate-database", "jdbc-admin-url", "archive-compression")
 
   def parse(args: Seq[String]): Opts = {
     var values = Map.empty[String, Seq[String]].withDefaultValue(Nil)

@@ -404,7 +404,9 @@ object Dump {
     * `unarchive` restores an identical directory. Streams through the
     * Hadoop FS API (local, HDFS, S3A, ...).
     */
-  def archive(spark: SparkSession, dumpPath: String, zipPath: String): Unit = {
+  def archive(spark: SparkSession, dumpPath: String, zipPath: String,
+      compression: String = "deflated"): Unit = {
+    val (stored, level) = parseArchiveCompression(compression)
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(dumpPath)
     val fs = root.getFileSystem(conf)
@@ -412,18 +414,58 @@ object Dump {
     // the zip may live on a different filesystem than the dump directory
     val zp = new org.apache.hadoop.fs.Path(zipPath)
     val out = new java.util.zip.ZipOutputStream(zp.getFileSystem(conf).create(zp, true))
+    if (!stored && level >= 0) out.setLevel(level)
     try {
       val files = fs.listFiles(root, true)
       while (files.hasNext) {
         val f = files.next()
         val rel = rootUri.relativize(f.getPath.toUri).getPath
-        out.putNextEntry(new java.util.zip.ZipEntry(rel))
+        val entry = new java.util.zip.ZipEntry(rel)
+        if (stored) {
+          // STORED entries declare size + CRC in the local header, before
+          // any bytes: one metering pass, then the copy. Constant memory —
+          // the file is never buffered, just read twice.
+          val crc = new java.util.zip.CRC32()
+          val buf = new Array[Byte](64 * 1024)
+          var total = 0L
+          val meter = fs.open(f.getPath)
+          try {
+            var n = meter.read(buf)
+            while (n >= 0) { crc.update(buf, 0, n); total += n; n = meter.read(buf) }
+          } finally meter.close()
+          entry.setMethod(java.util.zip.ZipEntry.STORED)
+          entry.setSize(total)
+          entry.setCompressedSize(total)
+          entry.setCrc(crc.getValue)
+        }
+        out.putNextEntry(entry)
         val in = fs.open(f.getPath)
         try in.transferTo(out) finally in.close()
         out.closeEntry()
       }
     } finally out.close()
   }
+
+  /** Archive compression choice ≙ the reference's COMPRESSION_MAPPING
+    * (cli/dump.py:32 — deflated/stored, plus bzip2/lzma where its runtime
+    * has them): `stored` (no compression — right when the dump payload is
+    * already-compressed parquet), `deflated` (zlib default), or
+    * `deflated:0-9` (explicit zlib level; 9 ≙ the max-ratio tier bzip2/
+    * lzma occupy in the reference — the JDK's zip has no bzip2/lzma codec).
+    * Returns (stored?, deflate level or -1 for default).
+    */
+  private[sources] def parseArchiveCompression(compression: String): (Boolean, Int) =
+    compression match {
+      case "stored"   => (true, -1)
+      case "deflated" => (false, -1)
+      case s if s.startsWith("deflated:") =>
+        val lvl = s.stripPrefix("deflated:").toIntOption.getOrElse(-99)
+        require(lvl >= 0 && lvl <= 9,
+          s"deflate level must be 0-9: $s")
+        (false, lvl)
+      case other => throw new IllegalArgumentException(
+        s"unsupported archive compression '$other' (expected stored, deflated or deflated:0-9)")
+    }
 
   /** Restores a zip written by `archive` into a dump directory that
     * `load`/`loadInto` read directly (≙ the reference unpacking its archive

@@ -63,6 +63,50 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/loaded/orders.parquet").count() === expected)
   }
 
+  test("archive compression choice: entry methods, size ordering, stored round-trip") {
+    val tmp = Files.createTempDirectory("graft_cli_zipc").toString
+    // csv + no codec ⇒ compressible payload, so the ordering is visible
+    DumpMain.run(Seq(
+      "--source", sfDir,
+      "-o", s"$tmp/dump",
+      "-f", "region", "-f", "nation",
+      "--format", "csv", "-c", "none",
+      "--archive", "--archive-compression", "stored"), spark)
+    val D = graft.sources.Dump
+    D.archive(spark, s"$tmp/dump", s"$tmp/deflated.zip")
+    D.archive(spark, s"$tmp/dump", s"$tmp/max.zip", "deflated:9")
+    def entries(p: String): Seq[java.util.zip.ZipEntry] = {
+      val zf = new java.util.zip.ZipFile(p)
+      try {
+        val it = zf.entries(); val b = Seq.newBuilder[java.util.zip.ZipEntry]
+        while (it.hasMoreElements) b += it.nextElement()
+        b.result()
+      } finally zf.close()
+    }
+    // entry methods follow the mapping (≙ reference COMPRESSION_MAPPING)
+    assert(entries(s"$tmp/dump.zip").forall(_.getMethod === java.util.zip.ZipEntry.STORED))
+    assert(entries(s"$tmp/deflated.zip").forall(_.getMethod === java.util.zip.ZipEntry.DEFLATED))
+    assert(entries(s"$tmp/max.zip").forall(_.getMethod === java.util.zip.ZipEntry.DEFLATED))
+    // stored entries are byte-for-byte (compressed == uncompressed size);
+    // deflated strictly shrinks the text payload; level 9 never loses to
+    // the default level
+    assert(entries(s"$tmp/dump.zip").forall(e => e.getCompressedSize === e.getSize))
+    def len(p: String) = new java.io.File(p).length()
+    assert(len(s"$tmp/dump.zip") > len(s"$tmp/deflated.zip"))
+    assert(len(s"$tmp/max.zip") <= len(s"$tmp/deflated.zip"))
+    // a stored archive loads back identically (CRC/size headers correct)
+    LoadMain.run(Seq("-i", s"$tmp/dump.zip", "--target", s"$tmp/loaded"), spark)
+    assert(spark.read.parquet(s"$tmp/loaded/region.parquet").count() ===
+      spark.read.parquet(s"$sfDir/region.parquet").count())
+    // unknown names and bad levels fail loudly
+    assertThrows[IllegalArgumentException] {
+      D.archive(spark, s"$tmp/dump", s"$tmp/x.zip", "bzip2")
+    }
+    assertThrows[IllegalArgumentException] {
+      D.archive(spark, s"$tmp/dump", s"$tmp/x.zip", "deflated:12")
+    }
+  }
+
   test("schema-only dump writes DDL but no data") {
     val tmp = Files.createTempDirectory("graft_cli2").toString
     DumpMain.run(Seq(
