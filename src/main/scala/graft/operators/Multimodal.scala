@@ -25,8 +25,12 @@ object Multimodal {
     */
   private def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
     javax.imageio.ImageIO.setUseCache(false)
+    // NonFatal, not just IOException: ImageIO readers throw
+    // IllegalArgumentException / CMMException / IIOException subclasses on
+    // some malformed payloads — at corpus scale a single corrupt image must
+    // degrade to the documented byte-moment fallback, not kill the job.
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-    catch { case _: java.io.IOException => None }
+    catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** One media row: id + opaque payload + typed metadata. */

@@ -336,6 +336,28 @@ object Jdbc {
   def introspect(cfg: JdbcConfig, schema: Option[String] = None): DbMeta = {
     val conn = connect(cfg)
     try {
+      // A sessionInit (snapshot-consistent dump) must cover introspection
+      // too: the metadata queries below run on THIS connection, so running
+      // the init first places them inside the attached snapshot
+      // transaction — otherwise concurrent DDL between snapshot export and
+      // introspection could yield schema metadata that disagrees with the
+      // snapshotted data the partitioned reads will see.
+      cfg.sessionInit.foreach { sql =>
+        val st = conn.createStatement()
+        try st.execute(sql) finally st.close()
+      }
+      introspectOn(conn, schema)
+    } finally conn.close()
+  }
+
+  /** [[introspect]]'s metadata walk over an existing connection — the seam
+    * that lets the grouping/validation logic be unit-tested against faked
+    * DatabaseMetaData (drivers with anonymous FKs, interleaved orders, …)
+    * without a server for each shape.
+    */
+  private[graft] def introspectOn(
+      conn: java.sql.Connection, schema: Option[String]): DbMeta = {
+    {
       val md = conn.getMetaData
       val tabs = rows(md.getTables(null, schema.orNull, "%", Array("TABLE")))(r =>
         (Option(r.getString("TABLE_SCHEM")).filter(_.nonEmpty), r.getString("TABLE_NAME")))
@@ -386,6 +408,19 @@ object Jdbc {
         if (anonCur.nonEmpty) anon += anonCur
         (named.values.toVector ++ anon.result()).map { g =>
           val sorted = g.sortBy(_._1)
+          // Guard against the silent failure mode of the KEY_SEQ=1
+          // fallback: two ANONYMOUS composite FKs into the same parent
+          // interleave under the (PKTABLE, KEY_SEQ) result order, and a
+          // consecutive-rows split would zip them into one garbage
+          // constraint whose closure pulls wrong rows. A correctly split
+          // group's KEY_SEQs are exactly 1..n — anything else must fail
+          // loudly, not dump quietly wrong.
+          require(sorted.map(_._1) == (1 to sorted.size).toVector,
+            s"foreign-key rows on table '$t' do not form a KEY_SEQ 1..${sorted.size} " +
+              s"constraint (got ${sorted.map(_._1).mkString(",")}). This happens when " +
+              "anonymous composite constraints interleave in the driver's " +
+              "getImportedKeys order; name the constraints or declare them " +
+              "explicitly (--fk) instead.")
           val head = sorted.head
           ForeignKey(head._2, head._3, head._4, head._5,
             sorted.tail.map(p => (p._3, p._5)))
@@ -408,6 +443,6 @@ object Jdbc {
       }.toMap
 
       DbMeta(names, fks, pks, qualified, partCols)
-    } finally conn.close()
+    }
   }
 }

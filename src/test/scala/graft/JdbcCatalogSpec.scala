@@ -309,6 +309,65 @@ class JdbcCatalogSpec extends SparkSpec {
       .select("E_ID").collect().map(_.getInt(0)).sorted === Seq(1, 2, 3, 4))
   }
 
+  test("interleaved anonymous composite FKs fail loudly instead of zipping") {
+    import java.lang.reflect.{InvocationHandler, Method, Proxy}
+    def proxy[T](cls: Class[T])(h: (String, Array[AnyRef]) => AnyRef): T =
+      Proxy.newProxyInstance(cls.getClassLoader, Array[Class[_]](cls),
+        new InvocationHandler {
+          def invoke(p: AnyRef, m: Method, args: Array[AnyRef]): AnyRef =
+            h(m.getName, if (args == null) Array.empty else args)
+        }).asInstanceOf[T]
+    def rs(rows: Seq[Map[String, AnyRef]]): java.sql.ResultSet = {
+      var i = -1
+      proxy(classOf[java.sql.ResultSet]) { (name, args) =>
+        name match {
+          case "next"      => i += 1; java.lang.Boolean.valueOf(i < rows.size)
+          case "getString" => rows(i).getOrElse(args(0).asInstanceOf[String], null)
+          case "getShort"  => rows(i)(args(0).asInstanceOf[String])
+          case _           => null
+        }
+      }
+    }
+    def fkRow(seq: Int, fc: String, pc: String): Map[String, AnyRef] = Map(
+      "KEY_SEQ" -> java.lang.Short.valueOf(seq.toShort),
+      // FK_NAME absent → getString returns null: the anonymous case
+      "FKTABLE_NAME" -> "FACT", "FKCOLUMN_NAME" -> fc,
+      "PKTABLE_NAME" -> "DIM", "PKCOLUMN_NAME" -> pc)
+    def metaFor(importedKeys: Seq[Map[String, AnyRef]]): java.sql.Connection = {
+      val md = proxy(classOf[java.sql.DatabaseMetaData]) { (name, args) =>
+        name match {
+          case "getTables" => rs(Seq(
+            Map("TABLE_SCHEM" -> null, "TABLE_NAME" -> "DIM"),
+            Map("TABLE_SCHEM" -> null, "TABLE_NAME" -> "FACT")))
+          case "getPrimaryKeys" => rs(Nil)
+          case "getImportedKeys" =>
+            if (args(2) == "FACT") rs(importedKeys) else rs(Nil)
+          case _ => null
+        }
+      }
+      proxy(classOf[java.sql.Connection]) { (name, _) =>
+        if (name == "getMetaData") md else null
+      }
+    }
+    // two ANONYMOUS composite FKs into the same parent, rows interleaved in
+    // the (PKTABLE, KEY_SEQ) order real drivers return: the KEY_SEQ=1
+    // adjacency fallback would zip them into one garbage constraint —
+    // introspection must refuse instead
+    val interleaved = Seq(
+      fkRow(1, "F_A", "D_A"), fkRow(1, "G_A", "D_A"),
+      fkRow(2, "F_B", "D_B"), fkRow(2, "G_B", "D_B"))
+    val e = intercept[IllegalArgumentException] {
+      Jdbc.introspectOn(metaFor(interleaved), schema = None)
+    }
+    assert(e.getMessage.contains("KEY_SEQ"))
+    // a single anonymous composite FK arriving consecutively still
+    // reconstructs — the guard only rejects what adjacency cannot split
+    val consecutive = Seq(fkRow(1, "F_A", "D_A"), fkRow(2, "F_B", "D_B"))
+    val meta = Jdbc.introspectOn(metaFor(consecutive), schema = None)
+    assert(meta.foreignKeys === Seq(
+      ForeignKey("FACT", "F_A", "DIM", "D_A", Seq(("F_B", "D_B")))))
+  }
+
   test("composite FK introspects whole-key and closes exactly, not as a superset") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_jdbc_comp").toString
     val db = s"$tmp/src"

@@ -76,6 +76,27 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).content.nonEmpty)
   }
 
+  test("corrupt image payloads degrade to the fallback instead of killing the batch") {
+    import spark.implicits._
+    // a PNG magic header followed by garbage: ImageIO readers accept the
+    // signature then throw mid-decode (IIOException, and on some payload
+    // shapes RuntimeExceptions) — at corpus scale this must be a fallback
+    // row, not a job failure
+    val truncated = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      Array.tabulate(64)(i => (i * 7).toByte)
+    val rows = Seq(
+      MediaRow(1L, "image/png", truncated, 640, 480),
+      MediaRow(2L, "image/png", pngBytes(640, 480), 640, 480))
+    val out = Multimodal.resize(rows.toDS(), maxDim = 100)
+      .collect().map(r => r.doc_id -> r).toMap
+    // the corrupt row flows through (byte-moment fallback), the good row
+    // still really resizes
+    assert(out(1L).content.nonEmpty)
+    assert((out(2L).width, out(2L).height) === (100, 75))
+    val feats = Multimodal.extractFeatures(rows.toDS()).collect()
+    assert(feats.length === 2)
+  }
+
   test("extractFeatures emits real pixel features for decodable images") {
     import spark.implicits._
     val solid = { // uniform mid-gray → luma mean 128±1, variance ~0
