@@ -90,20 +90,54 @@ object ScaleCheck {
             docs.where(col("doc_id") % 10 < 8))),
         "train_shuffle" -> (() => graft.operators.Chunk.trainShuffle(docs, shards = 32)),
         // the composed curation pipeline (SparkEntry "corpus_curate" minus
-        // the oracle-only global sort): its scaling is the max of its
-        // stages' scalings — dominated by the dup-span index
+        // the oracle-only global sort, WITH its production persist of the
+        // shared strip subtree): its scaling is the max of its stages'
+        // scalings — dominated by the dup-span index
         "corpus_curate" -> { () =>
           val surviving = Dedup.stripDupSpans(docs)
             .where(col("n_tokens_removed") * 2 <= col("n_tokens"))
             .select(col("doc_id"), col("text_clean").as("text"))
-          val banded = TextAnalysis.lengthBand(surviving)
-          val withText = banded.join(surviving, "doc_id")
-          val keep = TextAnalysis.dedupExact(withText)
-            .select(col("keep_id").as("doc_id"))
-          TextAnalysis.hashSamplePermille(
-            withText.join(keep, Seq("doc_id"), "left_semi"),
-            permille = 500, salt = "curate")
-        })
+            .persist()
+          try {
+            val banded = TextAnalysis.lengthBand(surviving)
+            val withText = banded.join(surviving, "doc_id")
+            val keep = TextAnalysis.dedupExact(withText)
+              .select(col("keep_id").as("doc_id"))
+            TextAnalysis.hashSamplePermille(
+                withText.join(keep, Seq("doc_id"), "left_semi"),
+                permille = 500, salt = "curate")
+              .localCheckpoint()
+          } finally surviving.unpersist()
+        },
+        // the 100 TB LM-scoring plan: broadcast top-K vocab, map-side
+        // scoring, one corpus-volume shuffle (the vocab count) — k = 20
+        // keeps the OOV path live on the ~31-token synthetic vocabulary
+        "unigram_lm_capped" -> (() => TextAnalysis.unigramLm(docs, vocabTopK = Some(20))),
+        // proportional bench set (the oracle shape: every 50th doc) vs the
+        // deployment shape (a FIXED benchmark suite — copy 0 keeps the
+        // original ids, so the set is identical at every K)
+        "contamination" -> (() => Dedup.contamination(docs, col("doc_id") % 50 === 0)),
+        "contamination_fixedbench" -> (() =>
+          Dedup.contamination(docs, col("doc_id") % 50 === 0 && col("doc_id") < 5000)),
+        // raw text straight to packed training sequences (SparkEntry
+        // "corpus_to_sequences" minus the oracle-only global sort)
+        "corpus_to_sequences" -> { () =>
+          val keep = TextAnalysis.dedupExact(docs).select(col("keep_id").as("doc_id"))
+          val cleaned = docs
+            .where(TextAnalysis.passesQuality(col("text")))
+            .join(keep, Seq("doc_id"), "left_semi")
+          graft.operators.Chunk.packSequences(
+            TextAnalysis.hashSample(cleaned, pct = 50, salt = "clean"),
+            budget = 256, buckets = 8)
+        },
+        // IVFADC composition: oracle shape (proportional queries, sampled
+        // codebook) and deployment shape (fixed query batch + trained
+        // fixed-k codebook — both quadratic windows closed)
+        "ivfpq_search" -> (() =>
+          Similarity.ivfPqSearch(emb, qf, kNN = 10, centEvery = 40, nprobe = 2)),
+        "ivfpq_fixedq_trained64" -> (() =>
+          Similarity.ivfPqSearch(emb, qfFixed, kNN = 10, nprobe = 2,
+            ivfCodebook = Some(trained))))
 
       // SPARK_GRAFT_SCALE_ONLY=a,b,c runs a subset (merge results by hand)
       val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
