@@ -214,6 +214,16 @@ object SparkEntry {
     "quality_score" -> ((s, dir) =>
       TextAnalysis.qualityScore(cat(s, dir).table("documents")).orderBy("doc_id")),
 
+    // Per-language routed gate vs the English-only gate, side by side —
+    // the multilingual pipeline's filter (each doc judged by its own
+    // lang tag's battery; zh has no pack and falls back to en).
+    "quality_by_lang" -> ((s, dir) =>
+      cat(s, dir).table("documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.passesQualityFor(col("text"), col("lang")).as("passes_routed"),
+          TextAnalysis.passesQuality(col("text")).as("passes_en"))
+        .orderBy("doc_id")),
+
     "lang_id" -> ((s, dir) =>
       TextAnalysis.langId(cat(s, dir).table("documents")).orderBy("doc_id")),
 
@@ -693,6 +703,24 @@ object SparkEntry {
            CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS punct_count,
            round(CAST(n_stop AS DOUBLE) / n_tok, 4) AS stopword_ratio,
            (len(toks) >= 5 AND len(text) >= 40 AND n_stop > 0) AS passes_quality
+         FROM t2 ORDER BY doc_id""",
+
+    "quality_by_lang" ->
+      """WITH t AS (SELECT doc_id, lang, text,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+         FROM documents),
+         t2 AS (SELECT *,
+           len(list_filter(toks, x -> list_contains(CASE lang
+             WHEN 'de' THEN ['der','die','das','und','ist','nicht','ein','eine','zu','den','von','mit','auf','sich','dem']
+             WHEN 'es' THEN ['el','la','los','las','y','es','que','de','en','un','una','por','con','no','se']
+             WHEN 'fr' THEN ['le','la','les','et','est','une','dans','de','un','du','des','que','pour','pas','sur']
+             ELSE ['the','a','an','and','of','to','in','is','it','that'] END, x))) AS n_stop_routed,
+           len(list_filter(toks, x -> list_contains(
+             ['the','a','an','and','of','to','in','is','it','that'], x))) AS n_stop_en
+         FROM t)
+         SELECT doc_id, lang,
+           (len(toks) >= 5 AND len(text) >= 40 AND n_stop_routed > 0) AS passes_routed,
+           (len(toks) >= 5 AND len(text) >= 40 AND n_stop_en > 0) AS passes_en
          FROM t2 ORDER BY doc_id""",
 
     "lang_id" ->

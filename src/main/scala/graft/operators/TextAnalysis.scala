@@ -133,6 +133,20 @@ object TextAnalysis {
     bindOnce(tokens(text), toks =>
       size(toks) >= 5 && length(text) >= 40 && countIn(toks, pack.stopwords) > 0)
 
+  /** Per-language ROUTED quality gate: each document is judged by its own
+    * language's battery (the corpus's `lang` tag selects the pack; tags
+    * without a pack fall back to `fallback`) — the form a multilingual
+    * corpus pipeline actually needs, since an English stopword gate
+    * rejects every high-quality German document. One map-side CASE over
+    * literal stopword arrays; only the matched branch evaluates, so the
+    * per-row cost equals the single-language gate. No shuffle.
+    */
+  def passesQualityFor(
+      text: Column, lang: Column, fallback: LangPack = LangPack.en): Column =
+    LangPack.all.foldRight(passesQuality(text, fallback)) { case (p, alt) =>
+      when(lang === p.lang, passesQuality(text, p)).otherwise(alt)
+    }
+
   /** Heuristic document quality: length, token stats, punctuation density,
     * stopword ratio, uppercase ratio — the classic cheap filters a corpus
     * pipeline applies before anything expensive (cf. C4/Gopher rules).

@@ -170,6 +170,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.LangPack.forLang("es").nonEmpty)
     assert(TextAnalysis.LangPack.forLang("fr").nonEmpty)
     assert(TextAnalysis.LangPack.forLang("xx").isEmpty)
+    // the ROUTED gate judges each doc by its own lang tag — both docs
+    // pass under their own battery, and a packless tag (zh) falls back
+    // to the English battery
+    val tagged = Seq((1L, "de", deText), (2L, "en", enText), (3L, "zh", enText))
+      .toDF("doc_id", "lang", "text")
+    val routed = tagged
+      .where(TextAnalysis.passesQualityFor(col("text"), col("lang")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(routed === Set(1L, 2L, 3L))
   }
 
   test("lengthBand histogram clamp bounds the driver fetch on adversarial corpora") {
