@@ -519,6 +519,13 @@ object SparkEntry {
           kNN = 10, m = 8, k = 16, centEvery = 40, nprobe = 2)
         .orderBy("query_id", "rank")),
 
+    // full IVFADC: codes quantize the own-cell RESIDUAL, queries build one
+    // ADC LUT per probed cell from their residual against that cell
+    "ivfpq_residual" -> ((s, dir) =>
+      Similarity.ivfPqSearch(cat(s, dir).table("embeddings"), col("vec_id") % 50 === 0,
+          kNN = 10, m = 8, k = 16, centEvery = 40, nprobe = 2, residual = true)
+        .orderBy("query_id", "rank")),
+
     "events_hourly" -> { (s, dir) =>
       // ts is epoch-nanos (nanosAsLong read); bucket to hour starts.
       // Sums go through exact decimals: double addition is not associative,
@@ -1581,6 +1588,56 @@ object SparkEntry {
          q AS (SELECT acr.vec_id AS query_id, acr.cent_id AS qcent, t.dss AS qlut
            FROM acr JOIN t ON acr.vec_id = t.vec_id
            WHERE acr.rn <= 2 AND acr.vec_id % 50 = 0),
+         p AS (SELECT q.query_id, x.vec_id AS neighbor_id,
+           list_reduce(list_transform(range(0, 8), mi ->
+             q.qlut[mi + 1][CAST(x.codes[mi + 1] + 1 AS INT)]), (a, b) -> a + b) AS adist
+         FROM idx x JOIN q ON x.cent_id = q.qcent AND x.vec_id <> q.query_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
+         FROM p)
+         SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", round(adist, 4) AS approx_dist2
+         FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+
+    "ivfpq_residual" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (SELECT vec_id, v,
+           sqrt(list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
+                (a, b) -> a + b)) AS nrm
+         FROM e),
+         c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 40 = 1),
+         ac AS (SELECT n.vec_id, c.cent_id,
+           list_reduce(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i]),
+                (a, b) -> a + b) / (n.nrm * c.cnrm) AS cos_c
+         FROM n CROSS JOIN c),
+         acr AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn
+           FROM ac),
+         enc AS (SELECT a.vec_id, a.cent_id,
+           list_transform(range(1, len(nn.v) + 1), i -> nn.v[i] - cc.cv[i]) AS rv
+         FROM acr a JOIN n nn ON a.vec_id = nn.vec_id JOIN c cc ON a.cent_id = cc.cent_id
+         WHERE a.rn = 1),
+         ce AS (SELECT vec_id, cent_id,
+           list_transform(range(0, 8), mi ->
+             list_transform(range(0, 16), ci ->
+               list_reduce(list_transform(range(0, 8), di ->
+                 (rv[mi * 8 + di + 1] - ((CAST('0x' || substr(md5('pq|' || mi::VARCHAR || '|' || ci::VARCHAR || '|' || (di + 1)::VARCHAR), 1, 15) AS BIGINT) % 2001 - 1000) / 1000.0))
+                 * (rv[mi * 8 + di + 1] - ((CAST('0x' || substr(md5('pq|' || mi::VARCHAR || '|' || ci::VARCHAR || '|' || (di + 1)::VARCHAR), 1, 15) AS BIGINT) % 2001 - 1000) / 1000.0))),
+                 (a, b) -> a + b))) AS dss
+         FROM enc),
+         idx AS (SELECT vec_id, cent_id,
+           list_transform(dss, ds -> list_position(ds, list_min(ds)) - 1) AS codes
+         FROM ce),
+         qr AS (SELECT a.vec_id AS query_id, a.cent_id AS qcent,
+           list_transform(range(1, len(nn.v) + 1), i -> nn.v[i] - cc.cv[i]) AS rq
+         FROM acr a JOIN n nn ON a.vec_id = nn.vec_id JOIN c cc ON a.cent_id = cc.cent_id
+         WHERE a.rn <= 2 AND a.vec_id % 50 = 0),
+         q AS (SELECT query_id, qcent,
+           list_transform(range(0, 8), mi ->
+             list_transform(range(0, 16), ci ->
+               list_reduce(list_transform(range(0, 8), di ->
+                 (rq[mi * 8 + di + 1] - ((CAST('0x' || substr(md5('pq|' || mi::VARCHAR || '|' || ci::VARCHAR || '|' || (di + 1)::VARCHAR), 1, 15) AS BIGINT) % 2001 - 1000) / 1000.0))
+                 * (rq[mi * 8 + di + 1] - ((CAST('0x' || substr(md5('pq|' || mi::VARCHAR || '|' || ci::VARCHAR || '|' || (di + 1)::VARCHAR), 1, 15) AS BIGINT) % 2001 - 1000) / 1000.0))),
+                 (a, b) -> a + b))) AS qlut
+         FROM qr),
          p AS (SELECT q.query_id, x.vec_id AS neighbor_id,
            list_reduce(list_transform(range(0, 8), mi ->
              q.qlut[mi + 1][CAST(x.codes[mi + 1] + 1 AS INT)]), (a, b) -> a + b) AS adist

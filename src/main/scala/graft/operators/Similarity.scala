@@ -757,7 +757,8 @@ object Similarity {
       nprobe: Int = 1,
       maxCents: Int = 256,
       ivfCodebook: Option[Array[(Long, Array[Double])]] = None,
-      pqCodebook: Option[Array[Double]] = None): DataFrame = {
+      pqCodebook: Option[Array[Double]] = None,
+      residual: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val e = normalized(emb)
@@ -770,18 +771,34 @@ object Similarity {
     val dim = probeDim(emb)
     val pcb = resolvePqCodebook(dim, m, k, pqCodebook)
     val nc = cents.length
-    // one pass, both facets: centroid cosines (cell) + PQ distance matrix
-    // (codes on the corpus side, the ADC LUT on the query side)
-    val withAll = e.select(col("vec_id"),
-      centCos(cents)(col("v"), col("nrm")).as("css"),
-      graft.functions.PqDistances(col("v"), typedLit(pcb.toSeq), m, k).as("dss"))
-    val index = withAll.select(col("vec_id"),
-        (array_position(col("css"), array_max(col("css"))) - 1).cast("int").as("cell"),
-        transform(col("dss"), ds => array_position(ds, array_min(ds)) - 1).as("codes"))
+    // `residual = true` is the full IVFADC form (Jégou et al. §IV-A):
+    // codes quantize v − centroid(cell) instead of v, and a query builds
+    // ONE LUT PER PROBED CELL from its own residual against that cell —
+    // residuals have smaller variance than raw vectors, so the same
+    // codebook quantizes them tighter (measured recall lift in the spec).
+    // Cost: the query side computes nprobe LUTs instead of one; the
+    // corpus side is unchanged (still one map-side pass).
+    val centVecs: Seq[Seq[Double]] = cents.map(_._2.toSeq).toSeq
+    def resid(v: Column, cell: Column): Column =
+      zip_with(v, element_at(typedLit(centVecs), cell + 1), (a, b) => a - b)
+    def pqDss(v: Column, cell: Column): Column =
+      graft.functions.PqDistances(if (residual) resid(v, cell) else v,
+        typedLit(pcb.toSeq), m, k)
+    val withCell = e.select(col("vec_id"), col("v"),
+        centCos(cents)(col("v"), col("nrm")).as("css"))
+      .withColumn("cell",
+        (array_position(col("css"), array_max(col("css"))) - 1).cast("int"))
+    // one pass builds the stored index: cell + PQ codes (of v, or of the
+    // own-cell residual), vectors dropped
+    val index = withCell.select(col("vec_id"), col("cell"),
+        transform(pqDss(col("v"), col("cell")), ds =>
+          array_position(ds, array_min(ds)) - 1).as("codes"))
       .localCheckpoint()
-    val q = withAll.where(queryFilter)
-      .select(col("vec_id").as("query_id"), col("dss").as("qlut"),
+    val q = withCell.where(queryFilter)
+      .select(col("vec_id").as("query_id"), col("v").as("vq"),
         explode(probeCellsExpr(nc, nprobe)).as("qcell"))
+      .select(col("query_id"), col("qcell"),
+        pqDss(col("vq"), col("qcell")).as("qlut"))
     // a neighbor lives in exactly one cell and probe cells are distinct,
     // so no pair dedup is needed (the annIvf invariant)
     val scored = index.join(broadcast(q),

@@ -67,11 +67,16 @@ class SimilaritySpec extends SparkSpec {
     val ivfpq3 = recall(Similarity.ivfPqSearch(emb, qf, kNN = 10, centEvery = 40, nprobe = 3))
     val ivfpqTrained3 = recall(Similarity.ivfPqSearch(emb, qf, kNN = 10, nprobe = 3,
       ivfCodebook = Some(nCells), pqCodebook = Some(trained)))
+    val ivfpqResid3 = recall(Similarity.ivfPqSearch(emb, qf, kNN = 10, centEvery = 40,
+      nprobe = 3, residual = true))
+    val ivfpqResidTrained3 = recall(Similarity.ivfPqSearch(emb, qf, kNN = 10, nprobe = 3,
+      ivfCodebook = Some(nCells), pqCodebook = Some(trained), residual = true))
     info(f"recall@10 — lsh: $lsh1%.3f, lsh probe3: $lsh2%.3f, " +
       f"ivf: $ivf1%.3f, ivf probe3: $ivf2%.3f, " +
       f"ivf trained: $ivfTrained%.3f, trained probe3: $ivfTrained3%.3f, " +
       f"pq-adc default: $pqDefault%.3f, trained: $pqTrained%.3f, " +
-      f"ivfpq: $ivfpq1%.3f, probe3: $ivfpq3%.3f, trained probe3: $ivfpqTrained3%.3f")
+      f"ivfpq: $ivfpq1%.3f, probe3: $ivfpq3%.3f, trained probe3: $ivfpqTrained3%.3f, " +
+      f"resid probe3: $ivfpqResid3%.3f, resid trained probe3: $ivfpqResidTrained3%.3f")
     // multi-probe must not lose recall, and should find something extra here
     assert(lsh2 >= lsh1 && ivf2 >= ivf1)
     assert(lsh2 > 0.2 && ivf2 > 0.2, s"multi-probe recall floor: lsh2=$lsh2 ivf2=$ivf2")
@@ -95,6 +100,13 @@ class SimilaritySpec extends SparkSpec {
     // composed plan (0.068 random → ~0.29 trained at probe 3)
     assert(ivfpqTrained3 > ivfpq3, s"trained ivfpq $ivfpqTrained3 vs random $ivfpq3")
     assert(ivfpqTrained3 > 0.2, s"trained ivfpq recall floor: $ivfpqTrained3")
+    // residual encoding (full IVFADC) must not lose recall at the same
+    // codebook, and with the trained codebook it must WIN — residuals
+    // have smaller variance, so the same codebook quantizes them tighter
+    // (0.288 → 0.340 measured; the justification for the residual path)
+    assert(ivfpqResid3 >= ivfpq3, s"residual $ivfpqResid3 vs raw $ivfpq3")
+    assert(ivfpqResidTrained3 > ivfpqTrained3,
+      s"residual trained $ivfpqResidTrained3 vs raw trained $ivfpqTrained3")
   }
 
   test("annLsh results are a subset of brute-force scoring, same bucket only") {
