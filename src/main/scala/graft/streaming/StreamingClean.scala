@@ -27,16 +27,24 @@ object StreamingClean {
     * redacts PII from `text` — the same `TextAnalysis.piiClean` expression
     * as the batch scrub, applied AFTER the digest dedup so the dedup state
     * keys on the original content (a scrub-then-dedup would conflate docs
-    * differing only in their redacted spans).
+    * differing only in their redacted spans). `routeByLang = true` gates
+    * each doc through its own `lang` tag's battery (the batch
+    * `passesQualityFor` expression — requires a `lang` column; packless
+    * tags fall back to English), so a multilingual ingest doesn't reject
+    * every non-English document at the door.
     */
   def cleanStream(
       docs: DataFrame,
       watermark: String = "1 hour",
       pct: Int = 100,
       salt: String = "clean",
-      scrubPii: Boolean = false): DataFrame = {
+      scrubPii: Boolean = false,
+      routeByLang: Boolean = false): DataFrame = {
+    val gate =
+      if (routeByLang) TextAnalysis.passesQualityFor(col("text"), col("lang"))
+      else TextAnalysis.passesQuality(col("text"))
     val deduped = docs
-      .where(TextAnalysis.passesQuality(col("text")))
+      .where(gate)
       .withColumn("event_time", expr("timestamp_seconds(ts)"))
       .withWatermark("event_time", watermark)
       .withColumn("text_md5", md5(col("text")))

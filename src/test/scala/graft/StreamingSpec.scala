@@ -76,6 +76,31 @@ class StreamingSpec extends SparkSpec {
     assert(got2 === expect)
   }
 
+  test("streaming clean routes the quality gate per language when asked") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val deDoc = "der hund und die katze sind nicht auf dem sofa weil der " +
+      "regen sie zu den nachbarn mit dem garten treibt"
+    val enDoc = "the quick brown fox jumps over the lazy dog in the field today"
+    val stream = MemoryStream[(Long, Long, String, String)]
+    val q = graft.streaming.StreamingClean.cleanStream(
+        stream.toDF().toDF("ts", "doc_id", "lang", "text"),
+        watermark = "10 minutes", routeByLang = true)
+      .writeStream.format("memory").queryName("clean_stream_routed")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        (100L, 1L, "de", deDoc),  // passes ITS OWN battery (en would reject)
+        (150L, 2L, "en", enDoc),  // passes the en battery
+        (200L, 3L, "en", deDoc))) // en-tagged German text → rejected
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("clean_stream_routed").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L))
+  }
+
   test("streaming clean scrubs PII with the batch expression when asked") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
