@@ -16,6 +16,48 @@ object SparkEntry {
 
   private def cat(s: SparkSession, dir: String): Catalog = Catalog.tpch(s, dir)
 
+  /** Structured multi-line page batch for the C4 filter demos: the
+    * synthetic corpus has no newlines or punctuation, so (pii_scrub-style)
+    * the demo derives a deterministic page per document whose lines
+    * exercise every C4 rule — a kept lead line, a too-short line, a
+    * length-gated middle line (short docs drop below the 3-sentence page
+    * minimum), a no-terminal-punctuation line, and per-id-modulus
+    * javascript / brace / lorem-ipsum injections. Mirrored verbatim in
+    * the DuckDB oracle CTE.
+    */
+  private def c4Batch(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      substring(col("text"), 1, 60), lit(".\n"),
+      lit("too short.\n"),
+      when(length(col("text")) >= 150,
+        concat(substring(col("text"), 30, 60), lit(" middle of the page body.\n")))
+        .otherwise(lit("")),
+      substring(col("text"), 1, 45), lit(" trailing line without terminal punct\n"),
+      when(col("doc_id") % 7 === 0,
+        lit("please enable javascript to view this site.\n")).otherwise(lit("")),
+      when(col("doc_id") % 13 === 0,
+        lit("function f() { return 1; }\n")).otherwise(lit("")),
+      when(col("doc_id") % 17 === 0,
+        lit("lorem ipsum dolor sit amet consectetur elit.\n")).otherwise(lit("")),
+      substring(col("text"), 10, 70), lit(" and the final closing sentence ends cleanly.")
+    ).as("text"))
+
+  /** DuckDB mirror of [[c4Batch]] — substituted as the `b` CTE of both C4
+    * oracles so the demo construction lives in exactly two places that sit
+    * side by side.
+    */
+  private val C4BatchSql: String =
+    """SELECT doc_id,
+      substr(text, 1, 60) || '.' || chr(10) ||
+      'too short.' || chr(10) ||
+      CASE WHEN len(text) >= 150 THEN substr(text, 30, 60) || ' middle of the page body.' || chr(10) ELSE '' END ||
+      substr(text, 1, 45) || ' trailing line without terminal punct' || chr(10) ||
+      CASE WHEN doc_id % 7 = 0 THEN 'please enable javascript to view this site.' || chr(10) ELSE '' END ||
+      CASE WHEN doc_id % 13 = 0 THEN 'function f() { return 1; }' || chr(10) ELSE '' END ||
+      CASE WHEN doc_id % 17 = 0 THEN 'lorem ipsum dolor sit amet consectetur elit.' || chr(10) ELSE '' END ||
+      substr(text, 10, 70) || ' and the final closing sentence ends cleanly.' AS text
+    FROM documents"""
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── xdump core: full / partial / related-data closure ────────────────
@@ -350,6 +392,29 @@ object SparkEntry {
 
     "gopher_quality" -> ((s, dir) =>
       TextAnalysis.gopherQuality(cat(s, dir).table("documents")).orderBy("doc_id")),
+
+    // C4 §2.2 line-level boilerplate filter over the structured page batch
+    // (c4Batch) — per-rule telemetry + verdict + cleaned text per page.
+    "c4_filter" -> ((s, dir) =>
+      TextAnalysis.c4Filter(c4Batch(cat(s, dir).table("documents")))
+        .orderBy("doc_id")),
+
+    // corpus_curate variant with the C4 pass in front: boilerplate-strip →
+    // page gate → quality gate on the CLEANED text → exact-dedup keep →
+    // deterministic sample, one declarative plan (every stage narrow or a
+    // 16-byte-digest shuffle).
+    "c4_curate" -> { (s, dir) =>
+      val f = TextAnalysis.c4Filter(c4Batch(cat(s, dir).table("documents")))
+      val clean = f.where(col("passes_c4"))
+        .select(col("doc_id"), col("clean_text").as("text"))
+      val keep = TextAnalysis.dedupExact(clean).select(col("keep_id").as("doc_id"))
+      TextAnalysis.hashSamplePermille(
+          clean.where(TextAnalysis.passesQuality(col("text")))
+            .join(keep, Seq("doc_id"), "left_semi"),
+          permille = 500, salt = "c4")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
 
     "unigram_lm" -> ((s, dir) =>
       TextAnalysis.unigramLm(cat(s, dir).table("documents")).orderBy("doc_id")),
@@ -844,6 +909,52 @@ object SparkEntry {
            AND frac_alpha_words >= 0.8 AND n_stop_distinct >= 2
            AND frac_bullet_lines <= 0.9 AND frac_ellipsis_lines <= 0.3) AS passes_gopher
          FROM m ORDER BY doc_id""",
+
+    "c4_filter" ->
+      s"""WITH b AS ($C4BatchSql),
+         t AS (SELECT doc_id, text, list_transform(string_split(text, chr(10)), l -> trim(l)) AS lns FROM b),
+         f AS (SELECT doc_id, text, lns,
+           list_filter(lns, l -> regexp_matches(l, '[.!?"]$$')
+             AND len(regexp_extract_all(l, '\\S+')) >= 5
+             AND NOT contains(lower(l), 'javascript')) AS kept FROM t),
+         m AS (SELECT doc_id,
+           CAST(len(lns) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept_lines,
+           CAST(len(list_filter(lns, l -> contains(lower(l), 'javascript'))) AS BIGINT) AS n_js_lines,
+           CAST(len(regexp_extract_all(COALESCE(array_to_string(kept, chr(10)), ''), '[.!?]')) AS BIGINT) AS n_sentences,
+           contains(text, '{') AS has_brace,
+           contains(lower(text), 'lorem ipsum') AS has_lorem,
+           COALESCE(array_to_string(kept, chr(10)), '') AS clean_text
+         FROM f)
+         SELECT *, (NOT has_brace AND NOT has_lorem AND n_sentences >= 3) AS passes_c4
+         FROM m ORDER BY doc_id""",
+
+    "c4_curate" ->
+      s"""WITH b AS ($C4BatchSql),
+         t AS (SELECT doc_id, text, list_transform(string_split(text, chr(10)), l -> trim(l)) AS lns FROM b),
+         f AS (SELECT doc_id, text, lns,
+           list_filter(lns, l -> regexp_matches(l, '[.!?"]$$')
+             AND len(regexp_extract_all(l, '\\S+')) >= 5
+             AND NOT contains(lower(l), 'javascript')) AS kept FROM t),
+         m AS (SELECT doc_id,
+           CAST(len(regexp_extract_all(COALESCE(array_to_string(kept, chr(10)), ''), '[.!?]')) AS BIGINT) AS n_sentences,
+           contains(text, '{') AS has_brace,
+           contains(lower(text), 'lorem ipsum') AS has_lorem,
+           COALESCE(array_to_string(kept, chr(10)), '') AS clean_text
+         FROM f),
+         c AS (SELECT doc_id, clean_text AS text FROM m
+           WHERE NOT has_brace AND NOT has_lorem AND n_sentences >= 3),
+         k AS (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM c GROUP BY md5(text)),
+         q AS (SELECT doc_id FROM (SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS toks FROM c)
+           WHERE len(toks) >= 5 AND len(text) >= 40
+             AND len(list_filter(toks, x -> list_contains(
+               ['the','a','an','and','of','to','in','is','it','that'], x))) > 0),
+         s AS (SELECT doc_id FROM c
+           WHERE CAST('0x' || substr(md5('c4|' || doc_id::VARCHAR), 1, 15) AS BIGINT) % 1000 < 500)
+         SELECT c.doc_id, CAST(len(c.text) AS BIGINT) AS n_chars FROM c
+         JOIN q USING (doc_id) JOIN k USING (doc_id) JOIN s USING (doc_id)
+         ORDER BY doc_id""",
 
     "unigram_lm" ->
       """WITH tk AS (SELECT doc_id,

@@ -476,6 +476,57 @@ object TextAnalysis {
           col("frac_bullet_lines") <= 0.9 &&
           col("frac_ellipsis_lines") <= 0.3)
 
+  /** C4-style line-level boilerplate filter (after Raffel et al. '20
+    * §2.2 — the cleaning pass every web-scale pretraining corpus runs
+    * before quality scoring). Public heuristics, applied per line
+    * (trimmed):
+    *
+    *   - keep only lines ending in a terminal punctuation mark
+    *     (`.` `!` `?` or a closing double-quote);
+    *   - keep only lines with at least `minWordsPerLine` words;
+    *   - drop any line containing the word "javascript";
+    *
+    * and per page: drop pages containing `{` (leaked code/markup), pages
+    * containing "lorem ipsum" (placeholder boilerplate), and pages whose
+    * RETAINED text has fewer than `minSentences` sentences (terminal-
+    * punctuation marks in the kept lines). The paper's bad-words list is
+    * deliberately not implemented (licensing; plug a `filter` on
+    * `clean_text` if needed).
+    *
+    * Emits per-rule telemetry alongside the verdict — `n_lines`,
+    * `n_kept_lines`, `n_js_lines`, `n_sentences`, `has_brace`,
+    * `has_lorem` — so thresholds stay auditable (the gopherQuality
+    * discipline), plus `clean_text` (kept lines re-joined) for the
+    * downstream pipeline. One map-side pass, zero shuffle: the trimmed
+    * line array and the kept subset are each let-bound via [[bindOnce]];
+    * at 100 TB this composes ahead of `corpus_curate` as pure narrow
+    * work that Catalyst fuses into the scan stage.
+    */
+  def c4Filter(
+      docs: DataFrame, minWordsPerLine: Int = 5, minSentences: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"),
+        bindOnce(transform(split(col("text"), "\n"), trim(_)), ln =>
+          bindOnce(filter(ln, l =>
+              l.rlike("[.!?\"]$") &&
+                size(regexp_extract_all(l, lit("\\S+"), lit(0))) >= minWordsPerLine &&
+                !lower(l).contains("javascript")), kept =>
+            bindOnce(array_join(kept, "\n"), ct =>
+              struct(
+                size(ln).cast("long").as("n_lines"),
+                size(kept).cast("long").as("n_kept_lines"),
+                size(filter(ln, l => lower(l).contains("javascript")))
+                  .cast("long").as("n_js_lines"),
+                size(regexp_extract_all(ct, lit("[.!?]"), lit(0)))
+                  .cast("long").as("n_sentences"),
+                col("text").contains("{").as("has_brace"),
+                lower(col("text")).contains("lorem ipsum").as("has_lorem"),
+                ct.as("clean_text"))))).as("s"))
+      .select(col("doc_id"), col("s.*"))
+      .withColumn("passes_c4",
+        !col("has_brace") && !col("has_lorem") &&
+          col("n_sentences") >= minSentences)
+
   /** Corpus-unigram LM scoring — the cheap statistical stand-in for the
     * KenLM-perplexity quality filter (cf. CCNet): every document is scored
     * by the average negative log-probability of its tokens under the

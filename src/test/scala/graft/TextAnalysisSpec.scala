@@ -280,4 +280,48 @@ class TextAnalysisSpec extends SparkSpec {
     // and the cap must actually bite somewhere at this corpus size
     assert(capped.where(col("oov_ratio") > 0.0).count() > 0)
   }
+
+  test("c4Filter applies every line and page rule independently") {
+    import spark.implicits._
+    val good = "the first sentence has enough words here.\n" +
+      "a second full sentence keeps the page alive.\n" +
+      "and a third one closes out the page cleanly."
+    val pages = Seq(
+      (1L, good),                                           // clean page
+      (2L, good + "\nshort line."),                         // short line dropped
+      (3L, good + "\nthis line has no terminal punctuation"),
+      (4L, good + "\nplease enable javascript to continue browsing."),
+      (5L, good + "\nvar x = { a: 1 };"),                   // brace → page drop
+      (6L, good + "\nlorem ipsum dolor sit amet consectetur."),
+      (7L, "only two sentences live here after filtering.\n" +
+        "the second one is the last full stop.")            // < 3 sentences
+    ).toDF("doc_id", "text")
+    val res = TextAnalysis.c4Filter(pages).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    assert(res(1L).getAs[Boolean]("passes_c4"))
+    assert(res(1L).getAs[Long]("n_kept_lines") === 3L)
+    assert(res(1L).getAs[Long]("n_sentences") === 3L)
+    assert(res(1L).getAs[String]("clean_text") === good)
+    // line rules drop the offending line but keep the page
+    assert(res(2L).getAs[Boolean]("passes_c4"))
+    assert(res(2L).getAs[Long]("n_kept_lines") === 3L)
+    assert(res(3L).getAs[Boolean]("passes_c4"))
+    assert(res(4L).getAs[Boolean]("passes_c4"))
+    assert(res(4L).getAs[Long]("n_js_lines") === 1L)
+    assert(!res(4L).getAs[String]("clean_text").contains("javascript"))
+    // page rules drop the whole page with telemetry naming the cause
+    assert(!res(5L).getAs[Boolean]("passes_c4"))
+    assert(res(5L).getAs[Boolean]("has_brace"))
+    assert(!res(6L).getAs[Boolean]("passes_c4"))
+    assert(res(6L).getAs[Boolean]("has_lorem"))
+    assert(!res(7L).getAs[Boolean]("passes_c4"))
+    assert(res(7L).getAs[Long]("n_sentences") === 2L)
+
+    // relaxed thresholds rescue the sentence-starved page, nothing else new
+    val relaxed = TextAnalysis.c4Filter(pages, minSentences = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(relaxed(7L).getAs[Boolean]("passes_c4"))
+    assert(!relaxed(5L).getAs[Boolean]("passes_c4"))
+  }
 }
