@@ -89,7 +89,15 @@ object Bench {
       .mkString("[", ",", "]")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmin,"discarded":$disc,"stalled":$stalled,"errors":$es,"reps":$reps,"sf":"${sfDir}"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmin,"discarded":$disc,"stalled":$stalled,"errors":$es,"reps":$reps,"sf":"${sfDir}"}"""
+    println(json)
+    // Also write the artifact to a file: round 8's committed BENCH json was a
+    // truncated stdout tail that permanently lost 7 queries' medians. The
+    // file is the durable record; stdout stays for the driver's capture.
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+    java.nio.file.Files.write(outPath,
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }
