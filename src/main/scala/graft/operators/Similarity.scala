@@ -794,18 +794,47 @@ object Similarity {
         transform(pqDss(col("v"), col("cell")), ds =>
           array_position(ds, array_min(ds)) - 1).as("codes"))
       .localCheckpoint()
-    val q = withCell.where(queryFilter)
-      .select(col("vec_id").as("query_id"), col("v").as("vq"),
-        explode(probeCellsExpr(nc, nprobe)).as("qcell"))
-      .select(col("query_id"), col("qcell"),
-        pqDss(col("vq"), col("qcell")).as("qlut"))
+    // Non-residual LUTs are cell-independent: compute qlut ONCE per query
+    // in the projection BELOW the explode (one m × k × sub pass per query
+    // row), then fan out probe cells — the Generate only duplicates the
+    // finished row. Residual LUTs genuinely differ per probed cell, so
+    // there the pqDss sits above the explode by necessity. (The broadcast
+    // still carries nprobe rows per query either way — nprobe × m × k
+    // doubles, bytes per query — it is the LUT COMPUTE that must not run
+    // nprobe times.)
+    val q =
+      if (residual)
+        withCell.where(queryFilter)
+          .select(col("vec_id").as("query_id"), col("v").as("vq"),
+            explode(probeCellsExpr(nc, nprobe)).as("qcell"))
+          .select(col("query_id"), col("qcell"),
+            pqDss(col("vq"), col("qcell")).as("qlut"))
+      else
+        withCell.where(queryFilter)
+          .select(col("vec_id").as("query_id"),
+            pqDss(col("v"), lit(0).cast("int")).as("qlut"),
+            probeCellsExpr(nc, nprobe).as("qcells"))
+          .select(col("query_id"), col("qlut"),
+            explode(col("qcells")).as("qcell"))
     // a neighbor lives in exactly one cell and probe cells are distinct,
     // so no pair dedup is needed (the annIvf invariant)
     val scored = index.join(broadcast(q),
         col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
       .withColumn("adist", graft.functions.AdcDistance(col("qlut"), col("codes")))
+      .withColumn("part", spark_partition_id())
+    // two-phase top-k (the pqSearch/annTopK pattern): a per-partition
+    // row_number caps each partition's contribution at kNN BEFORE the
+    // per-query shuffle, so a skewed cell at high nprobe cannot
+    // concentrate one query's full candidate set (nprobe × cell size) in
+    // a single window partition — the global phase sees at most
+    // partitions × kNN survivors per query. Both windows carry
+    // WindowGroupLimit pushdown (top-k aware, no full partition sort).
+    val local = Window.partitionBy(col("query_id"), col("part"))
+      .orderBy(col("adist"), col("vec_id"))
+    val survivors = scored.withColumn("lrank", row_number().over(local))
+      .where(col("lrank") <= kNN)
     val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
+    survivors.withColumn("rank", row_number().over(w))
       .where(col("rank") <= kNN)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rank").cast("long").as("rank"), round(col("adist"), 4).as("approx_dist2"))

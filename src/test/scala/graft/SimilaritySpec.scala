@@ -248,6 +248,12 @@ class SimilaritySpec extends SparkSpec {
     val repart = Similarity.ivfPqSearch(emb.repartition(13), qf, kNN = 5, centEvery = 20)
       .orderBy("query_id", "rank").collect().toSeq
     assert(base === repart)
+    // two-phase top-k: both the per-partition and the global rank must
+    // carry WindowGroupLimit pushdown, so a skewed cell at high nprobe
+    // cannot concentrate one query's candidates in a single window sort
+    val plan = res.queryExecution.executedPlan.toString
+    val limits = "WindowGroupLimit".r.findAllIn(plan).length
+    assert(limits >= 2, s"expected 2 WindowGroupLimit phases, plan had $limits:\n$plan")
   }
 
   test("similarity operators yield empty results on an empty frame (no throw)") {
