@@ -95,13 +95,23 @@ object Chunk {
   def trainOrder(
       docs: DataFrame, shards: Int = 8, salt: String = "shuffle"): DataFrame = {
     require(shards > 0, s"shards must be positive: $shards")
+    // shard/pos are OUTPUT columns; carrying the whole payload means a
+    // same-named input column would be silently clobbered — refuse loudly
+    // instead. The hash scratch column gets an internal name no payload
+    // plausibly uses (and is checked anyway).
+    val taken = docs.columns.toSet
+      .intersect(Set("shard", "pos", "__graft_order_h"))
+    require(taken.isEmpty,
+      s"trainOrder writes columns ${taken.mkString(", ")} which already " +
+        "exist in the input — rename them before sharding")
     val h = TextAnalysis.hexHash(concat(lit(salt), col("doc_id").cast("string")))
-    docs.withColumn("h", h)
-      .withColumn("shard", pmod(col("h"), lit(shards)).cast("int"))
+    docs.withColumn("__graft_order_h", h)
+      .withColumn("shard", pmod(col("__graft_order_h"), lit(shards)).cast("int"))
       .withColumn("pos",
-        row_number().over(Window.partitionBy("shard").orderBy("h", "doc_id"))
+        row_number().over(
+          Window.partitionBy("shard").orderBy("__graft_order_h", "doc_id"))
           .cast("long"))
-      .drop("h")
+      .drop("__graft_order_h")
   }
 
   /** The training pipeline's deliverable: the shuffled corpus AS per-shard

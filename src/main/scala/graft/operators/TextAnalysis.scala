@@ -355,6 +355,18 @@ object TextAnalysis {
     }
     val (lo, hi) = (thresholdAt(pLoPermille), thresholdAt(pHiPermille))
     val hiBound = if (hi >= histCeiling) Long.MaxValue else hi
+    // the superset degradation (hi threshold at the ceiling ⇒ unbounded
+    // above) must be observable, not silent
+    val clampedMass = hist.last match {
+      case (len, c) if len == histCeiling => c
+      case _                              => 0L
+    }
+    if (clampedMass > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"lengthBand: $clampedMass of $n docs have >= $histCeiling tokens and " +
+          "were clamped into the ceiling bucket; percentile thresholds at or " +
+          "above the ceiling degrade to unbounded-above (superset). Raise " +
+          "histCeiling if exact upper banding matters for this corpus.")
     tc.where(col("n_tokens").between(lo, hiBound))
   }
 

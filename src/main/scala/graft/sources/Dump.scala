@@ -404,6 +404,12 @@ object Dump {
     * `unarchive` restores an identical directory. Streams through the
     * Hadoop FS API (local, HDFS, S3A, ...).
     */
+  /** STORED entries at or below this size are buffered in memory for a
+    * single-pass write; larger ones take the constant-memory two-pass
+    * meter-then-copy path.
+    */
+  private[sources] val StoredBufferMax: Long = 16L * 1024 * 1024
+
   def archive(spark: SparkSession, dumpPath: String, zipPath: String,
       compression: String = "deflated"): Unit = {
     val (stored, level) = parseArchiveCompression(compression)
@@ -421,27 +427,51 @@ object Dump {
         val f = files.next()
         val rel = rootUri.relativize(f.getPath.toUri).getPath
         val entry = new java.util.zip.ZipEntry(rel)
-        if (stored) {
+        if (stored && f.getLen <= StoredBufferMax) {
           // STORED entries declare size + CRC in the local header, before
-          // any bytes: one metering pass, then the copy. Constant memory —
-          // the file is never buffered, just read twice.
+          // any bytes. Small files are buffered once and written from the
+          // buffer — a single read, so a remote dump (S3A/HDFS) is not
+          // fetched twice and a file mutated mid-archive cannot desync
+          // header and payload.
+          val bytes = {
+            val in = fs.open(f.getPath)
+            try in.readAllBytes() finally in.close()
+          }
           val crc = new java.util.zip.CRC32()
-          val buf = new Array[Byte](64 * 1024)
-          var total = 0L
-          val meter = fs.open(f.getPath)
-          try {
-            var n = meter.read(buf)
-            while (n >= 0) { crc.update(buf, 0, n); total += n; n = meter.read(buf) }
-          } finally meter.close()
+          crc.update(bytes)
           entry.setMethod(java.util.zip.ZipEntry.STORED)
-          entry.setSize(total)
-          entry.setCompressedSize(total)
+          entry.setSize(bytes.length.toLong)
+          entry.setCompressedSize(bytes.length.toLong)
           entry.setCrc(crc.getValue)
+          out.putNextEntry(entry)
+          out.write(bytes)
+          out.closeEntry()
+        } else {
+          if (stored) {
+            // Above the buffer threshold: one metering pass, then the
+            // copy. Constant memory — the file is read twice, never
+            // buffered. ASSUMES the dump is immutable while archiving
+            // (a file changing between passes makes ZipOutputStream
+            // throw on the size/CRC mismatch rather than corrupt the
+            // archive silently).
+            val crc = new java.util.zip.CRC32()
+            val buf = new Array[Byte](64 * 1024)
+            var total = 0L
+            val meter = fs.open(f.getPath)
+            try {
+              var n = meter.read(buf)
+              while (n >= 0) { crc.update(buf, 0, n); total += n; n = meter.read(buf) }
+            } finally meter.close()
+            entry.setMethod(java.util.zip.ZipEntry.STORED)
+            entry.setSize(total)
+            entry.setCompressedSize(total)
+            entry.setCrc(crc.getValue)
+          }
+          out.putNextEntry(entry)
+          val in = fs.open(f.getPath)
+          try in.transferTo(out) finally in.close()
+          out.closeEntry()
         }
-        out.putNextEntry(entry)
-        val in = fs.open(f.getPath)
-        try in.transferTo(out) finally in.close()
-        out.closeEntry()
       }
     } finally out.close()
   }

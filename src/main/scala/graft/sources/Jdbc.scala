@@ -389,8 +389,10 @@ object Jdbc {
         // JDBC result ordering is (PKTABLE, KEY_SEQ) — two composite FKs
         // into the SAME parent interleave their rows by KEY_SEQ, so a
         // consecutive-rows split would zip them together. Anonymous
-        // constraints (null FK_NAME, rare) fall back to the KEY_SEQ = 1
-        // boundary, correct whenever their rows arrive consecutively.
+        // constraints (null FK_NAME, rare) start a new group whenever the
+        // sequence stops being consecutive — base-agnostic, so drivers
+        // that emit 0-based KEY_SEQ (some SQLite wrappers around PRAGMA
+        // foreign_key_list) group identically to 1-based ones.
         val named = scala.collection.mutable.LinkedHashMap
           .empty[String, Vector[(Int, String, String, String, String)]]
         var anonCur = Vector.empty[(Int, String, String, String, String)]
@@ -401,26 +403,44 @@ object Jdbc {
             case Some(nm) =>
               named.update(nm, named.getOrElse(nm, Vector.empty) :+ p)
             case None =>
-              if (seq == 1 && anonCur.nonEmpty) { anon += anonCur; anonCur = Vector(p) }
-              else anonCur :+= p
+              if (anonCur.nonEmpty && seq != anonCur.last._1 + 1) {
+                anon += anonCur; anonCur = Vector(p)
+              } else anonCur :+= p
           }
         }
         if (anonCur.nonEmpty) anon += anonCur
-        (named.values.toVector ++ anon.result()).map { g =>
+        // One driver emits ONE KEY_SEQ base. Interleaved 0-based composites
+        // (0,0,1,1) split into groups whose bases disagree (0,0,1) — and
+        // the stray base-1 fragment would pass the per-group run check
+        // below, so mixed bases across anonymous groups must themselves
+        // fail loudly.
+        val anonGroups = anon.result()
+        val anonBases = anonGroups.map(_.map(_._1).min).distinct
+        require(anonBases.size <= 1,
+          s"anonymous foreign-key groups on table '$t' start at different " +
+            s"KEY_SEQ bases (${anonBases.sorted.mkString(",")}) — composite " +
+            "constraints interleaved in the driver's getImportedKeys order; " +
+            "name the constraints or declare them explicitly (--fk) instead.")
+        (named.values.toVector ++ anonGroups).map { g =>
           val sorted = g.sortBy(_._1)
-          // Guard against the silent failure mode of the KEY_SEQ=1
-          // fallback: two ANONYMOUS composite FKs into the same parent
+          // Guard against the silent failure mode of consecutive-rows
+          // splitting: two ANONYMOUS composite FKs into the same parent
           // interleave under the (PKTABLE, KEY_SEQ) result order, and a
-          // consecutive-rows split would zip them into one garbage
-          // constraint whose closure pulls wrong rows. A correctly split
-          // group's KEY_SEQs are exactly 1..n — anything else must fail
-          // loudly, not dump quietly wrong.
-          require(sorted.map(_._1) == (1 to sorted.size).toVector,
-            s"foreign-key rows on table '$t' do not form a KEY_SEQ 1..${sorted.size} " +
-              s"constraint (got ${sorted.map(_._1).mkString(",")}). This happens when " +
-              "anonymous composite constraints interleave in the driver's " +
-              "getImportedKeys order; name the constraints or declare them " +
-              "explicitly (--fk) instead.")
+          // naive split would zip them into one garbage constraint whose
+          // closure pulls wrong rows. A correctly split group's KEY_SEQs
+          // are exactly base..base+n-1 for base ∈ {0, 1} (spec says
+          // 1-based, but SQLite-style wrappers of PRAGMA foreign_key_list
+          // emit 0-based) — anything else (interleaves, duplicates, a
+          // group orphaned mid-run) must fail loudly, not dump quietly
+          // wrong.
+          val base = sorted.head._1
+          require((base == 0 || base == 1) &&
+              sorted.map(_._1) == (base until base + sorted.size).toVector,
+            s"foreign-key rows on table '$t' do not form a consecutive KEY_SEQ " +
+              s"run from 0 or 1 (got ${sorted.map(_._1).mkString(",")}). This " +
+              "happens when anonymous composite constraints interleave in the " +
+              "driver's getImportedKeys order; name the constraints or declare " +
+              "them explicitly (--fk) instead.")
           val head = sorted.head
           ForeignKey(head._2, head._3, head._4, head._5,
             sorted.tail.map(p => (p._3, p._5)))

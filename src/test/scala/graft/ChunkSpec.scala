@@ -180,6 +180,23 @@ class ChunkSpec extends SparkSpec {
       back.select("doc_id", "shard", "pos")).count() > 0)
   }
 
+  test("trainOrder refuses payload columns that collide with its outputs") {
+    import spark.implicits._
+    // shard/pos are trainOrder's OUTPUT columns — a payload already
+    // carrying either must fail loudly instead of being clobbered
+    val withShard = docs.withColumn("shard", lit(99))
+    val e = intercept[IllegalArgumentException](Chunk.trainOrder(withShard))
+    assert(e.getMessage.contains("shard"))
+    val withPos = docs.withColumn("pos", lit(0L))
+    assert(intercept[IllegalArgumentException](Chunk.trainOrder(withPos))
+      .getMessage.contains("pos"))
+    // a payload column named "h" (the old scratch name) survives intact
+    val withH = docs.withColumn("h", lit("payload"))
+    val out = Chunk.trainOrder(withH, shards = 4)
+    assert(out.columns.contains("h"))
+    assert(out.where(col("h") =!= "payload").count() === 0)
+  }
+
   test("gopherQuality applies the canonical rule battery") {
     import spark.implicits._
     val goodText =

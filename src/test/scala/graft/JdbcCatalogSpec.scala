@@ -366,6 +366,28 @@ class JdbcCatalogSpec extends SparkSpec {
     val meta = Jdbc.introspectOn(metaFor(consecutive), schema = None)
     assert(meta.foreignKeys === Seq(
       ForeignKey("FACT", "F_A", "DIM", "D_A", Seq(("F_B", "D_B")))))
+    // drivers wrapping SQLite's PRAGMA foreign_key_list emit 0-based
+    // KEY_SEQ — a consecutive 0-based run reconstructs identically
+    val zeroBased = Seq(fkRow(0, "F_A", "D_A"), fkRow(1, "F_B", "D_B"))
+    assert(Jdbc.introspectOn(metaFor(zeroBased), schema = None).foreignKeys ===
+      Seq(ForeignKey("FACT", "F_A", "DIM", "D_A", Seq(("F_B", "D_B")))))
+    // two separate 0-based anonymous FKs split on the non-consecutive
+    // boundary (second 0 after a 0,1 run)
+    val twoZero = Seq(fkRow(0, "F_A", "D_A"), fkRow(1, "F_B", "D_B"),
+      fkRow(0, "G_A", "D_A"))
+    assert(Jdbc.introspectOn(metaFor(twoZero), schema = None).foreignKeys === Seq(
+      ForeignKey("FACT", "F_A", "DIM", "D_A", Seq(("F_B", "D_B"))),
+      ForeignKey("FACT", "G_A", "DIM", "D_A", Seq.empty)))
+    // 0-based INTERLEAVE (0,0,1,1) splits into mixed-base fragments whose
+    // stray base-1 group would pass the run check alone — the same-base
+    // guard must reject the table
+    val zeroInterleaved = Seq(
+      fkRow(0, "F_A", "D_A"), fkRow(0, "G_A", "D_A"),
+      fkRow(1, "F_B", "D_B"), fkRow(1, "G_B", "D_B"))
+    val e0 = intercept[IllegalArgumentException] {
+      Jdbc.introspectOn(metaFor(zeroInterleaved), schema = None)
+    }
+    assert(e0.getMessage.contains("KEY_SEQ"))
   }
 
   test("composite FK introspects whole-key and closes exactly, not as a superset") {
