@@ -786,6 +786,7 @@ object SparkEntry {
              WHEN 'de' THEN ['der','die','das','und','ist','nicht','ein','eine','zu','den','von','mit','auf','sich','dem']
              WHEN 'es' THEN ['el','la','los','las','y','es','que','de','en','un','una','por','con','no','se']
              WHEN 'fr' THEN ['le','la','les','et','est','une','dans','de','un','du','des','que','pour','pas','sur']
+             WHEN 'ru' THEN ['и','в','не','на','я','что','с','он','как','это','по','но','его','к','у']
              ELSE ['the','a','an','and','of','to','in','is','it','that'] END, x))) AS n_stop_routed,
            len(list_filter(toks, x -> list_contains(
              ['the','a','an','and','of','to','in','is','it','that'], x))) AS n_stop_en
@@ -804,22 +805,25 @@ object SparkEntry {
            CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','of','to','in','is','it','that'], x))) AS BIGINT) AS score_en,
            CAST(len(list_filter(toks, x -> list_contains(['el','los','las','y','es','que'], x))) AS BIGINT) AS score_es,
            CAST(len(list_filter(toks, x -> list_contains(['le','les','et','est','une','dans'], x))) AS BIGINT) AS score_fr,
+           CAST(len(list_filter(toks, x -> list_contains(['и','в','не','на','что','с'], x))) AS BIGINT) AS score_ru,
            CAST(len(list_filter(toks, x -> list_contains(['的','是','了','在','我'], x))) AS BIGINT) AS score_zh
          FROM t)
          SELECT doc_id,
            CASE
-             WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh)
-              AND greatest(score_de, score_en, score_es, score_fr, score_zh) > 0 THEN 'de'
-             WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh)
-              AND greatest(score_de, score_en, score_es, score_fr, score_zh) > 0 THEN 'en'
-             WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh)
-              AND greatest(score_de, score_en, score_es, score_fr, score_zh) > 0 THEN 'es'
-             WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh)
-              AND greatest(score_de, score_en, score_es, score_fr, score_zh) > 0 THEN 'fr'
-             WHEN score_zh = greatest(score_de, score_en, score_es, score_fr, score_zh)
-              AND greatest(score_de, score_en, score_es, score_fr, score_zh) > 0 THEN 'zh'
+             WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_ru, score_zh)
+              AND greatest(score_de, score_en, score_es, score_fr, score_ru, score_zh) > 0 THEN 'de'
+             WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_ru, score_zh)
+              AND greatest(score_de, score_en, score_es, score_fr, score_ru, score_zh) > 0 THEN 'en'
+             WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_ru, score_zh)
+              AND greatest(score_de, score_en, score_es, score_fr, score_ru, score_zh) > 0 THEN 'es'
+             WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_ru, score_zh)
+              AND greatest(score_de, score_en, score_es, score_fr, score_ru, score_zh) > 0 THEN 'fr'
+             WHEN score_ru = greatest(score_de, score_en, score_es, score_fr, score_ru, score_zh)
+              AND greatest(score_de, score_en, score_es, score_fr, score_ru, score_zh) > 0 THEN 'ru'
+             WHEN score_zh = greatest(score_de, score_en, score_es, score_fr, score_ru, score_zh)
+              AND greatest(score_de, score_en, score_es, score_fr, score_ru, score_zh) > 0 THEN 'zh'
              ELSE 'und' END AS lang_pred,
-           score_de, score_en, score_es, score_fr, score_zh
+           score_de, score_en, score_es, score_fr, score_ru, score_zh
          FROM s ORDER BY doc_id""",
 
     "dedup_exact" ->

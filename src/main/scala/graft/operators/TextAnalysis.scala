@@ -108,7 +108,8 @@ object TextAnalysis {
     * plan is language-independent — packs only swap literal arrays.
     */
   final case class LangPack(
-      lang: String, stopwords: Seq[String], alphaPattern: String = "[a-z]")
+      lang: String, stopwords: Seq[String], alphaPattern: String = "[a-z]",
+      meanWordLenLo: Double = 3, meanWordLenHi: Double = 10)
 
   object LangPack {
     val en: LangPack = LangPack("en", EnStop)
@@ -118,7 +119,16 @@ object TextAnalysis {
       "que", "de", "en", "un", "una", "por", "con", "no", "se"))
     val fr: LangPack = LangPack("fr", Seq("le", "la", "les", "et", "est", "une",
       "dans", "de", "un", "du", "des", "que", "pour", "pas", "sur"))
-    val all: Seq[LangPack] = Seq(de, en, es, fr)
+    // The non-Latin proof: a Cyrillic alphabetic class (the `[a-z]`
+    // default scores every Russian word 0 % alphabetic, failing gopher's
+    // frac_alpha >= 0.8 on perfect prose) and a widened mean-word-length
+    // ceiling — Russian running text averages noticeably longer words
+    // than English, so Gopher's en-tuned 3..10 band is kept but with
+    // headroom at 12.
+    val ru: LangPack = LangPack("ru", Seq("и", "в", "не", "на", "я", "что",
+      "с", "он", "как", "это", "по", "но", "его", "к", "у"),
+      alphaPattern = "[а-яё]", meanWordLenHi = 12)
+    val all: Seq[LangPack] = Seq(de, en, es, fr, ru)
     def forLang(code: String): Option[LangPack] = all.find(_.lang == code)
   }
 
@@ -174,6 +184,7 @@ object TextAnalysis {
     "en" -> EnStop,
     "es" -> Seq("el", "los", "las", "y", "es", "que"),
     "fr" -> Seq("le", "les", "et", "est", "une", "dans"),
+    "ru" -> Seq("и", "в", "не", "на", "что", "с"),
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
   /** Language ID by stopword-marker voting: count marker hits per language,
@@ -482,7 +493,8 @@ object TextAnalysis {
       .select(col("doc_id"), col("s.*"))
       .withColumn("passes_gopher",
         col("n_words") >= 50 && col("n_words") <= 100000 &&
-          col("mean_word_len") >= 3 && col("mean_word_len") <= 10 &&
+          col("mean_word_len") >= pack.meanWordLenLo &&
+          col("mean_word_len") <= pack.meanWordLenHi &&
           col("frac_alpha_words") >= 0.8 &&
           col("n_stop_distinct") >= 2 &&
           col("frac_bullet_lines") <= 0.9 &&

@@ -181,6 +181,52 @@ class TextAnalysisSpec extends SparkSpec {
     assert(routed === Set(1L, 2L, 3L))
   }
 
+  test("Cyrillic LangPack: alphaPattern and word-length bounds generalize beyond Latin") {
+    import spark.implicits._
+    // plain high-quality Russian prose (Chekhov-flavored filler), > 50 words
+    val ruSent = "и вот он идет в старый дом на берегу реки что стоит у леса " +
+      "но не знает как это место встретит его по дороге к дому у оврага"
+    val ruText = ((ruSent + " ") * 2 + ruSent).trim
+    val df = Seq((1L, ruText)).toDF("doc_id", "text")
+    val ru = TextAnalysis.LangPack.ru
+    // the quality gate passes under the Russian battery, fails under the
+    // English fallback (zero en stopword hits)
+    assert(df.where(TextAnalysis.passesQuality(col("text"), ru)).count() === 1)
+    assert(df.where(TextAnalysis.passesQuality(col("text"))).count() === 0)
+    // gopher under the ru pack: the Cyrillic alphaPattern scores every
+    // word alphabetic; under the en default the SAME doc scores 0.0
+    // alphabetic (no [a-z] anywhere) and fails on that rule alone
+    val gRu = TextAnalysis.gopherQuality(df, ru).head()
+    assert(gRu.getAs[Long]("n_words") >= 50L)
+    assert(gRu.getAs[Double]("frac_alpha_words") === 1.0)
+    assert(gRu.getAs[Long]("n_stop_distinct") >= 2L)
+    assert(gRu.getAs[Boolean]("passes_gopher"))
+    val gEn = TextAnalysis.gopherQuality(df).head()
+    assert(gEn.getAs[Double]("frac_alpha_words") === 0.0)
+    assert(gEn.getAs[Long]("n_stop_distinct") === 0L)
+    assert(!gEn.getAs[Boolean]("passes_gopher"))
+    // the widened mean-word-length ceiling is the pack's, not a constant:
+    // a doc of 4-to-12-char words (mean ~ 11) passes ru's 3..12 band and
+    // fails the default 3..10
+    val longWords = Seq.fill(60)("университет").mkString(" ") + " на на и и"
+    val lw = Seq((1L, longWords)).toDF("doc_id", "text")
+    val gLw = TextAnalysis.gopherQuality(lw, ru).head()
+    assert(gLw.getAs[Double]("mean_word_len") > 10.0 &&
+      gLw.getAs[Double]("mean_word_len") <= 12.0)
+    assert(gLw.getAs[Boolean]("passes_gopher"))
+    assert(!TextAnalysis.gopherQuality(lw,
+      TextAnalysis.LangPack.en.copy(stopwords = ru.stopwords,
+        alphaPattern = ru.alphaPattern)).head().getAs[Boolean]("passes_gopher"))
+    // langId votes ru for Cyrillic text; the routed gate judges a
+    // ru-tagged doc by the ru battery (no en fallback needed)
+    val lid = TextAnalysis.langId(df).head()
+    assert(lid.getAs[String]("lang_pred") === "ru")
+    assert(lid.getAs[Long]("score_ru") > 0L)
+    val tagged = Seq((1L, "ru", ruText)).toDF("doc_id", "lang", "text")
+    assert(tagged.where(TextAnalysis.passesQualityFor(col("text"), col("lang")))
+      .count() === 1)
+  }
+
   test("lengthBand histogram clamp bounds the driver fetch on adversarial corpora") {
     import spark.implicits._
     // adversarial shape: every doc has a UNIQUE length, all above the clamp
