@@ -42,6 +42,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Machine-readable counts — the docs regenerate their coverage line
+    // from this (scripts/update_counts.py) instead of hand-maintaining
+    // numbers that drift.
+    val qNames = SparkEntry.queries.keySet
+    val rowsOnly = (qNames -- SparkEntry.oracleSql.keySet).toSeq.sorted
+    val summary = Seq(
+      s"${q("queries")}: ${qNames.size}",
+      s"${q("oracles")}: ${SparkEntry.oracleSql.size}",
+      s"${q("rows_only")}: ${rowsOnly.map(q).mkString("[", ",", "]")}")
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_summary.json"), summary)
     spark.stop()
   }
 }
