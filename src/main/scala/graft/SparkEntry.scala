@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Catalog, ForeignKey, TableGraph}
-import graft.operators.{Chunk, Closure, Dedup, Multimodal, Similarity, Temporal, TextAnalysis}
+import graft.operators.{Chunk, Closure, Dedup, Dsir, Multimodal, Similarity, Temporal, TextAnalysis}
 import graft.sources.{Dump, DumpSpec}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -57,6 +57,39 @@ object SparkEntry {
       CASE WHEN doc_id % 17 = 0 THEN 'lorem ipsum dolor sit amet consectetur elit.' || chr(10) ELSE '' END ||
       substr(text, 10, 70) || ' and the final closing sentence ends cleanly.' AS text
     FROM documents"""
+
+  /** DuckDB mirror of [[Dsir.dsirWeights]] on (raw = documents, target =
+    * en slice, buckets = 1024) — the shared `w` CTE chain of both DSIR
+    * oracles: hashed unigram+bigram occurrences, smoothed bucket log-ratio
+    * over the all-buckets spine, per-doc decimal-summed importance weight.
+    */
+  private val DsirWeightsSql: String =
+    """tk AS (SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+       FROM documents),
+       feats AS (SELECT doc_id, lang,
+         unnest(toks || CASE WHEN len(toks) >= 2
+           THEN [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]
+           ELSE [] END) AS feat
+       FROM tk),
+       fb AS (SELECT doc_id, lang,
+         CAST('0x' || substr(md5(feat), 1, 15) AS BIGINT) % 1024 AS bucket
+       FROM feats),
+       hr AS (SELECT bucket, count(*) AS cnt_raw FROM fb GROUP BY bucket),
+       ht AS (SELECT bucket, count(*) AS cnt_tgt FROM fb WHERE lang = 'en' GROUP BY bucket),
+       tot AS (SELECT count(*) AS tot_raw,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tot_tgt FROM fb),
+       lr AS (SELECT r.range AS bucket,
+         CAST(round(ln((COALESCE(ht.cnt_tgt, 0) + 1.0) / (tot.tot_tgt + 1024))
+                  - ln((COALESCE(hr.cnt_raw, 0) + 1.0) / (tot.tot_raw + 1024)), 6)
+              AS DECIMAL(18,6)) AS log_ratio
+       FROM range(1024) r
+       LEFT JOIN hr ON hr.bucket = r.range
+       LEFT JOIN ht ON ht.bucket = r.range
+       CROSS JOIN tot),
+       w AS (SELECT fb.doc_id, count(*) AS n_features,
+         CAST(round(sum(lr.log_ratio), 4) AS DOUBLE) AS dsir_logw
+       FROM fb JOIN lr USING (bucket) GROUP BY fb.doc_id)"""
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -428,6 +461,25 @@ object SparkEntry {
     "tfidf_topk" -> ((s, dir) =>
       TextAnalysis.tfidfTopK(cat(s, dir).table("documents"), k = 5)
         .orderBy("doc_id", "rank")),
+
+    // DSIR importance weights of the full corpus against the en-language
+    // slice as the target domain (Xie et al. '23). buckets = 1024 keeps
+    // the broadcast log-ratio table tiny while the ~500-token synthetic
+    // vocabulary still exercises hash collisions.
+    "dsir_weights" -> { (s, dir) =>
+      val docs = cat(s, dir).table("documents")
+      Dsir.dsirWeights(docs, docs.where(col("lang") === "en"), buckets = 1024)
+        .orderBy("doc_id")
+    },
+
+    // Gumbel-top-k resample of the 100 most target-like docs under the
+    // fixed salt — deterministic, engine-replayable sampling ∝ exp(logw).
+    "dsir_sample" -> { (s, dir) =>
+      val docs = cat(s, dir).table("documents")
+      Dsir.dsirSample(docs, docs.where(col("lang") === "en"),
+          k = 100, buckets = 1024, salt = "dsir")
+        .orderBy("doc_id")
+    },
 
     // The synthetic corpus carries no real PII, so the demo query injects
     // a deterministic email / IPv4 / phone per row before scrubbing —
@@ -988,6 +1040,23 @@ object SparkEntry {
            round(-CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_neg_logprob,
            round(CAST(sum(CASE WHEN tf IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS oov_ratio
          FROM s GROUP BY doc_id ORDER BY doc_id""",
+
+    "dsir_weights" ->
+      s"""WITH $DsirWeightsSql
+         SELECT doc_id, n_features, dsir_logw FROM w ORDER BY doc_id""",
+
+    "dsir_sample" ->
+      s"""WITH $DsirWeightsSql,
+         g AS (SELECT *,
+           CAST(CAST(round(-ln(-ln(
+             (CAST('0x' || substr(md5('dsir|' || doc_id::VARCHAR), 1, 15) AS BIGINT) % 1000000
+              + 0.5) / 1000000.0)), 6) AS DECIMAL(18,6)) AS DOUBLE) AS gumbel
+         FROM w),
+         s AS (SELECT doc_id, n_features, dsir_logw, gumbel,
+           CAST(round(CAST(dsir_logw AS DECIMAL(18,4))
+             + CAST(gumbel AS DECIMAL(18,6)), 4) AS DOUBLE) AS score
+         FROM g ORDER BY score DESC, doc_id LIMIT 100)
+         SELECT * FROM s ORDER BY doc_id""",
 
     "asof_join" ->
       """WITH ev AS (SELECT event_id, epoch_ns(ts) // 1000000000 AS ts, user_id

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis.{bindOnce, hexHash, tokens}
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al. '23,
+  * public method: arXiv:2302.03169). Selects raw-corpus documents whose
+  * hashed-n-gram profile looks like a TARGET domain: featurize both
+  * corpora into `buckets` hashed unigram+bigram counts, fit smoothed
+  * bucket distributions p_target and p_raw, score every raw doc by its
+  * importance log-weight Σ_f count_f · (log p_target[f] − log p_raw[f]),
+  * and resample the top-k under deterministic Gumbel noise (Gumbel-top-k
+  * ≙ sampling without replacement ∝ exp(logw)).
+  *
+  * The 100 TB plan: features never leave their 8-byte hash form; each
+  * corpus histogram is ONE shuffle of (bucket, count) partial aggregates
+  * bounded by `buckets` rows; the log-ratio table (≤ `buckets` rows) is a
+  * plan-time broadcast joined map-side into the raw feature stream; doc
+  * scoring is one partial-aggregated shuffle on doc_id; top-k runs the
+  * two-phase local/global rank (WindowGroupLimit both phases — no global
+  * sort, no skew concentration). Per-bucket log-ratios are rounded to 6
+  * decimals and decimal-summed, so every score is partition-order
+  * independent and engine-portable (the unigram_lm discipline).
+  */
+object Dsir {
+
+  /** Hashed unigram + bigram feature stream: one row per feature
+    * OCCURRENCE (multiplicity preserved — DSIR counts, not sets),
+    * bucketed by the shared md5 hash primitive so an engine oracle can
+    * replay the bucketing exactly.
+    */
+  private[graft] def features(docs: DataFrame, buckets: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(bindOnce(tokens(col("text")), tk =>
+        concat(tk,
+          when(size(tk) >= 2,
+            transform(sequence(lit(1), size(tk) - 1),
+              i => concat_ws(" ", slice(tk, i, lit(2)))))
+            .otherwise(array().cast("array<string>"))))).as("feat"))
+      .select(col("doc_id"), pmod(hexHash(col("feat")), lit(buckets)).as("bucket"))
+
+  /** The fitted importance table: (bucket, log_ratio) with add-one
+    * smoothing over all `buckets` cells — every bucket present (missing
+    * counts are 0), log-ratio rounded to 6 decimals as decimal(18,6).
+    * At most `buckets` rows; the caller broadcasts it.
+    */
+  private[graft] def bucketLogRatio(
+      raw: DataFrame, target: DataFrame, buckets: Int): DataFrame = {
+    def hist(docs: DataFrame, cntName: String): DataFrame =
+      features(docs, buckets).groupBy("bucket")
+        .agg(count(lit(1)).as(cntName))
+    // all-buckets spine so zero-count cells still get their smoothed mass
+    val spine = raw.sparkSession.range(buckets).select(col("id").as("bucket"))
+    val joined = spine
+      .join(hist(raw, "cnt_raw"), Seq("bucket"), "left")
+      .join(hist(target, "cnt_tgt"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("cnt_raw"), lit(0L)).as("cnt_raw"),
+        coalesce(col("cnt_tgt"), lit(0L)).as("cnt_tgt"))
+    val totals = joined.agg(
+      sum(col("cnt_raw")).as("tot_raw"), sum(col("cnt_tgt")).as("tot_tgt"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round(
+          log((col("cnt_tgt") + 1).cast("double") / (col("tot_tgt") + buckets))
+            - log((col("cnt_raw") + 1).cast("double") / (col("tot_raw") + buckets)),
+          6).cast("decimal(18,6)").as("log_ratio"))
+  }
+
+  /** Per-document importance log-weights of `raw` against `target`:
+    * (doc_id, n_features, dsir_logw). Positive logw ⇒ the doc's hashed
+    * n-gram profile is more target-like than raw-average.
+    */
+  def dsirWeights(
+      raw: DataFrame, target: DataFrame, buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val lr = bucketLogRatio(raw, target, buckets)
+    features(raw, buckets)
+      .join(broadcast(lr), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_features"),
+        // round the exact decimal sum BEFORE the double cast: rounding the
+        // double instead puts half-boundary sums (…x.xxxx50) at the mercy
+        // of each engine's double-rounding mode (HALF_UP on the shortest
+        // repr vs multiply-and-round), which diverges at 1e-4
+        round(sum(col("log_ratio")), 4).cast("double").as("dsir_logw"))
+  }
+
+  /** Deterministic standard-Gumbel noise from the salted id-hash:
+    * u ∈ (0,1) from a 10^6 lattice (offset half a cell so u is never 0
+    * or 1), g = −ln(−ln u), rounded to 6 decimals — reproducible across
+    * engines, runs and partitionings like every sampler in this repo.
+    */
+  private def gumbel(idCol: Column, salt: String): Column =
+    round(-log(-log(
+      (pmod(hexHash(concat(lit(s"$salt|"), idCol.cast("string"))), lit(1000000))
+        .cast("double") + 0.5) / 1000000.0)), 6).cast("decimal(18,6)")
+
+  /** DSIR resampling: the top-`k` raw docs by logw + Gumbel(salt) — the
+    * Gumbel-top-k trick makes this an exact sample without replacement
+    * with P(doc) ∝ exp(dsir_logw), yet fully deterministic at a fixed
+    * salt. The global top-k is `orderBy().limit(k)`, which Spark executes
+    * as TakeOrderedAndProject — per-partition top-k then a bounded k-row
+    * driver merge, never a full sort or a single-partition window. Emits
+    * the score decomposition for audit; ties break on doc_id.
+    */
+  def dsirSample(
+      raw: DataFrame, target: DataFrame, k: Int, buckets: Int = 4096,
+      salt: String = "dsir"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    dsirWeights(raw, target, buckets)
+      .withColumn("gumbel", gumbel(col("doc_id"), salt).cast("double"))
+      // same decimal-space rounding discipline as dsirWeights: both terms
+      // are short decimals, so recover them exactly and round the exact sum
+      .withColumn("score",
+        round(col("dsir_logw").cast("decimal(18,4)")
+          + col("gumbel").cast("decimal(18,6)"), 4).cast("double"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+}
