@@ -44,7 +44,7 @@ object Similarity {
 
   def l2norm(v: Column): Column = sqrt(dot(v, v))
 
-  private def normalized(emb: DataFrame): DataFrame =
+  private[operators] def normalized(emb: DataFrame): DataFrame =
     // The cast vector is let-bound (TextAnalysis.bindOnce): a raw `vec(...)`
     // expression referenced by both the output column and the norm fold
     // would be evaluated twice per row when interpreted CSE misses.
@@ -59,7 +59,7 @@ object Similarity {
     * every downstream plan then correctly yields an empty result (nothing
     * survives the joins) instead of throwing on `head`.
     */
-  private def probeDim(emb: DataFrame): Int =
+  private[operators] def probeDim(emb: DataFrame): Int =
     emb.select(size(col("embedding"))).head(1).headOption.map(_.getInt(0)).getOrElse(1)
 
   /** Hyperplane count for a corpus of `corpusCount` vectors:
@@ -317,7 +317,7 @@ object Similarity {
     * otherwise the deterministic md5 family. Validates the m/k/dim layout
     * either way.
     */
-  private def resolvePqCodebook(
+  private[operators] def resolvePqCodebook(
       dim: Int, m: Int, k: Int, codebook: Option[Array[Double]]): Array[Double] = {
     require(dim % m == 0, s"embedding width $dim must divide into $m subspaces")
     val sub = dim / m
@@ -561,7 +561,7 @@ object Similarity {
     * codebook wins; otherwise the deterministic every-Nth-vector sample.
     * Norms are computed here so callers hand over bare (id, vector) pairs.
     */
-  private def resolveCentroids(
+  private[operators] def resolveCentroids(
       e: DataFrame, centEvery: Int, maxCents: Int,
       codebook: Option[Array[(Long, Array[Double])]]): Array[(Long, Array[Double], Double)] =
     codebook match {
@@ -578,7 +578,7 @@ object Similarity {
     * cell id = array index (cent_id order). Map-side, inside whole-stage
     * codegen; the per-row cost is nc × dim fused multiply-adds.
     */
-  private def centCos(
+  private[operators] def centCos(
       cents: Array[(Long, Array[Double], Double)])(v: Column, nrm: Column): Column =
     array(cents.map { case (_, cv, cn) =>
       dot(v, array(cv.map(lit(_)): _*)) / (nrm * lit(cn))
@@ -677,7 +677,7 @@ object Similarity {
     * expressed as a count-based rank over the `css` column (no sort — the
     * same engine-portable trick as lshProbes). O(nc²) per QUERY row only.
     */
-  private def probeCellsExpr(nc: Int, nprobe: Int): Column =
+  private[operators] def probeCellsExpr(nc: Int, nprobe: Int): Column =
     filter(sequence(lit(0), lit(nc - 1)), c =>
       size(filter(sequence(lit(0), lit(nc - 1)), c2 =>
         element_at(col("css"), c2 + 1) > element_at(col("css"), c + 1) ||
@@ -814,8 +814,16 @@ object Similarity {
           .select(col("vec_id").as("query_id"),
             pqDss(col("v"), lit(0).cast("int")).as("qlut"),
             probeCellsExpr(nc, nprobe).as("qcells"))
+          // explode_OUTER, deliberately: probe sets are never empty, so the
+          // two forms are row-identical — but exploding a non-outer
+          // ATTRIBUTE makes InferFiltersFromGenerate add `size(qcells) > 0`
+          // below the Generate, and pushdown then substitutes the alias
+          // chain: the O(nc²) probe-cells filter re-expands the whole
+          // nc-dotproduct centroid array inside its inner lambda, evaluated
+          // interpreted per scan row (measured: 123 s vs 1.2 s at sf0.1).
+          // The rule only matches outer = false; outer skips the inference.
           .select(col("query_id"), col("qlut"),
-            explode(col("qcells")).as("qcell"))
+            explode_outer(col("qcells")).as("qcell"))
     // a neighbor lives in exactly one cell and probe cells are distinct,
     // so no pair dedup is needed (the annIvf invariant)
     val scored = index.join(broadcast(q),
