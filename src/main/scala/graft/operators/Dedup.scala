@@ -490,4 +490,62 @@ object Dedup {
     canon.join(seen, Seq("text_md5"), "left_anti")
       .select(col("doc_id"), col("text_md5"), col("n_copies"))
   }
+
+  /** [[incrementalDedup]]'s sketch form: the accepted corpus compresses
+    * into ONE Bloom filter (Spark's native `BloomFilterAggregate` — the
+    * expression behind runtime bloom-filter join pruning) and the batch is
+    * filtered MAP-SIDE by `BloomFilterMightContain` on the same 60-bit
+    * text-hash key. The accepted side never re-shuffles the batch: at
+    * `fpp` = 1 % the sketch costs ~9.6 bits per accepted document — 10⁹
+    * accepted docs ≈ 1.2 GB, a broadcast instead of the anti-join's
+    * batch-side shuffle against a 16-byte-key fingerprint table — and in
+    * production it is built once per ingest epoch and reused across every
+    * batch of the epoch.
+    *
+    * The trade is explicit and one-sided: a Bloom "maybe" can only
+    * OVER-drop (≤ fpp of genuinely novel docs lost — tolerable in a
+    * pretraining pipeline that samples anyway); a dup can never be
+    * admitted (no false negatives). Within-batch canonicalization is the
+    * same min-doc_id groupBy as [[incrementalDedup]], so output schema and
+    * semantics match except for the documented FP loss.
+    *
+    * `expectedItems` sizes the filter; pass the maintained corpus
+    * cardinality in production (defaults to a plan-time `count()` of the
+    * existing side — one scalar job, the codebook-training pattern).
+    */
+  def bloomIngestDedup(
+      newBatch: DataFrame, existing: DataFrame,
+      fpp: Double = 0.01, expectedItems: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
+    val n = math.max(1L, expectedItems.getOrElse(existing.count()))
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .create(n, fpp).bitSize()
+    val bloom = existing
+      .select(hexHash(col("text")).as("k"))
+      .agg(column(new BloomFilterAggregate(
+        expression(col("k")), expression(lit(n)), expression(lit(numBits)))
+        .toAggregateExpression()).as("bloom"))
+    val canon = newBatch
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(
+        min(col("doc_id")).cast("long").as("doc_id"),
+        count(lit(1)).as("n_copies"))
+    // the sketch enters the batch plan as a SCALAR SUBQUERY — the exact
+    // shape Spark's own InjectRuntimeFilter produces: the engine runs the
+    // 1-row aggregate once, holds the sketch driver-side, ships it with
+    // the task binary, and the batch filter is pure map-side — no shuffle
+    // against the corpus at all (BloomFilterMightContain requires
+    // constant-or-subquery for its filter side, so a broadcast join is not
+    // an option here by construction)
+    val bloomSq = org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+      bloom.queryExecution.analyzed)
+    canon
+      .where(!column(new BloomFilterMightContain(
+        bloomSq,
+        expression(conv(substring(col("text_md5"), 1, 15), 16, 10).cast("long")))))
+      .select(col("doc_id"), col("text_md5"), col("n_copies"))
+  }
 }
