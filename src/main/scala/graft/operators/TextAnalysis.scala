@@ -95,7 +95,7 @@ object TextAnalysis {
         countDistinct(md5(col("text"))).as("n_distinct_texts"))
 
   /** English stopwords used by quality scoring and language ID. */
-  private val EnStop = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+  private[operators] val EnStop = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
 
   /** Per-language quality tables: the stopword list the gates count and
     * the character class `gopherQuality` treats as alphabetic. A real
@@ -132,7 +132,7 @@ object TextAnalysis {
     def forLang(code: String): Option[LangPack] = all.find(_.lang == code)
   }
 
-  private def countIn(toks: Column, words: Seq[String]): Column =
+  private[operators] def countIn(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(_.asInstanceOf[Any]): _*))).cast("long")
 
   /** The boolean quality gate on its own — shared by the batch
