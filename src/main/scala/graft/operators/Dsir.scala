@@ -59,9 +59,17 @@ object Dsir {
       .select(col("bucket"),
         coalesce(col("cnt_raw"), lit(0L)).as("cnt_raw"),
         coalesce(col("cnt_tgt"), lit(0L)).as("cnt_tgt"))
-    val totals = joined.agg(
-      sum(col("cnt_raw")).as("tot_raw"), sum(col("cnt_tgt")).as("tot_tgt"))
-    joined.crossJoin(broadcast(totals))
+    // corpus totals as an unpartitioned window sum over the joined frame:
+    // it is bounded at `buckets` rows by construction, so the single
+    // partition is a few KB — and unlike an aggregate + crossJoin, the
+    // window does NOT re-evaluate the two histogram subtrees (each a full
+    // corpus feature pass) a second time
+    val totW = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    joined
+      .select(col("bucket"), col("cnt_raw"), col("cnt_tgt"),
+        sum(col("cnt_raw")).over(totW).as("tot_raw"),
+        sum(col("cnt_tgt")).over(totW).as("tot_tgt"))
       .select(col("bucket"),
         round(
           log((col("cnt_tgt") + 1).cast("double") / (col("tot_tgt") + buckets))
