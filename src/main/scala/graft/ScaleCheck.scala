@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Dsir, QualityLr, Similarity, TextAnalysis}
 
 /** Scaling spot-check for the pair/ANN family (SURVEY §6): times each
   * operator at several corpus sizes WITH ITS SCALE KNOBS SET the way a
@@ -137,7 +137,20 @@ object ScaleCheck {
           Similarity.ivfPqSearch(emb, qf, kNN = 10, centEvery = 40, nprobe = 2)),
         "ivfpq_fixedq_trained64" -> (() =>
           Similarity.ivfPqSearch(emb, qfFixed, kNN = 10, nprobe = 2,
-            ivfCodebook = Some(trained))))
+            ivfCodebook = Some(trained))),
+        // DSIR: both corpora (raw + en target) grow with n — two bounded
+        // histogram shuffles + one doc_id shuffle, expected linear
+        "dsir_weights" -> (() =>
+          Dsir.dsirWeights(docs, docs.where(col("lang") === "en"), buckets = 1024)),
+        // learned quality filter: iters+1 linear passes, 4-decimal
+        // aggregates — expected linear
+        "quality_lr" -> (() => QualityLr.qualityLr(docs)),
+        // Bloom ingest dedup (same batch split as incremental_dedup): the
+        // sketch build is one linear pass; the batch filter is map-side
+        "bloom_ingest_dedup" -> (() =>
+          Dedup.bloomIngestDedup(
+            docs.where(col("doc_id") % 10 >= 8),
+            docs.where(col("doc_id") % 10 < 8))))
 
       // SPARK_GRAFT_SCALE_ONLY=a,b,c runs a subset (merge results by hand)
       val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
