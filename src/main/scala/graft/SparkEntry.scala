@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Catalog, ForeignKey, TableGraph}
-import graft.operators.{Chunk, Closure, Dedup, Dsir, Multimodal, Similarity, Temporal, TextAnalysis}
+import graft.operators.{Chunk, Closure, Dedup, Dsir, Multimodal, QualityLr, Similarity, Temporal, TextAnalysis}
 import graft.sources.{Dump, DumpSpec}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -90,6 +90,46 @@ object SparkEntry {
        w AS (SELECT fb.doc_id, count(*) AS n_features,
          CAST(round(sum(lr.log_ratio), 4) AS DOUBLE) AS dsir_logw
        FROM fb JOIN lr USING (bucket) GROUP BY fb.doc_id)"""
+
+  /** DuckDB mirror of [[QualityLr.qualityLr]] (iters = 3, lr = 1.0):
+    * feature CTE, then one (i_k, w_k) CTE pair per unrolled GD step —
+    * identical decimal-rounded gradient arithmetic to the Spark plan.
+    */
+  private val QualityLrSql: String = {
+    val stop = "['the','a','an','and','of','to','in','is','it','that']"
+    def step(i: Int, prev: String): String =
+      s"""i$i AS (SELECT
+         sum(CAST(round((1/(1+exp(-(w0 + w1*x1 + w2*x2 + w3*x3))) - y), 6) AS DECIMAL(18,6))) AS g0,
+         sum(CAST(round((1/(1+exp(-(w0 + w1*x1 + w2*x2 + w3*x3))) - y) * x1, 6) AS DECIMAL(18,6))) AS g1,
+         sum(CAST(round((1/(1+exp(-(w0 + w1*x1 + w2*x2 + w3*x3))) - y) * x2, 6) AS DECIMAL(18,6))) AS g2,
+         sum(CAST(round((1/(1+exp(-(w0 + w1*x1 + w2*x2 + w3*x3))) - y) * x3, 6) AS DECIMAL(18,6))) AS g3,
+         count(*) AS n, min(w0) AS pw0, min(w1) AS pw1, min(w2) AS pw2, min(w3) AS pw3
+       FROM f CROSS JOIN $prev),
+       w$i AS (SELECT
+         round(pw0 - 1.0*(CAST(g0 AS DOUBLE)/n), 6) AS w0,
+         round(pw1 - 1.0*(CAST(g1 AS DOUBLE)/n), 6) AS w1,
+         round(pw2 - 1.0*(CAST(g2 AS DOUBLE)/n), 6) AS w2,
+         round(pw3 - 1.0*(CAST(g3 AS DOUBLE)/n), 6) AS w3
+       FROM i$i)"""
+    val chain = (1 to 3)
+      .map(i => step(i, if (i == 1) "w0cte" else s"w${i - 1}")).mkString(",\n       ")
+    s"""t AS (SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS toks
+       FROM documents),
+       t2 AS (SELECT *, CAST(greatest(len(toks), 1) AS BIGINT) AS n_tok FROM t),
+       f AS (SELECT doc_id,
+         CAST(len(toks) >= 5 AND len(text) >= 40 AND
+              len(list_filter(toks, x -> list_contains($stop, x))) > 0 AS DOUBLE) AS y,
+         round(CAST(len(list_filter(toks, x -> list_contains($stop, x))) AS DOUBLE) / n_tok, 4) AS x1,
+         round(CAST(least(len(text), 400) AS DOUBLE) / 400, 4) AS x2,
+         round(CAST(len(text) AS DOUBLE) / n_tok / 10.0, 4) AS x3
+       FROM t2),
+       w0cte AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+       $chain,
+       s AS (SELECT doc_id, CAST(y AS BIGINT) AS label, x1, x2, x3,
+         round(1/(1+exp(-(w0 + w1*x1 + w2*x2 + w3*x3))), 4) AS lr_score
+       FROM f CROSS JOIN w3)"""
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -323,6 +363,26 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Sketch form of incremental_dedup: same constructed batch, corpus
+    // compressed to one Bloom filter, batch filtered map-side. Rows-only
+    // gate (a Bloom filter's false-positive set is implementation-defined
+    // — no SQL engine replays Spark's sketch bit-for-bit); exactness
+    // properties are spec-asserted against incrementalDedup instead.
+    "bloom_ingest_dedup" -> { (s, dir) =>
+      val docs = cat(s, dir).table("documents")
+      val fromCorpus = docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val novelA = docs.where(col("doc_id") % 7 === 1)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" fresh")).as("text"))
+      val novelB = docs.where(col("doc_id") % 7 === 1)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" fresh")).as("text"))
+      Dedup.bloomIngestDedup(
+          fromCorpus.unionByName(novelA).unionByName(novelB), docs)
+        .orderBy("doc_id")
+    },
+
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.docFingerprint(cat(s, dir).table("documents")).orderBy("doc_id")),
 
@@ -462,13 +522,22 @@ object SparkEntry {
       TextAnalysis.tfidfTopK(cat(s, dir).table("documents"), k = 5)
         .orderBy("doc_id", "rank")),
 
+    // Learned quality filter: logistic regression distilling the heuristic
+    // gate, trained as part of the plan (3 unrolled GD steps, each a 4-value
+    // decimal aggregate riding a 1-row broadcast).
+    "quality_lr" -> ((s, dir) =>
+      QualityLr.qualityLr(cat(s, dir).table("documents")).orderBy("doc_id")),
+
     // DSIR importance weights of the full corpus against the en-language
     // slice as the target domain (Xie et al. '23). buckets = 1024 keeps
     // the broadcast log-ratio table tiny while the ~500-token synthetic
     // vocabulary still exercises hash collisions.
+    // Tagged-subset form: the target is a predicate over the corpus, so
+    // the log-ratio table fits in ONE feature pass (two histograms from
+    // the same aggregate). Identical output to the two-frame form.
     "dsir_weights" -> { (s, dir) =>
       val docs = cat(s, dir).table("documents")
-      Dsir.dsirWeights(docs, docs.where(col("lang") === "en"), buckets = 1024)
+      Dsir.dsirWeights(docs, col("lang") === "en", buckets = 1024)
         .orderBy("doc_id")
     },
 
@@ -476,7 +545,7 @@ object SparkEntry {
     // fixed salt — deterministic, engine-replayable sampling ∝ exp(logw).
     "dsir_sample" -> { (s, dir) =>
       val docs = cat(s, dir).table("documents")
-      Dsir.dsirSample(docs, docs.where(col("lang") === "en"),
+      Dsir.dsirSample(docs, col("lang") === "en",
           k = 100, buckets = 1024, salt = "dsir")
         .orderBy("doc_id")
     },
@@ -1040,6 +1109,11 @@ object SparkEntry {
            round(-CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_neg_logprob,
            round(CAST(sum(CASE WHEN tf IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS oov_ratio
          FROM s GROUP BY doc_id ORDER BY doc_id""",
+
+    "quality_lr" ->
+      s"""WITH $QualityLrSql
+         SELECT doc_id, label, x1, x2, x3, lr_score, lr_score >= 0.5 AS keep
+         FROM s ORDER BY doc_id""",
 
     "dsir_weights" ->
       s"""WITH $DsirWeightsSql

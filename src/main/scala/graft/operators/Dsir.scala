@@ -77,14 +77,66 @@ object Dsir {
           6).cast("decimal(18,6)").as("log_ratio"))
   }
 
+  /** Single-pass variant of [[bucketLogRatio]] for the common deployment
+    * where the target is a TAGGED SUBSET of the raw corpus (a labeled
+    * quality slice, a language tag, a curated-source flag): one feature
+    * pass computes both histograms — cnt_raw = all occurrences, cnt_tgt =
+    * occurrences from rows matching `targetPred` — instead of the general
+    * form's two passes over two frames. Identical output for
+    * target ≡ raw.where(targetPred).
+    */
+  private[graft] def bucketLogRatioTagged(
+      raw: DataFrame, targetPred: Column, buckets: Int): DataFrame = {
+    val hists = raw
+      .select(col("doc_id"), targetPred.as("is_tgt"),
+        explode(bindOnce(tokens(col("text")), tk =>
+          concat(tk,
+            when(size(tk) >= 2,
+              transform(sequence(lit(1), size(tk) - 1),
+                i => concat_ws(" ", slice(tk, i, lit(2)))))
+              .otherwise(array().cast("array<string>"))))).as("feat"))
+      .select(col("is_tgt"), pmod(hexHash(col("feat")), lit(buckets)).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt_raw"),
+        sum(when(col("is_tgt"), 1L).otherwise(0L)).as("cnt_tgt"))
+    val spine = raw.sparkSession.range(buckets).select(col("id").as("bucket"))
+    val joined = spine.join(hists, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("cnt_raw"), lit(0L)).as("cnt_raw"),
+        coalesce(col("cnt_tgt"), lit(0L)).as("cnt_tgt"))
+    val totW = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    joined
+      .select(col("bucket"), col("cnt_raw"), col("cnt_tgt"),
+        sum(col("cnt_raw")).over(totW).as("tot_raw"),
+        sum(col("cnt_tgt")).over(totW).as("tot_tgt"))
+      .select(col("bucket"),
+        round(
+          log((col("cnt_tgt") + 1).cast("double") / (col("tot_tgt") + buckets))
+            - log((col("cnt_raw") + 1).cast("double") / (col("tot_raw") + buckets)),
+          6).cast("decimal(18,6)").as("log_ratio"))
+  }
+
   /** Per-document importance log-weights of `raw` against `target`:
     * (doc_id, n_features, dsir_logw). Positive logw ⇒ the doc's hashed
-    * n-gram profile is more target-like than raw-average.
+    * n-gram profile is more target-like than raw-average. The `Column`
+    * overload takes the target as a predicate over `raw` itself and fits
+    * the log-ratio table in a single feature pass.
     */
+  def dsirWeights(
+      raw: DataFrame, targetPred: Column, buckets: Int): DataFrame =
+    weightsOver(raw, bucketLogRatioTagged(raw, targetPred, buckets), buckets)
+
   def dsirWeights(
       raw: DataFrame, target: DataFrame, buckets: Int = 4096): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")
     val lr = bucketLogRatio(raw, target, buckets)
+    weightsOver(raw, lr, buckets)
+  }
+
+  private def weightsOver(
+      raw: DataFrame, lr: DataFrame, buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
     features(raw, buckets)
       .join(broadcast(lr), "bucket")
       .groupBy(col("doc_id"))
@@ -117,9 +169,20 @@ object Dsir {
     */
   def dsirSample(
       raw: DataFrame, target: DataFrame, k: Int, buckets: Int = 4096,
-      salt: String = "dsir"): DataFrame = {
+      salt: String = "dsir"): DataFrame =
+    sampleOver(dsirWeights(raw, target, buckets), k, salt)
+
+  /** Tagged-subset overload: target = `raw.where(targetPred)`, fitted in
+    * a single feature pass (see [[bucketLogRatioTagged]]).
+    */
+  def dsirSample(
+      raw: DataFrame, targetPred: Column, k: Int, buckets: Int,
+      salt: String): DataFrame =
+    sampleOver(dsirWeights(raw, targetPred, buckets), k, salt)
+
+  private def sampleOver(w: DataFrame, k: Int, salt: String): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    dsirWeights(raw, target, buckets)
+    w
       .withColumn("gumbel", gumbel(col("doc_id"), salt).cast("double"))
       // same decimal-space rounding discipline as dsirWeights: both terms
       // are short decimals, so recover them exactly and round the exact sum

@@ -62,6 +62,14 @@ class DsirSpec extends SparkSpec {
         + col("gumbel").cast("decimal(18,6)"), 4).cast("double")).count() === 0)
   }
 
+  test("tagged-subset form is bit-identical to the two-frame form") {
+    val twoFrame = Dsir.dsirWeights(docs, target, buckets = 1024)
+      .orderBy("doc_id").collect()
+    val tagged = Dsir.dsirWeights(docs, col("lang") === "en", buckets = 1024)
+      .orderBy("doc_id").collect()
+    assert(twoFrame.toSeq === tagged.toSeq)
+  }
+
   test("resampling enriches the target domain beyond its corpus share") {
     val sampled = Dsir.dsirSample(docs, target, k = 100, buckets = 1024)
       .join(docs.select("doc_id", "lang"), "doc_id")
