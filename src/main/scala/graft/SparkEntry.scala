@@ -131,6 +131,36 @@ object SparkEntry {
        FROM f CROSS JOIN w3)"""
   }
 
+  /** DuckDB mirror of [[TextAnalysis.bigramLm]] at a given `minCount`. */
+  private def BigramLmSql(minCount: Long): String = {
+    val having = if (minCount > 0) s"HAVING count(*) >= $minCount" else ""
+    s"""WITH t AS (SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS toks
+       FROM documents),
+       r AS (SELECT doc_id, unnest(range(1, len(toks)+1)) AS pos1, unnest(toks) AS cur, toks
+       FROM t),
+       r2 AS (SELECT doc_id, pos1, cur,
+         CASE WHEN pos1 > 1 THEN toks[pos1-1] END AS prev FROM r),
+       cw AS (SELECT cur AS w, count(*) AS cw FROM r2 GROUP BY 1),
+       vt AS (SELECT count(*) AS v, CAST(sum(cw) AS BIGINT) AS t FROM cw),
+       cb AS (SELECT prev, cur, count(*) AS cb FROM r2 WHERE pos1 > 1 GROUP BY 1, 2 $having),
+       s0 AS (SELECT r2.doc_id,
+           CAST(round(ln(CAST(cw.cw + 1 AS DOUBLE) / (vt.t + vt.v)), 6) AS DECIMAL(18,6)) AS lp,
+           0 AS pruned
+         FROM r2 JOIN cw ON r2.cur = cw.w CROSS JOIN vt WHERE pos1 = 1),
+       s1 AS (SELECT r2.doc_id,
+           CAST(round(ln(CAST(COALESCE(cb.cb, 0) + 1 AS DOUBLE) / (pw.cw + vt.v)), 6) AS DECIMAL(18,6)) AS lp,
+           CASE WHEN cb.cb IS NULL THEN 1 ELSE 0 END AS pruned
+         FROM r2 JOIN cw pw ON r2.prev = pw.w
+         LEFT JOIN cb ON r2.prev = cb.prev AND r2.cur = cb.cur
+         CROSS JOIN vt WHERE pos1 > 1),
+       u AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1)
+       SELECT doc_id, count(*) AS n_tokens,
+         round(-CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_neg_logprob,
+         round(CAST(sum(pruned) AS DOUBLE) / count(*), 4) AS pruned_ratio
+       FROM u GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── xdump core: full / partial / related-data closure ────────────────
@@ -521,6 +551,15 @@ object SparkEntry {
     "tfidf_topk" -> ((s, dir) =>
       TextAnalysis.tfidfTopK(cat(s, dir).table("documents"), k = 5)
         .orderBy("doc_id", "rank")),
+
+    "bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLm(cat(s, dir).table("documents")).orderBy("doc_id")),
+
+    // minCount = 25 prunes ~1/6 of the synthetic corpus's bigram types at
+    // sf0.001, so the smoothed unseen path and pruned_ratio are live
+    "bigram_lm_pruned" -> ((s, dir) =>
+      TextAnalysis.bigramLm(cat(s, dir).table("documents"), minCount = 25)
+        .orderBy("doc_id")),
 
     // Learned quality filter: logistic regression distilling the heuristic
     // gate, trained as part of the plan (3 unrolled GD steps, each a 4-value
@@ -1109,6 +1148,10 @@ object SparkEntry {
            round(-CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_neg_logprob,
            round(CAST(sum(CASE WHEN tf IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS oov_ratio
          FROM s GROUP BY doc_id ORDER BY doc_id""",
+
+    "bigram_lm" -> BigramLmSql(0),
+
+    "bigram_lm_pruned" -> BigramLmSql(25),
 
     "quality_lr" ->
       s"""WITH $QualityLrSql

@@ -623,6 +623,70 @@ object TextAnalysis {
     }
   }
 
+  /** Corpus-bigram LM scoring — one order up from [[unigramLm]], one step
+    * closer to the CCNet KenLM filter: each token is scored by its
+    * add-one-smoothed conditional probability given the PREVIOUS token,
+    * p(cur|prev) = (c(prev,cur) + 1) / (c(prev) + V); a document's first
+    * token backs off to the smoothed unigram (c(w) + 1) / (T + V).
+    * Repetitive/templated text scores near zero (its transitions dominate
+    * the corpus LM); rare-transition text (shuffled tokens, mojibake,
+    * code) scores high even when every individual token is common — the
+    * signal unigram scoring cannot see.
+    *
+    * `minCount` is the standard LM pruning knob: bigram types with
+    * c(prev,cur) < minCount are dropped from the model and their
+    * occurrences take the smoothed unseen path (count 0) — with the
+    * `pruned_ratio` column reporting how much of the doc fell through.
+    * At scale the pruned table is what makes the model a broadcastable
+    * artifact: zipfian transition counts concentrate mass in few types,
+    * so a real-corpus cut at even minCount = 5 shrinks the table by
+    * orders of magnitude while the smoothing keeps scores well-defined.
+    *
+    * Plan: one posexplode feeds the unigram aggregate, the bigram
+    * aggregate and the scoring joins — token-key shuffles throughout
+    * (AQE-skew-eligible), the (V, T) scalar rides as a 1-row broadcast,
+    * and the per-doc aggregation partial-aggregates map-side. Per-token
+    * log-probs round to 6 decimals and sum as DECIMAL(18,6) (the
+    * unigramLm discipline), so doc scores are partition-order independent
+    * and engine-replayable.
+    */
+  def bigramLm(docs: DataFrame, minCount: Long = 0): DataFrame = {
+    val rows = docs
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"), posexplode(col("tk")).as(Seq("pos", "cur")))
+      .select(col("doc_id"), col("pos"), col("cur"),
+        when(col("pos") > 0, element_at(col("tk"), col("pos"))).as("prev"))
+    val cw = rows.groupBy(col("cur").as("w")).agg(count(lit(1)).as("cw"))
+    val vt = cw.agg(count(lit(1)).as("v"), sum(col("cw")).as("t"))
+    val cb = {
+      val all = rows.where(col("pos") > 0)
+        .groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+      if (minCount > 0) all.where(col("cb") >= minCount) else all
+    }
+    val s0 = rows.where(col("pos") === 0)
+      .join(cw, col("cur") === col("w"))
+      .crossJoin(broadcast(vt))
+      .select(col("doc_id"),
+        round(log((col("cw") + 1).cast("double") / (col("t") + col("v"))), 6)
+          .cast("decimal(18,6)").as("lp"),
+        lit(0L).as("pruned"))
+    val s1 = rows.where(col("pos") > 0)
+      .join(cw.select(col("w"), col("cw").as("cprev")), col("prev") === col("w"))
+      .join(cb, Seq("prev", "cur"), "left")
+      .crossJoin(broadcast(vt))
+      .select(col("doc_id"),
+        round(log((coalesce(col("cb"), lit(0L)) + 1).cast("double")
+          / (col("cprev") + col("v"))), 6)
+          .cast("decimal(18,6)").as("lp"),
+        when(col("cb").isNull, 1L).otherwise(0L).as("pruned"))
+    s0.unionByName(s1)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(-sum(col("lp")).cast("double") / count(lit(1)), 4).as("avg_neg_logprob"),
+        round(sum(col("pruned")).cast("double") / count(lit(1)), 4).as("pruned_ratio"))
+  }
+
   /** PII patterns scrubbed by [[piiScrub]]: (name, regex, replacement).
     * The regexes stay inside the syntax common to Java regex (Spark) and
     * RE2 (DuckDB/production scanners) — no lookarounds, no backrefs — so

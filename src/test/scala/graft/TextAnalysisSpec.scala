@@ -370,4 +370,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(relaxed(7L).getAs[Boolean]("passes_c4"))
     assert(!relaxed(5L).getAs[Boolean]("passes_c4"))
   }
+
+  test("bigramLm sees transition structure unigram scoring cannot") {
+    import spark.implicits._
+    // same token multiset, different order: the repeated "a b" transition
+    // is corpus-dominant, the shuffled doc's transitions are rare
+    val df = Seq(
+      (0L, "a b a b a b a b a b a b"),
+      (1L, "a a b b a b b a a b b a"),
+      (2L, "a b a b a b a b a b a b"),
+      (3L, "a b a b a b a b a b a b")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLm(df).orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("avg_neg_logprob")).toMap
+    assert(out(1L) > out(0L) + 0.1,
+      s"shuffled doc should score worse: ${out(1L)} vs ${out(0L)}")
+    // identical docs score identically
+    assert(out(0L) === out(2L))
+  }
+
+  test("bigramLm pruning takes the smoothed unseen path and reports it") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "x y x y x y x y"),   // "x y" count 4+, "y x" count 3
+      (1L, "x z")                // "x z" count 1 → pruned at minCount 2
+    ).toDF("doc_id", "text")
+    val exact = TextAnalysis.bigramLm(df).orderBy("doc_id").collect()
+    assert(exact.forall(_.getAs[Double]("pruned_ratio") === 0.0))
+    val pruned = TextAnalysis.bigramLm(df, minCount = 2).orderBy("doc_id").collect()
+    val byId = pruned.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Double]("pruned_ratio") > 0.0)
+    // pruned transitions score strictly worse than their unpruned form
+    val exactById = exact.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Double]("avg_neg_logprob")
+      > exactById(1L).getAs[Double]("avg_neg_logprob"))
+    // n_tokens preserved; empty docs drop
+    assert(byId(1L).getAs[Long]("n_tokens") === 2L)
+  }
+
+  test("bigramLm scores are partition-order independent") {
+    val a = TextAnalysis.bigramLm(docs).orderBy("doc_id").collect()
+    val b = TextAnalysis.bigramLm(docs.repartition(17)).orderBy("doc_id").collect()
+    assert(a.toSeq === b.toSeq)
+  }
 }
