@@ -158,9 +158,22 @@ object Catalog {
 
   /** The TPC-H-ish test schema (TESTDATA.md) with its natural FK graph. */
   def tpch(spark: SparkSession, dir: String): Catalog = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    // default; read it as epoch-nanos long and convert where needed.
+    // events.ts has shipped both as parquet TIMESTAMP(NANOS) — which Spark 4
+    // refuses unless read as an epoch-nanos long — and as TIMESTAMP(MICROS),
+    // which Spark reads as TIMESTAMP_NTZ. Normalize at the catalog boundary:
+    // every downstream plan sees ONE canonical type (epoch-nanos LONG), so
+    // operators never branch on the generator's timestamp flavor. The NTZ
+    // wall-clock equals the UTC instant under the UTC session timezone the
+    // mains and specs set, matching DuckDB's epoch_ns() over the same file.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val read: String => DataFrame = { name =>
+      import org.apache.spark.sql.functions.{col, lit, unix_micros}
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (name == "events" &&
+          df.schema("ts").dataType != org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+      else df
+    }
     new Catalog(
     spark,
     dir,
