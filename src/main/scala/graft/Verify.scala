@@ -18,13 +18,21 @@ object Verify {
     // Iteration aid (mirrors Bench): SPARK_GRAFT_VERIFY_ONLY=q1,q2 restricts
     // the dump; oracle_sql.json still carries every entry for the driver.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(",").toSet)
+    // A throwing query must NOT just vanish from the output keyset (that is
+    // how a 3-query regression once hid for a full round): record every
+    // failure as an explicit artifact — a per-query marker file plus an
+    // aggregate failures.json — so a broken query surfaces loudly.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+        System.err.println(s"[verify] $name failed: $msg")
+        failures(name) = msg
+        Files.writeString(Paths.get(s"$outDir/$name._FAILED"), msg)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -42,6 +50,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Always written (possibly empty {}) so its absence vs emptiness is
+    // never ambiguous to the driver or a human diffing rounds.
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failures.json"), failJson)
     // Machine-readable counts — the docs regenerate their coverage line
     // from this (scripts/update_counts.py) instead of hand-maintaining
     // numbers that drift.
@@ -50,7 +63,8 @@ object Verify {
     val summary = Seq(
       s"${q("queries")}: ${qNames.size}",
       s"${q("oracles")}: ${SparkEntry.oracleSql.size}",
-      s"${q("rows_only")}: ${rowsOnly.map(q).mkString("[", ",", "]")}")
+      s"${q("rows_only")}: ${rowsOnly.map(q).mkString("[", ",", "]")}",
+      s"${q("failed")}: ${failures.keys.toSeq.sorted.map(q).mkString("[", ",", "]")}")
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_summary.json"), summary)
     spark.stop()

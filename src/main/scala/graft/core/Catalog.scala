@@ -166,6 +166,11 @@ object Catalog {
     // wall-clock equals the UTC instant under the UTC session timezone the
     // mains and specs set, matching DuckDB's epoch_ns() over the same file.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The MICROS flavor reads as TIMESTAMP_NTZ; `cast("timestamp")` below
+    // interprets that wall-clock in the SESSION timezone. Enforce the UTC
+    // assumption here rather than trusting every caller to have set it —
+    // the normalization must be deterministic at the catalog boundary.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val read: String => DataFrame = { name =>
       import org.apache.spark.sql.functions.{col, lit, unix_micros}
       val df = spark.read.parquet(s"$dir/$name.parquet")
@@ -177,6 +182,7 @@ object Catalog {
     new Catalog(
     spark,
     dir,
+    reader = Some(read),
     tables = Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings"),
     foreignKeys = Seq(

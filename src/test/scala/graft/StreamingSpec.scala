@@ -11,8 +11,9 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    // route through the Catalog: it normalizes either generator timestamp
+    // flavor (nanos-as-long / timestamp[us]) to epoch-nanos LONG
+    val batch = graft.core.Catalog.tpch(spark, sfDir).table("events")
       .select(col("ts"), col("event_type"), col("value"))
     val rows = batch.limit(2000)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))

@@ -45,13 +45,13 @@ class TemporalSpec extends SparkSpec {
     assert(e2.getMessage.contains("__side"))
   }
 
-  // events.ts is parquet TIMESTAMP(NANOS); read as epoch-nanos long (the
-  // Catalog convention) and normalize to epoch seconds.
-  private def eventsSeconds = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
+  // events.ts has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS);
+  // the Catalog normalizes either flavor to epoch-nanos LONG at the
+  // boundary — route through it (never read the parquet directly) and
+  // normalize to epoch seconds.
+  private def eventsSeconds =
+    graft.core.Catalog.tpch(spark, sfDir).table("events")
       .withColumn("ts", expr("ts div 1000000000"))
-  }
 
   test("asofJoin is deterministic under repartitioning") {
     val events = eventsSeconds.select(col("event_id"), col("ts"), col("user_id"))
