@@ -142,6 +142,22 @@ object ScaleCheck {
         // histogram shuffles + one doc_id shuffle, expected linear
         "dsir_weights" -> (() =>
           Dsir.dsirWeights(docs, docs.where(col("lang") === "en"), buckets = 1024)),
+        // persist-vs-recompute for the corpus feature pass (the SparkEntry
+        // shape is the tagged form): recompute runs the tokenize+bigram
+        // pass twice (fit + score); persist featurizes once into the block
+        // store and reuses it for both. localCheckpoint materializes
+        // inside the timed thunk so unpersist can run eagerly — its extra
+        // result write (~n_docs rows) slightly penalizes the persist
+        // variant, i.e. the comparison is conservative.
+        "dsir_weights_tagged" -> (() =>
+          Dsir.dsirWeights(docs, col("lang") === "en", buckets = 1024)),
+        "dsir_weights_tagged_persist" -> (() =>
+          Dsir.dsirWeightsPersisted(docs, col("lang") === "en", buckets = 1024)),
+        // corpus-bigram LM scoring: vocab shuffle bounded by distinct
+        // bigrams (pruning caps the broadcast side), one doc_id shuffle —
+        // expected linear
+        "bigram_lm" -> (() => TextAnalysis.bigramLm(docs)),
+        "bigram_lm_pruned" -> (() => TextAnalysis.bigramLm(docs, minCount = 25)),
         // learned quality filter: iters+1 linear passes, 4-decimal
         // aggregates — expected linear
         "quality_lr" -> (() => QualityLr.qualityLr(docs)),

@@ -574,9 +574,12 @@ object SparkEntry {
     // Tagged-subset form: the target is a predicate over the corpus, so
     // the log-ratio table fits in ONE feature pass (two histograms from
     // the same aggregate). Identical output to the two-frame form.
+    // Persisted deployment shape: the feature stream is cached and reused
+    // by fit + score instead of recomputed (measured 2.2× — see
+    // Dsir.dsirWeightsPersisted).
     "dsir_weights" -> { (s, dir) =>
       val docs = cat(s, dir).table("documents")
-      Dsir.dsirWeights(docs, col("lang") === "en", buckets = 1024)
+      Dsir.dsirWeightsPersisted(docs, col("lang") === "en", buckets = 1024)
         .orderBy("doc_id")
     },
 
@@ -584,7 +587,7 @@ object SparkEntry {
     // fixed salt — deterministic, engine-replayable sampling ∝ exp(logw).
     "dsir_sample" -> { (s, dir) =>
       val docs = cat(s, dir).table("documents")
-      Dsir.dsirSample(docs, col("lang") === "en",
+      Dsir.dsirSamplePersisted(docs, col("lang") === "en",
           k = 100, buckets = 1024, salt = "dsir")
         .orderBy("doc_id")
     },

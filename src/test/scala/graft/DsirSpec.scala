@@ -70,6 +70,21 @@ class DsirSpec extends SparkSpec {
     assert(twoFrame.toSeq === tagged.toSeq)
   }
 
+  test("persisted-feature form is bit-identical to the recompute path") {
+    // featurize ONCE (tagged), persist, reuse for both fit and scoring —
+    // must match the lazy recompute form exactly, weights and sample
+    val persisted = Dsir.dsirWeightsPersisted(docs, col("lang") === "en", 1024)
+      .orderBy("doc_id").collect()
+    val standard = Dsir.dsirWeights(docs, col("lang") === "en", buckets = 1024)
+      .orderBy("doc_id").collect()
+    assert(persisted.toSeq === standard.toSeq)
+    val sP = Dsir.dsirSamplePersisted(docs, col("lang") === "en",
+      k = 50, buckets = 1024, salt = "s1").orderBy("doc_id").collect()
+    val sR = Dsir.dsirSample(docs, col("lang") === "en",
+      k = 50, buckets = 1024, salt = "s1").orderBy("doc_id").collect()
+    assert(sP.toSeq === sR.toSeq)
+  }
+
   test("resampling enriches the target domain beyond its corpus share") {
     val sampled = Dsir.dsirSample(docs, target, k = 100, buckets = 1024)
       .join(docs.select("doc_id", "lang"), "doc_id")
