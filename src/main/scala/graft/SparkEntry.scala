@@ -91,6 +91,37 @@ object SparkEntry {
          CAST(round(sum(lr.log_ratio), 4) AS DOUBLE) AS dsir_logw
        FROM fb JOIN lr USING (bucket) GROUP BY fb.doc_id)"""
 
+  /** DuckDB mirror of [[TextAnalysis.perplexityBuckets]] (exact LM,
+    * terciles 333/667): unigram_lm scoring with lang carried, bounded
+    * score histogram, integer-rank tercile cuts per language, band tag.
+    * Shared tail CTE `pb` for the buckets + keep oracles.
+    */
+  private val PerplexityBucketsSql: String =
+    """tk AS (SELECT doc_id, lang,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS tok
+       FROM documents),
+       f AS (SELECT tok, count(*) AS tf FROM tk GROUP BY tok),
+       tot AS (SELECT count(*) AS total FROM tk),
+       s AS (SELECT tk.doc_id, tk.lang,
+         CAST(round(ln(CAST(f.tf AS DOUBLE) / tot.total), 6) AS DECIMAL(18,6)) AS lp
+       FROM tk JOIN f USING (tok) CROSS JOIN tot),
+       sc AS (SELECT doc_id, lang, count(*) AS n_tokens,
+         round(-CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_neg_logprob
+       FROM s GROUP BY doc_id, lang),
+       hist AS (SELECT lang, avg_neg_logprob AS b, count(*) AS c
+       FROM sc GROUP BY 1, 2),
+       cum AS (SELECT lang, b, sum(c) OVER (PARTITION BY lang ORDER BY b) AS cum,
+         sum(c) OVER (PARTITION BY lang) AS n FROM hist),
+       th AS (SELECT lang,
+         min(CASE WHEN cum >= greatest((n * 333 + 999) // 1000, 1) THEN b END) AS t_head,
+         min(CASE WHEN cum >= greatest((n * 667 + 999) // 1000, 1) THEN b END) AS t_mid
+       FROM cum GROUP BY lang),
+       pb AS (SELECT sc.doc_id, sc.lang, sc.n_tokens, sc.avg_neg_logprob,
+         CASE WHEN avg_neg_logprob <= t_head THEN 'head'
+              WHEN avg_neg_logprob <= t_mid THEN 'middle'
+              ELSE 'tail' END AS ppl_band
+       FROM sc JOIN th USING (lang))"""
+
   /** DuckDB mirror of [[QualityLr.qualityLr]] (iters = 3, lr = 1.0):
     * feature CTE, then one (i_k, w_k) CTE pair per unrolled GD step —
     * identical decimal-rounded gradient arithmetic to the Spark plan.
@@ -546,6 +577,19 @@ object SparkEntry {
     // path is actually exercised by the oracle
     "unigram_lm_capped" -> ((s, dir) =>
       TextAnalysis.unigramLm(cat(s, dir).table("documents"), vocabTopK = Some(20))
+        .orderBy("doc_id")),
+
+    // CCNet's per-language perplexity tercile split (head/middle/tail) —
+    // exact integer-rank cuts over the bounded score histogram.
+    "perplexity_buckets" -> ((s, dir) =>
+      TextAnalysis.perplexityBuckets(cat(s, dir).table("documents"))
+        .orderBy("doc_id")),
+
+    // the CCNet curation act: drop the worst (tail) perplexity third of
+    // each language — the standard web-corpus LM-quality gate
+    "ccnet_keep" -> ((s, dir) =>
+      TextAnalysis.perplexityBuckets(cat(s, dir).table("documents"))
+        .where(col("ppl_band") =!= "tail")
         .orderBy("doc_id")),
 
     "tfidf_topk" -> ((s, dir) =>
@@ -1151,6 +1195,14 @@ object SparkEntry {
            round(-CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_neg_logprob,
            round(CAST(sum(CASE WHEN tf IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS oov_ratio
          FROM s GROUP BY doc_id ORDER BY doc_id""",
+
+    "perplexity_buckets" ->
+      s"""WITH $PerplexityBucketsSql
+         SELECT * FROM pb ORDER BY doc_id""",
+
+    "ccnet_keep" ->
+      s"""WITH $PerplexityBucketsSql
+         SELECT * FROM pb WHERE ppl_band != 'tail' ORDER BY doc_id""",
 
     "bigram_lm" -> BigramLmSql(0),
 

@@ -582,9 +582,20 @@ object TextAnalysis {
     * DECIMAL(18,6), so the per-doc sum is exact and order-independent
     * under any partitioning (a double sum would drift with partition
     * order). Zero-token documents have no rows to score and drop out.
+    *
+    * `carry` names doc-level columns (functionally dependent on doc_id,
+    * e.g. `lang`) to ride the explode and the per-doc groupBy so callers
+    * composing on the scores — [[perplexityBuckets]] needs the language —
+    * get them WITHOUT a corpus-keyed join back to `docs`. The composite
+    * grouping key has doc_id's cardinality, so the shuffle is unchanged.
     */
-  def unigramLm(docs: DataFrame, vocabTopK: Option[Int] = None): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+  def unigramLm(
+      docs: DataFrame, vocabTopK: Option[Int] = None,
+      carry: Seq[String] = Nil): DataFrame = {
+    val carryCols = carry.map(col)
+    val docKey = col("doc_id") +: carryCols
+    val tok = docs.select(
+      (docKey :+ explode(tokens(col("text"))).as("tok")): _*)
     val freqs = tok.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
     vocabTopK match {
       case None =>
@@ -593,7 +604,7 @@ object TextAnalysis {
           .crossJoin(broadcast(total))
           .withColumn("lp",
             round(log(col("tf").cast("double") / col("total")), 6).cast("decimal(18,6)"))
-          .groupBy(col("doc_id"))
+          .groupBy(docKey: _*)
           .agg(
             count(lit(1)).as("n_tokens"),
             round(-sum(col("lp")).cast("double") / count(lit(1)), 4).as("avg_neg_logprob"),
@@ -614,13 +625,77 @@ object TextAnalysis {
           .withColumn("lp",
             round(log(coalesce(col("tf").cast("double"), lit(1.0)) / col("total")), 6)
               .cast("decimal(18,6)"))
-          .groupBy(col("doc_id"))
+          .groupBy(docKey: _*)
           .agg(
             count(lit(1)).as("n_tokens"),
             round(-sum(col("lp")).cast("double") / count(lit(1)), 4).as("avg_neg_logprob"),
             round(sum(when(col("tf").isNull, 1L).otherwise(0L)).cast("double") / count(lit(1)), 4)
               .as("oov_ratio"))
     }
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. '19,
+    * arXiv:1911.00359 §4.3): every document is tagged `head` / `middle` /
+    * `tail` by where its LM score falls in its OWN LANGUAGE's score
+    * distribution — CCNet's per-language tercile split, whose `head` cut
+    * is the classic web-corpus quality gate (low perplexity under an
+    * in-domain LM ⇒ fluent text). The LM here is [[unigramLm]] (or its
+    * capped broadcast-vocabulary form via `vocabTopK` — the 100 TB
+    * scoring path), so the whole stage stays inside this engine instead
+    * of shelling out to KenLM.
+    *
+    * Cut points are EXACT integer-rank percentiles over a BOUNDED
+    * histogram, not a corpus sort: the histogram keys on the score
+    * itself, which [[unigramLm]] already rounds to 4 decimals and whose
+    * magnitude the OOV floor caps at ln(corpus tokens) ≈ 40 — so the
+    * per-language histogram is ≤ ~400k rows by construction AT ANY
+    * CORPUS SIZE (score resolution × score range, independent of doc
+    * count; no fresh rounding step, so no new cross-engine half-boundary
+    * surface). The cumulative window runs over those histogram rows
+    * only, and the per-language threshold table (≤ #languages rows)
+    * broadcast-joins back map-side. Ranks use the [[lengthBand]]
+    * integer-arithmetic discipline — `ceil(n·p/1000)` computed in
+    * integers, so an engine oracle lands on the same row at every
+    * boundary.
+    *
+    * The scored frame feeds both the histogram and the final tagging;
+    * it is persisted for exactly those two consumers and released before
+    * return (the [[graft.operators.Dsir]] persisted-form discipline —
+    * measured there at 2.2× over recompute for the same shape). Output
+    * is eagerly materialized via localCheckpoint, ~4 narrow columns per
+    * doc. Zero-token documents have no score and drop out, as in
+    * [[unigramLm]].
+    */
+  def perplexityBuckets(
+      docs: DataFrame, headPermille: Int = 333, midPermille: Int = 667,
+      vocabTopK: Option[Int] = None, langCol: String = "lang"): DataFrame = {
+    require(0 < headPermille && headPermille <= midPermille && midPermille <= 1000,
+      s"need 0 < head <= mid <= 1000 permille: $headPermille, $midPermille")
+    val scored = unigramLm(docs, vocabTopK, carry = Seq(langCol)).persist()
+    try {
+      import org.apache.spark.sql.expressions.Window
+      val hist = scored.groupBy(col(langCol), col("avg_neg_logprob"))
+        .agg(count(lit(1)).as("c"))
+      // both windows run over histogram rows (bounded), never corpus rows
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(langCol).orderBy("avg_neg_logprob")))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(langCol)))
+      def rank(permille: Int): Column =
+        greatest(floor((col("n") * permille + 999) / 1000).cast("long"), lit(1L))
+      val th = cum.groupBy(col(langCol)).agg(
+        min(when(col("cum") >= rank(headPermille), col("avg_neg_logprob")))
+          .as("t_head"),
+        min(when(col("cum") >= rank(midPermille), col("avg_neg_logprob")))
+          .as("t_mid"))
+      scored.join(broadcast(th), langCol)
+        .select(col("doc_id"), col(langCol), col("n_tokens"),
+          col("avg_neg_logprob"),
+          when(col("avg_neg_logprob") <= col("t_head"), "head")
+            .when(col("avg_neg_logprob") <= col("t_mid"), "middle")
+            .otherwise("tail").as("ppl_band"))
+        .localCheckpoint()
+    } finally scored.unpersist()
   }
 
   /** Corpus-bigram LM scoring — one order up from [[unigramLm]], one step

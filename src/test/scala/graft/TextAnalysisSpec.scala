@@ -327,6 +327,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(capped.where(col("oov_ratio") > 0.0).count() > 0)
   }
 
+  test("perplexityBuckets cuts exact per-language terciles on the score") {
+    val bands = TextAnalysis.perplexityBuckets(docs).persist()
+    try {
+      // every scored doc lands in exactly one band, none invented
+      val scored = TextAnalysis.unigramLm(docs).count()
+      assert(bands.count() === scored)
+      assert(bands.where(!col("ppl_band").isin("head", "middle", "tail"))
+        .count() === 0)
+      // band assignment depends only on the score, so bands are strictly
+      // ordered by score within every language: max(head) < min(middle)
+      // < ... — ties can never straddle a band edge
+      val edges = bands.groupBy("lang").pivot("ppl_band").agg(
+        min("avg_neg_logprob").as("lo"), max("avg_neg_logprob").as("hi"))
+      assert(edges.where(col("head_hi") >= col("middle_lo") ||
+        col("middle_hi") >= col("tail_lo")).count() === 0)
+      // integer-rank tercile: per language, head holds at least
+      // ceil(n·333/1000) docs, and removing the tie group at the cut
+      // point drops it below the rank (smallest closed prefix >= rank)
+      val counts = bands.groupBy("lang").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("ppl_band") === "head", 1L).otherwise(0L)).as("head_n"))
+      val ties = bands.where(col("ppl_band") === "head")
+        .groupBy("lang").agg(max("avg_neg_logprob").as("t_head"))
+        .join(bands, Seq("lang"))
+        .where(col("avg_neg_logprob") === col("t_head"))
+        .groupBy("lang").agg(count(lit(1)).as("tie_n"))
+      val bad = counts.join(ties, "lang")
+        .withColumn("rank", greatest(
+          floor((col("n") * 333 + 999) / 1000).cast("long"), lit(1L)))
+        .where(col("head_n") < col("rank") ||
+          col("head_n") - col("tie_n") >= col("rank"))
+      assert(bad.count() === 0)
+    } finally bands.unpersist()
+  }
+
+  test("perplexityBuckets drops zero-token docs like unigramLm") {
+    import spark.implicits._
+    val tiny = Seq((1L, "common common rare", "en"), (2L, "   ", "en"),
+      (3L, "common common common", "en")).toDF("doc_id", "text", "lang")
+    val bands = TextAnalysis.perplexityBuckets(tiny)
+    assert(bands.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+  }
+
   test("c4Filter applies every line and page rule independently") {
     import spark.implicits._
     val good = "the first sentence has enough words here.\n" +
