@@ -161,6 +161,10 @@ object ScaleCheck {
         // learned quality filter: iters+1 linear passes, 4-decimal
         // aggregates — expected linear
         "quality_lr" -> (() => QualityLr.qualityLr(docs)),
+        // CCNet perplexity terciles: one persisted scoring pass, histogram
+        // windows bounded by score resolution (not corpus size), threshold
+        // table broadcast back — expected linear in the scoring pass
+        "perplexity_buckets" -> (() => TextAnalysis.perplexityBuckets(docs)),
         // Bloom ingest dedup (same batch split as incremental_dedup): the
         // sketch build is one linear pass; the batch filter is map-side
         "bloom_ingest_dedup" -> (() =>
