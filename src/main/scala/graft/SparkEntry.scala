@@ -91,6 +91,33 @@ object SparkEntry {
          CAST(round(sum(lr.log_ratio), 4) AS DOUBLE) AS dsir_logw
        FROM fb JOIN lr USING (bucket) GROUP BY fb.doc_id)"""
 
+  /** DuckDB mirror of [[TextAnalysis.mixPlan]] (budget 20000 tokens,
+    * shares en 500 / de 250 / fr 150 / es 100 permille; zh unlisted →
+    * share 0): per-stratum targets are exact Scala-side integer literals
+    * (budget·share/1000), the keep rate is integer ceil-division with
+    * the 1000 clamp. At sf0.01 the de stratum's target exceeds supply,
+    * so the clamp/infeasible path is live at the driver's gate.
+    */
+  private val MixPlanSql: String =
+    """avail AS (SELECT lang, count(*) AS n_docs,
+         CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0))) AS BIGINT) AS avail_tokens
+       FROM documents GROUP BY lang),
+       plan AS (SELECT lang, n_docs, avail_tokens,
+         CASE lang WHEN 'de' THEN 250 WHEN 'en' THEN 500
+                   WHEN 'es' THEN 100 WHEN 'fr' THEN 150 ELSE 0 END AS share_permille,
+         CAST(CASE lang WHEN 'de' THEN 5000 WHEN 'en' THEN 10000
+                   WHEN 'es' THEN 2000 WHEN 'fr' THEN 3000 ELSE 0 END AS BIGINT) AS target_tokens,
+         CAST(CASE WHEN (CASE lang WHEN 'de' THEN 5000 WHEN 'en' THEN 10000
+                   WHEN 'es' THEN 2000 WHEN 'fr' THEN 3000 ELSE 0 END)
+                >= avail_tokens THEN 1000
+           ELSE ((CASE lang WHEN 'de' THEN 5000 WHEN 'en' THEN 10000
+                   WHEN 'es' THEN 2000 WHEN 'fr' THEN 3000 ELSE 0 END) * 1000
+                 + avail_tokens - 1) // avail_tokens END AS BIGINT) AS keep_permille,
+         (CASE lang WHEN 'de' THEN 5000 WHEN 'en' THEN 10000
+                   WHEN 'es' THEN 2000 WHEN 'fr' THEN 3000 ELSE 0 END)
+           <= avail_tokens AS feasible
+       FROM avail)"""
+
   /** DuckDB mirror of [[TextAnalysis.perplexityBuckets]] (exact LM,
     * terciles 333/667): unigram_lm scoring with lang carried, bounded
     * score histogram, integer-rank tercile cuts per language, band tag.
@@ -493,6 +520,26 @@ object SparkEntry {
       TextAnalysis.mixSample(cat(s, dir).table("documents"),
           weights = Map("en" -> 80, "de" -> 40, "fr" -> 20), byCol = "lang")
         .select(col("doc_id"), col("lang"), col("source")).orderBy("doc_id")),
+
+    // the mixture SOLVER: per-stratum keep rates from a 20k-token budget
+    // at 500/250/150/100 permille shares (zh unlisted → drops); at sf0.01
+    // the de stratum is oversubscribed, exercising the clamp path
+    "mix_plan" -> ((s, dir) =>
+      TextAnalysis.mixPlan(cat(s, dir).table("documents"),
+          sharePermille = Map("en" -> 500, "de" -> 250, "fr" -> 150, "es" -> 100),
+          tokenBudget = 20000L)
+        .orderBy("lang")),
+
+    // the solved mixture materialized map-side via the deterministic
+    // id-hash — plan broadcast, zero shuffle on the corpus side
+    "mix_materialize" -> { (s, dir) =>
+      val docs = cat(s, dir).table("documents")
+      val plan = TextAnalysis.mixPlan(docs,
+        sharePermille = Map("en" -> 500, "de" -> 250, "fr" -> 150, "es" -> 100),
+        tokenBudget = 20000L)
+      TextAnalysis.mixApply(docs, plan)
+        .select(col("doc_id"), col("lang")).orderBy("doc_id")
+    },
 
     "text_normalize" -> ((s, dir) =>
       TextAnalysis.textNormalize(cat(s, dir).table("documents")).orderBy("doc_id")),
@@ -1610,6 +1657,17 @@ object SparkEntry {
            CASE WHEN lang = 'en' THEN 80 WHEN lang = 'de' THEN 40
                 WHEN lang = 'fr' THEN 20 ELSE 0 END
          ORDER BY doc_id""",
+
+    "mix_plan" ->
+      s"""WITH $MixPlanSql
+         SELECT * FROM plan ORDER BY lang""",
+
+    "mix_materialize" ->
+      s"""WITH $MixPlanSql
+         SELECT d.doc_id, d.lang FROM documents d JOIN plan USING (lang)
+         WHERE CAST('0x' || substr(md5('mixplan|' || d.doc_id::VARCHAR), 1, 15) AS BIGINT) % 1000
+           < plan.keep_permille
+         ORDER BY d.doc_id""",
 
     "text_normalize" ->
       """WITH t AS (SELECT doc_id,

@@ -289,6 +289,81 @@ object TextAnalysis {
     docs.where(hexHash(concat(lit(s"$salt|"), col(idCol).cast("string"))) % outOf < rate)
   }
 
+  /** Token-budget mixture SOLVER — the step [[mixSample]] leaves to the
+    * caller: given target composition shares (permille of the token
+    * budget per stratum) and the budget itself, compute each stratum's
+    * keep rate from what the corpus actually holds. "Give me ~20B tokens
+    * at 60/30/10 en/de/fr" becomes a plan table: per stratum, available
+    * tokens, target tokens, the per-mille keep rate that hits the
+    * target in expectation, and a `feasible` flag for strata whose
+    * target exceeds supply (rate clamps at 1000 — the mixture DEGRADES
+    * OBSERVABLY instead of silently rebalancing; unlisted strata get
+    * share 0 and drop).
+    *
+    * One bounded aggregate (≤ #strata rows — the corpus_profile shape);
+    * per-stratum targets are Scala-side exact integer arithmetic baked
+    * in as literals, and the keep rate is integer ceil-division inside
+    * the plan (`div`, never IEEE), so an engine oracle reproduces every
+    * boundary. [[mixApply]] then materializes the mixture map-side with
+    * the same deterministic id-hash primitive as [[mixSample]].
+    */
+  def mixPlan(
+      docs: DataFrame,
+      sharePermille: Map[String, Int],
+      tokenBudget: Long,
+      byCol: String = "lang"): DataFrame = {
+    require(sharePermille.values.forall(p => p >= 0 && p <= 1000),
+      "stratum shares must be in [0, 1000] permille")
+    require(sharePermille.values.sum <= 1000,
+      s"shares sum to ${sharePermille.values.sum} > 1000 permille")
+    require(tokenBudget >= 0 && tokenBudget <= Long.MaxValue / 1000,
+      s"tokenBudget out of range: $tokenBudget")
+    val share = sharePermille.toSeq.sortBy(_._1).foldLeft(lit(0)) {
+      case (alt, (k, p)) => when(col(byCol) === k, lit(p)).otherwise(alt)
+    }
+    // exact integer target per stratum, computed driver-side as literals
+    val target = sharePermille.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (alt, (k, p)) =>
+        when(col(byCol) === k, lit(tokenBudget * p / 1000)).otherwise(alt)
+    }
+    docs
+      .groupBy(col(byCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("avail_tokens"))
+      .select(col(byCol), col("n_docs"), col("avail_tokens"),
+        share.as("share_permille"), target.as("target_tokens"))
+      // ceil(target·1000 / avail) in INTEGER division; clamp at 1000 when
+      // the stratum cannot supply its target
+      .withColumn("keep_permille",
+        when(col("target_tokens") >= col("avail_tokens"), lit(1000L))
+          .otherwise(expr(
+            "(target_tokens * 1000 + avail_tokens - 1) div avail_tokens")))
+      .withColumn("feasible", col("target_tokens") <= col("avail_tokens"))
+  }
+
+  /** Materialize a [[mixPlan]]: keep each doc iff its deterministic
+    * id-hash falls under its stratum's solved keep rate — the same
+    * `hash(salt|id) % 1000 < rate` primitive as [[mixSamplePermille]],
+    * so the selection is reproducible and composes with every other
+    * hash-sampled stage. The plan table (≤ #strata rows) broadcasts;
+    * the filter is map-side, zero shuffle. Docs in strata absent from
+    * the plan drop (left join, rate defaults 0) — a plan solved on an
+    * older corpus snapshot fails closed on new strata.
+    */
+  def mixApply(
+      docs: DataFrame,
+      plan: DataFrame,
+      byCol: String = "lang",
+      salt: String = "mixplan",
+      idCol: String = "doc_id"): DataFrame =
+    docs
+      .join(broadcast(plan.select(col(byCol), col("keep_permille"))),
+        Seq(byCol), "left")
+      .where(hexHash(concat(lit(s"$salt|"), col(idCol).cast("string"))) % 1000
+        < coalesce(col("keep_permille"), lit(0L)))
+      .drop("keep_permille")
+
   /** Text normalization: lowercase, collapse whitespace runs to single
     * spaces, trim — plus the md5 of the normalized form, the standard
     * pre-pass that turns exact dedup into whitespace/case-insensitive

@@ -327,6 +327,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(capped.where(col("oov_ratio") > 0.0).count() > 0)
   }
 
+  test("mixPlan solves exact integer keep rates; mixApply hits them") {
+    import spark.implicits._
+    // 1000 en docs × 10 tokens + 100 de docs × 10 tokens
+    val corpus = ((1 to 1000).map(i => (i.toLong, "w w w w w w w w w w", "en")) ++
+      (1001 to 1100).map(i => (i.toLong, "w w w w w w w w w w", "de")))
+      .toDF("doc_id", "text", "lang")
+    val plan = TextAnalysis.mixPlan(corpus,
+      sharePermille = Map("en" -> 500, "de" -> 500), tokenBudget = 10000L)
+    val rows = plan.collect().map(r =>
+      r.getAs[String]("lang") -> r).toMap
+    // en: target 5000 of 10000 avail → ceil(5000·1000/10000) = 500‰
+    assert(rows("en").getAs[Long]("target_tokens") === 5000L)
+    assert(rows("en").getAs[Long]("keep_permille") === 500L)
+    assert(rows("en").getAs[Boolean]("feasible"))
+    // de: target 5000 of 1000 avail → oversubscribed, clamp + flag
+    assert(rows("de").getAs[Long]("keep_permille") === 1000L)
+    assert(!rows("de").getAs[Boolean]("feasible"))
+
+    val kept = TextAnalysis.mixApply(corpus, plan)
+    // clamped stratum keeps everything; solved stratum lands near its
+    // rate (uniform 60-bit hash: 500 ± 5σ ≈ 80 of 1000)
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("de") === 100L)
+    assert(byLang("en") > 420L && byLang("en") < 580L)
+    // deterministic: the same salt reproduces the exact selection
+    val again = TextAnalysis.mixApply(corpus, plan)
+    assert(kept.select("doc_id").except(again.select("doc_id")).count() === 0)
+    assert(again.select("doc_id").except(kept.select("doc_id")).count() === 0)
+    // a stratum absent from the plan fails closed
+    val extra = corpus.union(Seq((9999L, "x y z", "zh")).toDF)
+    assert(TextAnalysis.mixApply(extra, plan)
+      .where(col("lang") === "zh").count() === 0)
+  }
+
   test("perplexityBuckets cuts exact per-language terciles on the score") {
     val bands = TextAnalysis.perplexityBuckets(docs).persist()
     try {
