@@ -34,6 +34,25 @@ import graft.operators.{Dedup, Dsir, QualityLr, Similarity, TextAnalysis}
   */
 object ScaleCheck {
 
+  /** Line-structured variant of the flat synthetic docs (which carry no
+    * newlines): unique head/middle/tail lines from the doc's own text plus
+    * two boilerplate lines planted on doc_id strides — the duplication
+    * shape the line-dedup family exists for (SparkEntry.c4Batch's trick,
+    * parameter-free here).
+    */
+  private def lineBatch(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.select(col("doc_id"), concat(
+      substring(col("text"), 1, 60), lit(".\n"),
+      when(col("doc_id") % 3 === 0,
+        lit("subscribe to our newsletter for updates.\n")).otherwise(lit("")),
+      substring(col("text"), 30, 60), lit(" middle body line.\n"),
+      when(col("doc_id") % 7 === 0,
+        lit("all rights reserved worldwide.\n")).otherwise(lit("")),
+      substring(col("text"), 10, 70), lit(" closing line.")
+    ).as("text"))
+  }
+
   def main(args: Array[String]): Unit = {
     val dirs = args.headOption.getOrElse("/root/testdata/sf0.1").split(",").toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -170,7 +189,23 @@ object ScaleCheck {
         "bloom_ingest_dedup" -> (() =>
           Dedup.bloomIngestDedup(
             docs.where(col("doc_id") % 10 >= 8),
-            docs.where(col("doc_id") % 10 < 8))))
+            docs.where(col("doc_id") % 10 < 8))),
+        // line-granularity dedup over a synthesized line-structured corpus
+        // (the flat synthetic docs have no newlines; lineBatch plants hot
+        // boilerplate lines the way SparkEntry's c4Batch does): two
+        // 8-byte-key shuffles — expected linear
+        "dup_lines" -> (() => Dedup.dupLines(lineBatch(docs))),
+        "strip_dup_lines" -> (() => Dedup.stripDupLines(lineBatch(docs))),
+        // FineWeb line-shape battery: pure map-side — expected linear
+        "fineweb_filter" -> (() => TextAnalysis.finewebFilter(lineBatch(docs))),
+        // vocab coverage: one map-side-combined token shuffle; ranking
+        // bounded by max(k) — expected linear in the tokenize pass
+        "vocab_coverage" -> (() => TextAnalysis.vocabCoverage(docs)),
+        // kNN graph, deployment knobs: planes follow log2(n) via the hint
+        // so bucket width stays pinned — expected ~linear shuffle +
+        // bounded-bucket verify
+        "knn_graph_hinted" -> (() =>
+          Similarity.knnGraph(emb, k = 10, bands = 2, corpusHint = Some(nEmb))))
 
       // SPARK_GRAFT_SCALE_ONLY=a,b,c runs a subset (merge results by hand)
       val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)

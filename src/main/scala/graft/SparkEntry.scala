@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Catalog, ForeignKey, TableGraph}
-import graft.operators.{Chunk, Closure, Dedup, Dsir, Multimodal, QualityLr, Similarity, Temporal, TextAnalysis}
+import graft.operators.{Bpe, Chunk, Closure, Dedup, Dsir, Multimodal, QualityLr, Similarity, Temporal, TextAnalysis}
 import graft.sources.{Dump, DumpSpec}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -15,6 +15,15 @@ object SparkEntry {
     queries("related_closure")(spark, "/root/testdata/sf0.001")
 
   private def cat(s: SparkSession, dir: String): Catalog = Catalog.tpch(s, dir)
+
+  /** Fixed demo merge table for `bpe_tokenize` — a pretrained-style
+    * artifact chosen to fire on the synthetic corpus's frequent words
+    * (the/value/row/key); the oracle replays it as nested replace()
+    * calls in the same rank order.
+    */
+  private val BpeDemoMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e</w>"), ("a", "l"), ("u", "e</w>"),
+    ("r", "o"), ("ro", "w</w>"), ("k", "e"), ("ke", "y</w>"))
 
   /** Structured multi-line page batch for the C4 filter demos: the
     * synthetic corpus has no newlines or punctuation, so (pii_scrub-style)
@@ -504,6 +513,18 @@ object SparkEntry {
       Dedup.dupSpans(cat(s, dir).table("documents"), w = 15, stride = 5)
         .orderBy("doc_id", "span_start", "span_hash")),
 
+    // line-granularity exact dedup (CCNet §4.1) over the synthesized
+    // line-structured batch (c4Batch — its boilerplate lines recur across
+    // docs by construction: "too short." everywhere, javascript/lorem on
+    // doc_id strides)
+    "dup_lines" -> ((s, dir) =>
+      Dedup.dupLines(c4Batch(cat(s, dir).table("documents")))
+        .orderBy("doc_id", "line_no", "line_hash")),
+
+    "strip_dup_lines" -> ((s, dir) =>
+      Dedup.stripDupLines(c4Batch(cat(s, dir).table("documents")))
+        .orderBy("doc_id")),
+
     "stratified_sample" -> ((s, dir) =>
       TextAnalysis.hashSample(cat(s, dir).table("documents"))
         .select(col("doc_id"), col("lang"), col("source")).orderBy("doc_id")),
@@ -600,6 +621,12 @@ object SparkEntry {
       TextAnalysis.c4Filter(c4Batch(cat(s, dir).table("documents")))
         .orderBy("doc_id")),
 
+    // FineWeb's three custom line-shape heuristics over the same
+    // structured page batch — verdicts in exact integer permille algebra
+    "fineweb_filter" -> ((s, dir) =>
+      TextAnalysis.finewebFilter(c4Batch(cat(s, dir).table("documents")))
+        .orderBy("doc_id")),
+
     // corpus_curate variant with the C4 pass in front: boilerplate-strip →
     // page gate → quality gate on the CLEANED text → exact-dedup keep →
     // deterministic sample, one declarative plan (every stage narrow or a
@@ -642,6 +669,27 @@ object SparkEntry {
     "tfidf_topk" -> ((s, dir) =>
       TextAnalysis.tfidfTopK(cat(s, dir).table("documents"), k = 5)
         .orderBy("doc_id", "rank")),
+
+    // vocabulary-budget coverage curve: token-occurrence mass under the
+    // k most frequent types, k ∈ {100, 1000, 10000}
+    "vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(cat(s, dir).table("documents"),
+          ks = Seq(100, 1000, 10000))
+        .orderBy("k")),
+
+    // BPE merge-table training (rows-only: the iterative argmax is not
+    // one SQL query; semantics pinned by BpeSpec's hand-derived merges)
+    "bpe_train" -> ((s, dir) =>
+      Bpe.bpeTrain(cat(s, dir).table("documents"), numMerges = 20)
+        .orderBy("merge_rank")),
+
+    // tokenization under a FIXED (pretrained-style) merge table — the
+    // deterministic replay the oracle mirrors with nested replace()
+    "bpe_tokenize" -> ((s, dir) =>
+      Bpe.bpeApply(cat(s, dir).table("documents"), BpeDemoMerges)
+        .select(col("doc_id"), array_join(col("bpe_tokens"), " ").as("bpe_text"),
+          col("n_bpe_tokens"))
+        .orderBy("doc_id")),
 
     "bigram_lm" -> ((s, dir) =>
       TextAnalysis.bigramLm(cat(s, dir).table("documents")).orderBy("doc_id")),
@@ -792,6 +840,18 @@ object SparkEntry {
 
     "ann_topk" -> ((s, dir) =>
       Similarity.annTopK(cat(s, dir).table("embeddings"), col("vec_id") % 50 === 0, k = 10)
+        .orderBy("query_id", "rank")),
+
+    // all-pairs kNN edge list — every vector both query and candidate;
+    // the LSH-banded self-join is the corpus-scale plan
+    "knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(cat(s, dir).table("embeddings"), k = 5, bands = 2,
+          planes = 4)
+        .orderBy("query_id", "rank")),
+
+    // n²-pair broadcast baseline for the graph (verification scale only)
+    "knn_graph_exact" -> ((s, dir) =>
+      Similarity.knnGraph(cat(s, dir).table("embeddings"), k = 5, exact = true)
         .orderBy("query_id", "rank")),
 
     "ann_lsh" -> ((s, dir) =>
@@ -1214,6 +1274,69 @@ object SparkEntry {
          JOIN q USING (doc_id) JOIN k USING (doc_id) JOIN s USING (doc_id)
          ORDER BY doc_id""",
 
+    "fineweb_filter" ->
+      s"""WITH b AS ($C4BatchSql),
+         t AS (SELECT doc_id, list_filter(list_transform(string_split(text, chr(10)),
+             l -> trim(l)), l -> len(l) > 0) AS ne FROM b),
+         m AS (SELECT doc_id,
+           CAST(len(ne) AS BIGINT) AS n_lines,
+           CAST(len(array_to_string(ne, '')) AS BIGINT) AS tot_chars,
+           CAST(len(list_filter(ne, l -> regexp_matches(l, '[.!?"'']$$'))) AS BIGINT) AS punct,
+           CAST(len(list_filter(ne, l -> len(l) < 30)) AS BIGINT) AS nshort,
+           CAST(COALESCE(list_sum(list_transform(list_distinct(ne), d ->
+             (len(list_filter(ne, x -> x = d)) - 1) * len(d))), 0) AS BIGINT) AS dupchars
+         FROM t)
+         SELECT doc_id, n_lines,
+           round(CAST(punct AS DOUBLE) / GREATEST(n_lines, 1), 4) AS punct_line_frac,
+           round(CAST(nshort AS DOUBLE) / GREATEST(n_lines, 1), 4) AS short_line_frac,
+           round(CAST(dupchars AS DOUBLE) / GREATEST(tot_chars, 1), 4) AS dup_line_char_frac,
+           (punct * 1000 > n_lines * 120 AND nshort * 1000 < n_lines * 670
+             AND dupchars * 1000 < tot_chars * 100) AS passes_fineweb
+         FROM m ORDER BY doc_id""",
+
+    "vocab_coverage" ->
+      """WITH tk AS (SELECT
+           unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS tok
+         FROM documents),
+         f AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
+         tot AS (SELECT sum(cnt) AS total_tokens, count(*) AS n_types FROM f),
+         r AS (SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rnk FROM f),
+         ks AS (SELECT unnest([100, 1000, 10000]) AS k)
+         SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(r.cnt) AS BIGINT) AS covered_tokens,
+           CAST(any_value(tot.total_tokens) AS BIGINT) AS total_tokens,
+           CAST(any_value(tot.n_types) AS BIGINT) AS n_types,
+           round(CAST(sum(r.cnt) AS DOUBLE) / any_value(tot.total_tokens), 6) AS coverage
+         FROM ks JOIN r ON r.rnk <= ks.k CROSS JOIN tot
+         GROUP BY ks.k ORDER BY k""",
+
+    "bpe_tokenize" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+         FROM documents),
+         r AS (SELECT doc_id,
+           array_to_string(list_transform(toks, w ->
+             regexp_replace(substr(w, 1, len(w) - 1), '(.)', ' \1 ', 'g')
+               || ' ' || substr(w, len(w), 1) || '</w> '), '') AS repr
+         FROM t),
+         m AS (SELECT doc_id,
+           replace(replace(replace(replace(replace(replace(replace(replace(repr,
+             ' t  h ', ' th '),
+             ' th  e</w> ', ' the</w> '),
+             ' a  l ', ' al '),
+             ' u  e</w> ', ' ue</w> '),
+             ' r  o ', ' ro '),
+             ' ro  w</w> ', ' row</w> '),
+             ' k  e ', ' ke '),
+             ' ke  y</w> ', ' key</w> ') AS repr
+         FROM r)
+         SELECT doc_id,
+           regexp_replace(trim(repr), '  +', ' ', 'g') AS bpe_text,
+           CAST(CASE WHEN len(trim(repr)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(repr), '  +')) END AS BIGINT) AS n_bpe_tokens
+         FROM m ORDER BY doc_id""",
+
     "unigram_lm" ->
       """WITH tk AS (SELECT doc_id,
            unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS tok
@@ -1485,6 +1608,36 @@ object SparkEntry {
          FROM e GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
          SELECT e.doc_id, e.span_start, e.span_hash, hot.n_docs
          FROM e JOIN hot USING (span_hash) ORDER BY doc_id, span_start, span_hash""",
+
+    "dup_lines" ->
+      s"""WITH b AS ($C4BatchSql),
+         t AS (SELECT doc_id, list_transform(string_split(text, chr(10)), l -> trim(l)) AS lns FROM b),
+         x AS (SELECT doc_id, unnest(list_filter(list_transform(range(1, len(lns) + 1), i ->
+             struct_pack(line_no := i, line := lns[i])), s -> len(s.line) > 0)) AS s
+         FROM t),
+         e AS (SELECT doc_id, CAST(s.line_no AS BIGINT) AS line_no,
+           CAST('0x' || substr(md5(s.line), 1, 15) AS BIGINT) AS line_hash FROM x),
+         hot AS (SELECT line_hash, count(DISTINCT doc_id) AS n_docs
+         FROM e GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
+         SELECT e.doc_id, e.line_no, e.line_hash, hot.n_docs
+         FROM e JOIN hot USING (line_hash) ORDER BY doc_id, line_no, line_hash""",
+
+    "strip_dup_lines" ->
+      s"""WITH b AS ($C4BatchSql),
+         t AS (SELECT doc_id, list_transform(string_split(text, chr(10)), l -> trim(l)) AS lns FROM b),
+         x AS (SELECT doc_id, unnest(list_filter(lns, l -> len(l) > 0)) AS line FROM t),
+         e AS (SELECT doc_id, CAST('0x' || substr(md5(line), 1, 15) AS BIGINT) AS line_hash FROM x),
+         hot AS (SELECT line_hash FROM e GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+         hd AS (SELECT e.doc_id, list(DISTINCT e.line_hash) AS hh
+         FROM e JOIN hot USING (line_hash) GROUP BY 1),
+         c AS (SELECT t.doc_id, t.lns,
+           list_filter(t.lns, l -> len(l) = 0 OR NOT list_contains(COALESCE(hd.hh, []),
+             CAST('0x' || substr(md5(l), 1, 15) AS BIGINT))) AS kept
+         FROM t LEFT JOIN hd USING (doc_id))
+         SELECT doc_id, COALESCE(array_to_string(kept, chr(10)), '') AS text_clean,
+           CAST(len(list_filter(lns, l -> len(l) > 0)) AS BIGINT) AS n_lines,
+           CAST(len(lns) - len(kept) AS BIGINT) AS n_lines_removed
+         FROM c ORDER BY doc_id""",
 
     "length_band" ->
       """WITH tc AS (SELECT doc_id,
@@ -1836,6 +1989,50 @@ object SparkEntry {
          FROM p)
          SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", round(cos, 4) AS cosine
          FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+
+    "knn_graph" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (SELECT vec_id, v,
+           sqrt(list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
+                (a, b) -> a + b)) AS nrm
+         FROM e),
+         bk AS (SELECT vec_id, v, nrm,
+           array_to_string(list_transform(range(0, 4), p -> CASE WHEN
+             list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] *
+               ((CAST('0x' || substr(md5('plane|' || p::VARCHAR || '|' || i::VARCHAR), 1, 15) AS BIGINT)
+                 % 2001 - 1000) / 1000.0)),
+               (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END), '') AS b0,
+           array_to_string(list_transform(range(4, 8), p -> CASE WHEN
+             list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] *
+               ((CAST('0x' || substr(md5('plane|' || p::VARCHAR || '|' || i::VARCHAR), 1, 15) AS BIGINT)
+                 % 2001 - 1000) / 1000.0)),
+               (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END), '') AS b1
+         FROM n),
+         p AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+           list_reduce(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * x.v[i]),
+                (a, b) -> a + b) / (q.nrm * x.nrm) AS cos
+         FROM bk q JOIN bk x ON (x.b0 = q.b0 OR x.b1 = q.b1) AND x.vec_id <> q.vec_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         FROM p)
+         SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", round(cos, 4) AS cosine
+         FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""",
+
+    "knn_graph_exact" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (SELECT vec_id, v,
+           sqrt(list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
+                (a, b) -> a + b)) AS nrm
+         FROM e),
+         p AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+           list_reduce(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * x.v[i]),
+                (a, b) -> a + b) / (q.nrm * x.nrm) AS cos
+         FROM n q JOIN n x ON x.vec_id <> q.vec_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         FROM p)
+         SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", round(cos, 4) AS cosine
+         FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""",
 
     "ann_lsh" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING and application inside the
+  * engine (Sennrich et al. '16, "Neural Machine Translation of Rare
+  * Words with Subword Units") — the step a training-data pipeline runs
+  * between curation and sharding: learn the merge table from the corpus
+  * the model will actually see, then tokenize with it.
+  *
+  * 100 TB design: the corpus is touched ONCE — the word-count
+  * aggregation (map-side combined, so the exchange carries per-partition
+  * DISTINCT words). Every merge iteration after that operates on the
+  * WORD-VOCABULARY frame (distinct words × their counts), which is
+  * corpus-statistics-sized, not corpus-sized — the classic BPE-training
+  * factorization: pair statistics over the vocab weighted by word
+  * frequency equal pair statistics over the raw corpus (`maxVocab`
+  * additionally bounds the frame by the PARAMETER). Per iteration: one
+  * vocab-volume pair explode + groupBy, one TakeOrderedAndProject argmax
+  * whose single winning row is fetched to the driver (the
+  * codebook-training discipline — a bounded plan-time fetch, one row per
+  * merge), and one map-side merge of the vocab. Lineage is cut with
+  * localCheckpoint every few iterations so plan depth stays bounded in
+  * the merge count.
+  *
+  * Symbol sequences are carried as PADDED STRINGS — every symbol owns a
+  * leading and trailing space (`" l  o  w</w> "`), and a merge is ONE
+  * codegen'd `replace(repr, " l  r ", " lr ")`: because each symbol owns
+  * its own padding, the left-to-right non-overlapping scan of standard
+  * string replace is EXACTLY BPE's greedy merge — a consumed middle
+  * symbol cannot re-match (`[a,a,a]` under (a,a) → `[aa,a]`), while
+  * back-to-back disjoint pairs all match (`[a,b,a,b]` under (a,b) →
+  * `[ab,ab]`). The same replace semantics hold in DuckDB, so the oracle
+  * replays tokenization verbatim. No higher-order folds in the hot path,
+  * no UDFs, no floats; counts are exact longs.
+  *
+  * Determinism: the argmax tie-breaks on (count desc, left asc, right
+  * asc) — byte-order string comparison in both engines — so the learned
+  * merge table is a pure function of the corpus, independent of
+  * partitioning.
+  */
+object Bpe {
+
+  /** End-of-word marker carried by each word's final symbol, so merges
+    * never cross word boundaries and word-final units stay distinct from
+    * word-internal ones (Sennrich §3.2's `</w>`). A marker-carrying
+    * symbol can only ever be a merge's RIGHT side (it has no in-word
+    * right neighbor), which is what makes streaming a whole document as
+    * one padded sequence safe in [[bpeApply]].
+    */
+  val Eow = "</w>"
+
+  /** A word as its padded initial-symbol string: one single-character
+    * symbol per char, each padded `" c "`, the last carrying the marker —
+    * "low" → `" l  o  w</w> "`.
+    */
+  private def wordRepr(w: Column): Column =
+    concat(
+      regexp_replace(substring(w, lit(1), length(w) - 1), "(.)", " $1 "),
+      lit(" "), substring(w, -1, 1), lit(Eow), lit(" "))
+
+  /** One merge step on a padded representation: the single codegen'd
+    * string replace described in the object doc.
+    */
+  private def mergeRepr(repr: Column, l: String, r: String): Column =
+    replace(repr, lit(s" $l  $r "), lit(s" ${l + r} "))
+
+  /** Padded representation back to the symbol array (symbols never
+    * contain spaces — they come from whitespace tokens).
+    */
+  private def reprSymbols(repr: Column): Column =
+    when(length(trim(repr)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(repr), "  +"))
+
+  /** The word-frequency vocabulary frame: (word, n) over lowercased
+    * whitespace tokens — the ONE corpus-volume pass of BPE training.
+    */
+  private def wordVocab(docs: DataFrame): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+
+  /** Train `numMerges` BPE merges over the corpus. Returns the merge
+    * table: (merge_rank, left, right, merged, pair_count) in learning
+    * order — the tokenizer artifact ([[bpeApply]] consumes it; persist it
+    * like a codebook). Training may stop early (fewer rows than
+    * `numMerges`) when no adjacent pair occurs twice — the vocabulary is
+    * fully merged.
+    *
+    * `maxVocab` caps the WORD vocabulary the iterations run over to the
+    * most frequent types (count desc, word asc — deterministic): the
+    * standard practical cap, since pair statistics are dominated by
+    * frequent words and the tail contributes O(1) counts each. With the
+    * cap the per-iteration frames are bounded by the PARAMETER at any
+    * corpus size; `maxVocab = 0` disables it (exact Sennrich).
+    */
+  def bpeTrain(
+      docs: DataFrame,
+      numMerges: Int = 30,
+      maxVocab: Int = 50000): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = {
+      val wv = wordVocab(docs)
+      val capped =
+        if (maxVocab > 0) wv.orderBy(col("n").desc, col("word")).limit(maxVocab)
+        else wv
+      capped.select(col("n"), wordRepr(col("word")).as("repr"))
+        .localCheckpoint()
+    }
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      // adjacent pair counts weighted by word frequency; argmax via
+      // TakeOrderedAndProject, ONE row fetched
+      val best = vocab
+        .select(col("n"), reprSymbols(col("repr")).as("syms"))
+        .select(col("n"), col("syms"),
+          posexplode(slice(col("syms"), lit(1), size(col("syms")) - 1))
+            .as(Seq("i", "l")))
+        .withColumn("r", element_at(col("syms"), col("i") + 2))
+        .groupBy(col("l"), col("r")).agg(sum(col("n")).as("pn"))
+        .where(col("pn") >= 2)
+        .orderBy(col("pn").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      best.headOption match {
+        case None => done = true
+        case Some(row) =>
+          val (l, r, pn) = (row.getString(0), row.getString(1), row.getLong(2))
+          merges += ((rank, l, r, l + r, pn))
+          vocab = vocab.select(col("n"), mergeRepr(col("repr"), l, r).as("repr"))
+          // cut lineage so plan depth stays bounded in the merge count
+          if (rank % 5 == 4) vocab = vocab.localCheckpoint()
+          rank += 1
+      }
+    }
+    merges.result()
+      .toDF("merge_rank", "left", "right", "merged", "pair_count")
+      .select(col("merge_rank").cast("long"), col("left"), col("right"),
+        col("merged"), col("pair_count"))
+  }
+
+  /** Tokenize with a trained merge table: each document's words are
+    * segmented to marked characters and the merges replay IN RANK ORDER —
+    * the exact encoder of the trained tokenizer. The merge table arrives
+    * as a driver-side list (a bounded artifact, like a codebook — fetch
+    * it once via `.collect()` from [[bpeTrain]]'s frame); application is
+    * one map-side pass, zero shuffle: the whole document becomes one
+    * padded symbol stream (safe — see [[Eow]]) and each merge is one
+    * codegen'd string replace, the fold unrolled into the plan.
+    *
+    * Emits per-doc `bpe_tokens` (subword units in order) and
+    * `n_bpe_tokens` — the REAL token count a sequence-packing budget
+    * should use in place of the whitespace proxy.
+    */
+  def bpeApply(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val repr0 = array_join(transform(TextAnalysis.tokens(col("text")),
+      w => wordRepr(w)), "")
+    val merged = merges.foldLeft(repr0: Column) {
+      case (repr, (l, r)) => mergeRepr(repr, l, r)
+    }
+    docs.select(col("doc_id"),
+      TextAnalysis.bindOnce(reprSymbols(merged), toks =>
+        struct(toks.as("bpe_tokens"),
+          size(toks).cast("long").as("n_bpe_tokens"))).as("s"))
+      .select(col("doc_id"), col("s.bpe_tokens"), col("s.n_bpe_tokens"))
+  }
+}

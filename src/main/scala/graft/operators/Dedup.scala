@@ -427,6 +427,78 @@ object Dedup {
         col("s.n_tokens"), col("s.n_tokens_removed"))
   }
 
+  /** Cross-document duplicated-LINE detection — the line-granularity
+    * exact dedup of web-pipeline curation (CCNet preprocesses every shard
+    * by dropping duplicated lines, Wenzek et al. '19 §4.1; RefinedWeb
+    * and FineWeb report duplicated-line fractions as quality gates):
+    * boilerplate lines (nav bars, cookie banners, footers, "subscribe"
+    * prompts) recur VERBATIM across pages while the surrounding text
+    * differs, so document-level dedup never sees them. Every non-empty
+    * trimmed line is hashed (the shared 60-bit md5 hash); lines whose
+    * hash occurs in ≥ `minDocs` DISTINCT documents are reported with
+    * their 1-based line number.
+    *
+    * The natural-boundary sibling of [[dupSpans]] (token windows at a
+    * stride): same two-8-byte-key-shuffle plan — line-hash aggregation +
+    * the report join over the persisted (doc_id, line_no, line_hash)
+    * frame (narrow 24-byte rows) — but sensitivity is exact at line
+    * granularity and cost is rows × lines/doc, no stride/window tuning.
+    * Within-doc repeats alone don't trigger (distinct-doc count).
+    */
+  def dupLines(docs: DataFrame, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = docs
+      .select(col("doc_id"),
+        posexplode(transform(split(col("text"), "\n"), trim(_)))
+          .as(Seq("pos", "line")))
+      .where(length(col("line")) > 0)
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("line_no"),
+        hexHash(col("line")).as("line_hash"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hot = lines.groupBy(col("line_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+    val out = lines.join(hot, "line_hash")
+      .select(col("doc_id"), col("line_no"), col("line_hash"), col("n_docs"))
+      .localCheckpoint()
+    lines.unpersist()
+    out
+  }
+
+  /** The REMOVAL step paired with [[dupLines]] — CCNet's act, not just its
+    * report: every line whose hash recurs in ≥ `minDocs` distinct
+    * documents is dropped in place from every document; unique lines (and
+    * blank separators) survive. Emits the cleaned text plus removal
+    * telemetry (`n_lines` counts non-empty lines; a pipeline thresholds
+    * on the removed fraction to kill mostly-boilerplate pages — the
+    * FineWeb duplicated-line-fraction gate as an act).
+    *
+    * Plan (the [[stripDupSpans]] discipline): the hot-line frame —
+    * boilerplate-volume, only lines that recur across docs — aggregates
+    * to ONE row per affected doc (a hash set), left-joins the corpus on
+    * doc_id, and the strip is a map-side `filter` over the line array
+    * testing membership against the per-doc set. No corpus shuffle
+    * beyond dupLines' two 8-byte-key passes.
+    */
+  def stripDupLines(docs: DataFrame, minDocs: Int = 2): DataFrame = {
+    val hot = dupLines(docs, minDocs)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("line_hash")).as("hot_hashes"))
+    docs.join(hot, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        bindOnce(transform(split(col("text"), "\n"), trim(_)), ln =>
+          bindOnce(coalesce(col("hot_hashes"), array().cast("array<bigint>")), hh => {
+            val kept = filter(ln, l =>
+              length(l) === 0 || !array_contains(hh, hexHash(l)))
+            struct(
+              array_join(kept, "\n").as("text_clean"),
+              size(filter(ln, l => length(l) > 0)).cast("long").as("n_lines"),
+              (size(ln) - size(kept)).cast("long").as("n_lines_removed"))
+          })).as("s"))
+      .select(col("doc_id"), col("s.text_clean"),
+        col("s.n_lines"), col("s.n_lines_removed"))
+  }
+
   /** Connected components over an undirected near-duplicate pair set —
     * the canonicalization step of a dedup pipeline: every document in a
     * component maps to the component's minimum doc id (`group_id`), so

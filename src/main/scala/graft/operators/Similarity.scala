@@ -847,4 +847,81 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rank").cast("long").as("rank"), round(col("adist"), 4).as("approx_dist2"))
   }
+
+  /** All-pairs k-nearest-neighbor GRAPH over the embedding corpus — every
+    * vector is simultaneously query and candidate; output is the directed
+    * edge list `(query_id, neighbor_id, rank, cosine)`, the substrate for
+    * graph-based curation (SemDeDup-style cluster pruning, density/outlier
+    * scoring, connected-component near-dup groups over embedding space —
+    * feed the edges to [[graft.operators.Dedup.dedupGroups]]).
+    *
+    * Default plan is the corpus-scale one: banded sign-projection LSH (the
+    * [[embedCosineDup]] discipline — `bands` independent plane families of
+    * `planes` bits each) turns the n² pair space into `bands` equi-SELF-
+    * joins on (band, bucket): shuffle volume rows × bands, verify work
+    * Σ bucket² per band, never rows². A pair colliding in several bands is
+    * scored once — the pair key groupBy that dedups it is candidate-volume
+    * bounded, not corpus². Per-query top-k is then two-phase (the
+    * [[annTopK]] discipline): a local top-k per (query, partition) bounds
+    * every window sort before the global rank. Edge recall per pair at
+    * cosine θ is 1 − (1 − p₁^planes)^bands with p₁ = 1 − arccos(θ)/π —
+    * bands buy recall at linear shuffle cost, the standard LSH trade.
+    *
+    * `exact = true` is the n²-pair broadcast baseline (every true edge,
+    * any corpus the build side fits in memory) — the verification/oracle
+    * plan, not the 100 TB path. `corpusHint` derives `planes` via
+    * [[planesFor]] — required at corpus scale (fixed planes ⇒ O(n)-wide
+    * buckets ⇒ quadratic verify; see planesFor).
+    */
+  def knnGraph(
+      emb: DataFrame,
+      k: Int = 10,
+      bands: Int = 2,
+      planes: Int = 4,
+      exact: Boolean = false,
+      corpusHint: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val effPlanes = corpusHint.map(planesFor(_)).getOrElse(planes)
+    val e = normalized(emb)
+    val cand =
+      if (exact) {
+        val q = e.select(col("vec_id").as("query_id"), col("v").as("vq"),
+          col("nrm").as("nq"))
+        q.join(broadcast(e), col("vec_id") =!= col("query_id"))
+          .withColumn("cos", dot(col("vq"), col("v")) / (col("nq") * col("nrm")))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+      } else {
+        val dim = probeDim(emb)
+        // one row per (vector, band) with that band's bucket key — the
+        // explode is the rows × bands shuffle input
+        val banded = e.select(col("vec_id"), col("v"), col("nrm"),
+            explode(array((0 until bands).map(b =>
+              struct(lit(b).as("band"),
+                lshBucket(col("v"), effPlanes, dim, planeOffset = b * effPlanes)
+                  .as("bucket"))): _*)).as("bb"))
+          .select(col("vec_id"), col("v"), col("nrm"),
+            col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        val q = banded.select(col("vec_id").as("query_id"), col("v").as("vq"),
+          col("nrm").as("nq"), col("band").as("qband"), col("bucket").as("qbucket"))
+        banded.join(q,
+            col("band") === col("qband") && col("bucket") === col("qbucket") &&
+              col("vec_id") =!= col("query_id"))
+          .withColumn("cos", dot(col("vq"), col("v")) / (col("nq") * col("nrm")))
+          // cross-band pair dedup: cos is identical wherever the pair
+          // collided, so max is exact and order-independent
+          .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+          .agg(max(col("cos")).as("cos"))
+      }
+    val scored = cand.withColumn("part", spark_partition_id())
+    val local = Window.partitionBy(col("query_id"), col("part"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val survivors = scored.withColumn("lrank", row_number().over(local))
+      .where(col("lrank") <= k)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    survivors.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("cos"), 4).as("cosine"))
+  }
 }

@@ -626,6 +626,58 @@ object TextAnalysis {
         !col("has_brace") && !col("has_lorem") &&
           col("n_sentences") >= minSentences)
 
+  /** FineWeb's custom line-shape filter battery (Penedo et al. '24 §3.6 —
+    * the three heuristics FineWeb adds beyond its C4/Gopher passes, found
+    * by ablating against their quality classifier): a page fails when
+    * too FEW lines end in punctuation (≤ 12 % — tag-soup/nav fragments),
+    * too MANY lines are short (≥ 67 % under 30 chars — link lists,
+    * menus), or too much of its character mass sits in repeated lines
+    * (≥ 10 % — templated/boilerplate bodies; the Gopher duplicate-line
+    * signal at character weight, counting every occurrence after a
+    * line's first).
+    *
+    * Emits each fraction (rounded telemetry) plus the composed
+    * `passes_fineweb`; the VERDICTS compare in exact integer
+    * cross-multiplication (permille thresholds), never on the rounded
+    * doubles, so pass/fail is bit-portable across engines and
+    * partitionings. Lines are trimmed, empties excluded everywhere. One
+    * map-side pass, zero shuffle — composes ahead of `corpus_curate` as
+    * narrow work fused into the scan; the duplicate-char fold is
+    * O(lines²) per document (bounded per row, like repetitionScore's
+    * top-token scan), never cross-document. Documents with no non-empty
+    * lines fail the punctuation rule by construction.
+    */
+  def finewebFilter(
+      docs: DataFrame,
+      shortLineChars: Int = 30,
+      minPunctLinePermille: Int = 120,
+      maxShortLinePermille: Int = 670,
+      maxDupLineCharPermille: Int = 100): DataFrame =
+    docs
+      .select(col("doc_id"),
+        bindOnce(
+          filter(transform(split(col("text"), "\n"), trim(_)), l => length(l) > 0),
+          ne => bindOnce(length(array_join(ne, "")).cast("long"), totChars => {
+            val nLines = size(ne).cast("long")
+            val punct = size(filter(ne, l => l.rlike("[.!?\"']$"))).cast("long")
+            val short = size(filter(ne, l => length(l) < shortLineChars)).cast("long")
+            val dupChars = aggregate(array_distinct(ne), lit(0L), (acc, d) =>
+              acc + (size(filter(ne, x => x === d)) - 1).cast("long") * length(d))
+            struct(
+              nLines.as("n_lines"),
+              round(punct.cast("double") / greatest(nLines, lit(1L)), 4)
+                .as("punct_line_frac"),
+              round(short.cast("double") / greatest(nLines, lit(1L)), 4)
+                .as("short_line_frac"),
+              round(dupChars.cast("double") / greatest(totChars, lit(1L)), 4)
+                .as("dup_line_char_frac"),
+              (punct * 1000 > nLines * minPunctLinePermille &&
+                short * 1000 < nLines * maxShortLinePermille &&
+                dupChars * 1000 < totChars * maxDupLineCharPermille)
+                .as("passes_fineweb"))
+          })).as("s"))
+      .select(col("doc_id"), col("s.*"))
+
   /** Corpus-unigram LM scoring — the cheap statistical stand-in for the
     * KenLM-perplexity quality filter (cf. CCNet): every document is scored
     * by the average negative log-probability of its tokens under the
@@ -874,6 +926,51 @@ object TextAnalysis {
       .where(col("rank") <= k)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         col("tfidf"), col("rank"))
+  }
+
+  /** Vocabulary coverage curve — for each candidate vocabulary budget
+    * `k`, the fraction of all corpus token OCCURRENCES covered by the k
+    * most frequent types. The sizing question every tokenizer/vocab
+    * decision starts from ("is 32k enough for this corpus, or does OOV
+    * mass stay high until 100k?") and the first diagnostic for
+    * `unigramLm(vocabTopK = …)`'s cap: coverage at k IS 1 − expected
+    * oov_ratio at that cap.
+    *
+    * Plan: ONE corpus-volume shuffle — the token-frequency aggregation,
+    * map-side combined so the exchange carries per-partition distinct
+    * types, not occurrences. The ranking never sorts the full
+    * vocabulary: `orderBy(…).limit(max k)` is TakeOrderedAndProject
+    * (per-partition top-k, bounded merge), and the rank window that
+    * follows runs over ≤ max(ks) surviving rows — bounded by the
+    * PARAMETER, not the corpus, so its single partition is fine at any
+    * scale. Totals ride as a 1-row broadcast. Ties at the budget
+    * boundary break on (count desc, token asc) — deterministic and
+    * engine-portable. `coverage` divides exact longs, rounded to 6.
+    */
+  def vocabCoverage(docs: DataFrame, ks: Seq[Int] = Seq(100, 1000, 10000)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be positive: $ks")
+    import org.apache.spark.sql.expressions.Window
+    val freqs = docs.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = freqs.agg(sum(col("cnt")).as("total_tokens"),
+      count(lit(1)).as("n_types"))
+    val top = freqs.orderBy(col("cnt").desc, col("tok")).limit(ks.max)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+    top
+      .crossJoin(broadcast(total))
+      .select(explode(typedLit(ks.sorted)).as("k"), col("cnt"), col("rank"),
+        col("total_tokens"), col("n_types"))
+      .where(col("rank") <= col("k"))
+      .groupBy(col("k"))
+      .agg(
+        count(lit(1)).as("vocab_size"),
+        sum(col("cnt")).as("covered_tokens"),
+        first(col("total_tokens")).as("total_tokens"),
+        first(col("n_types")).as("n_types"))
+      .withColumn("k", col("k").cast("long"))
+      .withColumn("coverage",
+        round(col("covered_tokens").cast("double") / col("total_tokens"), 6))
   }
 
   /** The redaction expression on its own — text with every PII pattern

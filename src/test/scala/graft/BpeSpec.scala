@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+class BpeSpec extends SparkSpec {
+
+  // Sennrich et al. '16's worked example: low×5, lower×2, newest×6,
+  // widest×3 — the merge sequence is hand-computable.
+  private def corpus = {
+    import spark.implicits._
+    Seq((1L, (("low " * 5) + ("lower " * 2) + ("newest " * 6) +
+      ("widest " * 3)).trim)).toDF("doc_id", "text")
+  }
+
+  test("bpeTrain learns the hand-computed merge sequence with exact counts") {
+    val m = Bpe.bpeTrain(corpus, numMerges = 4).collect()
+      .map(r => (r.getAs[Long]("merge_rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[String]("merged"),
+        r.getAs[Long]("pair_count")))
+    // (e,s) ties (s,t</w>) at 9 → left-asc tie-break picks (e,s);
+    // then (es,t</w>) 9, (l,o) 7, and the 6-count tie (e,w)/(n,e)/(w,est</w>)
+    // resolves to (e,w)
+    assert(m.toSeq === Seq(
+      (0L, "e", "s", "es", 9L),
+      (1L, "es", "t</w>", "est</w>", 9L),
+      (2L, "l", "o", "lo", 7L),
+      (3L, "e", "w", "ew", 6L)))
+  }
+
+  test("bpeTrain stops early when no pair recurs; result is partitioning-independent") {
+    import spark.implicits._
+    val flat = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(Bpe.bpeTrain(flat, numMerges = 5).count() === 0)
+    val a = Bpe.bpeTrain(corpus, numMerges = 4).collect().toSeq
+    val b = Bpe.bpeTrain(corpus.repartition(7), numMerges = 4).collect().toSeq
+    assert(a === b)
+  }
+
+  test("bpeApply replays merges greedily left-to-right in rank order") {
+    import spark.implicits._
+    // greedy semantics: "aaa" under (a,a) → [aa, a</w>] (no overlap reuse)
+    val tricky = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val greedy = Bpe.bpeApply(tricky, Seq(("a", "a"))).collect()(0)
+    assert(greedy.getAs[Seq[String]]("bpe_tokens") === Seq("aa", "a</w>"))
+    // the trained table segments its own corpus as the derivation predicts
+    val merges = Bpe.bpeTrain(corpus, numMerges = 4).collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    val seg = Bpe.bpeApply(
+      Seq((1L, "newest"), (2L, "low"), (3L, "lower")).toDF("doc_id", "text"),
+      merges).orderBy("doc_id").collect()
+    assert(seg(0).getAs[Seq[String]]("bpe_tokens") === Seq("n", "ew", "est</w>"))
+    assert(seg(0).getAs[Long]("n_bpe_tokens") === 3L)
+    assert(seg(1).getAs[Seq[String]]("bpe_tokens") === Seq("lo", "w</w>"))
+    assert(seg(2).getAs[Seq[String]]("bpe_tokens") === Seq("lo", "w", "e", "r</w>"))
+  }
+
+  test("maxVocab caps the iteration frame to the most frequent word types") {
+    import spark.implicits._
+    // cap of 2 keeps newest(6) and low(5); all newest-internal pairs tie
+    // at 6 and resolve left-asc ("e" < "es" < "n" < "w"), so the order is
+    // es, ew, est</w> — different from the uncapped table, proving the cap
+    // engaged
+    val m = Bpe.bpeTrain(corpus, numMerges = 3, maxVocab = 2).collect()
+      .map(r => (r.getAs[String]("merged"), r.getAs[Long]("pair_count")))
+    assert(m.toSeq === Seq(("es", 6L), ("ew", 6L), ("est</w>", 6L)))
+  }
+}

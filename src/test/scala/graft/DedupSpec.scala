@@ -235,4 +235,42 @@ class DedupSpec extends SparkSpec {
       pairs.select(col("doc_a").as("d")).union(pairs.select(col("doc_b"))).distinct().count())
     assert(groups.where(col("group_id") > col("doc_id")).count() === 0)
   }
+
+  private def lineDocs = {
+    import spark.implicits._
+    Seq(
+      (1L, "unique alpha.\nshared boilerplate line.\ntail one."),
+      (2L, "another start.\n  shared boilerplate line.  \n\nmore."),
+      (3L, "solo text.\nsolo text.\nnothing shared here."))
+      .toDF("doc_id", "text")
+  }
+
+  test("dupLines reports cross-doc recurring lines; within-doc repeats alone don't trigger") {
+    val out = Dedup.dupLines(lineDocs).orderBy("doc_id").collect()
+    // the shared boilerplate line is line 2 of both docs (trimmed match);
+    // doc 3's self-repeat has only one distinct doc and must not appear
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("line_no"))).toSeq
+      === Seq((1L, 2L), (2L, 2L)))
+    assert(out.forall(_.getAs[Long]("n_docs") == 2L))
+  }
+
+  test("stripDupLines removes recurring lines in place, keeps blanks and unique content") {
+    val out = Dedup.stripDupLines(lineDocs).orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("text_clean") === "unique alpha.\ntail one.")
+    // blank separator survives; only the hot line is gone
+    assert(out(2L).getAs[String]("text_clean") === "another start.\n\nmore.")
+    assert(out(2L).getAs[Long]("n_lines") === 3L)
+    assert(out(2L).getAs[Long]("n_lines_removed") === 1L)
+    // untouched doc: nothing removed, text re-joins to its trimmed lines
+    assert(out(3L).getAs[Long]("n_lines_removed") === 0L)
+    assert(out(3L).getAs[String]("text_clean")
+      === "solo text.\nsolo text.\nnothing shared here.")
+  }
+
+  test("dupLines/stripDupLines release their internal caches") {
+    Dedup.dupLines(lineDocs).count()
+    Dedup.stripDupLines(lineDocs).count()
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
 }

@@ -304,4 +304,36 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("vec_id").collect()
     assert(a.toSeq === b.toSeq)
   }
+
+  test("knnGraph: exact edges are dense and ranked; banded LSH recalls a usable subset") {
+    val n = emb.count()
+    val exact = Similarity.knnGraph(emb, k = 3, exact = true)
+    // every vector is a query with exactly k edges (corpus >> k), no self
+    // edges, ranks 1..k with non-increasing cosine
+    assert(exact.count() === n * 3)
+    assert(exact.where(col("neighbor_id") === col("query_id")).count() === 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy("rank")
+    assert(exact.withColumn("prev", lag(col("cosine"), 1).over(w))
+      .where(col("prev").isNotNull && col("prev") < col("cosine")).count() === 0)
+    val lsh = Similarity.knnGraph(emb, k = 3, bands = 2, planes = 4)
+    // LSH never exceeds k edges per query, and a banded pair is counted
+    // once even when it collides in both bands
+    assert(lsh.groupBy("query_id").count().where(col("count") > 3).count() === 0)
+    assert(lsh.groupBy("query_id", "neighbor_id").count()
+      .where(col("count") > 1).count() === 0)
+    // measured edge recall vs exact truth — loose bound, 2 bands × 4 planes
+    val truth = exact.select("query_id", "neighbor_id")
+    val recall = lsh.select("query_id", "neighbor_id").intersect(truth).count()
+      .toDouble / truth.count()
+    assert(recall > 0.25, s"knnGraph LSH edge recall $recall")
+  }
+
+  test("knnGraph edges are partitioning-independent") {
+    val a = Similarity.knnGraph(emb, k = 3, bands = 2, planes = 4)
+      .orderBy("query_id", "rank").collect()
+    val b = Similarity.knnGraph(emb.repartition(7), k = 3, bands = 2, planes = 4)
+      .orderBy("query_id", "rank").collect()
+    assert(a.toSeq === b.toSeq)
+  }
 }

@@ -492,4 +492,43 @@ class TextAnalysisSpec extends SparkSpec {
     val b = TextAnalysis.bigramLm(docs.repartition(17)).orderBy("doc_id").collect()
     assert(a.toSeq === b.toSeq)
   }
+
+  test("finewebFilter gates on punct-line, short-line and dup-line-char fractions") {
+    import spark.implicits._
+    val longA = "this opening sentence is clearly long enough to pass the bar."
+    val longB = "a second distinct sentence that is also comfortably long enough."
+    val longC = "and a third one rounding out a healthy looking page of text."
+    val noPunct = "this line is long enough but has no terminal punctuation at all"
+    val df = Seq(
+      (1L, s"$longA\n$longB\n$longC"),                   // clean page
+      (2L, s"$noPunct\n$noPunct x\n$noPunct y"),         // 0 punct lines
+      (3L, "a b.\nc d.\ne f.\ng h.\ni j.\nk l.\nm n."),  // all short
+      (4L, s"$longA\n$longA\n$longA\n$longB")            // dup-char heavy
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.finewebFilter(df).orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("passes_fineweb"))
+    assert(!out(2L).getAs[Boolean]("passes_fineweb"))
+    assert(out(2L).getAs[Double]("punct_line_frac") === 0.0)
+    assert(!out(3L).getAs[Boolean]("passes_fineweb"))
+    assert(out(3L).getAs[Double]("short_line_frac") === 1.0)
+    assert(!out(4L).getAs[Boolean]("passes_fineweb"))
+    // 2 repeat occurrences of longA (62 chars) over 3·62 + 65 total
+    assert(out(4L).getAs[Double]("dup_line_char_frac") > 0.1)
+    assert(out(1L).getAs[Long]("n_lines") === 3L)
+  }
+
+  test("vocabCoverage reports exact occurrence mass under each budget") {
+    import spark.implicits._
+    val df = Seq((1L, "a a a b b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(df, ks = Seq(1, 2, 10))
+      .orderBy("k").collect()
+    // counts: a=4 b=3 c=1 d=1; total 9, 4 types
+    assert(out.map(r => (r.getAs[Long]("k"), r.getAs[Long]("vocab_size"),
+      r.getAs[Long]("covered_tokens"))).toSeq
+      === Seq((1L, 1L, 4L), (2L, 2L, 7L), (10L, 4L, 9L)))
+    assert(out.forall(_.getAs[Long]("total_tokens") == 9L))
+    assert(out.forall(_.getAs[Long]("n_types") == 4L))
+    assert(out.last.getAs[Double]("coverage") === 1.0)
+  }
 }
