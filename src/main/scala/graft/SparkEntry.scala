@@ -644,6 +644,24 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // FineWeb-style curation composed into one declarative plan: page
+    // gate (the fineweb battery) → cross-doc line strip over the
+    // SURVIVORS → exact dedup on the stripped text → per-mille sample.
+    // Stage costs: gate map-side; strip = dup_lines' two 8-byte-key
+    // shuffles; dedup a 16-byte-digest shuffle; sample map-side.
+    "fineweb_curate" -> { (s, dir) =>
+      val pages = c4Batch(cat(s, dir).table("documents"))
+      val gate = TextAnalysis.finewebFilter(pages).where(col("passes_fineweb"))
+        .select("doc_id")
+      val stripped = Dedup.stripDupLines(pages.join(gate, Seq("doc_id"), "left_semi"))
+        .select(col("doc_id"), col("text_clean").as("text"))
+      val keep = TextAnalysis.dedupExact(stripped).select(col("keep_id").as("doc_id"))
+      TextAnalysis.hashSamplePermille(stripped.join(keep, Seq("doc_id"), "left_semi"),
+          permille = 500, salt = "fineweb")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
     "unigram_lm" -> ((s, dir) =>
       TextAnalysis.unigramLm(cat(s, dir).table("documents")).orderBy("doc_id")),
 
@@ -1293,6 +1311,39 @@ object SparkEntry {
            (punct * 1000 > n_lines * 120 AND nshort * 1000 < n_lines * 670
              AND dupchars * 1000 < tot_chars * 100) AS passes_fineweb
          FROM m ORDER BY doc_id""",
+
+    "fineweb_curate" ->
+      s"""WITH b AS ($C4BatchSql),
+         fw AS (SELECT doc_id, list_filter(list_transform(string_split(text, chr(10)),
+             l -> trim(l)), l -> len(l) > 0) AS ne FROM b),
+         fm AS (SELECT doc_id,
+           CAST(len(ne) AS BIGINT) AS n_lines,
+           CAST(len(array_to_string(ne, '')) AS BIGINT) AS tot_chars,
+           CAST(len(list_filter(ne, l -> regexp_matches(l, '[.!?"'']$$'))) AS BIGINT) AS punct,
+           CAST(len(list_filter(ne, l -> len(l) < 30)) AS BIGINT) AS nshort,
+           CAST(COALESCE(list_sum(list_transform(list_distinct(ne), d ->
+             (len(list_filter(ne, x -> x = d)) - 1) * len(d))), 0) AS BIGINT) AS dupchars
+         FROM fw),
+         g AS (SELECT doc_id FROM fm
+           WHERE punct * 1000 > n_lines * 120 AND nshort * 1000 < n_lines * 670
+             AND dupchars * 1000 < tot_chars * 100),
+         sv AS (SELECT b.doc_id, b.text FROM b JOIN g USING (doc_id)),
+         t AS (SELECT doc_id, list_transform(string_split(text, chr(10)), l -> trim(l)) AS lns FROM sv),
+         x AS (SELECT doc_id, unnest(list_filter(lns, l -> len(l) > 0)) AS line FROM t),
+         e AS (SELECT doc_id, CAST('0x' || substr(md5(line), 1, 15) AS BIGINT) AS line_hash FROM x),
+         hot AS (SELECT line_hash FROM e GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+         hd AS (SELECT e.doc_id, list(DISTINCT e.line_hash) AS hh
+         FROM e JOIN hot USING (line_hash) GROUP BY 1),
+         c AS (SELECT t.doc_id,
+           COALESCE(array_to_string(list_filter(t.lns, l -> len(l) = 0 OR
+             NOT list_contains(COALESCE(hd.hh, []),
+               CAST('0x' || substr(md5(l), 1, 15) AS BIGINT))), chr(10)), '') AS text
+         FROM t LEFT JOIN hd USING (doc_id)),
+         k AS (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM c GROUP BY md5(text)),
+         smp AS (SELECT doc_id FROM c
+           WHERE CAST('0x' || substr(md5('fineweb|' || doc_id::VARCHAR), 1, 15) AS BIGINT) % 1000 < 500)
+         SELECT c.doc_id, CAST(len(c.text) AS BIGINT) AS n_chars FROM c
+         JOIN k USING (doc_id) JOIN smp USING (doc_id) ORDER BY doc_id""",
 
     "vocab_coverage" ->
       """WITH tk AS (SELECT

@@ -168,4 +168,31 @@ object Bpe {
           size(toks).cast("long").as("n_bpe_tokens"))).as("s"))
       .select(col("doc_id"), col("s.bpe_tokens"), col("s.n_bpe_tokens"))
   }
+
+  /** Persist a trained merge table as a parquet artifact (the
+    * CodebookStore discipline — train once, tokenize for months): the
+    * frame [[bpeTrain]] returns, written as one file. Load with
+    * [[loadMerges]] and feed [[bpeApply]]; the replayed tokenization is
+    * identical to the training session's (spec-asserted).
+    */
+  def saveMerges(merges: DataFrame, path: String): Unit =
+    merges.repartition(1).write.mode("overwrite").parquet(path)
+
+  /** Load a merge-table artifact back to the (left, right) list in rank
+    * order — the form [[bpeApply]] consumes. Fails loudly on an empty or
+    * gap-ranked artifact rather than silently tokenizing with a
+    * mis-ordered table.
+    */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession, path: String): Seq[(String, String)] = {
+    val rows = spark.read.parquet(path)
+      .select(col("merge_rank"), col("left"), col("right"))
+      .orderBy("merge_rank")
+      .collect()
+    require(rows.nonEmpty, s"empty BPE merge artifact at $path")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.getLong(0) == i.toLong,
+        s"gap-ranked BPE merge artifact at $path: rank ${r.getLong(0)} at position $i")
+    }
+    rows.map(r => (r.getString(1), r.getString(2))).toSeq
+  }
 }

@@ -56,6 +56,20 @@ class BpeSpec extends SparkSpec {
     assert(seg(2).getAs[Seq[String]]("bpe_tokens") === Seq("lo", "w", "e", "r</w>"))
   }
 
+  test("merge table round-trips through the parquet artifact byte-equal") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe-store").toString
+    val trained = Bpe.bpeTrain(corpus, numMerges = 4)
+    Bpe.saveMerges(trained, s"$dir/merges.parquet")
+    val loaded = Bpe.loadMerges(spark, s"$dir/merges.parquet")
+    assert(loaded === trained.collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq)
+    // tokenization with the loaded artifact is identical to in-memory
+    val a = Bpe.bpeApply(corpus, loaded).collect().toSeq
+    val b = Bpe.bpeApply(corpus, Seq(("e", "s"), ("es", "t</w>"), ("l", "o"), ("e", "w")))
+      .collect().toSeq
+    assert(a === b)
+  }
+
   test("maxVocab caps the iteration frame to the most frequent word types") {
     import spark.implicits._
     // cap of 2 keeps newest(6) and low(5); all newest-internal pairs tie
