@@ -16,6 +16,29 @@ object SparkEntry {
 
   private def cat(s: SparkSession, dir: String): Catalog = Catalog.tpch(s, dir)
 
+  /** DuckDB mirror of `Similarity.docEmbed(dim = 16)` as a shared CTE
+    * chain ending in `de(vec_id, bucket, v)` — dense 16-bucket signed
+    * counts for every doc with a non-zero vector. Substituted into both
+    * doc_embed and doc_knn oracles.
+    */
+  private val DocEmbedSql: String =
+    """tk AS (SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS tok
+       FROM documents),
+       hh AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tk),
+       sg AS (SELECT doc_id, h % 16 AS bucket,
+         CASE WHEN h % 32 >= 16 THEN 1 ELSE -1 END AS sign FROM hh),
+       g AS (SELECT doc_id, bucket, sum(sign) AS v FROM sg GROUP BY 1, 2),
+       dd AS (SELECT DISTINCT doc_id FROM g),
+       ks AS (SELECT unnest(range(0, 16)) AS bucket),
+       fullv AS (SELECT dd.doc_id, ks.bucket, COALESCE(g.v, 0) AS v
+         FROM dd CROSS JOIN ks
+         LEFT JOIN g ON g.doc_id = dd.doc_id AND g.bucket = ks.bucket),
+       nz AS (SELECT doc_id FROM fullv GROUP BY doc_id
+         HAVING sum(CASE WHEN v != 0 THEN 1 ELSE 0 END) > 0),
+       de AS (SELECT fullv.doc_id AS vec_id, fullv.bucket, fullv.v
+         FROM fullv JOIN nz USING (doc_id))"""
+
   /** Fixed demo merge table for `bpe_tokenize` — a pretrained-style
     * artifact chosen to fire on the synthetic corpus's frequent words
     * (the/value/row/key); the oracle replays it as nested replace()
@@ -870,6 +893,22 @@ object SparkEntry {
     // n²-pair broadcast baseline for the graph (verification scale only)
     "knn_graph_exact" -> ((s, dir) =>
       Similarity.knnGraph(cat(s, dir).table("embeddings"), k = 5, exact = true)
+        .orderBy("query_id", "rank")),
+
+    // model-free text embedding (feature hashing) — flattened to
+    // (vec_id, dim_i, v) rows so the oracle compares scalars, not arrays
+    "doc_embed" -> ((s, dir) =>
+      Similarity.docEmbed(cat(s, dir).table("documents"), dim = 16)
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim_i", "v")))
+        .orderBy("vec_id", "dim_i")),
+
+    // raw text straight to a semantic kNN graph: docEmbed ∘ knnGraph —
+    // no external model anywhere in the plan
+    "doc_knn" -> ((s, dir) =>
+      Similarity.knnGraph(
+          Similarity.docEmbed(cat(s, dir).table("documents"), dim = 16),
+          k = 3, exact = true)
         .orderBy("query_id", "rank")),
 
     "ann_lsh" -> ((s, dir) =>
@@ -2084,6 +2123,28 @@ object SparkEntry {
          FROM p)
          SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", round(cos, 4) AS cosine
          FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""",
+
+    "doc_embed" ->
+      s"""WITH $DocEmbedSql
+         SELECT vec_id, CAST(de.bucket AS INT) AS dim_i, CAST(de.v AS DOUBLE) AS v
+         FROM de ORDER BY vec_id, dim_i""",
+
+    "doc_knn" ->
+      s"""WITH $DocEmbedSql,
+         e AS (SELECT vec_id, list(CAST(v AS DOUBLE) ORDER BY bucket) AS v
+           FROM de GROUP BY vec_id),
+         n AS (SELECT vec_id, v,
+           sqrt(list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
+                (a, b) -> a + b)) AS nrm
+         FROM e),
+         p AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+           list_reduce(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * x.v[i]),
+                (a, b) -> a + b) / (q.nrm * x.nrm) AS cos
+         FROM n q JOIN n x ON x.vec_id <> q.vec_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         FROM p)
+         SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", round(cos, 4) AS cosine
+         FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""",
 
     "ann_lsh" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -848,6 +848,48 @@ object Similarity {
         col("rank").cast("long").as("rank"), round(col("adist"), 4).as("approx_dist2"))
   }
 
+  /** Hashed bag-of-words document embedding (feature hashing — the
+    * "hashing trick", Weinberger et al. ICML'09): every token hashes to a
+    * dimension bucket `h mod dim` with a deterministic ±1 sign (the sign
+    * hash makes collisions cancel in expectation, keeping the inner
+    * product unbiased), and a document's vector is the per-bucket signed
+    * count. A model-free text embedding computed entirely in-plan — the
+    * bridge from the `documents` table to every vector operator here:
+    * compose with [[knnGraph]] / [[embedCosineDup]] / [[annIvf]] for
+    * semantic near-dup and clustering over raw text with zero external
+    * model. (Cosine over these vectors IS bag-of-words cosine up to
+    * hash collisions.)
+    *
+    * Plan: token explode → two doc-keyed hash aggregations (bucket sums,
+    * then the map_from_entries gather — both map-side combined, rows
+    * bounded by docs × dim, dim a PARAMETER). The dense vector
+    * materializes positionally from the bucket map, so ordering never
+    * depends on aggregation order. Exact integer sums; the shared
+    * md5-derived hash (TextAnalysis.hexHash) makes the embedding
+    * bit-identical in DuckDB. All-zero vectors (token signs fully
+    * cancelled) are dropped — they have no direction and would
+    * null-divide in every cosine.
+    */
+  def docEmbed(docs: DataFrame, dim: Int = 16): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2: $dim")
+    val h = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), TextAnalysis.hexHash(col("tok")).as("h"))
+      // bucket and sign from h mod 2·dim: bucket b with sign +1 iff the
+      // residue lands in [dim, 2·dim) — exact long arithmetic, no
+      // precision-losing double division anywhere
+      .select(col("doc_id"), (col("h") % dim).cast("int").as("bucket"),
+        when(col("h") % (2L * dim) >= dim, lit(1L)).otherwise(lit(-1L)).as("sign"))
+    h.groupBy(col("doc_id"), col("bucket")).agg(sum(col("sign")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("s")))).as("m"))
+      .select(col("doc_id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0L)).cast("double"))
+          .as("embedding"))
+      .where(exists(col("embedding"), v => v =!= 0.0))
+  }
+
   /** All-pairs k-nearest-neighbor GRAPH over the embedding corpus — every
     * vector is simultaneously query and candidate; output is the directed
     * edge list `(query_id, neighbor_id, rank, cosine)`, the substrate for

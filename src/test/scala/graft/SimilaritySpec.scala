@@ -329,6 +329,32 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.25, s"knnGraph LSH edge recall $recall")
   }
 
+  test("docEmbed: bag-of-words hashing is order-insensitive, deterministic, zero-vectors dropped") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "zeta epsilon delta gamma beta alpha"), // same multiset, shuffled
+      (3L, "totally different words over here now")
+    ).toDF("doc_id", "text")
+    val e = Similarity.docEmbed(df, dim = 8)
+    val vecs = e.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getSeq[Double](r.fieldIndex("embedding")).toList).toMap
+    assert(vecs(1L).length === 8)
+    // bag-of-words: token order cannot matter
+    assert(vecs(1L) === vecs(2L))
+    assert(vecs(1L) !== vecs(3L))
+    // identical-multiset docs are each other's cosine-1 nearest neighbor
+    val knn = Similarity.knnGraph(e, k = 1, exact = true).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toMap
+    assert(knn(1L) === (2L, 1.0))
+    assert(knn(2L) === (1L, 1.0))
+    // partitioning-independence
+    val a = e.orderBy("vec_id").collect().toSeq
+    val b = Similarity.docEmbed(df.repartition(7), dim = 8).orderBy("vec_id").collect().toSeq
+    assert(a === b)
+  }
+
   test("knnGraph edges are partitioning-independent") {
     val a = Similarity.knnGraph(emb, k = 3, bands = 2, planes = 4)
       .orderBy("query_id", "rank").collect()
