@@ -253,4 +253,27 @@ class StreamingSpec extends SparkSpec {
     val emitted = spark.table("hourly_append").collect()
     assert(emitted.exists(_.getAs[Long]("hour_start") === 3600L))
   }
+
+  test("BPE tokenization runs unchanged on a stream (stateless column algebra)") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // ingest-time tokenization: the same unrolled-replace plan as batch
+    // bpeApply — no state, no watermark, pure map-side
+    val merges = Seq(("l", "o"), ("lo", "w</w>"))
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.operators.Bpe.bpeApply(
+        stream.toDF().toDF("doc_id", "text"), merges)
+      .writeStream.format("memory").queryName("bpe_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq((1L, "low lower"), (2L, "slow")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("bpe_stream").orderBy("doc_id").collect()
+    assert(got(0).getSeq[String](got(0).fieldIndex("bpe_tokens"))
+      === Seq("low</w>", "lo", "w", "e", "r</w>"))
+    assert(got(1).getSeq[String](got(1).fieldIndex("bpe_tokens"))
+      === Seq("s", "low</w>"))
+  }
 }
