@@ -536,6 +536,19 @@ object SparkEntry {
       Dedup.dupSpans(cat(s, dir).table("documents"), w = 15, stride = 5)
         .orderBy("doc_id", "span_start", "span_hash")),
 
+    // ingest-shape FUZZY dedup: the last-quintile ids as the new batch,
+    // scored against the accepted corpus's persisted inverted index
+    // (same split as incremental_dedup — that one catches exact copies,
+    // this one near-copies)
+    "ngram_index_dedup" -> { (s, dir) =>
+      val docs = cat(s, dir).table("documents")
+      Dedup.ngramIndexDedup(
+          docs.where(col("doc_id") % 10 >= 8),
+          Dedup.ngramIndex(docs.where(col("doc_id") % 10 < 8)),
+          minContainment = 0.5)
+        .orderBy("batch_id", "corpus_id")
+    },
+
     // line-granularity exact dedup (CCNet §4.1) over the synthesized
     // line-structured batch (c4Batch — its boilerplate lines recur across
     // docs by construction: "too short." everywhere, javascript/lorem on
@@ -1728,6 +1741,32 @@ object SparkEntry {
            CAST(len(list_filter(lns, l -> len(l) > 0)) AS BIGINT) AS n_lines,
            CAST(len(lns) - len(kept) AS BIGINT) AS n_lines_removed
          FROM c ORDER BY doc_id""",
+
+    "ngram_index_dedup" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+         FROM documents),
+         sh AS (SELECT doc_id,
+           list_distinct(CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' '))
+             ELSE [] END) AS s
+         FROM t),
+         ex AS (SELECT doc_id, unnest(list_transform(s,
+             x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS sg
+           FROM sh WHERE len(s) > 0),
+         bex AS (SELECT doc_id AS batch_id, sg FROM ex WHERE doc_id % 10 >= 8),
+         idx AS (SELECT doc_id, sg FROM ex WHERE doc_id % 10 < 8),
+         rare AS (SELECT sg FROM idx GROUP BY sg HAVING count(*) <= 100),
+         kept AS (SELECT idx.doc_id, idx.sg FROM idx JOIN rare USING (sg)),
+         bsz AS (SELECT batch_id, count(*) AS nb FROM bex GROUP BY 1),
+         pr AS (SELECT b.batch_id, k.doc_id AS corpus_id, count(*) AS inter
+         FROM kept k JOIN bex b ON k.sg = b.sg GROUP BY 1, 2)
+         SELECT pr.batch_id, pr.corpus_id, pr.inter, bsz.nb,
+           pr.inter / bsz.nb AS containment
+         FROM pr JOIN bsz USING (batch_id)
+         WHERE pr.inter / bsz.nb >= 0.5
+         ORDER BY batch_id, corpus_id""",
 
     "length_band" ->
       """WITH tc AS (SELECT doc_id,

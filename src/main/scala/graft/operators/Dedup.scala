@@ -280,6 +280,59 @@ object Dedup {
     * filtered result BEFORE the eager materialization, so only surviving
     * pairs (small by construction) are checkpointed.
     */
+  /** The n-gram inverted-index frame itself: (doc_id, 60-bit shingle
+    * hash) — the REUSABLE artifact behind the whole n-gram family. At
+    * corpus scale the tokenize + shingle + md5 explode IS the dominant
+    * cost of every n-gram query; a deployment builds this frame once,
+    * persists it as parquet (it is narrow 16-byte rows — just
+    * `index.write.parquet(...)`), and feeds the saved index to
+    * [[ngramIndexDedup]] for every subsequent ingest batch instead of
+    * re-deriving the corpus side each time.
+    */
+  def ngramIndex(docs: DataFrame, n: Int = 3): DataFrame =
+    withShingles(docs, n)
+      .select(col("doc_id"), explode(transform(col("sh"), hexHash(_))).as("sg"))
+
+  /** Ingest-shape NEAR-dup gate — [[incrementalDedup]]'s fuzzy sibling:
+    * score a NEW batch against the EXISTING corpus's n-gram inverted
+    * index ([[ngramIndex]], typically loaded from its parquet artifact)
+    * and report every batch document whose shingles are ≥
+    * `minContainment` contained in some corpus document — near-copies of
+    * already-accepted content (re-crawls with changed boilerplate, quote
+    * wrappers) that exact-hash ingest dedup admits.
+    *
+    * Plan: the batch side explodes and BROADCASTS (a crawl batch is
+    * ingest-sized — the contamination discipline, sides swapped); the
+    * corpus index streams map-side through the join, so nothing
+    * corpus-volume shuffles for the pair scoring. The corpus index is
+    * DF-capped first (stop-shingles generate quadratic candidates; the
+    * cap is one map-side-combined count over the index — precompute it
+    * into the saved artifact to skip even that at ingest time). The only
+    * shuffles are the cap count and the final pair-count aggregation,
+    * bounded by shared-shingle volume. Containment is measured against
+    * the BATCH doc's shingle count (the "is this new doc already covered"
+    * direction).
+    */
+  def ngramIndexDedup(
+      batch: DataFrame,
+      index: DataFrame,
+      n: Int = 3,
+      minContainment: Double = 0.6,
+      maxDf: Int = 100): DataFrame = {
+    val bex = ngramIndex(batch, n)
+    val bsizes = bex.groupBy("doc_id").agg(count(lit(1)).as("nb"))
+    val rare = index.groupBy("sg").count().where(col("count") <= maxDf).select("sg")
+    val kept = index.join(rare, Seq("sg"), "left_semi")
+    kept.join(broadcast(bex.select(col("doc_id").as("batch_id"), col("sg"))), "sg")
+      .groupBy(col("batch_id"), col("doc_id").as("corpus_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(bsizes.select(col("doc_id").as("batch_id"), col("nb"))), "batch_id")
+      .withColumn("containment", col("inter") / col("nb"))
+      .where(col("containment") >= minContainment)
+      .select(col("batch_id"), col("corpus_id"), col("inter"), col("nb"),
+        col("containment"))
+  }
+
   private def ngramScoredPairs(
       docs: DataFrame, n: Int, maxDf: Int)(
       score: DataFrame => DataFrame): DataFrame = {
@@ -288,8 +341,7 @@ object Dedup {
     // (doc_id, 8-byte hash) pairs means tokenize + shingle + md5 runs once
     // per document instead of four times. Same spill-safe pattern as the
     // MinHash signature frame.
-    val ex = withShingles(docs, n)
-      .select(col("doc_id"), explode(transform(col("sh"), hexHash(_))).as("sg"))
+    val ex = ngramIndex(docs, n)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val rare = ex.groupBy("sg").count().where(col("count") <= maxDf).select("sg")
     val kept = ex.join(rare, Seq("sg"), "left_semi")

@@ -268,6 +268,25 @@ class DedupSpec extends SparkSpec {
       === "solo text.\nsolo text.\nnothing shared here.")
   }
 
+  test("ngramIndexDedup flags batch docs contained in the indexed corpus") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "completely different corpus content sits here quietly")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta trailing"), // near-copy of 1
+      (11L, "wholly novel text with no overlap at all present")
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramIndexDedup(batch, Dedup.ngramIndex(corpus),
+      minContainment = 0.5).collect()
+    assert(out.map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"))).toSeq
+      === Seq((10L, 1L)))
+    // 6 of the batch doc's 7 shingles are the corpus doc's 6
+    assert(out(0).getAs[Long]("inter") === 6L)
+    assert(out(0).getAs[Long]("nb") === 7L)
+  }
+
   test("dupLines/stripDupLines release their internal caches") {
     Dedup.dupLines(lineDocs).count()
     Dedup.stripDupLines(lineDocs).count()
