@@ -917,11 +917,16 @@ object SparkEntry {
         .orderBy("vec_id", "dim_i")),
 
     // raw text straight to a semantic kNN graph: docEmbed ∘ knnGraph —
-    // no external model anywhere in the plan
+    // no external model anywhere in the plan. Banded-LSH form with
+    // mean-centered bucketing: the exact form costs docs² pair rows
+    // (41 s at sf0.1, measured); uncentered LSH re-skews to near-n²
+    // because bag-of-words vectors share a dominant direction (3000 of
+    // 5000 docs in one bucket, measured) — centering re-balances the
+    // signs
     "doc_knn" -> ((s, dir) =>
       Similarity.knnGraph(
           Similarity.docEmbed(cat(s, dir).table("documents"), dim = 16),
-          k = 3, exact = true)
+          k = 3, bands = 2, planes = 4, center = true)
         .orderBy("query_id", "rank")),
 
     "ann_lsh" -> ((s, dir) =>
@@ -2176,10 +2181,28 @@ object SparkEntry {
            sqrt(list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
                 (a, b) -> a + b)) AS nrm
          FROM e),
+         mu AS (SELECT list(m ORDER BY bucket) AS mu FROM (
+           SELECT bucket, CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS m
+           FROM de GROUP BY bucket)),
+         cn AS (SELECT vec_id, v, nrm,
+           list_transform(range(1, len(v) + 1), i -> v[i] - mu[i]) AS vc
+         FROM n CROSS JOIN mu),
+         bk AS (SELECT vec_id, v, nrm,
+           array_to_string(list_transform(range(0, 4), p -> CASE WHEN
+             list_reduce(list_transform(range(1, len(vc) + 1), i -> vc[i] *
+               ((CAST('0x' || substr(md5('plane|' || p::VARCHAR || '|' || i::VARCHAR), 1, 15) AS BIGINT)
+                 % 2001 - 1000) / 1000.0)),
+               (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END), '') AS b0,
+           array_to_string(list_transform(range(4, 8), p -> CASE WHEN
+             list_reduce(list_transform(range(1, len(vc) + 1), i -> vc[i] *
+               ((CAST('0x' || substr(md5('plane|' || p::VARCHAR || '|' || i::VARCHAR), 1, 15) AS BIGINT)
+                 % 2001 - 1000) / 1000.0)),
+               (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END), '') AS b1
+         FROM cn),
          p AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
            list_reduce(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * x.v[i]),
                 (a, b) -> a + b) / (q.nrm * x.nrm) AS cos
-         FROM n q JOIN n x ON x.vec_id <> q.vec_id),
+         FROM bk q JOIN bk x ON (x.b0 = q.b0 OR x.b1 = q.b1) AND x.vec_id <> q.vec_id),
          r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
          FROM p)
          SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", round(cos, 4) AS cosine

@@ -361,5 +361,16 @@ class SimilaritySpec extends SparkSpec {
     val b = Similarity.knnGraph(emb.repartition(7), k = 3, bands = 2, planes = 4)
       .orderBy("query_id", "rank").collect()
     assert(a.toSeq === b.toSeq)
+    // centered bucketing: same edge contract (≤ k per query, no self
+    // edges, cosines from the RAW vectors) and the same determinism —
+    // the decimal-summed mean cannot depend on partition order
+    val c = Similarity.knnGraph(emb, k = 3, bands = 2, planes = 4, center = true)
+      .orderBy("query_id", "rank").collect()
+    val d = Similarity.knnGraph(emb.repartition(7), k = 3, bands = 2, planes = 4,
+        center = true)
+      .orderBy("query_id", "rank").collect()
+    assert(c.toSeq === d.toSeq)
+    assert(c.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .forall { case (q, n) => q != n })
   }
 }
