@@ -39,6 +39,31 @@ object SparkEntry {
        de AS (SELECT fullv.doc_id AS vec_id, fullv.bucket, fullv.v
          FROM fullv JOIN nz USING (doc_id))"""
 
+  /** DuckDB mirror of `Bpe.bpeApply(BpeDemoMerges)`'s padded-string
+    * pipeline as a shared CTE chain ending in `bm(doc_id, repr)` —
+    * substituted into the bpe_tokenize and bpe_pack oracles.
+    */
+  private val BpeApplySql: String =
+    """bt AS (SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+       FROM documents),
+       br AS (SELECT doc_id,
+         array_to_string(list_transform(toks, w ->
+           regexp_replace(substr(w, 1, len(w) - 1), '(.)', ' \1 ', 'g')
+             || ' ' || substr(w, len(w), 1) || '</w> '), '') AS repr
+       FROM bt),
+       bm AS (SELECT doc_id,
+         replace(replace(replace(replace(replace(replace(replace(replace(repr,
+           ' t  h ', ' th '),
+           ' th  e</w> ', ' the</w> '),
+           ' a  l ', ' al '),
+           ' u  e</w> ', ' ue</w> '),
+           ' r  o ', ' ro '),
+           ' ro  w</w> ', ' row</w> '),
+           ' k  e ', ' ke '),
+           ' ke  y</w> ', ' key</w> ') AS repr
+       FROM br)"""
+
   /** Fixed demo merge table for `bpe_tokenize` — a pretrained-style
     * artifact chosen to fire on the synthetic corpus's frequent words
     * (the/value/row/key); the oracle replays it as nested replace()
@@ -807,6 +832,14 @@ object SparkEntry {
       Chunk.packSequences(cat(s, dir).table("documents"), budget = 256, buckets = 8)
         .orderBy("doc_id")),
 
+    // packing budgeted in REAL tokenizer units: bpeApply's subword counts
+    // feed the cut points instead of the whitespace proxy
+    "bpe_pack" -> ((s, dir) =>
+      Chunk.packSequences(
+          Bpe.bpeApply(cat(s, dir).table("documents"), BpeDemoMerges),
+          budget = 256, buckets = 8, tokenCol = Some("n_bpe_tokens"))
+        .orderBy("doc_id")),
+
     "train_shuffle" -> ((s, dir) =>
       Chunk.trainShuffle(cat(s, dir).table("documents"), shards = 8)
         .orderBy("doc_id")),
@@ -1420,30 +1453,28 @@ object SparkEntry {
          GROUP BY ks.k ORDER BY k""",
 
     "bpe_tokenize" ->
-      """WITH t AS (SELECT doc_id,
-           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
-         FROM documents),
-         r AS (SELECT doc_id,
-           array_to_string(list_transform(toks, w ->
-             regexp_replace(substr(w, 1, len(w) - 1), '(.)', ' \1 ', 'g')
-               || ' ' || substr(w, len(w), 1) || '</w> '), '') AS repr
-         FROM t),
-         m AS (SELECT doc_id,
-           replace(replace(replace(replace(replace(replace(replace(replace(repr,
-             ' t  h ', ' th '),
-             ' th  e</w> ', ' the</w> '),
-             ' a  l ', ' al '),
-             ' u  e</w> ', ' ue</w> '),
-             ' r  o ', ' ro '),
-             ' ro  w</w> ', ' row</w> '),
-             ' k  e ', ' ke '),
-             ' ke  y</w> ', ' key</w> ') AS repr
-         FROM r)
+      s"""WITH $BpeApplySql
          SELECT doc_id,
            regexp_replace(trim(repr), '  +', ' ', 'g') AS bpe_text,
            CAST(CASE WHEN len(trim(repr)) = 0 THEN 0
              ELSE len(string_split_regex(trim(repr), '  +')) END AS BIGINT) AS n_bpe_tokens
-         FROM m ORDER BY doc_id""",
+         FROM bm ORDER BY doc_id""",
+
+    "bpe_pack" ->
+      s"""WITH $BpeApplySql,
+         t AS (SELECT doc_id,
+           CAST(CASE WHEN len(trim(repr)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(repr), '  +')) END AS BIGINT) AS n_tokens,
+           CAST(CAST('0x' || substr(md5('pack|' || doc_id::VARCHAR), 1, 15) AS BIGINT) % 8 AS INT) AS bucket
+         FROM bm),
+         c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM t WHERE n_tokens > 0)
+         SELECT doc_id, bucket, n_tokens,
+           CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_first,
+           CAST((cum - 1) // 256 AS BIGINT) AS seq_last,
+           CAST((cum - n_tokens) % 256 AS BIGINT) AS seq_offset
+         FROM c ORDER BY doc_id""",
 
     "unigram_lm" ->
       """WITH tk AS (SELECT doc_id,

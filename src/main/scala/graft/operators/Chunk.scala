@@ -50,13 +50,22 @@ object Chunk {
     * token count ordered by doc_id, so the layout is deterministic under
     * any partitioning. Zero-token documents are dropped — they occupy no
     * tokens and have no position in any sequence.
+    *
+    * By default tokens are whitespace-counted from `text`; `tokenCol`
+    * names a precomputed per-doc count instead — the REAL budget unit
+    * when a trained tokenizer exists (feed `bpeApply`'s `n_bpe_tokens`
+    * so sequences cut at model tokens, not the whitespace proxy). With
+    * `tokenCol` set, no `text` column is required at all.
     */
-  def packSequences(docs: DataFrame, budget: Int = 256, buckets: Int = 8): DataFrame = {
+  def packSequences(
+      docs: DataFrame, budget: Int = 256, buckets: Int = 8,
+      tokenCol: Option[String] = None): DataFrame = {
     require(budget > 0 && buckets > 0,
       s"need budget > 0 and buckets > 0, got budget=$budget buckets=$buckets")
+    val nTok = tokenCol.map(c => col(c).cast("long"))
+      .getOrElse(size(TextAnalysis.tokens(col("text"))).cast("long"))
     val t = docs
-      .select(col("doc_id"),
-        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+      .select(col("doc_id"), nTok.as("n_tokens"),
         (TextAnalysis.hexHash(concat(lit("pack|"), col("doc_id").cast("string")))
           % buckets).cast("int").as("bucket"))
       .where(col("n_tokens") > 0)
