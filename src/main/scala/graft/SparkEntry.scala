@@ -962,6 +962,18 @@ object SparkEntry {
           k = 3, bands = 2, planes = 4, center = true)
         .orderBy("query_id", "rank")),
 
+    // the text-side capstone: high-cosine kNN edges over the hashed
+    // embeddings feed connected components → semantic cluster ids over
+    // raw text, zero external model (docEmbed ∘ knnGraph ∘ dedupGroups)
+    "semantic_groups" -> { (s, dir) =>
+      val edges = Similarity.knnGraph(
+          Similarity.docEmbed(cat(s, dir).table("documents"), dim = 16),
+          k = 3, bands = 2, planes = 4, center = true)
+        .where(col("cosine") >= 0.95)
+        .select(col("query_id").as("doc_a"), col("neighbor_id").as("doc_b"))
+      Dedup.dedupGroups(edges).orderBy("doc_id")
+    },
+
     "ann_lsh" -> ((s, dir) =>
       Similarity.annLsh(cat(s, dir).table("embeddings"), col("vec_id") % 50 === 0,
           k = 10, planes = 4)
@@ -2238,6 +2250,48 @@ object SparkEntry {
          FROM p)
          SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", round(cos, 4) AS cosine
          FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""",
+
+    "semantic_groups" ->
+      s"""WITH RECURSIVE $DocEmbedSql,
+         e AS (SELECT vec_id, list(CAST(v AS DOUBLE) ORDER BY bucket) AS v
+           FROM de GROUP BY vec_id),
+         n AS (SELECT vec_id, v,
+           sqrt(list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
+                (a, b) -> a + b)) AS nrm
+         FROM e),
+         mu AS (SELECT list(m ORDER BY bucket) AS mu FROM (
+           SELECT bucket, CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS m
+           FROM de GROUP BY bucket)),
+         cn AS (SELECT vec_id, v, nrm,
+           list_transform(range(1, len(v) + 1), i -> v[i] - mu[i]) AS vc
+         FROM n CROSS JOIN mu),
+         bk AS (SELECT vec_id, v, nrm,
+           array_to_string(list_transform(range(0, 4), p -> CASE WHEN
+             list_reduce(list_transform(range(1, len(vc) + 1), i -> vc[i] *
+               ((CAST('0x' || substr(md5('plane|' || p::VARCHAR || '|' || i::VARCHAR), 1, 15) AS BIGINT)
+                 % 2001 - 1000) / 1000.0)),
+               (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END), '') AS b0,
+           array_to_string(list_transform(range(4, 8), p -> CASE WHEN
+             list_reduce(list_transform(range(1, len(vc) + 1), i -> vc[i] *
+               ((CAST('0x' || substr(md5('plane|' || p::VARCHAR || '|' || i::VARCHAR), 1, 15) AS BIGINT)
+                 % 2001 - 1000) / 1000.0)),
+               (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END), '') AS b1
+         FROM cn),
+         p AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+           list_reduce(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * x.v[i]),
+                (a, b) -> a + b) / (q.nrm * x.nrm) AS cos
+         FROM bk q JOIN bk x ON (x.b0 = q.b0 OR x.b1 = q.b1) AND x.vec_id <> q.vec_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         FROM p),
+         mp AS (SELECT query_id AS doc_a, neighbor_id AS doc_b FROM r
+           WHERE rnk <= 3 AND round(cos, 4) >= 0.95),
+         eg AS (SELECT doc_a AS s, doc_b AS d FROM mp UNION SELECT doc_b, doc_a FROM mp),
+         reach(id, rr) AS (
+           SELECT s, s FROM eg GROUP BY s
+           UNION
+           SELECT eg.s, reach.rr FROM eg JOIN reach ON reach.id = eg.d
+         )
+         SELECT id AS doc_id, min(rr) AS group_id FROM reach GROUP BY id ORDER BY doc_id""",
 
     "ann_lsh" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
