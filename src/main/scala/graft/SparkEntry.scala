@@ -467,6 +467,47 @@ object SparkEntry {
           gapSeconds = 1800)
         .orderBy("user_id", "session_seq")),
 
+    // conversion funnel signup → view → click → purchase: per-user ordered
+    // step-completion times, one key-shuffle window chain
+    "event_funnel" -> ((s, dir) =>
+      Temporal.eventFunnel(
+          cat(s, dir).table("events").withColumn("ts", expr("ts div 1000000000")),
+          steps = Seq("signup", "view", "click", "purchase"))
+        .orderBy("user_id")),
+
+    // the funnel rollup a dashboard reads: users reaching each step
+    "funnel_counts" -> { (s, dir) =>
+      val f = Temporal.eventFunnel(
+        cat(s, dir).table("events").withColumn("ts", expr("ts div 1000000000")),
+        steps = Seq("signup", "view", "click", "purchase"))
+      f.select(explode(sequence(lit(1L), lit(4L))).as("step"), col("steps_completed"))
+        .groupBy("step")
+        .agg(sum(when(col("steps_completed") >= col("step"), 1L).otherwise(0L))
+          .as("n_users"))
+        .orderBy("step")
+    },
+
+    // cohort retention triangle over first-active day
+    "retention_cohorts" -> ((s, dir) =>
+      Temporal.retentionCohorts(
+          cat(s, dir).table("events")
+            .withColumn("day", expr("ts div 86400000000000")),
+          maxDays = 30)
+        .orderBy("cohort_day", "day_offset")),
+
+    // typed JSON props extraction + per-type rollup (decimal sums: exact,
+    // partition-order independent) — the semi-structured column path
+    "events_props" -> ((s, dir) =>
+      cat(s, dir).table("events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"),
+          round(sum(col("value").cast("decimal(18,6)")), 4).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")),
+
     // ── LLM-data-pipeline: text analysis ─────────────────────────────────
     "token_count" -> ((s, dir) =>
       TextAnalysis.tokenCount(cat(s, dir).table("documents")).orderBy("doc_id")),
@@ -1578,6 +1619,62 @@ object SparkEntry {
            count(*) AS n_events, max(se) - min(se) AS duration_s
          FROM s GROUP BY user_id, session_seq
          ORDER BY user_id, session_seq""",
+
+    "event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+           epoch_ns(ts) // 1000000000 AS se FROM events),
+         s1 AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN se END)
+           OVER (PARTITION BY user_id) AS t1_s FROM e),
+         s2 AS (SELECT *, min(CASE WHEN event_type = 'view' AND se >= t1_s THEN se END)
+           OVER (PARTITION BY user_id) AS t2_s FROM s1),
+         s3 AS (SELECT *, min(CASE WHEN event_type = 'click' AND se >= t2_s THEN se END)
+           OVER (PARTITION BY user_id) AS t3_s FROM s2),
+         s4 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND se >= t3_s THEN se END)
+           OVER (PARTITION BY user_id) AS t4_s FROM s3),
+         g AS (SELECT user_id, min(t1_s) AS t1_s, min(t2_s) AS t2_s,
+           min(t3_s) AS t3_s, min(t4_s) AS t4_s FROM s4 GROUP BY user_id)
+         SELECT user_id, t1_s, t2_s, t3_s, t4_s,
+           CAST(CASE WHEN t1_s IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN t2_s IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN t3_s IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN t4_s IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps_completed
+         FROM g ORDER BY user_id""",
+
+    "funnel_counts" ->
+      """WITH e AS (SELECT user_id, event_type,
+           epoch_ns(ts) // 1000000000 AS se FROM events),
+         s1 AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN se END)
+           OVER (PARTITION BY user_id) AS t1_s FROM e),
+         s2 AS (SELECT *, min(CASE WHEN event_type = 'view' AND se >= t1_s THEN se END)
+           OVER (PARTITION BY user_id) AS t2_s FROM s1),
+         s3 AS (SELECT *, min(CASE WHEN event_type = 'click' AND se >= t2_s THEN se END)
+           OVER (PARTITION BY user_id) AS t3_s FROM s2),
+         s4 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND se >= t3_s THEN se END)
+           OVER (PARTITION BY user_id) AS t4_s FROM s3),
+         g AS (SELECT user_id, min(t1_s) AS t1_s, min(t2_s) AS t2_s,
+           min(t3_s) AS t3_s, min(t4_s) AS t4_s FROM s4 GROUP BY user_id),
+         sc AS (SELECT CASE WHEN t1_s IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN t2_s IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN t3_s IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN t4_s IS NOT NULL THEN 1 ELSE 0 END AS steps_completed FROM g)
+         SELECT step, CAST(sum(CASE WHEN steps_completed >= step THEN 1 ELSE 0 END) AS BIGINT) AS n_users
+         FROM sc CROSS JOIN (SELECT unnest(range(1, 5)) AS step)
+         GROUP BY step ORDER BY step""",
+
+    "retention_cohorts" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+           epoch_ns(ts) // 86400000000000 AS day FROM events),
+         c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id)
+         SELECT cohort_day, day - cohort_day AS day_offset, count(*) AS n_users
+         FROM a JOIN c USING (user_id) WHERE day - cohort_day <= 30
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "events_props" ->
+      """SELECT event_type, count(*) AS n_events,
+           count(json_extract_string(props, '$.k')) AS n_with_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     "tfidf_topk" ->
       """WITH tk AS (SELECT doc_id,

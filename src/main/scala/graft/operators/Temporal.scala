@@ -99,4 +99,78 @@ object Temporal {
         count(lit(1)).as("n_events"))
       .withColumn("duration_s", col("session_end_s") - col("session_start_s"))
   }
+
+  /** Ordered funnel: for every key, the earliest completion time of each
+    * step in `steps`, where step i only counts at-or-after step i−1's
+    * completion (the product-analytics conversion funnel: signup → view →
+    * click → purchase). Emits one row per key: per-step epoch-second
+    * columns `t1_s..tk_s` (NULL from the first uncompleted step onward —
+    * the chain condition makes null monotone) and `steps_completed`.
+    *
+    * ONE shuffle on the key: each step time is a conditional window
+    * minimum over the key partition, and step i's condition references
+    * step i−1's column — k Window operators stacked over a single
+    * exchange (same partitioning throughout; Spark plans one Exchange and
+    * k Window nodes), then the per-key reduction rides the same
+    * partitioning into the final groupBy. Per-partition state is one
+    * key's history — funnel depth never touches corpus volume.
+    *
+    * `tsCol` must already be numeric epoch seconds (callers divide the
+    * catalog's epoch-nanos once, as with [[sessionize]]).
+    */
+  def eventFunnel(
+      events: DataFrame,
+      steps: Seq[String],
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = Window.partitionBy(col(keyCol))
+    val stepped = steps.zipWithIndex.foldLeft(events) { case (df, (step, i)) =>
+      val cond =
+        if (i == 0) col(typeCol) === step
+        else col(typeCol) === step && col(tsCol) >= col(s"t${i}_s")
+      df.withColumn(s"t${i + 1}_s",
+        min(when(cond, col(tsCol))).over(w))
+    }
+    val tCols = steps.indices.map(i => s"t${i + 1}_s")
+    stepped
+      .groupBy(col(keyCol))
+      .agg(min(tCols.head).as(tCols.head),
+        tCols.tail.map(c => min(c).as(c)): _*)
+      .withColumn("steps_completed",
+        tCols.map(c => when(col(c).isNotNull, 1L).otherwise(0L)).reduce(_ + _))
+  }
+
+  /** Cohort retention: users grouped by first-active day (their cohort),
+    * counted on each later day-offset they return (the classic retention
+    * triangle). Emits (cohort_day, day_offset, n_users) for offsets in
+    * [0, maxDays].
+    *
+    * Scale shape: the corpus reduces map-side+shuffle to the DISTINCT
+    * (key, day) activity frame — bounded by users × active days, never
+    * event volume — cohorts are a same-key aggregation over it, the
+    * cohort join is key-co-partitioned (AQE broadcasts the per-user
+    * cohort table when it is small), and the output is bounded by
+    * days × offsets. No window over anything corpus-sized.
+    *
+    * `dayCol`-producing expression: callers pass events with an integer
+    * epoch-day column (divide the catalog's epoch-nanos once).
+    */
+  def retentionCohorts(
+      events: DataFrame,
+      maxDays: Int = 30,
+      keyCol: String = "user_id",
+      dayCol: String = "day"): DataFrame = {
+    val activity = events.select(col(keyCol), col(dayCol)).distinct()
+    val cohorts = activity.groupBy(col(keyCol))
+      .agg(min(col(dayCol)).as("cohort_day"))
+    activity.join(cohorts, keyCol)
+      .withColumn("day_offset", col(dayCol) - col("cohort_day"))
+      .where(col("day_offset") <= maxDays)
+      // activity is distinct per (key, day) and each maps to exactly one
+      // (cohort_day, day_offset, key) — count(*) IS the distinct-user count
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -102,4 +102,53 @@ class TemporalSpec extends SparkSpec {
         col("session_start_s") <= col("prev_end") + 1800)
     assert(bad.count() === 0)
   }
+
+  test("eventFunnel enforces step order, not mere presence") {
+    import spark.implicits._
+    // u1 completes in order; u2 has every type but purchase precedes click
+    // (order broken at step 4); u3 never gets past signup; u4 reuses one
+    // timestamp for two consecutive steps (>= semantics: both count)
+    val ev = Seq(
+      (1L, "signup", 10L), (1L, "view", 20L), (1L, "click", 30L), (1L, "purchase", 40L),
+      (2L, "signup", 10L), (2L, "view", 20L), (2L, "purchase", 25L), (2L, "click", 30L),
+      (3L, "signup", 10L), (3L, "click", 20L),
+      (4L, "signup", 10L), (4L, "view", 10L), (4L, "click", 11L), (4L, "purchase", 11L))
+      .toDF("user_id", "event_type", "ts")
+    val out = Temporal.eventFunnel(ev, Seq("signup", "view", "click", "purchase"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out(1L).getAs[Long]("steps_completed") === 4L)
+    assert(out(1L).getAs[Long]("t4_s") === 40L)
+    assert(out(2L).getAs[Long]("steps_completed") === 3L) // purchase too early
+    assert(out(2L).isNullAt(out(2L).fieldIndex("t4_s")))
+    assert(out(3L).getAs[Long]("steps_completed") === 1L) // view missing ⇒ chain stops
+    assert(out(3L).isNullAt(out(3L).fieldIndex("t2_s")))
+    assert(out(4L).getAs[Long]("steps_completed") === 4L) // equal-ts steps count
+  }
+
+  test("eventFunnel step times are non-decreasing and null-monotone on sf data") {
+    val out = Temporal.eventFunnel(eventsSeconds,
+      Seq("signup", "view", "click", "purchase"))
+    // t1 <= t2 <= t3 <= t4 wherever defined; a null never precedes a non-null
+    val bad = out.where(
+      (col("t2_s").isNotNull && (col("t1_s").isNull || col("t2_s") < col("t1_s"))) ||
+      (col("t3_s").isNotNull && (col("t2_s").isNull || col("t3_s") < col("t2_s"))) ||
+      (col("t4_s").isNotNull && (col("t3_s").isNull || col("t4_s") < col("t3_s"))))
+    assert(bad.count() === 0)
+    assert(out.count() === eventsSeconds.select("user_id").distinct().count())
+  }
+
+  test("retentionCohorts counts each user once per offset, anchored at first day") {
+    import spark.implicits._
+    // u1 active days 0,1,3; u2 active days 1,1 (dup events same day), 2
+    val ev = Seq(
+      (1L, 0L), (1L, 1L), (1L, 3L),
+      (2L, 1L), (2L, 1L), (2L, 2L))
+      .toDF("user_id", "day")
+    val out = Temporal.retentionCohorts(ev, maxDays = 30)
+      .collect().map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("day_offset")) ->
+        r.getAs[Long]("n_users")).toMap
+    assert(out === Map(
+      (0L, 0L) -> 1L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L))
+  }
 }
