@@ -99,6 +99,39 @@ object SparkEntry {
       substring(col("text"), 10, 70), lit(" and the final closing sentence ends cleanly.")
     ).as("text"))
 
+  /** Line-structured demo batch with WITHIN-doc repeated lines (the
+    * boilerplate chrome `stripRepeatedLines` removes): a header line
+    * recurring three times per doc, a doc_id-strided doubled footer, and
+    * one blank structural line that must survive.
+    */
+  private def repBatch(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      lit("site header menu\n"),
+      substring(col("text"), 1, 60), lit("\n"),
+      lit("\n"),
+      lit("site header menu\n"),
+      substring(col("text"), 30, 60), lit("\n"),
+      when(col("doc_id") % 5 === 0,
+        lit("subscribe to our newsletter\nsubscribe to our newsletter\n"))
+        .otherwise(lit("")),
+      lit("site header menu")
+    ).as("text"))
+
+  /** DuckDB mirror of [[repBatch]] — the `b` CTE of the
+    * strip_repeat_lines oracle. */
+  private val RepBatchSql: String =
+    """SELECT doc_id,
+      'site header menu' || chr(10) ||
+      substr(text, 1, 60) || chr(10) ||
+      chr(10) ||
+      'site header menu' || chr(10) ||
+      substr(text, 30, 60) || chr(10) ||
+      CASE WHEN doc_id % 5 = 0
+        THEN 'subscribe to our newsletter' || chr(10) || 'subscribe to our newsletter' || chr(10)
+        ELSE '' END ||
+      'site header menu' AS text
+    FROM documents"""
+
   /** DuckDB mirror of [[c4Batch]] — substituted as the `b` CTE of both C4
     * oracles so the demo construction lives in exactly two places that sit
     * side by side.
@@ -627,6 +660,12 @@ object SparkEntry {
       Dedup.stripDupLines(c4Batch(cat(s, dir).table("documents")))
         .orderBy("doc_id")),
 
+    // WITHIN-doc repeated-line removal (zero-shuffle map pass) over the
+    // header/footer-chromed demo batch
+    "strip_repeat_lines" -> ((s, dir) =>
+      TextAnalysis.stripRepeatedLines(repBatch(cat(s, dir).table("documents")))
+        .orderBy("doc_id")),
+
     "stratified_sample" -> ((s, dir) =>
       TextAnalysis.hashSample(cat(s, dir).table("documents"))
         .select(col("doc_id"), col("lang"), col("source")).orderBy("doc_id")),
@@ -636,6 +675,13 @@ object SparkEntry {
     "sample_permille" -> ((s, dir) =>
       TextAnalysis.hashSamplePermille(cat(s, dir).table("documents"), permille = 25)
         .select(col("doc_id"), col("lang"), col("source")).orderBy("doc_id")),
+
+    // deterministic 90/5/5 train/val/test assignment (audit view: every
+    // doc with its per-mille bucket and split)
+    "corpus_split" -> ((s, dir) =>
+      TextAnalysis.corpusSplit(cat(s, dir).table("documents"))
+        .select(col("doc_id"), col("bucket_permille"), col("split"))
+        .orderBy("doc_id")),
 
     // Target mix: upweight English, keep some German/French, drop the rest
     // — the domain-reweighting pass of a training-mix builder.
@@ -670,6 +716,11 @@ object SparkEntry {
     "corpus_profile" -> ((s, dir) =>
       TextAnalysis.corpusProfile(cat(s, dir).table("documents"))
         .orderBy("lang", "source")),
+
+    // WIMBD-style corpus n-gram census: top-100 word-3grams by occurrence
+    // (one map-side-combined shuffle + TakeOrderedAndProject)
+    "top_ngrams" -> ((s, dir) =>
+      TextAnalysis.topNgrams(cat(s, dir).table("documents"), n = 3, k = 100)),
 
     "length_band" -> ((s, dir) =>
       TextAnalysis.lengthBand(cat(s, dir).table("documents"),
@@ -1887,6 +1938,19 @@ object SparkEntry {
            CAST(len(lns) - len(kept) AS BIGINT) AS n_lines_removed
          FROM c ORDER BY doc_id""",
 
+    "strip_repeat_lines" ->
+      s"""WITH b AS ($RepBatchSql),
+         l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM b),
+         k AS (SELECT doc_id, ls,
+           list_filter(range(1, len(ls) + 1), i ->
+             trim(ls[i]) = '' OR list_position(ls, ls[i]) = i) AS keep
+         FROM l)
+         SELECT doc_id,
+           array_to_string(list_transform(keep, i -> ls[i]), chr(10)) AS clean_text,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(ls) - len(keep) AS BIGINT) AS n_removed
+         FROM k ORDER BY doc_id""",
+
     "ngram_index_dedup" ->
       """WITH t AS (SELECT doc_id,
            list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
@@ -2073,6 +2137,17 @@ object SparkEntry {
          WHERE CAST('0x' || substr(md5('sample|' || doc_id::VARCHAR), 1, 15) AS BIGINT) % 100 < 10
          ORDER BY doc_id""",
 
+    "corpus_split" ->
+      """WITH h AS (SELECT doc_id,
+           CAST('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 15) AS BIGINT) % 1000
+             AS bucket_permille
+         FROM documents)
+         SELECT doc_id, bucket_permille,
+           CASE WHEN bucket_permille < 900 THEN 'train'
+                WHEN bucket_permille < 950 THEN 'val'
+                ELSE 'test' END AS split
+         FROM h ORDER BY doc_id""",
+
     "sample_permille" ->
       """SELECT doc_id, lang, source FROM documents
          WHERE CAST('0x' || substr(md5('sample|' || doc_id::VARCHAR), 1, 15) AS BIGINT) % 1000 < 25
@@ -2114,6 +2189,17 @@ object SparkEntry {
            CAST(sum(CASE WHEN n_toks < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
            count(DISTINCT d) AS n_distinct_texts
          FROM t GROUP BY 1, 2 ORDER BY lang, source""",
+
+    "top_ngrams" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+         FROM documents),
+         g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+             i -> array_to_string(toks[i:i+2], ' '))) AS ngram
+           FROM t WHERE len(toks) >= 3)
+         SELECT ngram, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+         FROM g GROUP BY ngram
+         ORDER BY n_occurrences DESC, ngram LIMIT 100""",
 
     "corpus_clean" ->
       """WITH t AS (SELECT doc_id, text,

@@ -1021,4 +1021,78 @@ object TextAnalysis {
       .where(col("s").isNotNull)
       .select(col("doc_id"), col("s.fp_min"), col("s.fp_max"),
         col("s.fp_xor"), col("s.n_shingles"))
+
+  /** WIMBD-style corpus n-gram census (Elazar et al. '23): the k most
+    * frequent word n-grams with occurrence counts and document frequency —
+    * the "what is IN my data" audit every corpus card runs.
+    *
+    * Scale shape: positional n-grams explode map-side (Σ tokens rows), the
+    * census is ONE map-side-combined shuffle on the n-gram string, and the
+    * top-k is `orderBy().limit(k)` = TakeOrderedAndProject (per-partition
+    * top-k, k-row driver merge — no corpus sort). Ties at the boundary
+    * break by the n-gram string, so the cut is deterministic in any engine
+    * and partitioning.
+    */
+  def topNgrams(docs: DataFrame, n: Int = 3, k: Int = 100): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+      .limit(k)
+
+  /** Deterministic train/validation/test split: the salted id-hash lands
+    * each row in a per-mille bucket; bucket < trainPermille → train, next
+    * `valPermille` → val, remainder → test. Same engine-portable map-side
+    * hash discipline as [[hashSample]] — reproducible across runs,
+    * engines and partitionings, no RNG state, and independent of every
+    * document attribute (so each split is an unbiased stratum of any
+    * dimension). Rows carry `bucket_permille` for audit.
+    */
+  def corpusSplit(
+      docs: DataFrame,
+      trainPermille: Int = 900,
+      valPermille: Int = 50,
+      salt: String = "split",
+      idCol: String = "doc_id"): DataFrame = {
+    require(trainPermille >= 0 && valPermille >= 0 &&
+      trainPermille + valPermille <= 1000,
+      s"train+val permille must fit in [0, 1000]: $trainPermille + $valPermille")
+    docs
+      .withColumn("bucket_permille",
+        hexHash(concat(lit(s"$salt|"), col(idCol).cast("string"))) % 1000)
+      .withColumn("split",
+        when(col("bucket_permille") < trainPermille, "train")
+          .when(col("bucket_permille") < trainPermille + valPermille, "val")
+          .otherwise("test"))
+  }
+
+  /** WITHIN-doc repeated-line removal: every non-blank line after its
+    * first in-document occurrence is dropped in place (navigation chrome,
+    * repeated headers/footers — the self-repetition [[repetitionScore]]
+    * reports, acted on; the in-doc sibling of the CROSS-doc
+    * [[graft.operators.Dedup.stripDupLines]]). Blank lines survive as
+    * structure. Zero shuffle: the keep-filter is index algebra over the
+    * line array (first occurrence ⇔ `array_position` equals own index),
+    * one map-side pass, per-row cost bounded by a document's line count.
+    */
+  def stripRepeatedLines(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), bindOnce(split(col("text"), "\n"), ls =>
+        bindOnce(transform(
+            filter(sequence(lit(1), size(ls)), i =>
+              trim(element_at(ls, i)) === "" ||
+                array_position(ls, element_at(ls, i)) === i.cast("long")),
+            i => element_at(ls, i)), kept =>
+          struct(
+            array_join(kept, "\n").as("clean_text"),
+            size(ls).cast("long").as("n_lines"),
+            (size(ls) - size(kept)).cast("long").as("n_removed")))).as("s"))
+      .select(col("doc_id"), col("s.clean_text"), col("s.n_lines"),
+        col("s.n_removed"))
 }

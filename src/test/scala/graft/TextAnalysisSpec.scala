@@ -531,4 +531,54 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("n_types") == 4L))
     assert(out.last.getAs[Double]("coverage") === 1.0)
   }
+
+  test("topNgrams counts occurrences and doc frequency with a stable cut") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x y z x y z"),     // "x y z" twice in one doc, "y z x" once
+      (2L, "x y z other words"),
+      (3L, "too short")).toDF("doc_id", "text")
+    val out = TextAnalysis.topNgrams(df, n = 3, k = 2).collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[String]("ngram") === "x y z")
+    assert(out(0).getAs[Long]("n_occurrences") === 3L)
+    assert(out(0).getAs[Long]("n_docs") === 2L)
+    // the tie among count-1 ngrams breaks lexicographically
+    assert(out(1).getAs[Long]("n_occurrences") === 1L)
+    assert(out(1).getAs[String]("ngram") ===
+      Seq("y z x", "z x y", "y z other", "z other words").min)
+  }
+
+  test("corpusSplit partitions every doc exactly once, deterministically") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = TextAnalysis.corpusSplit(docs)
+    assert(out.count() === docs.count())
+    val byName = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.keySet.subsetOf(Set("train", "val", "test")))
+    // 90/5/5 within hash tolerance on 500 docs
+    assert(byName("train") > 400)
+    // same salt ⇒ identical assignment under any partitioning
+    val again = TextAnalysis.corpusSplit(docs.repartition(7))
+      .select("doc_id", "split")
+    assert(out.select("doc_id", "split").except(again).count() === 0)
+    // bad budget refused
+    intercept[IllegalArgumentException] {
+      TextAnalysis.corpusSplit(docs, trainPermille = 980, valPermille = 50)
+    }
+  }
+
+  test("stripRepeatedLines drops only within-doc repeats, keeps blanks") {
+    import spark.implicits._
+    val text = "header\nbody one\n\nheader\nbody two\n\nheader"
+    val df = Seq((1L, text), (2L, "only\nunique\nlines")).toDF("doc_id", "text")
+    val out = TextAnalysis.stripRepeatedLines(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("clean_text") ===
+      "header\nbody one\n\nbody two\n") // both blanks survive, repeats gone
+    assert(out(1L).getAs[Long]("n_lines") === 7L)
+    assert(out(1L).getAs[Long]("n_removed") === 2L)
+    assert(out(2L).getAs[String]("clean_text") === "only\nunique\nlines")
+    assert(out(2L).getAs[Long]("n_removed") === 0L)
+  }
 }
