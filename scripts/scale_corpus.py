@@ -56,6 +56,27 @@ COPY (
 ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
 """)
 
-for t in ("documents", "embeddings"):
+# Events scale by disjoint-key replication: copy i offsets user_id and
+# event_id past the originals, so keys never collide across copies. The
+# per-key operators (sessionize, funnel, retention) see K x users with the
+# SAME per-user history shape — exactly how an event corpus grows — and no
+# cross-copy interaction exists because no operator pairs events across
+# keys. (No decorrelation permutation needed: there is no pair operator on
+# events whose output a twin copy would inflate.)
+if os.path.exists(f"{src}/events.parquet"):
+    con.execute(f"""
+    COPY (
+      WITH ev AS (SELECT * FROM read_parquet('{src}/events.parquet')),
+           mx AS (SELECT max(user_id) + 1 AS mu, max(event_id) + 1 AS me FROM ev)
+      SELECT ev.event_id + r.i * mx.me AS event_id, ev.ts,
+             ev.user_id + r.i * mx.mu AS user_id,
+             ev.event_type, ev.value, ev.props
+      FROM ev CROSS JOIN range({k}) r(i) CROSS JOIN mx
+    ) TO '{dst}/events.parquet' (FORMAT PARQUET)
+    """)
+
+for t in ("documents", "embeddings", "events"):
+    if not os.path.exists(f"{dst}/{t}.parquet"):
+        continue
     n = con.execute(f"SELECT count(*) FROM read_parquet('{dst}/{t}.parquet')").fetchone()[0]
     print(f"{t}: {n} rows -> {dst}")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
-import graft.operators.{Dedup, Dsir, QualityLr, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Dsir, QualityLr, Similarity, Temporal, TextAnalysis}
 
 /** Scaling spot-check for the pair/ANN family (SURVEY §6): times each
   * operator at several corpus sizes WITH ITS SCALE KNOBS SET the way a
@@ -53,6 +53,21 @@ object ScaleCheck {
     ).as("text"))
   }
 
+  /** [[lineBatch]] plus an in-doc repeated header/footer — the shape
+    * [[TextAnalysis.stripRepeatedLines]] removes (SparkEntry.repBatch's
+    * trick, parameter-free here).
+    */
+  private def repLineBatch(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.select(col("doc_id"), concat(
+      lit("site header menu\n"),
+      substring(col("text"), 1, 60), lit(".\n"),
+      lit("site header menu\n"),
+      substring(col("text"), 30, 60), lit(" middle body line.\n"),
+      lit("site header menu")
+    ).as("text"))
+  }
+
   def main(args: Array[String]): Unit = {
     val dirs = args.headOption.getOrElse("/root/testdata/sf0.1").split(",").toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -68,6 +83,13 @@ object ScaleCheck {
     for (dir <- dirs) {
       def docs = spark.read.parquet(s"$dir/documents.parquet")
       def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      // events route through the catalog (ts-flavor normalization to
+      // epoch-nanos LONG), then to the epoch seconds every event-time
+      // operator consumes
+      def eventsSec(d: String): DataFrame =
+        graft.core.Catalog.tpch(spark, d).table("events")
+          .withColumn("ts",
+            org.apache.spark.sql.functions.expr("ts div 1000000000"))
       val nDocs = docs.count()
       val nEmb = emb.count()
       // proportional query set (the oracle-checked shape): queries ∝ n, so
@@ -205,7 +227,30 @@ object ScaleCheck {
         // so bucket width stays pinned — expected ~linear shuffle +
         // bounded-bucket verify
         "knn_graph_hinted" -> (() =>
-          Similarity.knnGraph(emb, k = 10, bands = 2, corpusHint = Some(nEmb))))
+          Similarity.knnGraph(emb, k = 10, bands = 2, corpusHint = Some(nEmb))),
+        // WIMBD census: one map-side-combined n-gram shuffle + bounded
+        // top-k — expected linear in the tokenize/explode pass
+        "top_ngrams" -> (() => TextAnalysis.topNgrams(docs)),
+        // map-side salted-hash split — expected linear (scan-bound)
+        "corpus_split" -> (() => TextAnalysis.corpusSplit(docs)),
+        // within-doc repeated-line strip: zero shuffle, per-row cost
+        // bounded by a doc's line count (array_position index algebra) —
+        // expected linear; repLineBatch plants the in-doc repeats
+        "strip_repeat_lines" -> (() =>
+          TextAnalysis.stripRepeatedLines(repLineBatch(docs))),
+        // event-time family over the scaled events table (disjoint-key
+        // replication: K× users, same per-user history shape). All three
+        // are one-key-shuffle window/agg plans — expected linear.
+        "sessionize" -> (() =>
+          Temporal.sessionize(eventsSec(dir), gapSeconds = 1800)),
+        "event_funnel" -> (() =>
+          Temporal.eventFunnel(eventsSec(dir),
+            Seq("signup", "view", "click", "purchase"))),
+        "retention_cohorts" -> (() =>
+          Temporal.retentionCohorts(
+            eventsSec(dir).withColumn("day",
+              org.apache.spark.sql.functions.expr("ts div 86400")),
+            maxDays = 30)))
 
       // SPARK_GRAFT_SCALE_ONLY=a,b,c runs a subset (merge results by hand)
       val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)

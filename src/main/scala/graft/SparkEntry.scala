@@ -463,6 +463,45 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // TPC-H Q4 shape (EXISTS → left-semi with a cross-table condition):
+    // orders with a late-shipping lineitem, counted by priority. The semi
+    // join shuffles only orderkeys; the count is bounded by #priorities.
+    // (l_commitdate/l_receiptdate don't exist in this schema — "late" is
+    // shipdate > orderdate + 60d, same plan shape as the reference query.)
+    "q4_priority" -> { (s, dir) =>
+      val c = cat(s, dir)
+      c.table("orders")
+        .where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .join(c.table("lineitem"),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > date_add(col("o_orderdate").cast("date"), 60),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // per-type z-score outliers: bounded stats agg (≤ #types rows)
+    // broadcast back map-side — exact decimal sums make mean/var (and so
+    // every z) partition-order independent; the flag path never shuffles
+    // event rows
+    "events_anomaly" -> { (s, dir) =>
+      val ev = cat(s, dir).table("events")
+      val stats = ev.groupBy(col("event_type").as("t")).agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("sv"),
+        sum((col("value") * col("value")).cast("decimal(28,10)")).as("svv"))
+      val mean = col("sv").cast("double") / col("n")
+      val variance = col("svv").cast("double") / col("n") - mean * mean
+      val z = (col("value") - mean) / sqrt(variance)
+      ev.join(broadcast(stats), col("event_type") === col("t"))
+        .withColumn("z", round(z, 4))
+        .where(abs(col("z")) >= 2.5)
+        .select(col("event_id"), col("event_type"), col("value"), col("z"))
+        .orderBy("event_id")
+    },
+
     "window_topn" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id"))
@@ -1267,6 +1306,27 @@ object SparkEntry {
            AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
          GROUP BY n_name
          ORDER BY revenue DESC, n_name""",
+
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders o
+         WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+           AND o.o_orderdate < TIMESTAMP '1997-01-01'
+           AND EXISTS (SELECT 1 FROM lineitem l
+             WHERE l.l_orderkey = o.o_orderkey
+               AND l.l_shipdate > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY)
+         GROUP BY 1 ORDER BY 1""",
+
+    "events_anomaly" ->
+      """WITH st AS (SELECT event_type AS t, count(*) AS n,
+           sum(CAST(value AS DECIMAL(18,6))) AS sv,
+           sum(CAST(value * value AS DECIMAL(28,10))) AS svv
+         FROM events GROUP BY 1),
+         z AS (SELECT event_id, event_type, value,
+           round((value - CAST(sv AS DOUBLE)/n) /
+             sqrt(CAST(svv AS DOUBLE)/n - (CAST(sv AS DOUBLE)/n)*(CAST(sv AS DOUBLE)/n)), 4) AS z
+         FROM events JOIN st ON event_type = t)
+         SELECT * FROM z WHERE abs(z) >= 2.5 ORDER BY event_id""",
 
     "window_topn" ->
       """SELECT user_id, event_id, event_type, value, rn FROM (
