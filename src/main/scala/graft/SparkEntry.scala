@@ -819,6 +819,12 @@ object SparkEntry {
       TextAnalysis.finewebFilter(c4Batch(cat(s, dir).table("documents")))
         .orderBy("doc_id")),
 
+    // the four-battery agreement gate in ONE map-side pass — every
+    // verdict the same shared expression its standalone operator emits
+    "quality_ensemble" -> ((s, dir) =>
+      TextAnalysis.qualityEnsemble(c4Batch(cat(s, dir).table("documents")))
+        .orderBy("doc_id")),
+
     // corpus_curate variant with the C4 pass in front: boilerplate-strip →
     // page gate → quality gate on the CLEANED text → exact-dedup keep →
     // deterministic sample, one declarative plan (every stage narrow or a
@@ -1565,6 +1571,70 @@ object SparkEntry {
            (punct * 1000 > n_lines * 120 AND nshort * 1000 < n_lines * 670
              AND dupchars * 1000 < tot_chars * 100) AS passes_fineweb
          FROM m ORDER BY doc_id""",
+
+    "quality_ensemble" ->
+      s"""WITH b AS ($C4BatchSql),
+         t AS (SELECT doc_id, text,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS toks,
+           string_split(text, chr(10)) AS lns
+         FROM b),
+         h AS (SELECT doc_id, (len(toks) >= 5 AND len(text) >= 40
+             AND len(list_filter(toks, x -> list_contains(
+               ['the','a','an','and','of','to','in','is','it','that'], x))) > 0)
+             AS passes_heuristic
+         FROM t),
+         gm AS (SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(toks, w -> CAST(len(w) AS BIGINT))), (a, b) -> a + b) AS DOUBLE)
+             / greatest(len(toks), 1), 4) AS mean_word_len,
+           round(CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+             / greatest(len(toks), 1), 4) AS frac_alpha_words,
+           round(CAST(len(list_filter(lns, l -> starts_with(trim(l), '-')
+               OR starts_with(trim(l), '*') OR starts_with(trim(l), '•'))) AS DOUBLE)
+             / greatest(len(lns), 1), 4) AS frac_bullet_lines,
+           round(CAST(len(list_filter(lns, l -> ends_with(trim(l), '...')
+               OR ends_with(trim(l), '…'))) AS DOUBLE)
+             / greatest(len(lns), 1), 4) AS frac_ellipsis_lines,
+           CAST(len(list_intersect(list_distinct(toks),
+             ['the','a','an','and','of','to','in','is','it','that'])) AS BIGINT) AS n_stop_distinct
+         FROM t),
+         g AS (SELECT doc_id, (n_words >= 50 AND n_words <= 100000
+           AND mean_word_len >= 3 AND mean_word_len <= 10
+           AND frac_alpha_words >= 0.8 AND n_stop_distinct >= 2
+           AND frac_bullet_lines <= 0.9 AND frac_ellipsis_lines <= 0.3) AS passes_gopher
+         FROM gm),
+         cf AS (SELECT doc_id, text,
+           list_filter(list_transform(lns, l -> trim(l)), l -> regexp_matches(l, '[.!?"]$$')
+             AND len(regexp_extract_all(l, '\\S+')) >= 5
+             AND NOT contains(lower(l), 'javascript')) AS kept FROM t),
+         c AS (SELECT doc_id, (NOT contains(text, '{')
+           AND NOT contains(lower(text), 'lorem ipsum')
+           AND len(regexp_extract_all(COALESCE(array_to_string(kept, chr(10)), ''), '[.!?]')) >= 3)
+           AS passes_c4
+         FROM cf),
+         fn AS (SELECT doc_id, list_filter(list_transform(lns, l -> trim(l)),
+             l -> len(l) > 0) AS ne FROM t),
+         fm AS (SELECT doc_id,
+           CAST(len(ne) AS BIGINT) AS n_lines,
+           CAST(len(array_to_string(ne, '')) AS BIGINT) AS tot_chars,
+           CAST(len(list_filter(ne, l -> regexp_matches(l, '[.!?"'']$$'))) AS BIGINT) AS punct,
+           CAST(len(list_filter(ne, l -> len(l) < 30)) AS BIGINT) AS nshort,
+           CAST(COALESCE(list_sum(list_transform(list_distinct(ne), d ->
+             (len(list_filter(ne, x -> x = d)) - 1) * len(d))), 0) AS BIGINT) AS dupchars
+         FROM fn),
+         f AS (SELECT doc_id, (punct * 1000 > n_lines * 120
+           AND nshort * 1000 < n_lines * 670
+           AND dupchars * 1000 < tot_chars * 100) AS passes_fineweb
+         FROM fm),
+         e AS (SELECT h.doc_id, passes_heuristic, passes_gopher, passes_c4, passes_fineweb,
+           CAST(CASE WHEN passes_heuristic THEN 1 ELSE 0 END
+              + CASE WHEN passes_gopher THEN 1 ELSE 0 END
+              + CASE WHEN passes_c4 THEN 1 ELSE 0 END
+              + CASE WHEN passes_fineweb THEN 1 ELSE 0 END AS BIGINT) AS n_pass
+         FROM h JOIN g USING (doc_id) JOIN c USING (doc_id) JOIN f USING (doc_id))
+         SELECT *, n_pass = 4 AS passes_all, n_pass >= 3 AS passes_majority
+         FROM e ORDER BY doc_id""",
 
     "fineweb_curate" ->
       s"""WITH b AS ($C4BatchSql),

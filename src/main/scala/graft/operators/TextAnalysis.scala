@@ -542,38 +542,48 @@ object TextAnalysis {
     */
   def gopherQuality(docs: DataFrame, pack: LangPack = LangPack.en): DataFrame =
     docs
-      .select(col("doc_id"),
-        bindOnce(tokens(col("text")), tk =>
-          // lines are bound already TRIMMED — the per-branch trim(l) would
-          // otherwise re-run up to five times per line (bindOnce's rule)
-          bindOnce(transform(split(col("text"), "\n"), trim(_)), ln => {
-            val nW = greatest(size(tk), lit(1))
-            val nL = greatest(size(ln), lit(1))
-            val bullet = size(filter(ln, l =>
-              l.startsWith("-") || l.startsWith("*") || l.startsWith("•")))
-            val ellip = size(filter(ln, l =>
-              l.endsWith("...") || l.endsWith("…")))
-            struct(
-              size(tk).cast("long").as("n_words"),
-              round(aggregate(transform(tk, length(_).cast("long")),
-                lit(0L), (a, x) => a + x).cast("double") / nW, 4).as("mean_word_len"),
-              round(size(filter(tk, w => w.rlike(pack.alphaPattern))).cast("double") / nW, 4)
-                .as("frac_alpha_words"),
-              round(bullet.cast("double") / nL, 4).as("frac_bullet_lines"),
-              round(ellip.cast("double") / nL, 4).as("frac_ellipsis_lines"),
-              // array_intersect already dedups — no array_distinct pre-pass
-              size(array_intersect(tk, array(pack.stopwords.map(lit(_)): _*)))
-                .cast("long").as("n_stop_distinct"))
-          })).as("s"))
-      .select(col("doc_id"), col("s.*"))
-      .withColumn("passes_gopher",
-        col("n_words") >= 50 && col("n_words") <= 100000 &&
-          col("mean_word_len") >= pack.meanWordLenLo &&
-          col("mean_word_len") <= pack.meanWordLenHi &&
-          col("frac_alpha_words") >= 0.8 &&
-          col("n_stop_distinct") >= 2 &&
-          col("frac_bullet_lines") <= 0.9 &&
-          col("frac_ellipsis_lines") <= 0.3)
+      .select(col("doc_id"), gopherMetrics(col("text"), pack).as("s"))
+      .select(col("doc_id"), col("s.*"),
+        gopherVerdict(col("s"), pack).as("passes_gopher"))
+
+  /** The Gopher metric struct on its own — shared by [[gopherQuality]]'s
+    * telemetry frame and [[qualityEnsemble]]'s one-pass verdict battery,
+    * so "the Gopher rules" mean exactly one expression everywhere (the
+    * `piiClean`/`passesQuality` sharing discipline).
+    */
+  private[operators] def gopherMetrics(text: Column, pack: LangPack): Column =
+    bindOnce(tokens(text), tk =>
+      // lines are bound already TRIMMED — the per-branch trim(l) would
+      // otherwise re-run up to five times per line (bindOnce's rule)
+      bindOnce(transform(split(text, "\n"), trim(_)), ln => {
+        val nW = greatest(size(tk), lit(1))
+        val nL = greatest(size(ln), lit(1))
+        val bullet = size(filter(ln, l =>
+          l.startsWith("-") || l.startsWith("*") || l.startsWith("•")))
+        val ellip = size(filter(ln, l =>
+          l.endsWith("...") || l.endsWith("…")))
+        struct(
+          size(tk).cast("long").as("n_words"),
+          round(aggregate(transform(tk, length(_).cast("long")),
+            lit(0L), (a, x) => a + x).cast("double") / nW, 4).as("mean_word_len"),
+          round(size(filter(tk, w => w.rlike(pack.alphaPattern))).cast("double") / nW, 4)
+            .as("frac_alpha_words"),
+          round(bullet.cast("double") / nL, 4).as("frac_bullet_lines"),
+          round(ellip.cast("double") / nL, 4).as("frac_ellipsis_lines"),
+          // array_intersect already dedups — no array_distinct pre-pass
+          size(array_intersect(tk, array(pack.stopwords.map(lit(_)): _*)))
+            .cast("long").as("n_stop_distinct"))
+      }))
+
+  /** The composed Gopher verdict over a [[gopherMetrics]] struct. */
+  private[operators] def gopherVerdict(s: Column, pack: LangPack): Column =
+    s.getField("n_words") >= 50 && s.getField("n_words") <= 100000 &&
+      s.getField("mean_word_len") >= pack.meanWordLenLo &&
+      s.getField("mean_word_len") <= pack.meanWordLenHi &&
+      s.getField("frac_alpha_words") >= 0.8 &&
+      s.getField("n_stop_distinct") >= 2 &&
+      s.getField("frac_bullet_lines") <= 0.9 &&
+      s.getField("frac_ellipsis_lines") <= 0.3
 
   /** C4-style line-level boilerplate filter (after Raffel et al. '20
     * §2.2 — the cleaning pass every web-scale pretraining corpus runs
@@ -604,27 +614,34 @@ object TextAnalysis {
   def c4Filter(
       docs: DataFrame, minWordsPerLine: Int = 5, minSentences: Int = 3): DataFrame =
     docs
-      .select(col("doc_id"),
-        bindOnce(transform(split(col("text"), "\n"), trim(_)), ln =>
-          bindOnce(filter(ln, l =>
-              l.rlike("[.!?\"]$") &&
-                size(regexp_extract_all(l, lit("\\S+"), lit(0))) >= minWordsPerLine &&
-                !lower(l).contains("javascript")), kept =>
-            bindOnce(array_join(kept, "\n"), ct =>
-              struct(
-                size(ln).cast("long").as("n_lines"),
-                size(kept).cast("long").as("n_kept_lines"),
-                size(filter(ln, l => lower(l).contains("javascript")))
-                  .cast("long").as("n_js_lines"),
-                size(regexp_extract_all(ct, lit("[.!?]"), lit(0)))
-                  .cast("long").as("n_sentences"),
-                col("text").contains("{").as("has_brace"),
-                lower(col("text")).contains("lorem ipsum").as("has_lorem"),
-                ct.as("clean_text"))))).as("s"))
-      .select(col("doc_id"), col("s.*"))
-      .withColumn("passes_c4",
-        !col("has_brace") && !col("has_lorem") &&
-          col("n_sentences") >= minSentences)
+      .select(col("doc_id"), c4Metrics(col("text"), minWordsPerLine).as("s"))
+      .select(col("doc_id"), col("s.*"),
+        c4Verdict(col("s"), minSentences).as("passes_c4"))
+
+  /** The C4 metric struct on its own — shared by [[c4Filter]]'s telemetry
+    * frame and [[qualityEnsemble]] (the [[gopherMetrics]] discipline). */
+  private[operators] def c4Metrics(text: Column, minWordsPerLine: Int): Column =
+    bindOnce(transform(split(text, "\n"), trim(_)), ln =>
+      bindOnce(filter(ln, l =>
+          l.rlike("[.!?\"]$") &&
+            size(regexp_extract_all(l, lit("\\S+"), lit(0))) >= minWordsPerLine &&
+            !lower(l).contains("javascript")), kept =>
+        bindOnce(array_join(kept, "\n"), ct =>
+          struct(
+            size(ln).cast("long").as("n_lines"),
+            size(kept).cast("long").as("n_kept_lines"),
+            size(filter(ln, l => lower(l).contains("javascript")))
+              .cast("long").as("n_js_lines"),
+            size(regexp_extract_all(ct, lit("[.!?]"), lit(0)))
+              .cast("long").as("n_sentences"),
+            text.contains("{").as("has_brace"),
+            lower(text).contains("lorem ipsum").as("has_lorem"),
+            ct.as("clean_text")))))
+
+  /** The composed C4 page verdict over a [[c4Metrics]] struct. */
+  private[operators] def c4Verdict(s: Column, minSentences: Int): Column =
+    !s.getField("has_brace") && !s.getField("has_lorem") &&
+      s.getField("n_sentences") >= minSentences
 
   /** FineWeb's custom line-shape filter battery (Penedo et al. '24 §3.6 —
     * the three heuristics FineWeb adds beyond its C4/Gopher passes, found
@@ -654,29 +671,40 @@ object TextAnalysis {
       maxShortLinePermille: Int = 670,
       maxDupLineCharPermille: Int = 100): DataFrame =
     docs
-      .select(col("doc_id"),
-        bindOnce(
-          filter(transform(split(col("text"), "\n"), trim(_)), l => length(l) > 0),
-          ne => bindOnce(length(array_join(ne, "")).cast("long"), totChars => {
-            val nLines = size(ne).cast("long")
-            val punct = size(filter(ne, l => l.rlike("[.!?\"']$"))).cast("long")
-            val short = size(filter(ne, l => length(l) < shortLineChars)).cast("long")
-            val dupChars = aggregate(array_distinct(ne), lit(0L), (acc, d) =>
-              acc + (size(filter(ne, x => x === d)) - 1).cast("long") * length(d))
-            struct(
-              nLines.as("n_lines"),
-              round(punct.cast("double") / greatest(nLines, lit(1L)), 4)
-                .as("punct_line_frac"),
-              round(short.cast("double") / greatest(nLines, lit(1L)), 4)
-                .as("short_line_frac"),
-              round(dupChars.cast("double") / greatest(totChars, lit(1L)), 4)
-                .as("dup_line_char_frac"),
-              (punct * 1000 > nLines * minPunctLinePermille &&
-                short * 1000 < nLines * maxShortLinePermille &&
-                dupChars * 1000 < totChars * maxDupLineCharPermille)
-                .as("passes_fineweb"))
-          })).as("s"))
+      .select(col("doc_id"), finewebMetrics(col("text"), shortLineChars,
+        minPunctLinePermille, maxShortLinePermille, maxDupLineCharPermille).as("s"))
       .select(col("doc_id"), col("s.*"))
+
+  /** The FineWeb metric-and-verdict struct on its own — shared by
+    * [[finewebFilter]]'s telemetry frame and [[qualityEnsemble]] (the
+    * [[gopherMetrics]] discipline). */
+  private[operators] def finewebMetrics(
+      text: Column,
+      shortLineChars: Int = 30,
+      minPunctLinePermille: Int = 120,
+      maxShortLinePermille: Int = 670,
+      maxDupLineCharPermille: Int = 100): Column =
+    bindOnce(
+      filter(transform(split(text, "\n"), trim(_)), l => length(l) > 0),
+      ne => bindOnce(length(array_join(ne, "")).cast("long"), totChars => {
+        val nLines = size(ne).cast("long")
+        val punct = size(filter(ne, l => l.rlike("[.!?\"']$"))).cast("long")
+        val short = size(filter(ne, l => length(l) < shortLineChars)).cast("long")
+        val dupChars = aggregate(array_distinct(ne), lit(0L), (acc, d) =>
+          acc + (size(filter(ne, x => x === d)) - 1).cast("long") * length(d))
+        struct(
+          nLines.as("n_lines"),
+          round(punct.cast("double") / greatest(nLines, lit(1L)), 4)
+            .as("punct_line_frac"),
+          round(short.cast("double") / greatest(nLines, lit(1L)), 4)
+            .as("short_line_frac"),
+          round(dupChars.cast("double") / greatest(totChars, lit(1L)), 4)
+            .as("dup_line_char_frac"),
+          (punct * 1000 > nLines * minPunctLinePermille &&
+            short * 1000 < nLines * maxShortLinePermille &&
+            dupChars * 1000 < totChars * maxDupLineCharPermille)
+            .as("passes_fineweb"))
+      }))
 
   /** Corpus-unigram LM scoring — the cheap statistical stand-in for the
     * KenLM-perplexity quality filter (cf. CCNet): every document is scored
@@ -971,6 +999,40 @@ object TextAnalysis {
       .withColumn("k", col("k").cast("long"))
       .withColumn("coverage",
         round(col("covered_tokens").cast("double") / col("total_tokens"), 6))
+  }
+
+  /** Quality-filter ENSEMBLE — the DCLM/FineWeb practice of running
+    * several independent batteries and gating on their agreement, as ONE
+    * map-side pass: the cheap heuristic gate ([[passesQuality]]), the
+    * Gopher battery, the C4 page rules and the FineWeb line-shape rules
+    * each contribute a verdict column, plus `n_pass` and the composed
+    * `passes_all` / `passes_majority` (≥ 3 of 4) gates. Every verdict is
+    * the SAME expression its standalone operator emits (the shared
+    * metric-struct discipline), so the ensemble can never drift from the
+    * batteries it summarizes. Zero shuffle; at 100 TB this fuses into the
+    * scan stage like each battery does alone — agreement costs nothing
+    * beyond computing the members.
+    */
+  def qualityEnsemble(
+      docs: DataFrame,
+      pack: LangPack = LangPack.en,
+      minWordsPerLine: Int = 5,
+      minSentences: Int = 3): DataFrame = {
+    val verdicts = Seq("passes_heuristic", "passes_gopher", "passes_c4",
+      "passes_fineweb")
+    docs
+      .select(col("doc_id"),
+        passesQuality(col("text"), pack).as("passes_heuristic"),
+        bindOnce(gopherMetrics(col("text"), pack), m =>
+          gopherVerdict(m, pack)).as("passes_gopher"),
+        bindOnce(c4Metrics(col("text"), minWordsPerLine), m =>
+          c4Verdict(m, minSentences)).as("passes_c4"),
+        finewebMetrics(col("text")).getField("passes_fineweb")
+          .as("passes_fineweb"))
+      .withColumn("n_pass",
+        verdicts.map(c => when(col(c), 1L).otherwise(0L)).reduce(_ + _))
+      .withColumn("passes_all", col("n_pass") === verdicts.size)
+      .withColumn("passes_majority", col("n_pass") >= verdicts.size - 1)
   }
 
   /** The redaction expression on its own — text with every PII pattern

@@ -568,6 +568,27 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("qualityEnsemble verdicts equal each standalone battery's") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val ens = TextAnalysis.qualityEnsemble(docs)
+    val gopher = TextAnalysis.gopherQuality(docs)
+      .select(col("doc_id"), col("passes_gopher").as("g"))
+    val c4 = TextAnalysis.c4Filter(docs)
+      .select(col("doc_id"), col("passes_c4").as("c"))
+    val fw = TextAnalysis.finewebFilter(docs)
+      .select(col("doc_id"), col("passes_fineweb").as("f"))
+    val joined = ens.join(gopher, "doc_id").join(c4, "doc_id").join(fw, "doc_id")
+    assert(joined.where(col("passes_gopher") =!= col("g") ||
+      col("passes_c4") =!= col("c") || col("passes_fineweb") =!= col("f"))
+      .count() === 0)
+    // n_pass is exactly the verdict sum; the gates compose from it
+    assert(ens.where(col("n_pass") =!=
+      Seq("passes_heuristic", "passes_gopher", "passes_c4", "passes_fineweb")
+        .map(c => when(col(c), 1L).otherwise(0L)).reduce(_ + _)).count() === 0)
+    assert(ens.where(col("passes_all") && col("n_pass") =!= 4).count() === 0)
+    assert(ens.where(col("passes_majority") =!= (col("n_pass") >= 3)).count() === 0)
+  }
+
   test("stripRepeatedLines drops only within-doc repeats, keeps blanks") {
     import spark.implicits._
     val text = "header\nbody one\n\nheader\nbody two\n\nheader"
