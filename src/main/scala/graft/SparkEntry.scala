@@ -567,6 +567,12 @@ object SparkEntry {
           maxDays = 30)
         .orderBy("cohort_day", "day_offset")),
 
+    // exact per-type value percentiles by integer rank over the value
+    // histogram — bounded window partitions, engine-portable thresholds
+    "events_percentiles" -> ((s, dir) =>
+      Temporal.valuePercentiles(cat(s, dir).table("events"))
+        .orderBy("event_type")),
+
     // typed JSON props extraction + per-type rollup (decimal sums: exact,
     // partition-order independent) — the semi-structured column path
     "events_props" -> ((s, dir) =>
@@ -1849,6 +1855,20 @@ object SparkEntry {
          SELECT cohort_day, day - cohort_day AS day_offset, count(*) AS n_users
          FROM a JOIN c USING (user_id) WHERE day - cohort_day <= 30
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "events_percentiles" ->
+      """WITH h AS (SELECT event_type, value AS v, count(*) AS c
+           FROM events GROUP BY 1, 2),
+         cum AS (SELECT event_type, v, c,
+           sum(c) OVER (PARTITION BY event_type ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(c) OVER (PARTITION BY event_type) AS n
+         FROM h)
+         SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           min(CASE WHEN cum * 1000 >= n * 500 THEN v END) AS p500,
+           min(CASE WHEN cum * 1000 >= n * 950 THEN v END) AS p950,
+           min(CASE WHEN cum * 1000 >= n * 990 THEN v END) AS p990
+         FROM cum GROUP BY 1 ORDER BY 1""",
 
     "events_props" ->
       """SELECT event_type, count(*) AS n_events,

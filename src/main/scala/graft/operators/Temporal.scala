@@ -173,4 +173,40 @@ object Temporal {
       .groupBy(col("cohort_day"), col("day_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** EXACT per-group percentiles of a metric column by integer rank over
+    * the grouped value histogram (the `length_band`/`perplexity_buckets`
+    * discipline on events): the p‰ percentile is the smallest value whose
+    * cumulative count reaches ⌈p·n/1000⌉, tested in integer
+    * cross-multiplication (`cum·1000 ≥ p·n`) — never IEEE division, so
+    * the thresholds are bit-identical in any engine and partitioning.
+    *
+    * Scale shape: the corpus reduces map-side+shuffle to the (group,
+    * value) histogram; the cumulative window partitions per group over
+    * histogram rows — bounded by the metric's RESOLUTION (fixed-point
+    * metrics like prices or latency-ms have bounded distinct values),
+    * never event volume. Callers with genuinely continuous metrics bucket
+    * the column first (the perplexity_buckets rounding pattern). Output:
+    * one row per group with `n` and a `p<permille>` column per requested
+    * percentile.
+    */
+  def valuePercentiles(
+      events: DataFrame,
+      permilles: Seq[Int] = Seq(500, 950, 990),
+      groupCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+      s"permilles must be in [1, 1000]: $permilles")
+    val h = events.groupBy(col(groupCol), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy(col(groupCol)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h
+      .withColumn("cum", sum(col("c")).over(cumW))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col(groupCol))))
+    val pCols = permilles.map(p =>
+      min(when(col("cum") * 1000 >= col("n") * p, col("v"))).as(s"p$p"))
+    cum.groupBy(col(groupCol))
+      .agg(max(col("n")).as("n"), pCols: _*)
+  }
 }

@@ -137,6 +137,22 @@ class TemporalSpec extends SparkSpec {
     assert(out.count() === eventsSeconds.select("user_id").distinct().count())
   }
 
+  test("valuePercentiles takes exact integer-rank cuts per group") {
+    import spark.implicits._
+    val ev = (1 to 10).map(v => ("a", v.toDouble)) ++
+      Seq(("b", 1.0), ("b", 1.0), ("b", 1.0), ("b", 2.0))
+    val out = Temporal.valuePercentiles(ev.toDF("event_type", "value"))
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out("a").getAs[Long]("n") === 10L)
+    assert(out("a").getAs[Double]("p500") === 5.0)  // ceil(0.5·10) = rank 5
+    assert(out("a").getAs[Double]("p950") === 10.0) // ceil(9.5) = rank 10
+    assert(out("b").getAs[Double]("p500") === 1.0)  // cum 3 ≥ rank 2
+    assert(out("b").getAs[Double]("p950") === 2.0)  // rank ceil(3.8) = 4
+    intercept[IllegalArgumentException] {
+      Temporal.valuePercentiles(ev.toDF("event_type", "value"), permilles = Seq(0))
+    }
+  }
+
   test("retentionCohorts counts each user once per offset, anchored at first day") {
     import spark.implicits._
     // u1 active days 0,1,3; u2 active days 1,1 (dup events same day), 2
