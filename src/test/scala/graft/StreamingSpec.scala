@@ -276,4 +276,40 @@ class StreamingSpec extends SparkSpec {
     assert(got(1).getSeq[String](got(1).fieldIndex("bpe_tokens"))
       === Seq("s", "low</w>"))
   }
+
+  test("streaming funnel emits once on ordered completion, respects the window") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val steps = Seq("signup", "view", "click", "purchase")
+    val stream = MemoryStream[(Long, Long, String, Long)]
+    val q = graft.streaming.StreamingFunnel.funnel(
+        stream.toDF().toDF("user_id", "event_id", "event_type", "ts"),
+        steps, windowSeconds = 100)
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        (1L, 1L, "signup", 10L), (1L, 2L, "view", 20L),
+        // u2's purchase precedes click — chain must not count it
+        (2L, 3L, "signup", 10L), (2L, 4L, "purchase", 15L),
+        (2L, 5L, "view", 20L), (2L, 6L, "click", 30L),
+        // u3 converts only outside the 100 s window
+        (3L, 7L, "signup", 10L), (3L, 8L, "view", 20L), (3L, 9L, "click", 30L)))
+      q.processAllAvailable()
+      stream.addData(Seq(
+        // u1 completes across batches
+        (1L, 10L, "click", 30L), (1L, 11L, "purchase", 40L),
+        (2L, 12L, "purchase", 40L),
+        (3L, 13L, "purchase", 200L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("funnel_stream").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getSeq[Long](r.fieldIndex("step_times")), r.getAs[Long]("conversion_s")))
+      .toMap
+    assert(got.keySet === Set(1L, 2L)) // u3 never converts in-window
+    assert(got(1L) === (Seq(10L, 20L, 30L, 40L), 30L))
+    assert(got(2L) === (Seq(10L, 20L, 30L, 40L), 30L))
+  }
 }
