@@ -1156,6 +1156,18 @@ object SparkEntry {
           kNN = 10, m = 8, k = 16)
         .orderBy("query_id", "rank")),
 
+    // int8 scalar quantization (4× compression): codes + reconstruction
+    // error under the driver-fetched per-dim bounds
+    "embed_sq" -> ((s, dir) =>
+      Similarity.embedSq(cat(s, dir).table("embeddings")).orderBy("vec_id")),
+
+    // asymmetric search over the SQ index: exact queries vs reconstructed
+    // corpus, one codegen'd dot probe per pair, two-phase top-k
+    "sq_search" -> ((s, dir) =>
+      Similarity.sqSearch(cat(s, dir).table("embeddings"), col("vec_id") % 50 === 0,
+          kNN = 10)
+        .orderBy("query_id", "rank")),
+
     "ivfpq_search" -> ((s, dir) =>
       Similarity.ivfPqSearch(cat(s, dir).table("embeddings"), col("vec_id") % 50 === 0,
           kNN = 10, m = 8, k = 16, centEvery = 40, nprobe = 2)
@@ -2736,6 +2748,59 @@ object SparkEntry {
            array_to_string(list_transform(dss, ds -> list_position(ds, list_min(ds)) - 1), ':') AS pq_code,
            round(sqrt(list_reduce(list_prepend(0.0, list_transform(dss, ds -> list_min(ds))), (a, b) -> a + b)), 4) AS recon_err
          FROM ce ORDER BY vec_id""",
+
+    "embed_sq" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         mm AS (SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his FROM (
+           SELECT pos, min(x) AS lo, max(x) AS hi FROM (
+             SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e)
+           GROUP BY pos)),
+         c AS (SELECT vec_id, v,
+           list_transform(range(1, len(v) + 1), i -> CASE WHEN his[i] = los[i] THEN 0
+             ELSE CAST(round((v[i] - los[i]) * 255.0 / (his[i] - los[i])) AS INT) END) AS codes
+         FROM e CROSS JOIN mm),
+         r AS (SELECT vec_id, v, codes,
+           list_transform(range(1, len(codes) + 1),
+             i -> los[i] + (codes[i] * (his[i] - los[i])) / 255.0) AS rec
+         FROM c CROSS JOIN mm)
+         SELECT vec_id, codes,
+           round(list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1),
+             i -> (v[i] - rec[i]) * (v[i] - rec[i]))), (a, b) -> a + b), 6) AS recon_err2
+         FROM r ORDER BY vec_id""",
+
+    "sq_search" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         mm AS (SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his FROM (
+           SELECT pos, min(x) AS lo, max(x) AS hi FROM (
+             SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e)
+           GROUP BY pos)),
+         c AS (SELECT vec_id, v,
+           list_transform(range(1, len(v) + 1), i -> CASE WHEN his[i] = los[i] THEN 0
+             ELSE CAST(round((v[i] - los[i]) * 255.0 / (his[i] - los[i])) AS INT) END) AS codes
+         FROM e CROSS JOIN mm),
+         r AS (SELECT vec_id, v, codes,
+           list_transform(range(1, len(codes) + 1),
+             i -> los[i] + (codes[i] * (his[i] - los[i])) / 255.0) AS rec
+         FROM c CROSS JOIN mm),
+         sqx AS (SELECT vec_id, rec,
+           list_reduce(list_prepend(0.0, list_transform(range(1, len(rec) + 1),
+             i -> rec[i] * rec[i])), (a, b) -> a + b) AS rn2 FROM r),
+         qv AS (SELECT vec_id AS query_id, v,
+           list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1),
+             i -> v[i] * v[i])), (a, b) -> a + b) AS qn2
+         FROM e WHERE vec_id % 50 = 0),
+         p AS (SELECT q.query_id, x.vec_id AS neighbor_id,
+           q.qn2 + x.rn2 - 2.0 * list_reduce(list_prepend(0.0,
+             list_transform(range(1, len(q.v) + 1), i -> q.v[i] * x.rec[i])),
+             (a, b) -> a + b) AS adist
+         FROM qv q JOIN sqx x ON x.vec_id <> q.query_id),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY adist, neighbor_id) AS rnk FROM p)
+         SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank",
+           round(adist, 4) AS approx_dist2
+         FROM rk WHERE rnk <= 10 ORDER BY query_id, rnk""",
 
     "pq_search" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -455,6 +455,110 @@ object Similarity {
         col("rank").cast("long").as("rank"), round(col("adist"), 4).as("approx_dist2"))
   }
 
+  /** Per-dimension [lo, hi] of the corpus — the scalar-quantizer's trained
+    * "codebook": ONE bounded aggregate (dim rows), fetched driver-side at
+    * plan time and baked in as literals (the pqTable/IVF codebook
+    * discipline; min/max of floats is exact, so the bounds are
+    * bit-identical in any engine and partitioning).
+    */
+  private def sqBounds(emb: DataFrame): (Seq[Double], Seq[Double]) = {
+    val rows = emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x").cast("double")).as("lo"), max(col("x").cast("double")).as("hi"))
+      .orderBy("pos").collect()
+    (rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
+  }
+
+  /** Codes column under literal bounds: code_i = round(255·(v_i − lo_i) /
+    * (hi_i − lo_i)); constant dimensions (hi = lo) code to 0. */
+  private def sqCodes(v: Column, los: Seq[Double], his: Seq[Double]): Column = {
+    val lo = array(los.map(lit(_)): _*)
+    val hi = array(his.map(lit(_)): _*)
+    transform(sequence(lit(1), size(v)), i => {
+      val l = element_at(lo, i)
+      val h = element_at(hi, i)
+      when(h === l, lit(0)).otherwise(
+        round((element_at(v, i) - l) * 255.0 / (h - l)).cast("int"))
+    })
+  }
+
+  /** Reconstruction column: recon_i = lo_i + code_i·(hi_i − lo_i)/255 —
+    * coded-to-0 constant dimensions reconstruct exactly. */
+  private def sqRecon(codes: Column, los: Seq[Double], his: Seq[Double]): Column = {
+    val lo = array(los.map(lit(_)): _*)
+    val hi = array(his.map(lit(_)): _*)
+    transform(sequence(lit(1), size(codes)), i => {
+      val l = element_at(lo, i)
+      val h = element_at(hi, i)
+      l + (element_at(codes, i) * (h - l)) / 255.0
+    })
+  }
+
+  /** Scalar (int8) quantization of the embedding corpus — the shape of
+    * FAISS `IndexScalarQuantizer(QT_8bit)` and the simplest entry in this
+    * file's compression family (4× over float32; [[embedPq]] is the 32×
+    * sibling): per-dimension [lo, hi] trained in one bounded aggregate
+    * ([[sqBounds]]), encode and reconstruct pure map-side under literal
+    * bounds. Emits codes plus the per-vector squared reconstruction error
+    * (sequential fold — bit-portable), the quality telemetry a quantized
+    * deployment monitors.
+    */
+  def embedSq(emb: DataFrame): DataFrame = {
+    val (los, his) = sqBounds(emb)
+    emb
+      .select(col("vec_id"),
+        TextAnalysis.bindOnce(vec(col("embedding")), v =>
+          TextAnalysis.bindOnce(sqCodes(v, los, his), codes =>
+            TextAnalysis.bindOnce(sqRecon(codes, los, his), r =>
+              struct(
+                codes.as("codes"),
+                round(aggregate(sequence(lit(1), size(v)), lit(0.0), (acc, i) =>
+                  acc + (element_at(v, i) - element_at(r, i)) *
+                    (element_at(v, i) - element_at(r, i))), 6)
+                  .as("recon_err2"))))).as("s"))
+      .select(col("vec_id"), col("s.codes").as("codes"),
+        col("s.recon_err2").as("recon_err2"))
+  }
+
+  /** Asymmetric search over the SQ-compressed corpus (the SQ sibling of
+    * [[pqSearch]]'s ADC): the stored index is int8 codes, queries keep
+    * their exact vectors, and the per-pair distance is
+    * |q|² + |r|² − 2·q·r with the reconstruction norm precomputed
+    * map-side per corpus row — so each pair costs ONE codegen'd [[dot]]
+    * probe over the reconstructed array, and the top-k is the shared
+    * two-phase shape (per-partition top-k, then a global rank over
+    * ≤ k × partitions survivors — no corpus-wide sort).
+    */
+  def sqSearch(emb: DataFrame, queryFilter: Column, kNN: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (los, his) = sqBounds(emb)
+    val sq = emb.select(col("vec_id"),
+        TextAnalysis.bindOnce(
+          sqRecon(sqCodes(vec(col("embedding")), los, his), los, his), r =>
+          struct(r.as("r"), dot(r, r).as("rn2"))).as("s"))
+      .select(col("vec_id"), col("s.r").as("r"), col("s.rn2").as("rn2"))
+      .localCheckpoint() // the stored index: encode once, search many
+    val q = emb.where(queryFilter)
+      .select(col("vec_id").as("query_id"),
+        TextAnalysis.bindOnce(vec(col("embedding")), v =>
+          struct(v.as("qv"), dot(v, v).as("qn2"))).as("s"))
+      .select(col("query_id"), col("s.qv").as("qv"), col("s.qn2").as("qn2"))
+    val scored = broadcast(q).join(sq, col("vec_id") =!= col("query_id"))
+      .withColumn("adist",
+        col("qn2") + col("rn2") - lit(2.0) * dot(col("qv"), col("r")))
+      .withColumn("part", spark_partition_id())
+    val local = Window.partitionBy(col("query_id"), col("part"))
+      .orderBy(col("adist"), col("vec_id"))
+    val survivors = scored.withColumn("lrank", row_number().over(local))
+      .where(col("lrank") <= kNN)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
+    survivors.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= kNN)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("adist"), 4).as("approx_dist2"))
+  }
+
   /** IVF-bucketed ANN (inverted-file index): every `centEvery`-th vector
     * acts as a centroid (the deterministic, engine-portable stand-in for a
     * k-means codebook — swapping in trained centroids changes nothing

@@ -40,6 +40,24 @@ class SimilaritySpec extends SparkSpec {
     assert(viol === 0)
   }
 
+  test("SQ8: valid codes, small reconstruction error, near-exact recall@10") {
+    val enc = Similarity.embedSq(emb)
+    assert(enc.count() === emb.count())
+    // every code in [0, 255]; error is a non-negative squared fold
+    assert(enc.where(exists(col("codes"), c => c < 0 || c > 255)).count() === 0)
+    assert(enc.where(col("recon_err2") < 0).count() === 0)
+    val qf = col("vec_id") % 20 === 0
+    val truth = Similarity.annTopK(emb, qf, k = 10)
+      .select("query_id", "neighbor_id")
+    val nTruth = truth.count().toDouble
+    val sqRecall = Similarity.sqSearch(emb, qf, kNN = 10)
+      .select("query_id", "neighbor_id").intersect(truth).count() / nTruth
+    info(f"recall@10 — sq8 asymmetric: $sqRecall%.3f")
+    // an int8 grid perturbs 64-dim distances far less than neighbor gaps:
+    // SQ must sit way above the PQ family's quantization-noise recall
+    assert(sqRecall > 0.8, s"sq8 recall floor: $sqRecall")
+  }
+
   test("measured recall@10: multi-probe lifts LSH/IVF; PQ ADC ranks usably") {
     // Ground truth: exact top-10 per query from the brute-force baseline.
     val qf = col("vec_id") % 20 === 0
