@@ -533,6 +533,22 @@ object SparkEntry {
         .orderBy("event_id")
     },
 
+    // the as-of join under a 30-day staleness budget (feature-store TTL /
+    // pandas merge_asof tolerance): stale matches null out, plan unchanged
+    "asof_join_tol" -> { (s, dir) =>
+      val c = cat(s, dir)
+      val ev = c.table("events")
+        .select(col("event_id"), expr("ts div 1000000000").as("ts"), col("user_id"))
+      val latestOrders = c.table("orders")
+        .groupBy(col("o_custkey").as("user_id"),
+          col("o_orderdate").cast("timestamp").cast("long").as("ts"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      Temporal.asofJoin(ev, latestOrders, keyCol = "user_id", tsCol = "ts",
+          payloadCols = Seq("o_orderkey"), tolerance = Some(30L * 86400))
+        .select(col("event_id"), col("user_id"), col("o_orderkey"))
+        .orderBy("event_id")
+    },
+
     "sessionize" -> ((s, dir) =>
       Temporal.sessionize(
           cat(s, dir).table("events").withColumn("ts", expr("ts div 1000000000")),
@@ -1799,6 +1815,19 @@ object SparkEntry {
            max(o_orderkey) AS o_orderkey
          FROM orders GROUP BY 1, 2)
          SELECT ev.event_id, ev.user_id, o.o_orderkey
+         FROM ev ASOF LEFT JOIN o
+           ON ev.user_id = o.user_id AND ev.ts >= o.ots
+         ORDER BY ev.event_id""",
+
+    "asof_join_tol" ->
+      """WITH ev AS (SELECT event_id, epoch_ns(ts) // 1000000000 AS ts, user_id
+           FROM events),
+         o AS (SELECT o_custkey AS user_id,
+           epoch_ns(CAST(o_orderdate AS TIMESTAMP)) // 1000000000 AS ots,
+           max(o_orderkey) AS o_orderkey
+         FROM orders GROUP BY 1, 2)
+         SELECT ev.event_id, ev.user_id,
+           CASE WHEN ev.ts - o.ots <= 2592000 THEN o.o_orderkey END AS o_orderkey
          FROM ev ASOF LEFT JOIN o
            ON ev.user_id = o.user_id AND ev.ts >= o.ots
          ORDER BY ev.event_id""",

@@ -31,23 +31,33 @@ object Temporal {
     * otherwise "the latest" is ambiguous in any engine; pre-aggregate the
     * right side to make it deterministic.
     */
+  /** `tolerance`: optional maximum staleness (same units as `tsCol`) — a
+    * matched right row older than `left.ts − tolerance` is discarded
+    * (pandas `merge_asof(tolerance=...)`; feature-store TTL semantics).
+    * Implemented by carrying the right timestamp inside the propagated
+    * payload and null-ing the match in the final projection — the plan
+    * shape (one shuffle, no range join) is unchanged.
+    */
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
       keyCol: String,
       tsCol: String,
-      payloadCols: Seq[String]): DataFrame = {
+      payloadCols: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
     // the result is left.columns ++ payloadCols under their bare names —
     // an overlap would silently emit duplicate/clobbered columns
     val clash = payloadCols.toSet.intersect(left.columns.toSet)
     require(clash.isEmpty,
       s"payload column(s) ${clash.mkString(", ")} collide with left columns; " +
         s"alias them on the right side first")
-    val internal = Set("__side", "__payload", "__match")
+    val internal = Set("__side", "__payload", "__match", "__rts", "__ok")
     val taken = (left.columns ++ right.columns).toSet.intersect(internal)
     require(taken.isEmpty, s"column(s) ${taken.mkString(", ")} collide with " +
       s"asofJoin's internal names; rename them first")
-    val payload = struct(payloadCols.map(col): _*)
+    // the right timestamp rides inside the payload so the tolerance test
+    // can run AFTER propagation, against the row that actually matched
+    val payload = struct(payloadCols.map(col) :+ col(tsCol).as("__rts"): _*)
     val leftCols = left.columns
     val l = left.withColumn("__side", lit(1))
       .withColumn("__payload", lit(null).cast(right.select(payload).schema.head.dataType))
@@ -58,11 +68,16 @@ object Temporal {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inTol = tolerance match {
+      case Some(tol) => col(tsCol) - col("__match.__rts") <= tol
+      case None => lit(true)
+    }
     l.unionByName(r)
       .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .select(leftCols.map(col) :+ col("__match"): _*)
-      .select(leftCols.map(col) ++ payloadCols.map(c => col(s"__match.$c")): _*)
+      .select(leftCols.map(col) :+ col("__match") :+ inTol.as("__ok"): _*)
+      .select(leftCols.map(col) ++ payloadCols.map(c =>
+        when(col("__ok"), col(s"__match.$c")).as(c)): _*)
   }
 
   /** Inactivity-gap sessionization: events of one key belong to the same

@@ -27,6 +27,19 @@ class TemporalSpec extends SparkSpec {
     assert(out(5L) === null)  // key absent on the right
   }
 
+  test("asofJoin tolerance nulls stale matches without changing fresh ones") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "u1"), (2L, 500L, "u1"), (3L, 120L, "u2"))
+      .toDF("event_id", "ts", "k")
+    val right = Seq(("u1", 90L, "a"), ("u2", 10L, "b")).toDF("k", "ts", "tag")
+    val out = Temporal.asofJoin(left, right, "k", "ts", Seq("tag"),
+        tolerance = Some(50L))
+      .collect().map(r => r.getLong(0) -> r.getString(r.fieldIndex("tag"))).toMap
+    assert(out(1L) === "a")  // 10 s stale: within budget
+    assert(out(2L) === null) // 410 s stale: nulled
+    assert(out(3L) === null) // 110 s stale: nulled
+  }
+
   test("asofJoin rejects payload names colliding with left columns") {
     import spark.implicits._
     val left = Seq((1L, 10L, "u1")).toDF("event_id", "ts", "k")
