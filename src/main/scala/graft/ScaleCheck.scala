@@ -250,7 +250,23 @@ object ScaleCheck {
           Temporal.retentionCohorts(
             eventsSec(dir).withColumn("day",
               org.apache.spark.sql.functions.expr("ts div 86400")),
-            maxDays = 30)))
+            maxDays = 30)),
+        // exact percentile cuts: histogram + per-group bounded windows —
+        // expected linear in the histogram reduction
+        "events_percentiles" -> (() =>
+          Temporal.valuePercentiles(eventsSec(dir))),
+        // four-battery ensemble: one map-side pass — expected linear,
+        // cost ≈ the sum of its member batteries
+        "quality_ensemble" -> (() =>
+          TextAnalysis.qualityEnsemble(lineBatch(docs))),
+        // SQ8 asymmetric search: bounded-dim training agg + broadcast
+        // queries over reconstructed corpus — proportional query set, so
+        // pair work grows n²/50 like pq_search's; fixed-query deployment
+        // shape isolates the per-corpus linear part
+        "sq_search" -> (() =>
+          Similarity.sqSearch(emb, qf, kNN = 10)),
+        "sq_search_fixedq" -> (() =>
+          Similarity.sqSearch(emb, qfFixed, kNN = 10)))
 
       // SPARK_GRAFT_SCALE_ONLY=a,b,c runs a subset (merge results by hand)
       val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)

@@ -533,10 +533,16 @@ object Similarity {
   def sqSearch(emb: DataFrame, queryFilter: Column, kNN: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (los, his) = sqBounds(emb)
+    // codes is let-bound BEFORE sqRecon consumes it: recon indexes the
+    // codes array once per dimension, and an unbound codes expression
+    // would re-run the whole O(dim) encode per element access — the
+    // O(dim²)-per-row blowup bindOnce exists to prevent (measured: 23 s →
+    // sub-second for the corpus-side encode at sf0.1)
     val sq = emb.select(col("vec_id"),
-        TextAnalysis.bindOnce(
-          sqRecon(sqCodes(vec(col("embedding")), los, his), los, his), r =>
-          struct(r.as("r"), dot(r, r).as("rn2"))).as("s"))
+        TextAnalysis.bindOnce(vec(col("embedding")), v =>
+          TextAnalysis.bindOnce(sqCodes(v, los, his), codes =>
+            TextAnalysis.bindOnce(sqRecon(codes, los, his), r =>
+              struct(r.as("r"), dot(r, r).as("rn2"))))).as("s"))
       .select(col("vec_id"), col("s.r").as("r"), col("s.rn2").as("rn2"))
       .localCheckpoint() // the stored index: encode once, search many
     val q = emb.where(queryFilter)
