@@ -488,15 +488,8 @@ object SparkEntry {
     // event rows
     "events_anomaly" -> { (s, dir) =>
       val ev = cat(s, dir).table("events")
-      val stats = ev.groupBy(col("event_type").as("t")).agg(
-        count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,6)")).as("sv"),
-        sum((col("value") * col("value")).cast("decimal(28,10)")).as("svv"))
-      val mean = col("sv").cast("double") / col("n")
-      val variance = col("svv").cast("double") / col("n") - mean * mean
-      val z = (col("value") - mean) / sqrt(variance)
-      ev.join(broadcast(stats), col("event_type") === col("t"))
-        .withColumn("z", round(z, 4))
+      ev.join(broadcast(Temporal.anomalyStats(ev)), col("event_type") === col("t"))
+        .withColumn("z", round(Temporal.zScore(col("value")), 4))
         .where(abs(col("z")) >= 2.5)
         .select(col("event_id"), col("event_type"), col("value"), col("z"))
         .orderBy("event_id")

@@ -189,6 +189,30 @@ object Temporal {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Per-group moment statistics for z-scoring: count + exact decimal
+    * sums of value and value² (≤ #groups rows — broadcast material).
+    * Shared by the batch `events_anomaly` query and the streaming
+    * anomaly twin, so "the reference distribution" means exactly one
+    * expression everywhere (the piiClean sharing discipline).
+    */
+  def anomalyStats(
+      events: DataFrame,
+      groupCol: String = "event_type",
+      valueCol: String = "value"): DataFrame =
+    events.groupBy(col(groupCol).as("t")).agg(
+      count(lit(1)).as("n"),
+      sum(col(valueCol).cast("decimal(18,6)")).as("sv"),
+      sum((col(valueCol) * col(valueCol)).cast("decimal(28,10)")).as("svv"))
+
+  /** The z-score of `value` against [[anomalyStats]] columns — mean and
+    * variance derive from the exact decimal sums, so every z is
+    * partition-order independent and engine-portable. */
+  def zScore(value: Column): Column = {
+    val mean = col("sv").cast("double") / col("n")
+    val variance = col("svv").cast("double") / col("n") - mean * mean
+    (value - mean) / sqrt(variance)
+  }
+
   /** EXACT per-group percentiles of a metric column by integer rank over
     * the grouped value histogram (the `length_band`/`perplexity_buckets`
     * discipline on events): the p‰ percentile is the smallest value whose

@@ -277,6 +277,38 @@ class StreamingSpec extends SparkSpec {
       === Seq("s", "low</w>"))
   }
 
+  test("streaming anomaly scores vs the static reference, identical to batch") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // reference: clicks distributed around 10 (sd 2·sqrt(…)); stream has
+    // one in-distribution and one far-out event
+    val reference = Seq.tabulate(100)(i => ("click", 8.0 + (i % 5)))
+      .toDF("event_type", "value")
+    val stream = MemoryStream[(Long, String, Double)]
+    val q = graft.streaming.StreamingAnomaly.scoreStream(
+        stream.toDF().toDF("event_id", "event_type", "value"), reference, minZ = 2.5)
+      .writeStream.format("memory").queryName("anomaly_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq((1L, "click", 10.0), (2L, "click", 100.0),
+        (3L, "view", 100.0))) // no reference stats for 'view' → unscored
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("anomaly_stream").collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("z")).toMap
+    assert(got.keySet === Set(2L))
+    // the z equals the batch expression on the same reference
+    val batchZ = reference
+      .join(broadcast(graft.operators.Temporal.anomalyStats(reference)),
+        col("event_type") === col("t"))
+      .limit(1)
+      .withColumn("z",
+        round(graft.operators.Temporal.zScore(lit(100.0)), 4))
+      .select("z").head().getDouble(0)
+    assert(got(2L) === batchZ)
+  }
+
   test("streaming funnel emits once on ordered completion, respects the window") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
