@@ -582,6 +582,51 @@ object SparkEntry {
       Temporal.valuePercentiles(cat(s, dir).table("events"))
         .orderBy("event_type")),
 
+    // classic RFM segmentation over orders: per-customer aggregation (one
+    // shuffle), quintile thresholds via the exact integer-rank percentile
+    // operator (histograms bounded by metric RESOLUTION — monetary is
+    // bucketed to 1k units for thresholding so its histogram never grows
+    // with customer count), thresholds as 1-row broadcasts, scoring
+    // map-side
+    "customer_rfm" -> { (s, dir) =>
+      val orders = cat(s, dir).table("orders")
+      val per = orders.groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate").cast("timestamp").cast("long")).as("last_s"),
+          count(lit(1)).as("frequency"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)"))).cast("long")
+            .as("monetary"))
+      val asOf = per.agg(max(col("last_s")).as("as_of"))
+      val rfm = per.crossJoin(broadcast(asOf))
+        .withColumn("recency_days", expr("(as_of - last_s) div 86400"))
+        .withColumn("monetary_k", expr("monetary div 1000"))
+      def cuts(vc: String) = broadcast(Temporal.valuePercentiles(
+          rfm.select(lit("all").as("g"), col(vc).cast("double").as("v")),
+          permilles = Seq(200, 400, 600, 800), groupCol = "g", valueCol = "v")
+        .select(col("p200").as(s"${vc}_p200"), col("p400").as(s"${vc}_p400"),
+          col("p600").as(s"${vc}_p600"), col("p800").as(s"${vc}_p800")))
+      def above(vc: String): Column =
+        Seq("p200", "p400", "p600", "p800")
+          .map(p => when(col(vc) > col(s"${vc}_$p"), 1).otherwise(0))
+          .reduce(_ + _)
+      rfm
+        .crossJoin(cuts("recency_days"))
+        .crossJoin(cuts("frequency"))
+        .crossJoin(cuts("monetary_k"))
+        .withColumn("r_score", lit(5) - above("recency_days"))
+        .withColumn("f_score", lit(1) + above("frequency"))
+        .withColumn("m_score", lit(1) + above("monetary_k"))
+        .withColumn("segment",
+          when(col("r_score") >= 4 && col("f_score") >= 4, "champion")
+            .when(col("r_score") >= 4, "recent")
+            .when(col("f_score") >= 4 && col("r_score") <= 2, "at_risk")
+            .when(col("r_score") <= 2 && col("f_score") <= 2, "hibernating")
+            .otherwise("regular"))
+        .select(col("o_custkey"), col("recency_days"), col("frequency"),
+          col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+          col("segment"))
+        .orderBy("o_custkey")
+    },
+
     // typed JSON props extraction + per-type rollup (decimal sums: exact,
     // partition-order independent) — the semi-structured column path
     "events_props" -> ((s, dir) =>
@@ -1903,6 +1948,51 @@ object SparkEntry {
            min(CASE WHEN cum * 1000 >= n * 950 THEN v END) AS p950,
            min(CASE WHEN cum * 1000 >= n * 990 THEN v END) AS p990
          FROM cum GROUP BY 1 ORDER BY 1""",
+
+    "customer_rfm" ->
+      """WITH per AS (SELECT o_custkey,
+           max(epoch_ns(CAST(o_orderdate AS TIMESTAMP)) // 1000000000) AS last_s,
+           count(*) AS frequency,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))) AS BIGINT) AS monetary
+         FROM orders GROUP BY 1),
+         ao AS (SELECT max(last_s) AS as_of FROM per),
+         r AS (SELECT per.*, (as_of - last_s) // 86400 AS recency_days,
+           monetary // 1000 AS monetary_k FROM per CROSS JOIN ao),
+         rch AS (SELECT CAST(recency_days AS DOUBLE) AS v, count(*) AS c FROM r GROUP BY 1),
+         rcc AS (SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) AS cum, sum(c) OVER () AS n FROM rch),
+         rct AS (SELECT min(CASE WHEN cum*1000 >= n*200 THEN v END) AS p200,
+           min(CASE WHEN cum*1000 >= n*400 THEN v END) AS p400,
+           min(CASE WHEN cum*1000 >= n*600 THEN v END) AS p600,
+           min(CASE WHEN cum*1000 >= n*800 THEN v END) AS p800 FROM rcc),
+         fh AS (SELECT CAST(frequency AS DOUBLE) AS v, count(*) AS c FROM r GROUP BY 1),
+         fc AS (SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) AS cum, sum(c) OVER () AS n FROM fh),
+         ft AS (SELECT min(CASE WHEN cum*1000 >= n*200 THEN v END) AS p200,
+           min(CASE WHEN cum*1000 >= n*400 THEN v END) AS p400,
+           min(CASE WHEN cum*1000 >= n*600 THEN v END) AS p600,
+           min(CASE WHEN cum*1000 >= n*800 THEN v END) AS p800 FROM fc),
+         mh AS (SELECT CAST(monetary_k AS DOUBLE) AS v, count(*) AS c FROM r GROUP BY 1),
+         mc AS (SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) AS cum, sum(c) OVER () AS n FROM mh),
+         mt AS (SELECT min(CASE WHEN cum*1000 >= n*200 THEN v END) AS p200,
+           min(CASE WHEN cum*1000 >= n*400 THEN v END) AS p400,
+           min(CASE WHEN cum*1000 >= n*600 THEN v END) AS p600,
+           min(CASE WHEN cum*1000 >= n*800 THEN v END) AS p800 FROM mc),
+         sc AS (SELECT o_custkey, recency_days, frequency, monetary,
+           CAST(5 - ((recency_days > rct.p200)::INT + (recency_days > rct.p400)::INT
+             + (recency_days > rct.p600)::INT + (recency_days > rct.p800)::INT) AS INT) AS r_score,
+           CAST(1 + ((frequency > ft.p200)::INT + (frequency > ft.p400)::INT
+             + (frequency > ft.p600)::INT + (frequency > ft.p800)::INT) AS INT) AS f_score,
+           CAST(1 + ((monetary_k > mt.p200)::INT + (monetary_k > mt.p400)::INT
+             + (monetary_k > mt.p600)::INT + (monetary_k > mt.p800)::INT) AS INT) AS m_score
+         FROM r CROSS JOIN rct CROSS JOIN ft CROSS JOIN mt)
+         SELECT *, CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+           WHEN r_score >= 4 THEN 'recent'
+           WHEN f_score >= 4 AND r_score <= 2 THEN 'at_risk'
+           WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+           ELSE 'regular' END AS segment
+         FROM sc ORDER BY o_custkey""",
 
     "events_props" ->
       """SELECT event_type, count(*) AS n_events,

@@ -1048,7 +1048,13 @@ object Similarity {
       corpusHint: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val effPlanes = corpusHint.map(planesFor(_)).getOrElse(planes)
-    val e = normalized(emb)
+    // The normalized frame is referenced up to three times (both sides of
+    // the band self-join, plus the centering mean) — and `emb` is often a
+    // COMPUTED frame (docEmbed: two aggregation passes), so without a
+    // lineage cut every reference re-runs that whole subtree. Materialize
+    // once — the minhashPairs/embedCosineDup persist discipline (measured
+    // on doc_knn at sf0.1: 12.5 s → the subtree no longer dominates).
+    val e = normalized(emb).localCheckpoint()
     val cand =
       if (exact) {
         val q = e.select(col("vec_id").as("query_id"), col("v").as("vq"),
