@@ -482,6 +482,46 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     },
 
+    // monthly revenue trend per priority with a 3-month trailing moving
+    // average — window partitions bounded by #months per priority, sums
+    // exact-decimal
+    "orders_monthly" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val monthly = cat(s, dir).table("orders")
+        .groupBy(col("o_orderpriority"),
+          date_trunc("month", col("o_orderdate").cast("timestamp")).cast("date")
+            .as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+            .as("revenue_d"))
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("month"))
+        .rowsBetween(-2, Window.currentRow)
+      monthly
+        .withColumn("revenue", col("revenue_d").cast("double"))
+        // decimal window sum / long count: exact numerator, one double
+        // division — identical in the oracle (decimal AVG would return
+        // DOUBLE in DuckDB but DECIMAL here; divide explicitly instead)
+        .withColumn("revenue_ma3",
+          round(sum(col("revenue_d")).over(w).cast("double") /
+            count(lit(1)).over(w), 2))
+        .select(col("o_orderpriority"), col("month"), col("n_orders"),
+          col("revenue"), col("revenue_ma3"))
+        .orderBy("o_orderpriority", "month")
+    },
+
+    // sliding 2h windows advancing hourly — the batch twin of a streaming
+    // sliding-window agg; each event lands in exactly two windows
+    "events_sliding" -> ((s, dir) =>
+      cat(s, dir).table("events")
+        .withColumn("w", window(expr("timestamp_seconds(ts div 1000000000)"),
+          "2 hours", "1 hour"))
+        .groupBy(col("event_type"),
+          col("w.start").cast("long").as("window_start"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,6)")), 2).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type", "window_start")),
+
     // per-type z-score outliers: bounded stats agg (≤ #types rows)
     // broadcast back map-side — exact decimal sums make mean/var (and so
     // every z) partition-order independent; the flag path never shuffles
@@ -1948,6 +1988,29 @@ object SparkEntry {
            min(CASE WHEN cum * 1000 >= n * 950 THEN v END) AS p950,
            min(CASE WHEN cum * 1000 >= n * 990 THEN v END) AS p990
          FROM cum GROUP BY 1 ORDER BY 1""",
+
+    "orders_monthly" ->
+      """WITH m AS (SELECT o_orderpriority,
+           CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS DATE) AS month,
+           count(*) AS n_orders,
+           round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS revenue_d
+         FROM orders GROUP BY 1, 2)
+         SELECT o_orderpriority, month, n_orders,
+           CAST(revenue_d AS DOUBLE) AS revenue,
+           round(CAST(sum(revenue_d) OVER (PARTITION BY o_orderpriority ORDER BY month
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / count(*) OVER (PARTITION BY o_orderpriority ORDER BY month
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS revenue_ma3
+         FROM m ORDER BY o_orderpriority, month""",
+
+    "events_sliding" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000000000 AS t, value
+           FROM events),
+         x AS (SELECT event_type, value, (t // 3600) * 3600 - off.o AS window_start
+           FROM e CROSS JOIN (SELECT unnest([0, 3600]) AS o) off)
+         SELECT event_type, window_start, count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+         FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "customer_rfm" ->
       """WITH per AS (SELECT o_custkey,
