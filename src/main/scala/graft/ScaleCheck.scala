@@ -255,6 +255,17 @@ object ScaleCheck {
         // expected linear in the histogram reduction
         "events_percentiles" -> (() =>
           Temporal.valuePercentiles(eventsSec(dir))),
+        // sliding 2h/1h windows: 2× map-side expansion + bounded groupBy —
+        // expected linear
+        "events_sliding" -> { () =>
+          import org.apache.spark.sql.functions._
+          eventsSec(dir)
+            .withColumn("w",
+              window(expr("timestamp_seconds(ts)"), "2 hours", "1 hour"))
+            .groupBy(col("event_type"), col("w.start").cast("long").as("ws"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,6)")).as("sv"))
+        },
         // four-battery ensemble: one map-side pass — expected linear,
         // cost ≈ the sum of its member batteries
         "quality_ensemble" -> (() =>

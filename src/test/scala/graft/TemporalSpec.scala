@@ -166,6 +166,33 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("valuePercentiles matches the sorted ceil-rank definition on seeded random data") {
+    import spark.implicits._
+    // 12 seeded pseudo-random groups (sizes 1..600, duplicate-heavy) in
+    // ONE frame/job; reference = directly indexing the sorted values at
+    // ceil(p·n/1000)
+    val rnd = new scala.util.Random(42)
+    val permilles = Seq(10, 250, 500, 905, 1000)
+    val data = (0 until 12).flatMap { g =>
+      val n = 1 + rnd.nextInt(600)
+      (0 until n).map(_ => (s"g$g", rnd.nextInt(50).toDouble))
+    }
+    val out = Temporal.valuePercentiles(
+        data.toDF("event_type", "value"), permilles = permilles)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    val byGroup = data.groupBy(_._1)
+    for ((g, rows) <- byGroup) {
+      val sorted = rows.map(_._2).sorted
+      val n = sorted.size
+      assert(out(g).getAs[Long]("n") === n.toLong)
+      for (p <- permilles) {
+        val rank = (p.toLong * n + 999) / 1000 // ceil(p·n/1000), ≥ 1 since p ≥ 1
+        assert(out(g).getAs[Double](s"p$p") === sorted((rank - 1).toInt),
+          s"group $g p$p n=$n")
+      }
+    }
+  }
+
   test("retentionCohorts counts each user once per offset, anchored at first day") {
     import spark.implicits._
     // u1 active days 0,1,3; u2 active days 1,1 (dup events same day), 2
