@@ -861,6 +861,12 @@ object SparkEntry {
     "top_ngrams" -> ((s, dir) =>
       TextAnalysis.topNgrams(cat(s, dir).table("documents"), n = 3, k = 100)),
 
+    // HLL++ sketch distinct counts (rows-only: DuckDB's HLL is a
+    // different sketch — accuracy vs exact is spec-asserted instead)
+    "profile_approx" -> ((s, dir) =>
+      TextAnalysis.corpusProfileApprox(cat(s, dir).table("documents"))
+        .orderBy("lang", "source")),
+
     "length_band" -> ((s, dir) =>
       TextAnalysis.lengthBand(cat(s, dir).table("documents"),
           pLoPermille = 50, pHiPermille = 950)

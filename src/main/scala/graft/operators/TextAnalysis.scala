@@ -94,6 +94,23 @@ object TextAnalysis {
         sum(when(col("n_toks") < shortTokens, 1L).otherwise(0L)).as("n_short"),
         countDistinct(md5(col("text"))).as("n_distinct_texts"))
 
+  /** [[corpusProfile]]'s SKETCH form — the 100 TB distinct count: exact
+    * `countDistinct` shuffles every distinct digest; HyperLogLog++
+    * (`approx_count_distinct`) shuffles one fixed-size sketch per group
+    * and partial-merges map-side, so the exchange is #groups × sketch
+    * bytes regardless of corpus size. The sketch insert and merge are
+    * deterministic and commutative — the estimate is partitioning-
+    * independent (spec-asserted within 3·rsd of exact). Rows-only at the
+    * gate: DuckDB's HLL is a different sketch, so estimates differ by
+    * construction.
+    */
+  def corpusProfileApprox(docs: DataFrame, rsd: Double = 0.05): DataFrame =
+    docs
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        approx_count_distinct(md5(col("text")), rsd).as("n_distinct_approx"))
+
   /** English stopwords used by quality scoring and language ID. */
   private[operators] val EnStop = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
 
