@@ -19,13 +19,20 @@ object StreamingHourly {
   /** Hourly windowed aggregation. `events` needs columns
     * `ts` (epoch-nanos long — the testdata encoding), `event_type`,
     * `value`. Works on both streaming and batch frames; the watermark is a
-    * no-op in batch mode.
+    * no-op in batch mode. `slide` < window length turns it into a
+    * SLIDING aggregation (each event lands in window/slide overlapping
+    * windows — the streaming twin of the batch `events_sliding` query);
+    * the default equals the window, i.e. tumbling.
     */
-  def hourlyAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+  def hourlyAgg(
+      events: DataFrame,
+      watermark: String = "2 hours",
+      windowLen: String = "1 hour",
+      slide: String = "1 hour"): DataFrame =
     events
       .withColumn("event_time", expr("timestamp_seconds(ts DIV 1000000000)"))
       .withWatermark("event_time", watermark)
-      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .groupBy(window(col("event_time"), windowLen, slide), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("sum_value"))

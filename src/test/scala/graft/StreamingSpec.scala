@@ -277,6 +277,27 @@ class StreamingSpec extends SparkSpec {
       === Seq("s", "low</w>"))
   }
 
+  test("sliding streaming agg matches the batch events_sliding shape") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // one event at minute 30 of hour h lands in windows h and h−1
+    val rows = Seq((3600L + 1800L, "click", 2.0), (7200L + 60L, "click", 1.0))
+      .map { case (s, t, v) => (s * 1000000000L, t, v) }
+    val stream = MemoryStream[(Long, String, Double)]
+    stream.addData(rows)
+    val q = StreamingHourly.hourlyAgg(
+        stream.toDF().toDF("ts", "event_type", "value"),
+        windowLen = "2 hours", slide = "1 hour")
+      .writeStream.format("memory").queryName("sliding_stream")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sliding_stream").collect()
+      .map(r => r.getAs[Long]("hour_start") -> r.getAs[Long]("n_events")).toMap
+    // event@5400 → windows starting 0 and 3600; event@7260 → 3600 and 7200
+    assert(got === Map(0L -> 1L, 3600L -> 2L, 7200L -> 1L))
+  }
+
   test("streaming anomaly scores vs the static reference, identical to batch") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
