@@ -867,6 +867,14 @@ object SparkEntry {
       TextAnalysis.corpusProfileApprox(cat(s, dir).table("documents"))
         .orderBy("lang", "source")),
 
+    // ingest drift gate: PSI of the en slice (the "new crawl") against
+    // the full corpus's top-300 vocabulary — per-term contributions
+    "corpus_drift" -> { (s, dir) =>
+      val docs = cat(s, dir).table("documents")
+      TextAnalysis.corpusDrift(docs, docs.where(col("lang") === "en"), topK = 300)
+        .orderBy("tok")
+    },
+
     "length_band" -> ((s, dir) =>
       TextAnalysis.lengthBand(cat(s, dir).table("documents"),
           pLoPermille = 50, pHiPermille = 950)
@@ -2479,6 +2487,25 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
          WHERE CAST('0x' || substr(md5('sample|' || doc_id::VARCHAR), 1, 15) AS BIGINT) % 100 < 10
          ORDER BY doc_id""",
+
+    "corpus_drift" ->
+      """WITH ctk AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             x -> len(x) > 0)) AS tok FROM documents),
+         cc AS (SELECT tok, count(*) AS c_cnt FROM ctk GROUP BY 1),
+         vocab AS (SELECT * FROM cc ORDER BY c_cnt DESC, tok LIMIT 300),
+         btk AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             x -> len(x) > 0)) AS tok FROM documents WHERE lang = 'en'),
+         bc AS (SELECT tok, count(*) AS b_cnt FROM btk GROUP BY 1),
+         j AS (SELECT vocab.tok, c_cnt, COALESCE(b_cnt, 0) AS b_cnt
+           FROM vocab LEFT JOIN bc USING (tok)),
+         tt AS (SELECT sum(c_cnt) AS ctot, sum(b_cnt) AS btot, count(*) AS n FROM j)
+         SELECT tok, c_cnt, b_cnt,
+           round((c_cnt + 1)::DOUBLE / (ctot + n), 6) AS p,
+           round((b_cnt + 1)::DOUBLE / (btot + n), 6) AS q,
+           round(((c_cnt + 1)::DOUBLE / (ctot + n) - (b_cnt + 1)::DOUBLE / (btot + n))
+             * ln(((c_cnt + 1)::DOUBLE / (ctot + n)) / ((b_cnt + 1)::DOUBLE / (btot + n))), 6)
+             AS psi_contrib
+         FROM j CROSS JOIN tt ORDER BY tok""",
 
     "corpus_split" ->
       """WITH h AS (SELECT doc_id,

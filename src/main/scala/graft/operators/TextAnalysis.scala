@@ -1125,6 +1125,42 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("ngram"))
       .limit(k)
 
+  /** Distribution drift between an accepted CORPUS and a new BATCH —
+    * the Population Stability Index over the corpus's top-K vocabulary
+    * (the monitoring gate a production ingest runs before accepting a
+    * crawl: PSI ≳ 0.2 conventionally flags a shifted source). Per-term
+    * rows carry both add-one-smoothed probabilities and the signed PSI
+    * contribution (p−q)·ln(p/q); the caller sums `psi_contrib` for the
+    * headline number and reads the top offenders for the diagnosis.
+    *
+    * Scale shape: two map-side-combined token shuffles (corpus + batch
+    * counts), vocabulary cut = TakeOrderedAndProject bounded by the
+    * PARAMETER with the deterministic (count desc, token) boundary,
+    * batch counts join on the ≤ topK vocab (AQE broadcasts it), totals
+    * ride as a 1-row broadcast. Counts are exact longs, so p/q/contrib
+    * are bit-portable across engines and partitionings.
+    */
+  def corpusDrift(corpus: DataFrame, batch: DataFrame, topK: Int = 1000): DataFrame = {
+    require(topK >= 1, s"topK must be positive: $topK")
+    def counts(df: DataFrame, cnt: String) =
+      df.select(explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as(cnt))
+    val vocab = counts(corpus, "c_cnt")
+      .orderBy(col("c_cnt").desc, col("tok")).limit(topK)
+    val joined = vocab
+      .join(counts(batch, "b_cnt"), Seq("tok"), "left")
+      .na.fill(0L, Seq("b_cnt"))
+    val tot = joined.agg(
+      sum(col("c_cnt")).as("ct"), sum(col("b_cnt")).as("bt"),
+      count(lit(1)).as("n_terms"))
+    joined.crossJoin(broadcast(tot))
+      .withColumn("p", (col("c_cnt") + 1).cast("double") / (col("ct") + col("n_terms")))
+      .withColumn("q", (col("b_cnt") + 1).cast("double") / (col("bt") + col("n_terms")))
+      .withColumn("psi_contrib", round((col("p") - col("q")) * log(col("p") / col("q")), 6))
+      .select(col("tok"), col("c_cnt"), col("b_cnt"),
+        round(col("p"), 6).as("p"), round(col("q"), 6).as("q"), col("psi_contrib"))
+  }
+
   /** Deterministic train/validation/test split: the salted id-hash lands
     * each row in a per-mille bucket; bucket < trainPermille → train, next
     * `valPermille` → val, remainder → test. Same engine-portable map-side

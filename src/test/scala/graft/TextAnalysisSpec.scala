@@ -568,6 +568,25 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("corpusDrift: zero PSI against itself, shifted term dominates a shifted batch") {
+    import spark.implicits._
+    val corpus = Seq.tabulate(50)(i => (i.toLong, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val self = TextAnalysis.corpusDrift(corpus, corpus, topK = 10)
+    val selfPsi = self.agg(sum(col("psi_contrib"))).head().getDouble(0)
+    assert(math.abs(selfPsi) < 1e-9)
+    // batch where 'alpha' floods the distribution
+    val shifted = Seq.tabulate(50)(i =>
+      (i.toLong, "alpha alpha alpha alpha alpha beta")).toDF("doc_id", "text")
+    val drift = TextAnalysis.corpusDrift(corpus, shifted, topK = 10)
+    val total = drift.agg(sum(col("psi_contrib"))).head().getDouble(0)
+    assert(total > 0.2) // the conventional "shifted source" PSI flag
+    val worst = drift.orderBy(abs(col("psi_contrib")).desc).head()
+    assert(Set("alpha", "gamma", "delta").contains(worst.getAs[String]("tok")))
+    // terms the batch never emits keep smoothed mass, never NaN/±inf
+    assert(drift.where(col("psi_contrib").isNull || isnan(col("psi_contrib"))).count() === 0)
+  }
+
   test("corpusProfileApprox estimates within 3·rsd of exact, partition-independent") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val exact = TextAnalysis.corpusProfile(docs)
