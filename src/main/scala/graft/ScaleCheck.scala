@@ -231,6 +231,11 @@ object ScaleCheck {
         // WIMBD census: one map-side-combined n-gram shuffle + bounded
         // top-k — expected linear in the tokenize/explode pass
         "top_ngrams" -> (() => TextAnalysis.topNgrams(docs)),
+        // PSI drift gate: two token shuffles + parameter-bounded vocab
+        // cut — expected linear (the vocab_coverage family)
+        "corpus_drift" -> (() =>
+          TextAnalysis.corpusDrift(docs,
+            docs.where(col("lang") === "en"), topK = 300)),
         // map-side salted-hash split — expected linear (scan-bound)
         "corpus_split" -> (() => TextAnalysis.corpusSplit(docs)),
         // within-doc repeated-line strip: zero shuffle, per-row cost
