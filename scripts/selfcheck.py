@@ -19,6 +19,20 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
+    # The driver's comparator sorts RAW values, so a list/array-valued
+    # column crashes it (TypeError: unhashable type: 'numpy.ndarray' —
+    # the embed_sq failure in CORRECTNESS_r11). Reproduce that failure
+    # mode here instead of silently stringifying, so a query the driver
+    # cannot compare can never look green locally. Serialize arrays to
+    # strings in the query itself (concat_ws / array_to_string — the
+    # pq_code precedent).
+    import numpy as np
+    for c in df.columns:
+        if df[c].map(lambda x: isinstance(x, (list, np.ndarray))).any():
+            raise TypeError(
+                f"unhashable array column {c!r} — the driver comparator "
+                "crashes on this; serialize it in the query (pq_code "
+                "precedent)")
     # normalize dtypes: everything to string with float rounding
     out = pd.DataFrame()
     import datetime
@@ -82,8 +96,15 @@ def main():
     bad = {k: v for k, v in results.items()
            if v.get("err") or not v.get("hash_match")}
     print(json.dumps(results, indent=1, default=str))
+    # Persist the compared tally next to the Verify output so
+    # update_counts.py publishes COMPARED-green counts, never
+    # declared-oracle counts (the r11 "0 failures" drift).
+    with open(os.path.join(outdir, "selfcheck_results.json"), "w") as f:
+        json.dump(results, f, indent=1, default=str)
     print(f"\n{len(results) - len(bad)}/{len(results)} green; failures: {sorted(bad)}",
           file=sys.stderr)
+    if bad:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

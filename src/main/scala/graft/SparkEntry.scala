@@ -1207,19 +1207,26 @@ object SparkEntry {
     // because bag-of-words vectors share a dominant direction (3000 of
     // 5000 docs in one bucket, measured) — centering re-balances the
     // signs
-    "doc_knn" -> ((s, dir) =>
+    // `corpusHint` derives the plane count (planesFor: log₂(n/64),
+    // floored at 4) so the benched plan IS the deployment plan — a
+    // pinned plane count turns the within-bucket verify quadratic as
+    // the corpus grows. The oracle derives the same count in SQL.
+    "doc_knn" -> { (s, dir) =>
+      val docs = cat(s, dir).table("documents")
       Similarity.knnGraph(
-          Similarity.docEmbed(cat(s, dir).table("documents"), dim = 16),
-          k = 3, bands = 2, planes = 4, center = true)
-        .orderBy("query_id", "rank")),
+          Similarity.docEmbed(docs, dim = 16),
+          k = 3, bands = 2, center = true, corpusHint = Some(docs.count()))
+        .orderBy("query_id", "rank")
+    },
 
     // the text-side capstone: high-cosine kNN edges over the hashed
     // embeddings feed connected components → semantic cluster ids over
     // raw text, zero external model (docEmbed ∘ knnGraph ∘ dedupGroups)
     "semantic_groups" -> { (s, dir) =>
+      val docs = cat(s, dir).table("documents")
       val edges = Similarity.knnGraph(
-          Similarity.docEmbed(cat(s, dir).table("documents"), dim = 16),
-          k = 3, bands = 2, planes = 4, center = true)
+          Similarity.docEmbed(docs, dim = 16),
+          k = 3, bands = 2, center = true, corpusHint = Some(docs.count()))
         .where(col("cosine") >= 0.95)
         .select(col("query_id").as("doc_a"), col("neighbor_id").as("doc_b"))
       Dedup.dedupGroups(edges).orderBy("doc_id")
@@ -1265,9 +1272,14 @@ object SparkEntry {
         .orderBy("query_id", "rank")),
 
     // int8 scalar quantization (4× compression): codes + reconstruction
-    // error under the driver-fetched per-dim bounds
+    // error under the driver-fetched per-dim bounds. The codes array is
+    // serialized to a ':'-joined string for the gate (array columns are
+    // unsortable in the driver's pandas comparator — the pq_code precedent)
     "embed_sq" -> ((s, dir) =>
-      Similarity.embedSq(cat(s, dir).table("embeddings")).orderBy("vec_id")),
+      Similarity.embedSq(cat(s, dir).table("embeddings"))
+        .select(col("vec_id"), concat_ws(":", col("codes")).as("sq_code"),
+          col("recon_err2"))
+        .orderBy("vec_id")),
 
     // asymmetric search over the SQ index: exact queries vs reconstructed
     // corpus, one codegen'd dot probe per pair, two-phase top-k
@@ -1456,7 +1468,7 @@ object SparkEntry {
          FROM events GROUP BY 1),
          z AS (SELECT event_id, event_type, value,
            round((value - CAST(sv AS DOUBLE)/n) /
-             sqrt(CAST(svv AS DOUBLE)/n - (CAST(sv AS DOUBLE)/n)*(CAST(sv AS DOUBLE)/n)), 4) AS z
+             sqrt(nullif(greatest(CAST(svv AS DOUBLE)/n - (CAST(sv AS DOUBLE)/n)*(CAST(sv AS DOUBLE)/n), 0.0), 0.0)), 4) AS z
          FROM events JOIN st ON event_type = t)
          SELECT * FROM z WHERE abs(z) >= 2.5 ORDER BY event_id""",
 
@@ -2783,18 +2795,20 @@ object SparkEntry {
          cn AS (SELECT vec_id, v, nrm,
            list_transform(range(1, len(v) + 1), i -> v[i] - mu[i]) AS vc
          FROM n CROSS JOIN mu),
+         pp AS (SELECT greatest(4, CAST(ceil(log2(ceil(count(*) / 64.0))) AS INT)) AS np
+           FROM e),
          bk AS (SELECT vec_id, v, nrm,
-           array_to_string(list_transform(range(0, 4), p -> CASE WHEN
+           array_to_string(list_transform(range(0, np), p -> CASE WHEN
              list_reduce(list_transform(range(1, len(vc) + 1), i -> vc[i] *
                ((CAST('0x' || substr(md5('plane|' || p::VARCHAR || '|' || i::VARCHAR), 1, 15) AS BIGINT)
                  % 2001 - 1000) / 1000.0)),
                (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END), '') AS b0,
-           array_to_string(list_transform(range(4, 8), p -> CASE WHEN
+           array_to_string(list_transform(range(np, 2 * np), p -> CASE WHEN
              list_reduce(list_transform(range(1, len(vc) + 1), i -> vc[i] *
                ((CAST('0x' || substr(md5('plane|' || p::VARCHAR || '|' || i::VARCHAR), 1, 15) AS BIGINT)
                  % 2001 - 1000) / 1000.0)),
                (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END), '') AS b1
-         FROM cn),
+         FROM cn CROSS JOIN pp),
          p AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
            list_reduce(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * x.v[i]),
                 (a, b) -> a + b) / (q.nrm * x.nrm) AS cos
@@ -2818,18 +2832,20 @@ object SparkEntry {
          cn AS (SELECT vec_id, v, nrm,
            list_transform(range(1, len(v) + 1), i -> v[i] - mu[i]) AS vc
          FROM n CROSS JOIN mu),
+         pp AS (SELECT greatest(4, CAST(ceil(log2(ceil(count(*) / 64.0))) AS INT)) AS np
+           FROM e),
          bk AS (SELECT vec_id, v, nrm,
-           array_to_string(list_transform(range(0, 4), p -> CASE WHEN
+           array_to_string(list_transform(range(0, np), p -> CASE WHEN
              list_reduce(list_transform(range(1, len(vc) + 1), i -> vc[i] *
                ((CAST('0x' || substr(md5('plane|' || p::VARCHAR || '|' || i::VARCHAR), 1, 15) AS BIGINT)
                  % 2001 - 1000) / 1000.0)),
                (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END), '') AS b0,
-           array_to_string(list_transform(range(4, 8), p -> CASE WHEN
+           array_to_string(list_transform(range(np, 2 * np), p -> CASE WHEN
              list_reduce(list_transform(range(1, len(vc) + 1), i -> vc[i] *
                ((CAST('0x' || substr(md5('plane|' || p::VARCHAR || '|' || i::VARCHAR), 1, 15) AS BIGINT)
                  % 2001 - 1000) / 1000.0)),
                (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END), '') AS b1
-         FROM cn),
+         FROM cn CROSS JOIN pp),
          p AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
            list_reduce(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * x.v[i]),
                 (a, b) -> a + b) / (q.nrm * x.nrm) AS cos
@@ -2972,7 +2988,7 @@ object SparkEntry {
            list_transform(range(1, len(codes) + 1),
              i -> los[i] + (codes[i] * (his[i] - los[i])) / 255.0) AS rec
          FROM c CROSS JOIN mm)
-         SELECT vec_id, codes,
+         SELECT vec_id, array_to_string(codes, ':') AS sq_code,
            round(list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1),
              i -> (v[i] - rec[i]) * (v[i] - rec[i]))), (a, b) -> a + b), 6) AS recon_err2
          FROM r ORDER BY vec_id""",

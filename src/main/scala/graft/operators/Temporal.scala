@@ -209,8 +209,15 @@ object Temporal {
     * partition-order independent and engine-portable. */
   def zScore(value: Column): Column = {
     val mean = col("sv").cast("double") / col("n")
-    val variance = col("svv").cast("double") / col("n") - mean * mean
-    (value - mean) / sqrt(variance)
+    // Clamp the E[x²]−E[x]² form at 0: a constant-valued group has true
+    // variance 0 but the double subtraction can land ε below it, and
+    // sqrt(−ε) is NaN (engines disagree on NaN propagation). The
+    // zero-variance case then yields an EXPLICIT null z via nullif — a
+    // constant group has no z-scale, and anomaly consumers must see
+    // null ("cannot score"), not NaN or ±Infinity (silently unflagged).
+    val variance = greatest(
+      col("svv").cast("double") / col("n") - mean * mean, lit(0.0))
+    (value - mean) / sqrt(nullif(variance, lit(0.0)))
   }
 
   /** EXACT per-group percentiles of a metric column by integer rank over

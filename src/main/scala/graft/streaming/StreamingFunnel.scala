@@ -82,8 +82,21 @@ object StreamingFunnel {
                 Completion(uid, t.toSeq, t.last - t.head))
             } else {
               if (t.exists(_ >= 0)) {
-                state.update(Chain(t.toSeq))
-                state.setTimeoutTimestamp((t.head + windowSeconds) * 1000L)
+                // The timeout is pinned to the FIRST step (the funnel
+                // window opens at t.head, unlike sessionize whose base
+                // advances per event), so late events for a key whose
+                // window already expired would compute a timeout at or
+                // behind the current watermark — Spark rejects that with
+                // IllegalArgumentException and kills the query. Expire
+                // the dead chain inline instead; a fresh first-step
+                // event restarts it next batch.
+                val deadline = (t.head + windowSeconds) * 1000L
+                if (deadline <= state.getCurrentWatermarkMs()) {
+                  state.remove()
+                } else {
+                  state.update(Chain(t.toSeq))
+                  state.setTimeoutTimestamp(deadline)
+                }
               }
               Iterator.empty
             }
