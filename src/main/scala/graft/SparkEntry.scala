@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Catalog, ForeignKey, TableGraph}
-import graft.operators.{Bpe, Chunk, Closure, Dedup, Dsir, Multimodal, QualityLr, Similarity, Temporal, TextAnalysis}
+import graft.operators.{Bpe, Chunk, Closure, Dedup, Dsir, FingerprintStore, Multimodal, QualityLr, Similarity, Temporal, TextAnalysis}
 import graft.sources.{Dump, DumpSpec}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -738,6 +738,46 @@ object SparkEntry {
           concat(col("text"), lit(" fresh")).as("text"))
       Dedup.bloomIngestDedup(
           fromCorpus.unionByName(novelA).unionByName(novelB), docs)
+        .orderBy("doc_id")
+    },
+
+    // The production ingest LOOP against a persisted fingerprint artifact
+    // (FingerprintStore): found the store from one half of the corpus,
+    // dedup epoch-1 batch against the LOADED digests, fold the survivors
+    // back in (append), then dedup epoch-2 against the updated store —
+    // the accepted corpus's text is reduced exactly once, every later
+    // epoch touches only 16-byte keys.
+    "fingerprint_ingest" -> { (s, dir) =>
+      val docs = cat(s, dir).table("documents")
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-fpstore").toString
+      FingerprintStore.save(docs.where(col("doc_id") % 2 === 0), store)
+      val b1 = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+      val s1 = Dedup.incrementalDedupFp(
+        b1, FingerprintStore.loadFingerprints(s, store))
+      FingerprintStore.appendFingerprints(s1.select(col("text_md5")), store)
+      val b2 = docs.where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+      Dedup.incrementalDedupFp(
+          b2, FingerprintStore.loadFingerprints(s, store))
+        .orderBy("doc_id")
+    },
+
+    // Sketch arm of the same loop: epoch-2 batch filtered MAP-SIDE by the
+    // store's persisted Bloom sketch — zero jobs against the corpus.
+    // Rows-only gate (a Bloom FP set is implementation-defined, the
+    // bloom_ingest_dedup precedent); no-false-negative and ⊆-anti-join
+    // properties are spec-asserted in FingerprintStoreSpec.
+    "fingerprint_bloom" -> { (s, dir) =>
+      val docs = cat(s, dir).table("documents")
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-fpbloom").toString
+      FingerprintStore.save(docs.where(col("doc_id") % 2 === 0), store)
+      val b2 = docs.where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+      Dedup.bloomSketchDedup(
+          b2, FingerprintStore.loadBloom(s, store)._1)
         .orderBy("doc_id")
     },
 
@@ -1580,6 +1620,19 @@ object SparkEntry {
          SELECT doc_id, text_md5, n_copies FROM canon
          WHERE NOT EXISTS (
            SELECT 1 FROM documents e WHERE md5(e.text) = canon.text_md5)
+         ORDER BY doc_id""",
+
+    "fingerprint_ingest" ->
+      """WITH canon AS (
+           SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS doc_id,
+             count(*) AS n_copies
+           FROM documents WHERE doc_id % 5 = 0 GROUP BY 1
+         )
+         SELECT doc_id, text_md5, n_copies FROM canon
+         WHERE NOT EXISTS (
+           SELECT 1 FROM documents e
+           WHERE (e.doc_id % 2 = 0 OR e.doc_id % 3 = 0)
+             AND md5(e.text) = canon.text_md5)
          ORDER BY doc_id""",
 
     "doc_fingerprint" ->

@@ -604,13 +604,23 @@ object Dedup {
     * Output: one row per surviving batch document (doc_id, text_md5,
     * n_copies = within-batch multiplicity).
     */
-  def incrementalDedup(newBatch: DataFrame, existing: DataFrame): DataFrame = {
+  def incrementalDedup(newBatch: DataFrame, existing: DataFrame): DataFrame =
+    incrementalDedupFp(newBatch,
+      existing.select(md5(col("text")).as("text_md5")))
+
+  /** [[incrementalDedup]] against an ALREADY-REDUCED fingerprint table
+    * (`text_md5`) — the form the production loop runs, with the existing
+    * side a persisted [[FingerprintStore]] artifact instead of corpus
+    * text. The per-ingest cost drops to O(batch) + a 16-byte-key
+    * anti-join; the accepted corpus's text is never re-read.
+    */
+  def incrementalDedupFp(newBatch: DataFrame, fingerprints: DataFrame): DataFrame = {
     val canon = newBatch
       .groupBy(md5(col("text")).as("text_md5"))
       .agg(
         min(col("doc_id")).cast("long").as("doc_id"),
         count(lit(1)).as("n_copies"))
-    val seen = existing.select(md5(col("text")).as("text_md5")).distinct()
+    val seen = fingerprints.select(col("text_md5")).distinct()
     canon.join(seen, Seq("text_md5"), "left_anti")
       .select(col("doc_id"), col("text_md5"), col("n_copies"))
   }
@@ -669,6 +679,31 @@ object Dedup {
     canon
       .where(!column(new BloomFilterMightContain(
         bloomSq,
+        expression(conv(substring(col("text_md5"), 1, 15), 16, 10).cast("long")))))
+      .select(col("doc_id"), col("text_md5"), col("n_copies"))
+  }
+
+  /** [[bloomIngestDedup]] against a PERSISTED sketch
+    * ([[FingerprintStore.loadBloom]]) instead of one aggregated from
+    * corpus text per ingest: the loaded bytes enter the plan as a binary
+    * literal (BloomFilterMightContain's constant filter side — the same
+    * contract the scalar-subquery form satisfies), so the whole dedup is
+    * one MAP-SIDE pass over the batch, zero jobs against the corpus.
+    * Same one-sided trade as the aggregate form: ≤ fpp of novel docs
+    * over-dropped, no dup ever admitted.
+    */
+  def bloomSketchDedup(newBatch: DataFrame, sketch: Array[Byte]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    require(sketch.nonEmpty, "refusing to filter against an empty sketch")
+    val canon = newBatch
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(
+        min(col("doc_id")).cast("long").as("doc_id"),
+        count(lit(1)).as("n_copies"))
+    canon
+      .where(!column(new BloomFilterMightContain(
+        expression(lit(sketch)),
         expression(conv(substring(col("text_md5"), 1, 15), 16, 10).cast("long")))))
       .select(col("doc_id"), col("text_md5"), col("n_copies"))
   }
