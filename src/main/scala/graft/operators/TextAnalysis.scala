@@ -1140,15 +1140,32 @@ object TextAnalysis {
     * ride as a 1-row broadcast. Counts are exact longs, so p/q/contrib
     * are bit-portable across engines and partitionings.
     */
-  def corpusDrift(corpus: DataFrame, batch: DataFrame, topK: Int = 1000): DataFrame = {
+  def corpusDrift(corpus: DataFrame, batch: DataFrame, topK: Int = 1000): DataFrame =
+    driftAgainstVocab(vocabTopK(corpus, topK), batch)
+
+  /** The accepted corpus's top-K vocabulary `(tok, c_cnt)` — the
+    * PERSISTABLE half of [[corpusDrift]] (≤ topK rows; a production gate
+    * writes it once per corpus epoch and replays it against every
+    * incoming batch, including per-micro-batch in the streaming twin
+    * `StreamingDrift`). TakeOrderedAndProject with the deterministic
+    * (count desc, token) boundary, as before.
+    */
+  def vocabTopK(corpus: DataFrame, topK: Int = 1000): DataFrame = {
     require(topK >= 1, s"topK must be positive: $topK")
-    def counts(df: DataFrame, cnt: String) =
-      df.select(explode(tokens(col("text"))).as("tok"))
-        .groupBy(col("tok")).agg(count(lit(1)).as(cnt))
-    val vocab = counts(corpus, "c_cnt")
+    corpus.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c_cnt"))
       .orderBy(col("c_cnt").desc, col("tok")).limit(topK)
+  }
+
+  /** PSI of a batch against an already-computed (usually loaded)
+    * `vocab(tok, c_cnt)` — the per-ingest half of [[corpusDrift]]; one
+    * token shuffle over the BATCH only, vocab broadcast by AQE.
+    */
+  def driftAgainstVocab(vocab: DataFrame, batch: DataFrame): DataFrame = {
     val joined = vocab
-      .join(counts(batch, "b_cnt"), Seq("tok"), "left")
+      .join(batch.select(explode(tokens(col("text"))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("b_cnt")),
+        Seq("tok"), "left")
       .na.fill(0L, Seq("b_cnt"))
     val tot = joined.agg(
       sum(col("c_cnt")).as("ct"), sum(col("b_cnt")).as("bt"),
