@@ -63,19 +63,49 @@ COPY (
 # cross-copy interaction exists because no operator pairs events across
 # keys. (No decorrelation permutation needed: there is no pair operator on
 # events whose output a twin copy would inflate.)
+# The user-key offset is SHARED between events and orders (greatest of
+# the two key maxima): asof_join joins events.user_id to orders.o_custkey,
+# so copy i's events must land on copy i's orders — per-copy match
+# structure identical to the original, never cross-copy, never orphaned.
+mu = 0
+if os.path.exists(f"{src}/events.parquet"):
+    mu = con.execute(
+        f"SELECT max(user_id) + 1 FROM read_parquet('{src}/events.parquet')"
+    ).fetchone()[0]
+if os.path.exists(f"{src}/orders.parquet"):
+    mu = max(mu, con.execute(
+        f"SELECT max(o_custkey) + 1 FROM read_parquet('{src}/orders.parquet')"
+    ).fetchone()[0])
+
 if os.path.exists(f"{src}/events.parquet"):
     con.execute(f"""
     COPY (
       WITH ev AS (SELECT * FROM read_parquet('{src}/events.parquet')),
-           mx AS (SELECT max(user_id) + 1 AS mu, max(event_id) + 1 AS me FROM ev)
+           mx AS (SELECT max(event_id) + 1 AS me FROM ev)
       SELECT ev.event_id + r.i * mx.me AS event_id, ev.ts,
-             ev.user_id + r.i * mx.mu AS user_id,
+             ev.user_id + r.i * {mu} AS user_id,
              ev.event_type, ev.value, ev.props
       FROM ev CROSS JOIN range({k}) r(i) CROSS JOIN mx
     ) TO '{dst}/events.parquet' (FORMAT PARQUET)
     """)
 
-for t in ("documents", "embeddings", "events"):
+# Orders scale by the same disjoint-key replication: K x customers with
+# the SAME per-customer order history (dates/prices untouched, so the
+# time span — and orders_monthly's bounded month output — is preserved
+# while per-month volume grows K x, exactly how an order stream grows).
+if os.path.exists(f"{src}/orders.parquet"):
+    con.execute(f"""
+    COPY (
+      WITH o AS (SELECT * FROM read_parquet('{src}/orders.parquet')),
+           mx AS (SELECT max(o_orderkey) + 1 AS mo FROM o)
+      SELECT o.o_orderkey + r.i * mx.mo AS o_orderkey,
+             o.o_custkey + r.i * {mu} AS o_custkey,
+             o.o_orderstatus, o.o_totalprice, o.o_orderdate, o.o_orderpriority
+      FROM o CROSS JOIN range({k}) r(i) CROSS JOIN mx
+    ) TO '{dst}/orders.parquet' (FORMAT PARQUET)
+    """)
+
+for t in ("documents", "embeddings", "events", "orders"):
     if not os.path.exists(f"{dst}/{t}.parquet"):
         continue
     n = con.execute(f"SELECT count(*) FROM read_parquet('{dst}/{t}.parquet')").fetchone()[0]

@@ -282,7 +282,53 @@ object ScaleCheck {
         "sq_search" -> (() =>
           Similarity.sqSearch(emb, qf, kNN = 10)),
         "sq_search_fixedq" -> (() =>
-          Similarity.sqSearch(emb, qfFixed, kNN = 10)))
+          Similarity.sqSearch(emb, qfFixed, kNN = 10)),
+        // pass-5 rows (VERDICT r11 #5) — the orders/events analytics that
+        // had no scaling measurement yet. scale_corpus replicates orders
+        // with disjoint (o_custkey, o_orderkey) and a user-key modulus
+        // SHARED with events, so asof matches stay per-copy. The first
+        // four run the SparkEntry query bodies verbatim (their trailing
+        // sorts are over bounded or skinny-row outputs — noted, not
+        // removed, so the measured plan is the shipped plan):
+        //  - customer_rfm: per-customer agg + 3 bounded quintile-cut
+        //    broadcasts — output O(customers), expect linear
+        //  - orders_monthly: month×priority agg (BOUNDED output: the date
+        //    span doesn't grow, volume per month does) — expect flat-ish
+        //    over the scan
+        //  - funnel_counts: eventFunnel reduced to 4 rows — expect the
+        //    funnel's linear one-key shuffle
+        //  - events_props: get_json_object rollup to #event_types rows —
+        //    map-side + bounded agg, expect linear scan-bound
+        "customer_rfm" -> (() =>
+          SparkEntry.queries("customer_rfm")(spark, dir)),
+        "orders_monthly" -> (() =>
+          SparkEntry.queries("orders_monthly")(spark, dir)),
+        "funnel_counts" -> (() =>
+          SparkEntry.queries("funnel_counts")(spark, dir)),
+        "events_props" -> (() =>
+          SparkEntry.queries("events_props")(spark, dir)),
+        // tolerance as-of join, minus the oracle-only event_id sort:
+        // union+tag+last over ONE key shuffle — expect linear
+        "asof_join_tol" -> { () =>
+          val c = graft.core.Catalog.tpch(spark, dir)
+          val ev = c.table("events")
+            .select(col("event_id"),
+              org.apache.spark.sql.functions.expr("ts div 1000000000").as("ts"),
+              col("user_id"))
+          val latestOrders = c.table("orders")
+            .groupBy(col("o_custkey").as("user_id"),
+              col("o_orderdate").cast("timestamp").cast("long").as("ts"))
+            .agg(org.apache.spark.sql.functions.max(col("o_orderkey"))
+              .as("o_orderkey"))
+          Temporal.asofJoin(ev, latestOrders, keyCol = "user_id",
+              tsCol = "ts", payloadCols = Seq("o_orderkey"),
+              tolerance = Some(30L * 86400))
+            .select(col("event_id"), col("user_id"), col("o_orderkey"))
+        },
+        // HLL++ sketch profile: one map-side-combined shuffle to
+        // #(lang,source) rows — expect linear scan-bound
+        "profile_approx" -> (() =>
+          TextAnalysis.corpusProfileApprox(docs)))
 
       // SPARK_GRAFT_SCALE_ONLY=a,b,c runs a subset (merge results by hand)
       val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
