@@ -365,4 +365,48 @@ class StreamingSpec extends SparkSpec {
     assert(got(1L) === (Seq(10L, 20L, 30L, 40L), 30L))
     assert(got(2L) === (Seq(10L, 20L, 30L, 40L), 30L))
   }
+
+  test("streaming funnel survives new events for a chain whose window expired") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // regression: the funnel timeout is pinned to the FIRST step, so when
+    // a key's new in-horizon event arrives in the same micro-batch where
+    // the watermark first jumped past its old chain's deadline (data is
+    // processed BEFORE timeout eviction), the state function used to
+    // re-set a timeout at-or-behind the watermark — setTimeoutTimestamp
+    // throws IllegalArgumentException and kills the query. The dead chain
+    // must be expired inline instead. noDataMicroBatches is disabled so
+    // the watermark-jump batch cannot evict the chain before our event
+    // reaches it — the exact race the guard exists for.
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    val steps = Seq("signup", "purchase")
+    val stream = MemoryStream[(Long, Long, String, Long)]
+    val q = graft.streaming.StreamingFunnel.funnel(
+        stream.toDF().toDF("user_id", "event_id", "event_type", "ts"),
+        steps, windowSeconds = 60, watermark = "10 seconds")
+      .writeStream.format("memory").queryName("funnel_expired_stream")
+      .outputMode("append").start()
+    try {
+      // u1 opens a chain (deadline 160 s); u9's far-future signup will
+      // push the watermark to ~9990 s after this batch
+      stream.addData(Seq(
+        (1L, 1L, "signup", 100L), (9L, 2L, "signup", 10000L)))
+      q.processAllAvailable()
+      // u1's purchase at 9995 s: in-horizon (watermark 9990 s), but its
+      // chain's window closed at 160 s — long behind the watermark
+      stream.addData(Seq(
+        (1L, 3L, "purchase", 9995L), (9L, 4L, "purchase", 10020L)))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+    } finally {
+      q.stop()
+      spark.conf.set(key, prev)
+    }
+    val got = spark.table("funnel_expired_stream").collect()
+      .map(_.getAs[Long]("user_id")).toSet
+    assert(got === Set(9L)) // u9 converts; u1's dead chain never emits
+  }
 }
