@@ -1221,11 +1221,14 @@ object SparkEntry {
         .orderBy("query_id", "rank")),
 
     // all-pairs kNN edge list — every vector both query and candidate;
-    // the LSH-banded self-join is the corpus-scale plan
-    "knn_graph" -> ((s, dir) =>
-      Similarity.knnGraph(cat(s, dir).table("embeddings"), k = 5, bands = 2,
-          planes = 4)
-        .orderBy("query_id", "rank")),
+    // the LSH-banded self-join is the corpus-scale plan. corpusHint
+    // derives planes (the doc_knn deployment-shape discipline); the
+    // oracle derives the same count in SQL
+    "knn_graph" -> { (s, dir) =>
+      val emb = cat(s, dir).table("embeddings")
+      Similarity.knnGraph(emb, k = 5, bands = 2, corpusHint = Some(emb.count()))
+        .orderBy("query_id", "rank")
+    },
 
     // n²-pair broadcast baseline for the graph (verification scale only)
     "knn_graph_exact" -> ((s, dir) =>
@@ -2792,18 +2795,20 @@ object SparkEntry {
            sqrt(list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
                 (a, b) -> a + b)) AS nrm
          FROM e),
+         pp AS (SELECT greatest(4, CAST(ceil(log2(ceil(count(*) / 64.0))) AS INT)) AS np
+           FROM e),
          bk AS (SELECT vec_id, v, nrm,
-           array_to_string(list_transform(range(0, 4), p -> CASE WHEN
+           array_to_string(list_transform(range(0, np), p -> CASE WHEN
              list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] *
                ((CAST('0x' || substr(md5('plane|' || p::VARCHAR || '|' || i::VARCHAR), 1, 15) AS BIGINT)
                  % 2001 - 1000) / 1000.0)),
                (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END), '') AS b0,
-           array_to_string(list_transform(range(4, 8), p -> CASE WHEN
+           array_to_string(list_transform(range(np, 2 * np), p -> CASE WHEN
              list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] *
                ((CAST('0x' || substr(md5('plane|' || p::VARCHAR || '|' || i::VARCHAR), 1, 15) AS BIGINT)
                  % 2001 - 1000) / 1000.0)),
                (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END), '') AS b1
-         FROM n),
+         FROM n CROSS JOIN pp),
          p AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
            list_reduce(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * x.v[i]),
                 (a, b) -> a + b) / (q.nrm * x.nrm) AS cos
