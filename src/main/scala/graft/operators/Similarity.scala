@@ -1108,4 +1108,36 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"), round(col("cos"), 4).as("cosine"))
   }
+
+  /** Per-vector neighborhood DENSITY — the embedding-space data-pruning
+    * signal of Sorscher et al. '22 (arXiv:2206.14486, prototype-distance
+    * pruning) and the SemDeDup-adjacent redundancy score: a vector's
+    * mean cosine to its k nearest neighbors. The dense core is the
+    * redundant mass a diversity-pruning pass cuts; the sparse tail is
+    * the outlier set a quality-pruning pass cuts — one score serves
+    * both ends of the curation knife.
+    *
+    * Composes [[knnGraph]] (all scale knobs pass through — at corpus
+    * scale pass `corpusHint`) with ONE map-side-combined groupBy over
+    * the ≤ n·k edge list. The mean is computed over the already-rounded
+    * edge cosines in DECIMAL and divided once, so density is
+    * partition-order independent and the oracle replays the exact
+    * arithmetic. Vectors missed by every band (no edges) are absent —
+    * at LSH recall they are themselves extreme-outlier candidates, and
+    * the exact baseline (`exact = true`) keeps every vector.
+    */
+  def embedDensity(
+      emb: DataFrame,
+      k: Int = 10,
+      bands: Int = 2,
+      planes: Int = 4,
+      exact: Boolean = false,
+      center: Boolean = false,
+      corpusHint: Option[Long] = None): DataFrame =
+    knnGraph(emb, k, bands, planes, exact, center, corpusHint)
+      .groupBy(col("query_id").as("vec_id"))
+      .agg(
+        count(lit(1)).cast("long").as("k_edges"),
+        round(sum(col("cosine").cast("decimal(14,4)")).cast("double") /
+          count(lit(1)), 4).as("density"))
 }

@@ -391,4 +391,34 @@ class SimilaritySpec extends SparkSpec {
     assert(c.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
       .forall { case (q, n) => q != n })
   }
+
+  test("embedDensity: exact mode scores every vector; density is the decimal mean of its edges") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = emb.count()
+    val dens = Similarity.embedDensity(emb, k = 5, exact = true)
+      .orderBy("vec_id").collect()
+    // exact mode: every vector has neighbors (n > k), so every vector scores
+    assert(dens.length === n)
+    assert(dens.forall(_.getAs[Long]("k_edges") === 5L))
+    assert(dens.forall(r => math.abs(r.getAs[Double]("density")) <= 1.0001))
+
+    // arithmetic contract: density is exactly the decimal-summed mean of
+    // the knnGraph edge cosines — recompute from the edge list and compare
+    val manual = Similarity.knnGraph(emb, k = 5, exact = true)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) =>
+        val cs = rows.map(r => BigDecimal(r.getAs[Double]("cosine"))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP))
+        q -> (cs.sum / cs.length).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+      }
+    dens.foreach { r =>
+      assert(r.getAs[Double]("density") === manual(r.getAs[Long]("vec_id")))
+    }
+
+    // the pruning semantics: the score separates the corpus — densities
+    // are not all equal (there IS a dense core and a sparse tail to cut)
+    assert(dens.map(_.getAs[Double]("density")).distinct.length > 1)
+  }
 }
