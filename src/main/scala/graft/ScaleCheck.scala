@@ -328,7 +328,18 @@ object ScaleCheck {
         // HLL++ sketch profile: one map-side-combined shuffle to
         // #(lang,source) rows — expect linear scan-bound
         "profile_approx" -> (() =>
-          TextAnalysis.corpusProfileApprox(docs)))
+          TextAnalysis.corpusProfileApprox(docs)),
+        // kNN-density pruning score: knn_graph_hinted's plan + one
+        // bounded groupBy over the ≤ n·k edge list — expect the hinted
+        // graph's curve
+        "embed_density_hinted" -> (() =>
+          Similarity.embedDensity(emb, k = 10, bands = 2,
+            corpusHint = Some(nEmb))),
+        // the persisted-fingerprint ingest LOOP (save + 2 dedup epochs +
+        // append, the SparkEntry demo verbatim): founding reduce is the
+        // only corpus-text pass — expect linear, dominated by the save
+        "fingerprint_ingest" -> (() =>
+          SparkEntry.queries("fingerprint_ingest")(spark, dir)))
 
       // SPARK_GRAFT_SCALE_ONLY=a,b,c runs a subset (merge results by hand)
       val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
