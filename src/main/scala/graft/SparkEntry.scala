@@ -1245,6 +1245,17 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    // the pruning act on the density score: exact integer-rank permille
+    // cuts drop the sparsest 5 % (outliers) and densest 10 % (redundant
+    // core); every scored vector emitted with its keep flag
+    "density_prune" -> { (s, dir) =>
+      val emb = cat(s, dir).table("embeddings")
+      Similarity.densityPrune(emb, dropSparsestPermille = 50,
+          dropDensestPermille = 100, k = 5, bands = 2,
+          corpusHint = Some(emb.count()))
+        .orderBy("vec_id")
+    },
+
     // model-free text embedding (feature hashing) — flattened to
     // (vec_id, dim_i, v) rows so the oracle compares scalars, not arrays
     "doc_embed" -> ((s, dir) =>
@@ -2858,6 +2869,49 @@ object SparkEntry {
          SELECT query_id AS vec_id, count(*) AS k_edges,
            round(CAST(sum(CAST(round(cos, 4) AS DECIMAL(14,4))) AS DOUBLE) / count(*), 4) AS density
          FROM r WHERE rnk <= 5 GROUP BY query_id ORDER BY query_id""",
+
+    "density_prune" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (SELECT vec_id, v,
+           sqrt(list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
+                (a, b) -> a + b)) AS nrm
+         FROM e),
+         pp AS (SELECT greatest(4, CAST(ceil(log2(ceil(count(*) / 64.0))) AS INT)) AS np
+           FROM e),
+         bk AS (SELECT vec_id, v, nrm,
+           array_to_string(list_transform(range(0, np), p -> CASE WHEN
+             list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] *
+               ((CAST('0x' || substr(md5('plane|' || p::VARCHAR || '|' || i::VARCHAR), 1, 15) AS BIGINT)
+                 % 2001 - 1000) / 1000.0)),
+               (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END), '') AS b0,
+           array_to_string(list_transform(range(np, 2 * np), p -> CASE WHEN
+             list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] *
+               ((CAST('0x' || substr(md5('plane|' || p::VARCHAR || '|' || i::VARCHAR), 1, 15) AS BIGINT)
+                 % 2001 - 1000) / 1000.0)),
+               (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END), '') AS b1
+         FROM n CROSS JOIN pp),
+         p AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+           list_reduce(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * x.v[i]),
+                (a, b) -> a + b) / (q.nrm * x.nrm) AS cos
+         FROM bk q JOIN bk x ON (x.b0 = q.b0 OR x.b1 = q.b1) AND x.vec_id <> q.vec_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         FROM p),
+         d AS (SELECT query_id AS vec_id, count(*) AS k_edges,
+           round(CAST(sum(CAST(round(cos, 4) AS DECIMAL(14,4))) AS DOUBLE) / count(*), 4) AS density
+         FROM r WHERE rnk <= 5 GROUP BY query_id),
+         h AS (SELECT density AS v, count(*) AS c FROM d GROUP BY 1),
+         cum AS (SELECT v, c,
+           sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(c) OVER () AS nn
+         FROM h),
+         cuts AS (SELECT
+           min(CASE WHEN cum * 1000 >= nn * 50 THEN v END) AS lo,
+           min(CASE WHEN cum * 1000 >= nn * 900 THEN v END) AS hi
+         FROM cum)
+         SELECT vec_id, k_edges, density,
+           (density >= lo AND density <= hi) AS keep
+         FROM d CROSS JOIN cuts ORDER BY vec_id""",
 
     "knn_graph_exact" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

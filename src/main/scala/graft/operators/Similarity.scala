@@ -1140,4 +1140,43 @@ object Similarity {
         count(lit(1)).cast("long").as("k_edges"),
         round(sum(col("cosine").cast("decimal(14,4)")).cast("double") /
           count(lit(1)), 4).as("density"))
+
+  /** The pruning ACT on [[embedDensity]]'s score — both ends of the
+    * Sorscher knife in one pass: drop the sparsest `dropSparsestPermille`
+    * ‰ (outliers) and the densest `dropDensestPermille` ‰ (redundant
+    * core), keep the middle band. Thresholds are EXACT integer-rank
+    * permille cuts over the density histogram ([[Temporal
+    * .valuePercentiles]] — the `customer_rfm` discipline: cum·1000 ≥ p·n
+    * in integer cross-multiplication, never IEEE division), so the cut
+    * is bit-portable across engines and partitionings; density's
+    * 4-decimal resolution bounds the histogram at ≤ 20001 rows
+    * regardless of corpus size. Emits every scored vector with its
+    * `keep` flag (audit-friendly; filter on it to materialize the cut).
+    */
+  def densityPrune(
+      emb: DataFrame,
+      dropSparsestPermille: Int = 50,
+      dropDensestPermille: Int = 100,
+      k: Int = 10,
+      bands: Int = 2,
+      planes: Int = 4,
+      exact: Boolean = false,
+      center: Boolean = false,
+      corpusHint: Option[Long] = None): DataFrame = {
+    require(dropSparsestPermille >= 1 && dropDensestPermille >= 1 &&
+      dropSparsestPermille + dropDensestPermille < 1000,
+      s"drop permilles must be ≥ 1 and sum below 1000: " +
+        s"$dropSparsestPermille + $dropDensestPermille")
+    val hiP = 1000 - dropDensestPermille
+    val dens = embedDensity(emb, k, bands, planes, exact, center, corpusHint)
+    val cuts = Temporal.valuePercentiles(
+        dens.select(lit("all").as("g"), col("density").as("v")),
+        permilles = Seq(dropSparsestPermille, hiP).distinct,
+        groupCol = "g", valueCol = "v")
+      .select(col(s"p$dropSparsestPermille").as("lo"), col(s"p$hiP").as("hi"))
+    dens.crossJoin(broadcast(cuts))
+      .select(col("vec_id"), col("k_edges"), col("density"),
+        (col("density") >= col("lo") && col("density") <= col("hi"))
+          .as("keep"))
+  }
 }

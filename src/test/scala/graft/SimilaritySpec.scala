@@ -421,4 +421,29 @@ class SimilaritySpec extends SparkSpec {
     // are not all equal (there IS a dense core and a sparse tail to cut)
     assert(dens.map(_.getAs[Double]("density")).distinct.length > 1)
   }
+
+  test("densityPrune: keep flag is exactly the integer-rank middle band") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val pruned = Similarity.densityPrune(emb, dropSparsestPermille = 50,
+        dropDensestPermille = 100, k = 5, exact = true)
+      .collect()
+    val ds = pruned.map(_.getAs[Double]("density")).sorted
+    val n = ds.length
+    // replay the cut rule by hand: p‰ = smallest density whose cumulative
+    // count reaches ⌈p·n/1000⌉ (integer cross-multiplication)
+    def cut(p: Int) = ds(ds.indices.find(i => (i + 1) * 1000 >= n.toLong * p).get)
+    val (lo, hi) = (cut(50), cut(900))
+    pruned.foreach { r =>
+      val d = r.getAs[Double]("density")
+      assert(r.getAs[Boolean]("keep") === (d >= lo && d <= hi))
+    }
+    // both blades cut something and most of the corpus survives
+    val kept = pruned.count(_.getAs[Boolean]("keep"))
+    assert(kept < n)
+    assert(pruned.exists(r => !r.getAs[Boolean]("keep") &&
+      r.getAs[Double]("density") < lo))
+    assert(pruned.exists(r => !r.getAs[Boolean]("keep") &&
+      r.getAs[Double]("density") > hi))
+    assert(kept * 1000 >= n * 800L)
+  }
 }
