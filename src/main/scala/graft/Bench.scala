@@ -94,8 +94,13 @@ object Bench {
     // Also write the artifact to a file: round 8's committed BENCH json was a
     // truncated stdout tail that permanently lost 7 queries' medians. The
     // file is the durable record; stdout stays for the driver's capture.
+    // A SUBSET run (BENCH_ONLY set) writes a sibling file instead — a
+    // focused iteration pass must never clobber the committed full-run
+    // artifact (it did once, restored from git).
+    val defaultOut =
+      if (only.isDefined) "bench_out_partial.json" else "bench_out.json"
     val outPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut))
     java.nio.file.Files.write(outPath,
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
