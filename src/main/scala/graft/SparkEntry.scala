@@ -2816,8 +2816,10 @@ object SparkEntry {
            sqrt(list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
                 (a, b) -> a + b)) AS nrm
          FROM e),
-         pp AS (SELECT greatest(4, CAST(ceil(log2(ceil(count(*) / 64.0))) AS INT)) AS np
-           FROM e),
+         pp AS (SELECT greatest(4, CASE
+             WHEN c >= 1 AND power(2, c - 1) >= b THEN c - 1 ELSE c END) AS np
+           FROM (SELECT b, CAST(ceil(log2(b)) AS INT) AS c
+                 FROM (SELECT ceil(count(*) / 64.0) AS b FROM e))),
          bk AS (SELECT vec_id, v, nrm,
            array_to_string(list_transform(range(0, np), p -> CASE WHEN
              list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] *
@@ -2846,8 +2848,10 @@ object SparkEntry {
            sqrt(list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
                 (a, b) -> a + b)) AS nrm
          FROM e),
-         pp AS (SELECT greatest(4, CAST(ceil(log2(ceil(count(*) / 64.0))) AS INT)) AS np
-           FROM e),
+         pp AS (SELECT greatest(4, CASE
+             WHEN c >= 1 AND power(2, c - 1) >= b THEN c - 1 ELSE c END) AS np
+           FROM (SELECT b, CAST(ceil(log2(b)) AS INT) AS c
+                 FROM (SELECT ceil(count(*) / 64.0) AS b FROM e))),
          bk AS (SELECT vec_id, v, nrm,
            array_to_string(list_transform(range(0, np), p -> CASE WHEN
              list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] *
@@ -2877,8 +2881,10 @@ object SparkEntry {
            sqrt(list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
                 (a, b) -> a + b)) AS nrm
          FROM e),
-         pp AS (SELECT greatest(4, CAST(ceil(log2(ceil(count(*) / 64.0))) AS INT)) AS np
-           FROM e),
+         pp AS (SELECT greatest(4, CASE
+             WHEN c >= 1 AND power(2, c - 1) >= b THEN c - 1 ELSE c END) AS np
+           FROM (SELECT b, CAST(ceil(log2(b)) AS INT) AS c
+                 FROM (SELECT ceil(count(*) / 64.0) AS b FROM e))),
          bk AS (SELECT vec_id, v, nrm,
            array_to_string(list_transform(range(0, np), p -> CASE WHEN
              list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] *
@@ -2948,8 +2954,10 @@ object SparkEntry {
          cn AS (SELECT vec_id, v, nrm,
            list_transform(range(1, len(v) + 1), i -> v[i] - mu[i]) AS vc
          FROM n CROSS JOIN mu),
-         pp AS (SELECT greatest(4, CAST(ceil(log2(ceil(count(*) / 64.0))) AS INT)) AS np
-           FROM e),
+         pp AS (SELECT greatest(4, CASE
+             WHEN c >= 1 AND power(2, c - 1) >= b THEN c - 1 ELSE c END) AS np
+           FROM (SELECT b, CAST(ceil(log2(b)) AS INT) AS c
+                 FROM (SELECT ceil(count(*) / 64.0) AS b FROM e))),
          bk AS (SELECT vec_id, v, nrm,
            array_to_string(list_transform(range(0, np), p -> CASE WHEN
              list_reduce(list_transform(range(1, len(vc) + 1), i -> vc[i] *
@@ -2985,8 +2993,10 @@ object SparkEntry {
          cn AS (SELECT vec_id, v, nrm,
            list_transform(range(1, len(v) + 1), i -> v[i] - mu[i]) AS vc
          FROM n CROSS JOIN mu),
-         pp AS (SELECT greatest(4, CAST(ceil(log2(ceil(count(*) / 64.0))) AS INT)) AS np
-           FROM e),
+         pp AS (SELECT greatest(4, CASE
+             WHEN c >= 1 AND power(2, c - 1) >= b THEN c - 1 ELSE c END) AS np
+           FROM (SELECT b, CAST(ceil(log2(b)) AS INT) AS c
+                 FROM (SELECT ceil(count(*) / 64.0) AS b FROM e))),
          bk AS (SELECT vec_id, v, nrm,
            array_to_string(list_transform(range(0, np), p -> CASE WHEN
              list_reduce(list_transform(range(1, len(vc) + 1), i -> vc[i] *

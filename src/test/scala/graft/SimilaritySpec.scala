@@ -304,6 +304,35 @@ class SimilaritySpec extends SparkSpec {
     assert(hinted.except(exact).count() === 0)
   }
 
+  test("planesFor matches the oracle's double-math derivation at every corpus size") {
+    // the hinted-plan oracles derive planes in SQL doubles, while Scala
+    // uses an integer bit trick — any size where the two disagree would
+    // silently hash-break the gate AT THAT CORPUS SIZE only. The raw
+    // ceil(log2(b)) form DID diverge (this sweep caught it: at
+    // n = 2^35, double log2(2^29) lands ε above 29 → 30 planes vs
+    // Scala's 29), so the oracle applies a power-of-two correction —
+    // replayed here — that is robust to ε in either direction. Sweep
+    // densely around every power-of-two bucket boundary plus a coarse
+    // grid to 10^12.
+    def sqlForm(n: Long): Int = {
+      val b = math.ceil(n / 64.0)
+      val c = math.ceil(math.log(b) / math.log(2.0)).toInt
+      math.max(4, if (c >= 1 && math.pow(2.0, c - 1.0) >= b) c - 1 else c)
+    }
+    val boundary = for {
+      e <- 0 to 40
+      d <- -2L to 2L
+      n = (1L << e) * 64 + d * 64
+      if n >= 1
+    } yield n
+    val coarse = Iterator.iterate(1L)(x => (x * 37) / 10 + 1)
+      .takeWhile(_ <= 1000000000000L).toSeq
+    (boundary ++ coarse).foreach { n =>
+      assert(Similarity.planesFor(n) === sqlForm(n),
+        s"planesFor diverges from the oracle derivation at n=$n")
+    }
+  }
+
   test("dot product expression matches the higher-order-function fold bitwise") {
     val hof = emb.select(col("vec_id"),
       aggregate(zip_with(Similarity.vec(col("embedding")), Similarity.vec(col("embedding")),
