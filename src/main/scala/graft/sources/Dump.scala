@@ -410,50 +410,67 @@ object Dump {
     */
   private[sources] val StoredBufferMax: Long = 16L * 1024 * 1024
 
+  private[sources] sealed trait ArchiveMethod
+  private[sources] object ArchiveMethod {
+    case object Stored extends ArchiveMethod
+    final case class Deflated(level: Int) extends ArchiveMethod // -1 default
+    case object Bzip2 extends ArchiveMethod
+    case object Lzma extends ArchiveMethod
+  }
+
   def archive(spark: SparkSession, dumpPath: String, zipPath: String,
       compression: String = "deflated"): Unit = {
-    val (stored, level) = parseArchiveCompression(compression)
+    import org.apache.commons.compress.archivers.zip.{ZipArchiveEntry, ZipArchiveOutputStream}
+    val method = parseArchiveCompression(compression)
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(dumpPath)
     val fs = root.getFileSystem(conf)
     val rootUri = fs.makeQualified(root).toUri
     // the zip may live on a different filesystem than the dump directory
     val zp = new org.apache.hadoop.fs.Path(zipPath)
-    val out = new java.util.zip.ZipOutputStream(zp.getFileSystem(conf).create(zp, true))
-    if (!stored && level >= 0) out.setLevel(level)
+    val out = new ZipArchiveOutputStream(zp.getFileSystem(conf).create(zp, true))
+    method match {
+      case ArchiveMethod.Deflated(l) if l >= 0 => out.setLevel(l)
+      case _ => ()
+    }
     try {
       val files = fs.listFiles(root, true)
       while (files.hasNext) {
         val f = files.next()
         val rel = rootUri.relativize(f.getPath.toUri).getPath
-        val entry = new java.util.zip.ZipEntry(rel)
-        if (stored && f.getLen <= StoredBufferMax) {
-          // STORED entries declare size + CRC in the local header, before
-          // any bytes. Small files are buffered once and written from the
-          // buffer — a single read, so a remote dump (S3A/HDFS) is not
-          // fetched twice and a file mutated mid-archive cannot desync
-          // header and payload.
-          val bytes = {
+        val entry = new ZipArchiveEntry(rel)
+        method match {
+          case ArchiveMethod.Deflated(_) =>
+            entry.setMethod(java.util.zip.ZipEntry.DEFLATED)
+            out.putArchiveEntry(entry)
             val in = fs.open(f.getPath)
-            try in.readAllBytes() finally in.close()
-          }
-          val crc = new java.util.zip.CRC32()
-          crc.update(bytes)
-          entry.setMethod(java.util.zip.ZipEntry.STORED)
-          entry.setSize(bytes.length.toLong)
-          entry.setCompressedSize(bytes.length.toLong)
-          entry.setCrc(crc.getValue)
-          out.putNextEntry(entry)
-          out.write(bytes)
-          out.closeEntry()
-        } else {
-          if (stored) {
+            try in.transferTo(out) finally in.close()
+            out.closeArchiveEntry()
+          case ArchiveMethod.Stored if f.getLen <= StoredBufferMax =>
+            // STORED entries declare size + CRC in the local header,
+            // before any bytes. Small files are buffered once and written
+            // from the buffer — a single read, so a remote dump (S3A/
+            // HDFS) is not fetched twice and a file mutated mid-archive
+            // cannot desync header and payload.
+            val bytes = {
+              val in = fs.open(f.getPath)
+              try in.readAllBytes() finally in.close()
+            }
+            val crc = new java.util.zip.CRC32()
+            crc.update(bytes)
+            entry.setMethod(java.util.zip.ZipEntry.STORED)
+            entry.setSize(bytes.length.toLong)
+            entry.setCompressedSize(bytes.length.toLong)
+            entry.setCrc(crc.getValue)
+            out.putArchiveEntry(entry)
+            out.write(bytes)
+            out.closeArchiveEntry()
+          case ArchiveMethod.Stored =>
             // Above the buffer threshold: one metering pass, then the
             // copy. Constant memory — the file is read twice, never
-            // buffered. ASSUMES the dump is immutable while archiving
-            // (a file changing between passes makes ZipOutputStream
-            // throw on the size/CRC mismatch rather than corrupt the
-            // archive silently).
+            // buffered. ASSUMES the dump is immutable while archiving (a
+            // file changing between passes makes the writer throw on the
+            // size/CRC mismatch rather than corrupt the archive silently).
             val crc = new java.util.zip.CRC32()
             val buf = new Array[Byte](64 * 1024)
             var total = 0L
@@ -466,52 +483,144 @@ object Dump {
             entry.setSize(total)
             entry.setCompressedSize(total)
             entry.setCrc(crc.getValue)
-          }
-          out.putNextEntry(entry)
-          val in = fs.open(f.getPath)
-          try in.transferTo(out) finally in.close()
-          out.closeEntry()
+            out.putArchiveEntry(entry)
+            val in = fs.open(f.getPath)
+            try in.transferTo(out) finally in.close()
+            out.closeArchiveEntry()
+          case ArchiveMethod.Bzip2 | ArchiveMethod.Lzma =>
+            // zip methods 12 (bzip2) / 14 (LZMA) — the reference's
+            // COMPRESSION_MAPPING tiers the JDK lacks, via the codecs on
+            // Spark's own classpath (commons-compress + xz). The entry
+            // payload is pre-compressed to a local spool file in ONE pass
+            // over the source (CRC + size metered in the same read —
+            // constant memory, remote dump fetched once), then written
+            // verbatim with addRawArchiveEntry under the foreign method
+            // id. Readers: `unarchive` below, and any zipfile runtime
+            // with the codec (Python's zipfile reads both).
+            val spool = java.io.File.createTempFile("graft-zip-raw", ".bin")
+            try {
+              val crc = new java.util.zip.CRC32()
+              var total = 0L
+              val rawOut = new java.io.BufferedOutputStream(
+                new java.io.FileOutputStream(spool))
+              val (cOut, methodId) = method match {
+                case ArchiveMethod.Bzip2 =>
+                  (new org.apache.commons.compress.compressors.bzip2
+                    .BZip2CompressorOutputStream(rawOut): java.io.OutputStream, 12)
+                case _ =>
+                  // zip LZMA payload: 2-byte version tag + LE16 props
+                  // size (5) + [lc/lp/pb byte, LE32 dict size] + raw
+                  // LZMA stream with end-of-stream marker (APPNOTE 4.5;
+                  // what Python's zipfile emits and reads)
+                  val opts = new org.tukaani.xz.LZMA2Options()
+                  val props = ((opts.getPb * 5 + opts.getLp) * 9 + opts.getLc)
+                  val dict = opts.getDictSize
+                  rawOut.write(Array[Byte](9, 4, 5, 0))
+                  rawOut.write(props)
+                  rawOut.write(Array[Byte](
+                    (dict & 0xff).toByte, ((dict >> 8) & 0xff).toByte,
+                    ((dict >> 16) & 0xff).toByte, ((dict >> 24) & 0xff).toByte))
+                  (new org.tukaani.xz.LZMAOutputStream(rawOut, opts, true):
+                    java.io.OutputStream, 14)
+              }
+              val in = fs.open(f.getPath)
+              try {
+                val buf = new Array[Byte](64 * 1024)
+                var n = in.read(buf)
+                while (n >= 0) {
+                  crc.update(buf, 0, n); total += n
+                  cOut.write(buf, 0, n)
+                  n = in.read(buf)
+                }
+              } finally in.close()
+              cOut.close()
+              entry.setMethod(methodId)
+              entry.setSize(total)
+              entry.setCompressedSize(spool.length())
+              entry.setCrc(crc.getValue)
+              val spoolIn = new java.io.BufferedInputStream(
+                new java.io.FileInputStream(spool))
+              try out.addRawArchiveEntry(entry, spoolIn)
+              finally spoolIn.close()
+            } finally spool.delete()
         }
       }
     } finally out.close()
   }
 
   /** Archive compression choice ≙ the reference's COMPRESSION_MAPPING
-    * (cli/dump.py:32 — deflated/stored, plus bzip2/lzma where its runtime
-    * has them): `stored` (no compression — right when the dump payload is
-    * already-compressed parquet), `deflated` (zlib default), or
-    * `deflated:0-9` (explicit zlib level; 9 ≙ the max-ratio tier bzip2/
-    * lzma occupy in the reference — the JDK's zip has no bzip2/lzma codec).
-    * Returns (stored?, deflate level or -1 for default).
+    * (cli/dump.py:32 — stored/deflated/bzip2/lzma): `stored` (no
+    * compression — right when the dump payload is already-compressed
+    * parquet), `deflated` (zlib default), `deflated:0-9` (explicit zlib
+    * level), `bzip2` (zip method 12), or `lzma` (zip method 14) — the
+    * max-ratio tiers, written with the commons-compress/xz codecs on
+    * Spark's own classpath.
     */
-  private[sources] def parseArchiveCompression(compression: String): (Boolean, Int) =
+  private[sources] def parseArchiveCompression(compression: String): ArchiveMethod =
     compression match {
-      case "stored"   => (true, -1)
-      case "deflated" => (false, -1)
+      case "stored"   => ArchiveMethod.Stored
+      case "deflated" => ArchiveMethod.Deflated(-1)
       case s if s.startsWith("deflated:") =>
         val lvl = s.stripPrefix("deflated:").toIntOption.getOrElse(-99)
         require(lvl >= 0 && lvl <= 9,
           s"deflate level must be 0-9: $s")
-        (false, lvl)
+        ArchiveMethod.Deflated(lvl)
+      case "bzip2" => ArchiveMethod.Bzip2
+      case "lzma"  => ArchiveMethod.Lzma
       case other => throw new IllegalArgumentException(
-        s"unsupported archive compression '$other' (expected stored, deflated or deflated:0-9)")
+        s"unsupported archive compression '$other' " +
+          "(expected stored, deflated, deflated:0-9, bzip2 or lzma)")
     }
+
+  /** Adapts Hadoop's seekable input stream to the NIO channel the zip
+    * central-directory reader needs — so bzip2/lzma archives unpack
+    * straight off any Hadoop filesystem without a local copy.
+    */
+  private final class HadoopSeekableChannel(
+      in: org.apache.hadoop.fs.FSDataInputStream, length: Long)
+    extends java.nio.channels.SeekableByteChannel {
+    private var closed = false
+    override def read(dst: java.nio.ByteBuffer): Int = {
+      val buf = new Array[Byte](dst.remaining())
+      val n = in.read(buf, 0, buf.length)
+      if (n > 0) dst.put(buf, 0, n)
+      n
+    }
+    override def position(): Long = in.getPos
+    override def position(p: Long): java.nio.channels.SeekableByteChannel = {
+      in.seek(p); this
+    }
+    override def size(): Long = length
+    override def write(src: java.nio.ByteBuffer): Int =
+      throw new java.nio.channels.NonWritableChannelException
+    override def truncate(s: Long): java.nio.channels.SeekableByteChannel =
+      throw new java.nio.channels.NonWritableChannelException
+    override def isOpen: Boolean = !closed
+    override def close(): Unit = { closed = true; in.close() }
+  }
 
   /** Restores a zip written by `archive` into a dump directory that
     * `load`/`loadInto` read directly (≙ the reference unpacking its archive
-    * on load, xdump/base.py:220).
+    * on load, xdump/base.py:220). Reads through the commons-compress
+    * central-directory reader, so every method `archive` writes — stored,
+    * deflated, bzip2 (12), lzma (14) — extracts transparently.
     */
   def unarchive(spark: SparkSession, zipPath: String, targetDir: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val zp = new org.apache.hadoop.fs.Path(zipPath)
-    val in = new java.util.zip.ZipInputStream(zp.getFileSystem(conf).open(zp))
+    val zfs = zp.getFileSystem(conf)
+    val zlen = zfs.getFileStatus(zp).getLen
+    val zf = org.apache.commons.compress.archivers.zip.ZipFile.builder()
+      .setSeekableByteChannel(new HadoopSeekableChannel(zfs.open(zp), zlen))
+      .get()
     // entries extract onto the TARGET's filesystem (the zip may be remote)
     val tp = new org.apache.hadoop.fs.Path(targetDir)
     val tfs = tp.getFileSystem(conf)
     val rootUri = tfs.makeQualified(tp).toUri
     try {
-      var e = in.getNextEntry
-      while (e != null) {
+      val entries = zf.getEntriesInPhysicalOrder
+      while (entries.hasMoreElements) {
+        val e = entries.nextElement()
         if (!e.isDirectory) {
           val target = new org.apache.hadoop.fs.Path(s"$targetDir/${e.getName}")
           // zip-slip guard: a crafted entry name ("../../etc/passwd") must
@@ -520,13 +629,29 @@ object Dump {
           require(!rootUri.relativize(resolved).equals(resolved) &&
               !rootUri.relativize(resolved).getPath.startsWith(".."),
             s"zip entry escapes the extraction directory: ${e.getName}")
+          // commons-compress decodes stored/deflated/bzip2 natively; LZMA
+          // (14) it exposes only raw, so parse the APPNOTE 4.5 payload
+          // header ourselves (version tag, LE16 props size, 5-byte props)
+          // and decode with the xz codec — end-of-stream marker mode, the
+          // form Python's zipfile writes and reads
+          val in: java.io.InputStream =
+            if (e.getMethod == 14) {
+              val raw = zf.getRawInputStream(e)
+              val hdr = raw.readNBytes(4)
+              require(hdr.length == 4, s"truncated LZMA header in ${e.getName}")
+              val propsSize = (hdr(2) & 0xff) | ((hdr(3) & 0xff) << 8)
+              val props = raw.readNBytes(propsSize)
+              require(props.length == propsSize && propsSize >= 5,
+                s"truncated LZMA properties in ${e.getName}")
+              val dictSize = (props(1) & 0xff) | ((props(2) & 0xff) << 8) |
+                ((props(3) & 0xff) << 16) | ((props(4) & 0xff) << 24)
+              new org.tukaani.xz.LZMAInputStream(raw, -1L, props(0), dictSize)
+            } else zf.getInputStream(e)
           val out = tfs.create(target, true)
-          try in.transferTo(out) finally out.close()
+          try in.transferTo(out) finally { out.close(); in.close() }
         }
-        in.closeEntry()
-        e = in.getNextEntry
       }
-    } finally in.close()
+    } finally zf.close()
   }
 
   // Small text-file helpers via the Hadoop FS API (works on any supported

@@ -100,10 +100,61 @@ class CliSpec extends SparkSpec {
       spark.read.parquet(s"$sfDir/region.parquet").count())
     // unknown names and bad levels fail loudly
     assertThrows[IllegalArgumentException] {
-      D.archive(spark, s"$tmp/dump", s"$tmp/x.zip", "bzip2")
+      D.archive(spark, s"$tmp/dump", s"$tmp/x.zip", "zpaq")
     }
     assertThrows[IllegalArgumentException] {
       D.archive(spark, s"$tmp/dump", s"$tmp/x.zip", "deflated:12")
+    }
+  }
+
+  test("bzip2/lzma archives: foreign method ids, max-ratio tier, full load-back") {
+    val tmp = Files.createTempDirectory("graft_cli_zipx").toString
+    DumpMain.run(Seq(
+      "--source", sfDir,
+      "-o", s"$tmp/dump",
+      "-f", "region", "-f", "nation",
+      "--format", "csv", "-c", "none"), spark)
+    val D = graft.sources.Dump
+    D.archive(spark, s"$tmp/dump", s"$tmp/deflated.zip", "deflated:9")
+    D.archive(spark, s"$tmp/dump", s"$tmp/bzip2.zip", "bzip2")
+    D.archive(spark, s"$tmp/dump", s"$tmp/lzma.zip", "lzma")
+
+    // the written entries carry the reference COMPRESSION_MAPPING's
+    // foreign method ids (zip methods 12 / 14), with correct size
+    // metadata — via the central-directory reader the JDK lacks
+    def entries(p: String) = {
+      val zf = org.apache.commons.compress.archivers.zip.ZipFile.builder()
+        .setFile(new java.io.File(p)).get()
+      try {
+        val it = zf.getEntries; val b = Seq.newBuilder[
+          org.apache.commons.compress.archivers.zip.ZipArchiveEntry]
+        while (it.hasMoreElements) b += it.nextElement()
+        b.result()
+      } finally zf.close()
+    }
+    val bz = entries(s"$tmp/bzip2.zip")
+    val lz = entries(s"$tmp/lzma.zip")
+    assert(bz.nonEmpty && bz.forall(_.getMethod === 12))
+    assert(lz.nonEmpty && lz.forall(_.getMethod === 14))
+    // size 0 is legitimate (_SUCCESS markers); the codec header still
+    // makes the compressed payload non-empty
+    assert(bz.exists(_.getSize > 0) && bz.forall(_.getCompressedSize > 0))
+    assert(lz.exists(_.getSize > 0) && lz.forall(_.getCompressedSize > 0))
+
+    // both occupy the max-ratio tier on the text payload: no larger than
+    // the zlib-9 archive's total
+    def len(p: String) = new java.io.File(p).length()
+    assert(len(s"$tmp/bzip2.zip") <= len(s"$tmp/deflated.zip") * 11 / 10)
+    assert(len(s"$tmp/lzma.zip") <= len(s"$tmp/deflated.zip"))
+
+    // and the full dump → archive → unarchive → load cycle is exact for
+    // both codecs (CRCs verified by the reader, CSVs byte-identical)
+    for (codec <- Seq("bzip2", "lzma")) {
+      LoadMain.run(Seq("-i", s"$tmp/$codec.zip", "--target", s"$tmp/loaded_$codec"), spark)
+      assert(spark.read.parquet(s"$tmp/loaded_$codec/region.parquet").count() ===
+        spark.read.parquet(s"$sfDir/region.parquet").count())
+      assert(spark.read.parquet(s"$tmp/loaded_$codec/nation.parquet").count() ===
+        spark.read.parquet(s"$sfDir/nation.parquet").count())
     }
   }
 
