@@ -158,6 +158,27 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("unarchive refuses a zip-slip entry and writes nothing outside the target") {
+    val tmp = Files.createTempDirectory("graft_cli_slip").toString
+    val zp = s"$tmp/evil.zip"
+    val out = new org.apache.commons.compress.archivers.zip.ZipArchiveOutputStream(
+      new java.io.FileOutputStream(zp))
+    try {
+      val ok = new org.apache.commons.compress.archivers.zip.ZipArchiveEntry("fine.txt")
+      out.putArchiveEntry(ok); out.write("benign".getBytes); out.closeArchiveEntry()
+      val evil = new org.apache.commons.compress.archivers.zip.ZipArchiveEntry(
+        "../escaped.txt")
+      out.putArchiveEntry(evil); out.write("evil".getBytes); out.closeArchiveEntry()
+    } finally out.close()
+    val ex = intercept[IllegalArgumentException] {
+      graft.sources.Dump.unarchive(spark, zp, s"$tmp/out")
+    }
+    assert(ex.getMessage.contains("escapes the extraction directory"))
+    assert(!new java.io.File(s"$tmp/escaped.txt").exists())
+    assert(!new java.io.File(tmp).getParentFile.listFiles()
+      .exists(_.getName == "escaped.txt"))
+  }
+
   test("schema-only dump writes DDL but no data") {
     val tmp = Files.createTempDirectory("graft_cli2").toString
     DumpMain.run(Seq(
