@@ -582,6 +582,23 @@ object SparkEntry {
         .orderBy("event_id")
     },
 
+    // forward as-of: each event matched to the user's NEXT order
+    // at-or-after it (the next-fill shape), same one-shuffle plan with
+    // the frame side flipped
+    "asof_join_fwd" -> { (s, dir) =>
+      val c = cat(s, dir)
+      val ev = c.table("events")
+        .select(col("event_id"), expr("ts div 1000000000").as("ts"), col("user_id"))
+      val latestOrders = c.table("orders")
+        .groupBy(col("o_custkey").as("user_id"),
+          col("o_orderdate").cast("timestamp").cast("long").as("ts"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      Temporal.asofJoin(ev, latestOrders, keyCol = "user_id", tsCol = "ts",
+          payloadCols = Seq("o_orderkey"), direction = "forward")
+        .select(col("event_id"), col("user_id"), col("o_orderkey"))
+        .orderBy("event_id")
+    },
+
     "sessionize" -> ((s, dir) =>
       Temporal.sessionize(
           cat(s, dir).table("events").withColumn("ts", expr("ts div 1000000000")),
@@ -615,6 +632,15 @@ object SparkEntry {
             .withColumn("day", expr("ts div 86400000000000")),
           maxDays = 30)
         .orderBy("cohort_day", "day_offset")),
+
+    // DAU + trailing-7-day WAU per active day: exact rolling distinct via
+    // bounded window-end expansion over the (day, user) activity frame
+    "events_dau" -> ((s, dir) =>
+      Temporal.activeUsers(
+          cat(s, dir).table("events")
+            .withColumn("day", expr("ts div 86400000000000")),
+          windowDays = 7)
+        .orderBy("day")),
 
     // exact per-type value percentiles by integer rank over the value
     // histogram — bounded window partitions, engine-portable thresholds
@@ -2013,6 +2039,18 @@ object SparkEntry {
            ON ev.user_id = o.user_id AND ev.ts >= o.ots
          ORDER BY ev.event_id""",
 
+    "asof_join_fwd" ->
+      """WITH ev AS (SELECT event_id, epoch_ns(ts) // 1000000000 AS ts, user_id
+           FROM events),
+         o AS (SELECT o_custkey AS user_id,
+           epoch_ns(CAST(o_orderdate AS TIMESTAMP)) // 1000000000 AS ots,
+           max(o_orderkey) AS o_orderkey
+         FROM orders GROUP BY 1, 2)
+         SELECT ev.event_id, ev.user_id, o.o_orderkey
+         FROM ev ASOF LEFT JOIN o
+           ON ev.user_id = o.user_id AND ev.ts <= o.ots
+         ORDER BY ev.event_id""",
+
     "sessionize" ->
       """WITH e AS (SELECT user_id, event_id,
            epoch_ns(ts) // 1000000000 AS se FROM events),
@@ -2077,6 +2115,18 @@ object SparkEntry {
          SELECT cohort_day, day - cohort_day AS day_offset, count(*) AS n_users
          FROM a JOIN c USING (user_id) WHERE day - cohort_day <= 30
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "events_dau" ->
+      """WITH du AS (SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day, user_id
+           FROM events),
+         dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+         wau AS (SELECT w.day, count(*) AS wau FROM (
+           SELECT DISTINCT u.day + off.o AS day, u.user_id
+           FROM du u CROSS JOIN (SELECT unnest(range(0, 7)) AS o) off) w
+         GROUP BY 1)
+         SELECT dau.day, dau.dau, wau.wau
+         FROM dau JOIN wau ON dau.day = wau.day
+         ORDER BY dau.day""",
 
     "events_percentiles" ->
       """WITH h AS (SELECT event_type, value AS v, count(*) AS c

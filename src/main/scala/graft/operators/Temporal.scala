@@ -44,7 +44,17 @@ object Temporal {
       keyCol: String,
       tsCol: String,
       payloadCols: Seq[String],
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
+    // "backward" (default) matches the LATEST right row at-or-before the
+    // left timestamp — the quote-for-a-trade shape. "forward" matches the
+    // EARLIEST right row at-or-after — the next-fill / next-order shape
+    // (pandas merge_asof's direction knob). Same single-shuffle
+    // union+tag plan either way: only the tag order, the window frame
+    // side, and the tolerance sign flip.
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward or forward: $direction")
+    val backward = direction == "backward"
     // the result is left.columns ++ payloadCols under their bare names —
     // an overlap would silently emit duplicate/clobbered columns
     val clash = payloadCols.toSet.intersect(left.columns.toSet)
@@ -59,22 +69,33 @@ object Temporal {
     // can run AFTER propagation, against the row that actually matched
     val payload = struct(payloadCols.map(col) :+ col(tsCol).as("__rts"): _*)
     val leftCols = left.columns
-    val l = left.withColumn("__side", lit(1))
+    // tag order puts the right side WITH the frame at equal timestamps:
+    // backward sorts right(0) before left(1) so at-or-before includes
+    // ties; forward sorts left(0) before right(1) so at-or-after does
+    val (lTag, rTag) = if (backward) (1, 0) else (0, 1)
+    val l = left.withColumn("__side", lit(lTag))
       .withColumn("__payload", lit(null).cast(right.select(payload).schema.head.dataType))
     val r = right.select(
-      (col(keyCol) +: col(tsCol) +: lit(0).as("__side") +: payload.as("__payload") +:
+      (col(keyCol) +: col(tsCol) +: lit(rTag).as("__side") +: payload.as("__payload") +:
         leftCols.filterNot(c => c == keyCol || c == tsCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
-    val w = Window.partitionBy(col(keyCol))
+    val base = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w =
+      if (backward) base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched =
+      if (backward) last(col("__payload"), ignoreNulls = true).over(w)
+      else first(col("__payload"), ignoreNulls = true).over(w)
     val inTol = tolerance match {
-      case Some(tol) => col(tsCol) - col("__match.__rts") <= tol
+      case Some(tol) =>
+        if (backward) col(tsCol) - col("__match.__rts") <= tol
+        else col("__match.__rts") - col(tsCol) <= tol
       case None => lit(true)
     }
     l.unionByName(r)
-      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
-      .where(col("__side") === 1)
+      .withColumn("__match", matched)
+      .where(col("__side") === lTag)
       .select(leftCols.map(col) :+ col("__match") :+ inTol.as("__ok"): _*)
       .select(leftCols.map(col) ++ payloadCols.map(c =>
         when(col("__ok"), col(s"__match.$c")).as(c)): _*)
@@ -155,6 +176,40 @@ object Temporal {
         tCols.tail.map(c => min(c).as(c)): _*)
       .withColumn("steps_completed",
         tCols.map(c => when(col(c).isNotNull, 1L).otherwise(0L)).reduce(_ + _))
+  }
+
+  /** Rolling active users — the DAU/WAU pair every product dashboard
+    * leads with: per active day, the count of distinct users that day
+    * (`dau`) and the count of distinct users in the trailing
+    * `windowDays`-day window ending that day (`wau`). Only observed days
+    * are emitted.
+    *
+    * Scale shape: the corpus reduces map-side+shuffle to the DISTINCT
+    * (day, user) activity frame — bounded by users × active days, never
+    * event volume. The rolling distinct is EXACT without any distinct-
+    * over-window: each activity row expands to the `windowDays` window-
+    * end days it contributes to (map-side sequence+explode, ×windowDays
+    * rows), then one distinct + one count — a range join re-expressed as
+    * bounded expansion, so there is no non-equi join (Spark would
+    * nested-loop it) and no corpus-sized window anywhere.
+    */
+  def activeUsers(
+      events: DataFrame,
+      windowDays: Int = 7,
+      keyCol: String = "user_id",
+      dayCol: String = "day"): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be positive: $windowDays")
+    val du = events.select(col(dayCol), col(keyCol)).distinct()
+    val dau = du.groupBy(col(dayCol)).agg(count(lit(1)).as("dau"))
+    val wau = du
+      .select(explode(sequence(col(dayCol),
+        col(dayCol) + (windowDays - 1))).as(dayCol), col(keyCol))
+      .distinct()
+      .groupBy(col(dayCol)).agg(count(lit(1)).as("wau"))
+    // inner join restricts to OBSERVED days (expansion manufactures
+    // window-end days past each activity burst)
+    dau.join(wau, dayCol)
+      .select(col(dayCol), col("dau"), col("wau"))
   }
 
   /** Cohort retention: users grouped by first-active day (their cohort),

@@ -27,6 +27,35 @@ class TemporalSpec extends SparkSpec {
     assert(out(5L) === null)  // key absent on the right
   }
 
+  test("asofJoin forward picks the earliest right row at or after each left ts") {
+    import spark.implicits._
+    // numeric epoch-second ts — the tolerance arithmetic's contract
+    // (the production entries divide the catalog's epoch-nanos)
+    val left = Seq(
+      (1L, 100L, "u1"), (2L, 200L, "u1"), (3L, 50L, "u1"),
+      (4L, 102L, "u2"), (5L, 999L, "u3"))
+      .toDF("event_id", "ts", "k")
+    val right = Seq(
+      ("u1", 100L, "a"), ("u1", 150L, "b"),
+      ("u2", 101L, "c"), ("u9", 1L, "z"))
+      .toDF("k", "ts", "tag")
+    val out = Temporal.asofJoin(left, right, "k", "ts", Seq("tag"),
+        direction = "forward")
+      .select("event_id", "tag").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "a")   // equal ts matches (>= semantics, tie included)
+    assert(out(2L) === null)  // nothing at or after ts=200
+    assert(out(3L) === "a")   // earliest of the two later rows
+    assert(out(4L) === null)  // right row is strictly earlier
+    assert(out(5L) === null)  // key absent on the right
+
+    // forward tolerance: matches farther AHEAD than the budget null out
+    val tol = Temporal.asofJoin(left, right, "k", "ts", Seq("tag"),
+        tolerance = Some(20L), direction = "forward")
+      .select("event_id", "tag").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tol(1L) === "a")   // 0 ahead — kept
+    assert(tol(3L) === null)  // 50 ahead — beyond the 20 s budget
+  }
+
   test("asofJoin tolerance nulls stale matches without changing fresh ones") {
     import spark.implicits._
     val left = Seq((1L, 100L, "u1"), (2L, 500L, "u1"), (3L, 120L, "u2"))
