@@ -339,7 +339,15 @@ object ScaleCheck {
         // append, the SparkEntry demo verbatim): founding reduce is the
         // only corpus-text pass — expect linear, dominated by the save
         "fingerprint_ingest" -> (() =>
-          SparkEntry.queries("fingerprint_ingest")(spark, dir)))
+          SparkEntry.queries("fingerprint_ingest")(spark, dir)),
+        // forward as-of: the same one-shuffle union+tag plan as backward
+        // with the frame side flipped — expect the asof_join_tol curve
+        "asof_join_fwd" -> (() =>
+          SparkEntry.queries("asof_join_fwd")(spark, dir)),
+        // DAU/WAU: distinct (day,user) frame + bounded ×7 window-end
+        // expansion — expect linear in the distinct reduction
+        "events_dau" -> (() =>
+          SparkEntry.queries("events_dau")(spark, dir)))
 
       // SPARK_GRAFT_SCALE_ONLY=a,b,c runs a subset (merge results by hand)
       val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
