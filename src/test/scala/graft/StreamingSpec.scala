@@ -330,6 +330,45 @@ class StreamingSpec extends SparkSpec {
     assert(got(2L) === batchZ)
   }
 
+  test("streaming daily actives equal the batch sketch on the same events") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val batch = graft.core.Catalog.tpch(spark, sfDir).table("events")
+      .select(expr("ts div 1000000000").as("ts"), col("user_id"))
+    val rows = batch.limit(2000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    val stream = MemoryStream[(Long, Long)]
+    stream.addData(rows.toSeq)
+    val q = graft.streaming.StreamingActive.dailyActive(
+        stream.toDF().toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("active_stream")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("active_stream").orderBy("day_start").collect()
+    val want = graft.streaming.StreamingActive.dailyActive(
+        spark.createDataFrame(rows.toSeq).toDF("ts", "user_id"))
+      .orderBy("day_start").collect()
+    // HLL++ is hash-based and merge-associative: the streamed sketch is
+    // bit-identical to the batch one on the same rows
+    assert(got.toSeq === want.toSeq)
+    assert(got.nonEmpty)
+    // and the sketch tracks the exact batch distinct within its rsd
+    val exact = spark.createDataFrame(rows.toSeq).toDF("ts", "user_id")
+      .groupBy(expr("ts div 86400").as("day"))
+      .agg(countDistinct(col("user_id")).as("exact"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      val day = r.getAs[Long]("day_start") / 86400
+      val approx = r.getAs[Long]("dau_approx").toDouble
+      val e = exact(day).toDouble
+      assert(math.abs(approx - e) / e <= 0.15,
+        s"day $day: approx $approx vs exact $e")
+    }
+  }
+
   test("streaming funnel emits once on ordered completion, respects the window") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
