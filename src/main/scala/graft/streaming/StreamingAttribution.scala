@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-STREAM event-time join — the attribution shape: conversions
+  * matched to the prior event (impression/send/exposure) of the same
+  * user within an attribution window. This is the one streaming join
+  * form the rest of the `graft.streaming` family doesn't exercise: both
+  * sides are unbounded, so Spark buffers each side in watermarked state
+  * and the time-range predicate is what BOUNDS that state — without it
+  * the join would have to keep every row forever (Spark rejects inner
+  * stream-stream joins with no event-time constraint for exactly that
+  * reason).
+  *
+  * State shape: each side holds rows until the watermark passes the
+  * range the OTHER side could still match — impressions live
+  * `windowSeconds` + watermark delay, conversions only the delay —
+  * so state is bounded by rate × horizon, independent of stream length.
+  * One conversion can match several in-window impressions (the join is
+  * a join, not an argmax); downstream pick-latest is a grouped agg the
+  * caller composes, kept out of here so the join stays append-mode.
+  */
+object StreamingAttribution {
+
+  /** `impressions` needs `ts` (epoch seconds), `user_id`, `imp_id`;
+    * `conversions` needs `ts`, `user_id`, `conv_id`. Emits one row per
+    * (conversion, in-window prior impression) pair, append mode:
+    * (user_id, conv_id, conv_ts, imp_id, imp_ts, lag_s).
+    */
+  def attribute(
+      impressions: DataFrame,
+      conversions: DataFrame,
+      windowSeconds: Long = 3600,
+      watermark: String = "1 hour"): DataFrame = {
+    require(windowSeconds >= 1, s"windowSeconds must be positive: $windowSeconds")
+    val imp = impressions
+      .withColumn("imp_time", expr("timestamp_seconds(ts)"))
+      .withWatermark("imp_time", watermark)
+      .select(col("user_id").as("i_user"), col("imp_id"),
+        col("ts").as("imp_ts"), col("imp_time"))
+    val conv = conversions
+      .withColumn("conv_time", expr("timestamp_seconds(ts)"))
+      .withWatermark("conv_time", watermark)
+      .select(col("user_id"), col("conv_id"),
+        col("ts").as("conv_ts"), col("conv_time"))
+    conv.join(imp,
+        col("user_id") === col("i_user") &&
+          col("imp_time") <= col("conv_time") &&
+          col("imp_time") >= col("conv_time") - expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select(col("user_id"), col("conv_id"), col("conv_ts"),
+        col("imp_id"), col("imp_ts"),
+        (col("conv_ts") - col("imp_ts")).as("lag_s"))
+  }
+}

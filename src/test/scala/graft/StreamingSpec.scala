@@ -369,6 +369,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream attribution joins conversions to in-window impressions") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val imps = MemoryStream[(Long, Long, Long)]  // (ts, user_id, imp_id)
+    val convs = MemoryStream[(Long, Long, Long)] // (ts, user_id, conv_id)
+    val q = graft.streaming.StreamingAttribution.attribute(
+        imps.toDF().toDF("ts", "user_id", "imp_id"),
+        convs.toDF().toDF("ts", "user_id", "conv_id"),
+        windowSeconds = 100)
+      .writeStream.format("memory").queryName("attr_stream")
+      .outputMode("append").start()
+    try {
+      imps.addData(Seq(
+        (100L, 1L, 10L),  // in window of u1's conversion at 150
+        (120L, 1L, 11L),  // also in window — both pairs emit
+        (10L, 2L, 20L),   // 190 s before u2's conversion — outside
+        (100L, 3L, 30L))) // no conversion for u3
+      convs.addData(Seq(
+        (150L, 1L, 91L),
+        (200L, 2L, 92L),
+        (90L, 4L, 94L)))  // no impression for u4
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("attr_stream")
+      .select("conv_id", "imp_id", "lag_s").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((91L, 10L, 50L), (91L, 11L, 30L)))
+  }
+
   test("streaming funnel emits once on ordered completion, respects the window") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
