@@ -79,4 +79,33 @@ object StreamingSessionize {
           }
       }
   }
+
+  /** The BUILT-IN form of the same sessionization — Spark's
+    * `session_window` gap aggregation: when the per-session result is
+    * expressible as an aggregate (count/sum/min/max — no custom emit
+    * logic), prefer this over the custom-state operator above: the
+    * engine owns the state store, merges overlapping windows itself, and
+    * the same expression runs batch or streaming unchanged. The custom
+    * flatMapGroupsWithState form above remains for semantics aggregation
+    * can't express (inline close-then-reopen emission, per-event chain
+    * rules). Session bounds differ from [[sessionize]] only in form:
+    * `session_window` closes at last-event + gap, so the emitted end is
+    * `end + gap` — callers get the same sessions, offset convention
+    * documented here.
+    */
+  def sessionAgg(
+      events: DataFrame,
+      gapSeconds: Long = 1800,
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("event_time", expr("timestamp_seconds(ts)"))
+      .withWatermark("event_time", watermark)
+      .groupBy(col("user_id"),
+        session_window(col("event_time"), s"$gapSeconds seconds").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start_s"),
+        max(col("ts")).as("session_end_s"))
+      .select(col("user_id"), col("session_start_s"), col("session_end_s"),
+        col("n_events"),
+        (col("session_end_s") - col("session_start_s")).as("duration_s"))
 }

@@ -193,6 +193,37 @@ class StreamingSpec extends SparkSpec {
       .map(_.getLong(0)).toSet === Set(2L))
   }
 
+  test("session_window aggregation matches the custom-state sessionizer's sessions") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rows = graft.core.Catalog.tpch(spark, sfDir).table("events")
+      .select(expr("ts div 1000000000").as("ts"), col("event_id"), col("user_id"))
+      .limit(2000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    // built-in session_window on a stream...
+    val stream = MemoryStream[(Long, Long, Long)]
+    stream.addData(rows.toSeq)
+    val q = graft.streaming.StreamingSessionize.sessionAgg(
+        stream.toDF().toDF("ts", "event_id", "user_id"), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("session_agg_stream")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("session_agg_stream")
+      .orderBy("user_id", "session_start_s").collect()
+
+    // ...equals the batch sessionize (the exact replay) on the same rows
+    val want = graft.operators.Temporal.sessionize(
+        spark.createDataFrame(rows.toSeq).toDF("ts", "event_id", "user_id"),
+        gapSeconds = 1800)
+      .select("user_id", "session_start_s", "session_end_s", "n_events",
+        "duration_s")
+      .orderBy("user_id", "session_start_s").collect()
+    assert(got.toSeq === want.toSeq)
+    assert(got.nonEmpty)
+  }
+
   test("streaming sessionize closes sessions on gap and on event-time timeout") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
