@@ -307,24 +307,12 @@ object ScaleCheck {
           SparkEntry.queries("funnel_counts")(spark, dir)),
         "events_props" -> (() =>
           SparkEntry.queries("events_props")(spark, dir)),
-        // tolerance as-of join, minus the oracle-only event_id sort:
-        // union+tag+last over ONE key shuffle — expect linear
-        "asof_join_tol" -> { () =>
-          val c = graft.core.Catalog.tpch(spark, dir)
-          val ev = c.table("events")
-            .select(col("event_id"),
-              org.apache.spark.sql.functions.expr("ts div 1000000000").as("ts"),
-              col("user_id"))
-          val latestOrders = c.table("orders")
-            .groupBy(col("o_custkey").as("user_id"),
-              col("o_orderdate").cast("timestamp").cast("long").as("ts"))
-            .agg(org.apache.spark.sql.functions.max(col("o_orderkey"))
-              .as("o_orderkey"))
-          Temporal.asofJoin(ev, latestOrders, keyCol = "user_id",
-              tsCol = "ts", payloadCols = Seq("o_orderkey"),
-              tolerance = Some(30L * 86400))
-            .select(col("event_id"), col("user_id"), col("o_orderkey"))
-        },
+        // tolerance as-of join, the SparkEntry query body verbatim (its
+        // trailing event_id sort included — the r12 pass-5 artifact rows
+        // measured a sortless variant; same plan otherwise): union+tag+
+        // last over ONE key shuffle — expect linear
+        "asof_join_tol" -> (() =>
+          SparkEntry.queries("asof_join_tol")(spark, dir)),
         // HLL++ sketch profile: one map-side-combined shuffle to
         // #(lang,source) rows — expect linear scan-bound
         "profile_approx" -> (() =>

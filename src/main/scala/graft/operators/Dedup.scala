@@ -657,6 +657,22 @@ object Dedup {
     val n = math.max(1L, expectedItems.getOrElse(existing.count()))
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .create(n, fpp).bitSize()
+    // The runtime-filter expression SILENTLY clamps n/numBits to the
+    // session's runtime.bloomFilter.maxNumItems/maxNumBits confs — a
+    // clamped sketch quietly over-drops (real fpp → 1 as the corpus
+    // outgrows the cap). Fail loudly instead; past the caps, use the
+    // uncapped persisted-artifact path ([[FingerprintStore]] +
+    // [[bloomSketchDedup]]) or raise the confs deliberately.
+    val spark = newBatch.sparkSession
+    val maxItems = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
+    val maxBits = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
+    require(n <= maxItems && numBits <= maxBits,
+      s"corpus of $n items needs $numBits bloom bits, beyond the runtime " +
+        s"bloom-filter caps ($maxItems items / $maxBits bits): use " +
+        "FingerprintStore + bloomSketchDedup (uncapped) or raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits")
     val bloom = existing
       .select(hexHash(col("text")).as("k"))
       .agg(column(new BloomFilterAggregate(

@@ -79,27 +79,36 @@ object FingerprintStore {
       accepted.select(md5(col("text")).as("text_md5")), path, fpp)
 
   /** (Re)build the sketch artifact from the CURRENT fingerprint table —
-    * one bounded count + one 1-row aggregate over 16-byte keys. Bloom
-    * union would need equal bit sizes across epochs; rebuilding from the
-    * digest table keeps the sketch optimally sized as the corpus grows.
+    * one bounded count + one distributed sketch aggregation over 16-byte
+    * keys. Bloom union would need equal bit sizes across epochs;
+    * rebuilding from the digest table keeps the sketch optimally sized
+    * as the corpus grows.
+    *
+    * Built with `df.stat.bloomFilter` (treeAggregate of
+    * `util.sketch.BloomFilter` — the SAME serialization
+    * `BloomFilterMightContain` deserializes), NOT the runtime-filter
+    * `BloomFilterAggregate` expression: that expression silently clamps
+    * n and numBits to `spark.sql.optimizer.runtime.bloomFilter
+    * .maxNumItems/maxNumBits` (4 M items / 67 M bits by default), which
+    * at this store's documented 10⁸–10⁹-document scale would push the
+    * real fpp toward 1 and make the sketch arm over-drop nearly every
+    * novel document — with the metadata row still claiming the requested
+    * capacity. The stat form has no caps; the persisted `num_bits` is
+    * read back from the filter actually built.
     */
   private def writeBloom(spark: SparkSession, path: String, fpp: Double): Unit = {
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
     val fp = loadFingerprints(spark, path)
     val n = math.max(1L, fp.count())
-    val numBits = org.apache.spark.util.sketch.BloomFilter
-      .create(n, fpp).bitSize()
-    val sketch = fp
+    val filter = fp
       .select(conv(substring(col("text_md5"), 1, 15), 16, 10)
         .cast("long").as("k"))
-      .agg(column(new BloomFilterAggregate(
-        expression(col("k")), expression(lit(n)), expression(lit(numBits)))
-        .toAggregateExpression()).as("bloom"))
-      .head().getAs[Array[Byte]](0)
+      .stat.bloomFilter("k", n, fpp)
+    val bytes = new java.io.ByteArrayOutputStream()
+    filter.writeTo(bytes)
     import spark.implicits._
-    Seq((sketch, n, numBits, fpp)).toDF("sketch", "n_items", "num_bits", "fpp")
+    Seq((bytes.toByteArray, n, filter.bitSize(), fpp))
+      .toDF("sketch", "n_items", "num_bits", "fpp")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$path/bloom")
   }

@@ -647,8 +647,23 @@ object Dump {
                 ((props(3) & 0xff) << 16) | ((props(4) & 0xff) << 24)
               new org.tukaani.xz.LZMAInputStream(raw, -1L, props(0), dictSize)
             } else zf.getInputStream(e)
+          // the central-directory reader does NOT CRC-check what it
+          // decodes (java.util.zip's streaming reader did) — meter the
+          // extracted bytes and verify against the directory's CRC, so a
+          // bit-flipped archive fails the load instead of planting
+          // corrupt table bytes that surface later or never
+          val crc = new java.util.zip.CRC32()
           val out = tfs.create(target, true)
-          try in.transferTo(out) finally { out.close(); in.close() }
+          try {
+            val buf = new Array[Byte](64 * 1024)
+            var m = in.read(buf)
+            while (m >= 0) { crc.update(buf, 0, m); out.write(buf, 0, m); m = in.read(buf) }
+          } finally { out.close(); in.close() }
+          if (e.getCrc != -1L)
+            require(crc.getValue == e.getCrc,
+              f"CRC mismatch extracting ${e.getName}: archive declares " +
+                f"0x${e.getCrc}%08x, payload decodes to 0x${crc.getValue}%08x " +
+                "— corrupt or tampered archive")
         }
       }
     } finally zf.close()

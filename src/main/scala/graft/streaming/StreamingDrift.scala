@@ -38,7 +38,10 @@ object StreamingDrift {
     */
   def psiOf(drift: DataFrame): Double = {
     import org.apache.spark.sql.functions._
-    drift.agg(round(sum(col("psi_contrib")), 6)).head().getDouble(0)
+    // sum over zero rows is null (empty vocab artifact / empty batch) —
+    // an ingest gate must report 0 drift, not die on getDouble(null)
+    drift.agg(coalesce(round(sum(col("psi_contrib")), 6), lit(0.0)))
+      .head().getDouble(0)
   }
 
   /** The gate as a ready-to-`start()` writer: `docs` is a STREAMING

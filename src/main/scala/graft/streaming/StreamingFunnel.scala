@@ -65,38 +65,49 @@ object StreamingFunnel {
             Iterator.empty
           } else {
             val batch = it.toSeq.sortBy(e => (e.se, e.event_id))
-            val t = state.getOption.map(_.times.toArray)
-              .getOrElse(Array.fill(steps.size)(-1L))
-            var done = false
-            for (e <- batch if !done; i <- stepIdx.get(e.event_type)) {
-              val prevOk = i == 0 || (t(i - 1) >= 0 && e.se >= t(i - 1))
-              val inWindow = i == 0 || e.se - t(0) <= windowSeconds
-              if (prevOk && inWindow && (t(i) < 0 || e.se < t(i))) {
-                t(i) = e.se
-                if (i == steps.size - 1) done = true
+            def merge(t0: Array[Long]): (Array[Long], Boolean) = {
+              val t = t0
+              var done = false
+              for (e <- batch if !done; i <- stepIdx.get(e.event_type)) {
+                val prevOk = i == 0 || (t(i - 1) >= 0 && e.se >= t(i - 1))
+                val inWindow = i == 0 || e.se - t(0) <= windowSeconds
+                if (prevOk && inWindow && (t(i) < 0 || e.se < t(i))) {
+                  t(i) = e.se
+                  if (i == steps.size - 1) done = true
+                }
               }
+              (t, done)
             }
+            def deadline(t: Array[Long]) = (t.head + windowSeconds) * 1000L
+            val (t1, done1) = merge(state.getOption.map(_.times.toArray)
+              .getOrElse(Array.fill(steps.size)(-1L)))
+            // The timeout is pinned to the FIRST step (the funnel window
+            // opens at t.head, unlike sessionize whose base advances per
+            // event), so an uncompleted chain whose deadline fell at or
+            // behind the current watermark is DEAD — setting its timeout
+            // would throw IllegalArgumentException and kill the query.
+            // The batch's own events must not die with it: replay them
+            // on a FRESH chain (a fresh first step restarts the funnel
+            // in the same batch, not the next one — same inputs, same
+            // output regardless of batching). A fresh chain can itself
+            // be dead on arrival only via first-step events between the
+            // late-event and eviction watermarks; the same guard drops
+            // those — their window closed before anything could follow.
+            val (t, done) =
+              if (done1 || t1.forall(_ < 0) ||
+                  deadline(t1) > state.getCurrentWatermarkMs()) (t1, done1)
+              else merge(Array.fill(steps.size)(-1L))
             if (done) {
               state.remove()
               Iterator.single(
                 Completion(uid, t.toSeq, t.last - t.head))
             } else {
-              if (t.exists(_ >= 0)) {
-                // The timeout is pinned to the FIRST step (the funnel
-                // window opens at t.head, unlike sessionize whose base
-                // advances per event), so late events for a key whose
-                // window already expired would compute a timeout at or
-                // behind the current watermark — Spark rejects that with
-                // IllegalArgumentException and kills the query. Expire
-                // the dead chain inline instead; a fresh first-step
-                // event restarts it next batch.
-                val deadline = (t.head + windowSeconds) * 1000L
-                if (deadline <= state.getCurrentWatermarkMs()) {
-                  state.remove()
-                } else {
-                  state.update(Chain(t.toSeq))
-                  state.setTimeoutTimestamp(deadline)
-                }
+              if (t.exists(_ >= 0) &&
+                  deadline(t) > state.getCurrentWatermarkMs()) {
+                state.update(Chain(t.toSeq))
+                state.setTimeoutTimestamp(deadline(t))
+              } else if (state.exists) {
+                state.remove()
               }
               Iterator.empty
             }

@@ -158,6 +158,32 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("unarchive CRC-checks extracted bytes and fails on a corrupted archive") {
+    val tmp = Files.createTempDirectory("graft_cli_crc").toString
+    new java.io.File(s"$tmp/dump").mkdirs()
+    val payload = "THE-CANARY-PAYLOAD-0123456789-ABCDEFGHIJ"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/dump/t.csv"), payload)
+    // stored = byte-identical payload in the archive, so a flipped byte
+    // is caught ONLY by the CRC check (no codec to notice)
+    graft.sources.Dump.archive(spark, s"$tmp/dump", s"$tmp/d.zip", "stored")
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tmp/d.zip"))
+    val at = new String(bytes, "ISO-8859-1").indexOf("CANARY")
+    assert(at > 0)
+    bytes(at) = 'X'.toByte
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/d.zip"), bytes)
+    // drop Hadoop LocalFileSystem's .crc sidecar so the corruption
+    // reaches OUR zip-level check (on HDFS/S3A there is no sidecar for
+    // an archive corrupted at rest before upload)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$tmp/.d.zip.crc"))
+    val ex = intercept[IllegalArgumentException] {
+      graft.sources.Dump.unarchive(spark, s"$tmp/d.zip", s"$tmp/out")
+    }
+    assert(ex.getMessage.contains("CRC mismatch"))
+  }
+
   test("unarchive refuses a zip-slip entry and writes nothing outside the target") {
     val tmp = Files.createTempDirectory("graft_cli_slip").toString
     val zp = s"$tmp/evil.zip"
