@@ -509,4 +509,43 @@ class StreamingSpec extends SparkSpec {
       .map(_.getAs[Long]("user_id")).toSet
     assert(got === Set(9L)) // u9 converts; u1's dead chain never emits
   }
+
+  test("streaming funnel restarts on a fresh first step in the dead chain's own batch") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // the dead chain must not swallow its batch: a fresh signup arriving
+    // in the SAME micro-batch that found the old chain expired restarts
+    // the funnel immediately (same inputs → same output regardless of
+    // how events happened to be batched)
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    val steps = Seq("signup", "purchase")
+    val stream = MemoryStream[(Long, Long, String, Long)]
+    val q = graft.streaming.StreamingFunnel.funnel(
+        stream.toDF().toDF("user_id", "event_id", "event_type", "ts"),
+        steps, windowSeconds = 60, watermark = "10 seconds")
+      .writeStream.format("memory").queryName("funnel_restart_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        (1L, 1L, "signup", 100L), (9L, 2L, "signup", 10000L)))
+      q.processAllAvailable()
+      // u1's old chain (deadline 160 s) is far behind the watermark; the
+      // same batch carries a fresh in-horizon signup+purchase pair
+      stream.addData(Seq(
+        (1L, 3L, "signup", 9996L), (1L, 4L, "purchase", 9998L)))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+    } finally {
+      q.stop()
+      spark.conf.set(key, prev)
+    }
+    val got = spark.table("funnel_restart_stream").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        r.getSeq[Long](r.fieldIndex("step_times"))).toMap
+    assert(got.keySet === Set(1L))
+    assert(got(1L) === Seq(9996L, 9998L)) // the FRESH chain, not the dead one
+  }
 }
