@@ -13,8 +13,10 @@ import graft.operators.Closure
 /** What to dump — mirrors the reference's `dump()` signature
   * (xdump/base.py:87): whole tables, per-table partial selections, and
   * schema/data toggles. `format` is parquet (the 100 TB-sane archive),
-  * csv-with-header (the reference's wire format, xdump/base.py:197), or
-  * jsonl (the LLM-corpus wire format, via [[Jsonl]]).
+  * csv-with-header (the reference's wire format, xdump/base.py:197),
+  * jsonl (the LLM-corpus wire format, via [[Jsonl]]), or orc (the other
+  * splittable columnar format Spark ships natively — for targets whose
+  * readers are ORC-first, e.g. Hive-lineage warehouses).
   * `compression` maps to the writer codec (reference: zip deflate,
   * base.py:87) — snappy/zstd/gzip for parquet, gzip/none for csv/jsonl.
   */
@@ -66,6 +68,7 @@ object Dump {
         spec.format match {
           case "csv"   => w.option("header", "true").csv(s"$path/data/$t")
           case "jsonl" => w.json(s"$path/data/$t")
+          case "orc"   => w.orc(s"$path/data/$t")
           case _       => w.parquet(s"$path/data/$t")
         }
         val m = obs.get
@@ -199,6 +202,7 @@ object Dump {
         // line means a truncated/partial shard, and the load must fail
         // loudly like the csv/parquet paths do, not restore fewer rows
         Jsonl.readStrict(spark, s"$path/data/$t", schema)
+      case "orc" => spark.read.orc(s"$path/data/$t")
       case _ => spark.read.parquet(s"$path/data/$t")
     }
 

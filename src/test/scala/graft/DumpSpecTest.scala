@@ -75,6 +75,23 @@ class DumpSpecTest extends SparkSpec {
     }
   }
 
+  test("orc dump roundtrips rows and schema with zstd shards") {
+    val dir = tmp()
+    Dump.write(cat, DumpSpec(
+      fullTables = Seq("nation", "region"),
+      format = "orc",
+      compression = "zstd"), dir)
+    val files = new java.io.File(s"$dir/data/nation").listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".zstd.orc")), s"expected zstd orc parts, got ${files.toSeq}")
+    val loaded = Dump.load(spark, dir).toMap
+    for (t <- Seq("nation", "region")) {
+      val orig = cat.table(t)
+      assert(loaded(t).schema === orig.schema)
+      assert(loaded(t).orderBy(orig.columns.head).collect().toSeq ===
+        orig.orderBy(orig.columns.head).collect().toSeq)
+    }
+  }
+
   test("csv dump honors the compression option (gzip) and roundtrips") {
     val dir = tmp()
     Dump.write(cat, DumpSpec(
