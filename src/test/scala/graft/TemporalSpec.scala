@@ -69,6 +69,45 @@ class TemporalSpec extends SparkSpec {
     assert(out(3L) === null) // 110 s stale: nulled
   }
 
+  test("asofJoin matches a brute-force reference on seeded random data, all configs") {
+    import spark.implicits._
+    // dense keys and coarse timestamps force heavy ties (same key, same
+    // ts on both sides) — exactly the boundary cases the window's tag
+    // ordering exists for
+    val rnd = new scala.util.Random(42)
+    val left = Seq.tabulate(400)(i =>
+      (i.toLong, rnd.nextInt(25).toLong + 1, rnd.nextInt(50).toLong))
+    val right = Seq.tabulate(300)(i =>
+      (rnd.nextInt(25).toLong + 1, rnd.nextInt(50).toLong, i.toLong + 1000))
+      // one payload per (key, ts) — the operator contract (callers
+      // pre-aggregate, as the latestOrders entries do)
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+    val lDf = left.toDF("event_id", "k", "ts")
+    val rDf = right.toDF("k", "ts", "tag")
+
+    def brute(backward: Boolean, tol: Option[Long]): Map[Long, Option[Long]] =
+      left.map { case (id, k, ts) =>
+        val cand = right.filter(r => r._1 == k &&
+          (if (backward) r._2 <= ts else r._2 >= ts) &&
+          tol.forall(t => (if (backward) ts - r._2 else r._2 - ts) <= t))
+        id -> (if (cand.isEmpty) None
+        else Some((if (backward) cand.maxBy(_._2) else cand.minBy(_._2))._3))
+      }.toMap
+
+    for {
+      dir <- Seq("backward", "forward")
+      tol <- Seq(None, Some(7L))
+    } {
+      val got = Temporal.asofJoin(lDf, rDf, "k", "ts", Seq("tag"),
+          tolerance = tol, direction = dir)
+        .select("event_id", "tag").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(got === brute(dir == "backward", tol),
+        s"direction=$dir tolerance=$tol diverged from brute force")
+    }
+  }
+
   test("asofJoin rejects payload names colliding with left columns") {
     import spark.implicits._
     val left = Seq((1L, 10L, "u1")).toDF("event_id", "ts", "k")
