@@ -556,14 +556,19 @@ object Dedup {
     * component maps to the component's minimum doc id (`group_id`), so
     * "keep one per cluster" is a simple `group_id = doc_id` filter.
     *
-    * Iterative min-label propagation, semi-naive: each step joins the
-    * (symmetrized, checkpointed-once) edge set against current labels and
-    * takes the per-node minimum; converged when no label changes. Iteration
-    * count = component diameter — near-dup clusters are shallow (dozens of
-    * docs), so a handful of passes; nothing is collected to the driver.
-    * (The large-star/small-star variant [Kiveris et al., SoCC'14] halves
-    * rounds on adversarially long chains; plain propagation keeps the plan
-    * simple and the per-round shuffle identical.)
+    * Iterative min-label propagation with POINTER JUMPING, semi-naive:
+    * each round takes, per node, the minimum of its own label, its
+    * neighbors' labels (one join against the symmetrized,
+    * checkpointed-once edge set), and its label's label (one self-join —
+    * the path-halving step). Neighbor propagation alone converges in
+    * diameter rounds, which a transitive near-dup CHAIN can make large
+    * (a 60-doc chain silently exceeded the old 50-round cap — caught by
+    * the union-find property spec); the label(label) jump squares the
+    * pointer each round, so convergence is O(log diameter) — ~7 rounds
+    * for a 100-node chain, still one round for the clique-shaped
+    * components real near-dup clusters mostly are. If the cap is somehow
+    * still hit, the operator now FAILS LOUDLY instead of returning
+    * wrong groups.
     */
   def dedupGroups(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -577,15 +582,27 @@ object Dedup {
     while (changed > 0 && iter < maxIters) {
       val prop = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      // pointer jump: my label is a node id — fetch THAT node's label
+      val hop = labels.select(col("id").as("jid"), col("label").as("jlabel"))
       val next = labels.join(prop, col("id") === col("src"), "left")
+        .join(hop, col("label") === col("jid"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
-          (col("nlabel") < col("label")).as("chg"))
+          least(col("label"),
+            coalesce(col("nlabel"), col("label")),
+            coalesce(col("jlabel"), col("label"))).as("nl"),
+          col("label").as("old"))
+        .select(col("id"), col("nl").as("label"),
+          (col("nl") < col("old")).as("chg"))
         .localCheckpoint()
       changed = next.where(col("chg")).count()
       labels = next.select("id", "label")
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dedupGroups failed to converge within $maxIters rounds " +
+          s"($changed labels still moving) — raise maxIters; returning " +
+          "partial labels would silently split components")
     labels.select(col("id").as("doc_id"), col("label").as("group_id"))
   }
 

@@ -227,6 +227,33 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("dedupGroups matches union-find on seeded random graphs and a long chain") {
+    import spark.implicits._
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      edges.flatMap(e => Seq(e._1, e._2)).distinct.map(x => x -> find(x)).toMap
+    }
+    val rnd = new scala.util.Random(7)
+    // sparse random graph (many small components) + a 60-node chain
+    // (the propagation worst case: convergence takes diameter rounds)
+    val random = Seq.fill(150)(
+      (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter(e => e._1 != e._2)
+    val chain = (1000L until 1060L).map(i => (i, i + 1))
+    val edges = random ++ chain
+    val got = Dedup.dedupGroups(edges.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === unionFind(200, edges))
+  }
+
   test("dedupGroups over minhash pairs: canonical id is in every pair's component") {
     val pairs = Dedup.minhashPairs(docs, minJaccard = 0.5)
     val groups = Dedup.dedupGroups(pairs)
