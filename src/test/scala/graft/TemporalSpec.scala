@@ -108,6 +108,42 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("eventFunnel matches a per-user simulation on seeded random streams") {
+    import spark.implicits._
+    val steps = Seq("signup", "view", "click", "purchase")
+    val types = steps ++ Seq("noise", "scroll") // non-step types interleave
+    val rnd = new scala.util.Random(11)
+    val events = Seq.tabulate(600)(i =>
+      (i.toLong, rnd.nextInt(30).toLong + 1,
+        types(rnd.nextInt(types.size)), rnd.nextInt(500).toLong))
+    val df = events.toDF("event_id", "user_id", "event_type", "ts")
+
+    // reference: earliest chain times per user — t0 = min step-0 ts;
+    // t_i = min ts of step-i events at-or-after t_{i-1}
+    def sim(uid: Long): (Seq[Option[Long]], Long) = {
+      val es = events.filter(_._2 == uid)
+      val ts = steps.scanLeft(Option(Long.MinValue)) { (prev, step) =>
+        prev.flatMap(p =>
+          es.filter(e => e._3 == step && e._4 >= p).map(_._4)
+            .minOption)
+      }.tail
+      (ts, ts.count(_.isDefined).toLong)
+    }
+
+    val got = Temporal.eventFunnel(df, steps).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (steps.indices.map(i =>
+          if (r.isNullAt(r.fieldIndex(s"t${i + 1}_s"))) None
+          else Some(r.getAs[Long](s"t${i + 1}_s"))),
+          r.getAs[Long]("steps_completed"))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (uid, (ts, n)) =>
+      assert((ts, n) === sim(uid), s"user $uid diverged from simulation")
+    }
+    // the seed produces full and partial funnels (the test has teeth)
+    assert(got.values.map(_._2).toSet.size > 1)
+  }
+
   test("asofJoin rejects payload names colliding with left columns") {
     import spark.implicits._
     val left = Seq((1L, 10L, "u1")).toDF("event_id", "ts", "k")
