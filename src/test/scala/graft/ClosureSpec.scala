@@ -53,6 +53,35 @@ class ClosureSpec extends SparkSpec {
     assert(keys === Set(100L, 50L, 25L, 12L, 6L, 3L, 1L, 0L))
   }
 
+  test("recursiveClosure matches BFS reachability on seeded random graphs") {
+    import spark.implicits._
+    // random parent pointers with cycles and self-loops — the shapes a
+    // real org/category hierarchy degrades into; compare the fixpoint
+    // against a direct BFS over the parent relation
+    val rnd = new scala.util.Random(31)
+    val n = 200
+    val rows = Seq.tabulate(n)(i => (i.toLong, rnd.nextInt(n).toLong))
+    val base = rows.toDF("id", "parent")
+    val parentOf = rows.toMap
+    def bfs(start: Long): Set[Long] = {
+      var seen = Set(start)
+      var frontier = Set(start)
+      while (frontier.nonEmpty) {
+        val next = frontier.map(parentOf).diff(seen)
+        seen ++= next
+        frontier = next
+      }
+      seen
+    }
+    for (start <- Seq(0L, 17L, 123L, 199L)) {
+      val seed = base.where(col("id") === start)
+      val got = Closure.recursiveClosure(base, seed,
+          ForeignKey("t", "parent", "t", "id"), Seq("id"))
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got === bfs(start), s"closure from $start diverged from BFS")
+    }
+  }
+
   test("composite pull and recursive closure follow the whole key tuple") {
     import spark.implicits._
     // parent keyed (k1, k2); child references BOTH columns. A

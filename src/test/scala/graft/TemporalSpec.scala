@@ -108,6 +108,38 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("sessionize matches a gap-scan simulation on seeded random streams") {
+    import spark.implicits._
+    val gap = 10L
+    val rnd = new scala.util.Random(23)
+    // coarse timestamps force events AT the exact gap boundary (the > vs
+    // >= edge) and same-ts ties broken by event_id
+    val events = Seq.tabulate(500)(i =>
+      (i.toLong, rnd.nextInt(20).toLong + 1, rnd.nextInt(80).toLong * 5))
+    val df = events.toDF("event_id", "user_id", "ts")
+
+    def sim(uid: Long): Seq[(Long, Long, Long, Long)] = {
+      val ts = events.filter(_._2 == uid).map(e => (e._3, e._1)).sorted.map(_._1)
+      val sessions = ts.foldLeft(Vector.empty[Vector[Long]]) { (acc, t) =>
+        if (acc.nonEmpty && t - acc.last.last <= gap)
+          acc.init :+ (acc.last :+ t)
+        else acc :+ Vector(t)
+      }
+      sessions.map(s => (s.head, s.last, s.size.toLong, s.last - s.head))
+    }
+
+    val got = Temporal.sessionize(df, gapSeconds = gap)
+      .orderBy("user_id", "session_start_s").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_s"),
+        r.getAs[Long]("session_end_s"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("duration_s")))
+    val want = got.map(_._1).distinct.sorted.flatMap(uid =>
+      sim(uid).map(s => (uid, s._1, s._2, s._3, s._4)))
+    assert(got.toSeq === want.toSeq)
+    // the seed produces multi-event AND singleton sessions
+    assert(got.exists(_._4 > 1) && got.exists(_._4 == 1))
+  }
+
   test("eventFunnel matches a per-user simulation on seeded random streams") {
     import spark.implicits._
     val steps = Seq("signup", "view", "click", "purchase")
