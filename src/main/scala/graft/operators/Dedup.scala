@@ -579,7 +579,7 @@ object Dedup {
       .withColumn("label", col("id")).localCheckpoint()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
+    def round(): Unit = {
       val prop = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
       // pointer jump: my label is a node id — fetch THAT node's label
@@ -598,11 +598,19 @@ object Dedup {
       labels = next.select("id", "label")
       iter += 1
     }
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"dedupGroups failed to converge within $maxIters rounds " +
-          s"($changed labels still moving) — raise maxIters; returning " +
-          "partial labels would silently split components")
+    while (changed > 0 && iter < maxIters) round()
+    if (changed > 0) {
+      // the cap-hit round still MOVED labels — they may have just
+      // finished converging on that exact round. Convergence is only
+      // proven by a zero-change round: run one verification round and
+      // throw only if labels are genuinely still moving.
+      round()
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"dedupGroups failed to converge within $maxIters rounds " +
+            s"($changed labels still moving) — raise maxIters; returning " +
+            "partial labels would silently split components")
+    }
     labels.select(col("id").as("doc_id"), col("label").as("group_id"))
   }
 

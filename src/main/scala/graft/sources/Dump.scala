@@ -16,9 +16,10 @@ import graft.operators.Closure
   * csv-with-header (the reference's wire format, xdump/base.py:197),
   * jsonl (the LLM-corpus wire format, via [[Jsonl]]), or orc (the other
   * splittable columnar format Spark ships natively — for targets whose
-  * readers are ORC-first, e.g. Hive-lineage warehouses).
-  * `compression` maps to the writer codec (reference: zip deflate,
-  * base.py:87) — snappy/zstd/gzip for parquet, gzip/none for csv/jsonl.
+  * readers are ORC-first, e.g. Hive-lineage warehouses). `compression`
+  * maps to the writer codec per format (reference: zip deflate,
+  * base.py:87): snappy/zstd/gzip for parquet, none/snappy/zlib/zstd/lz4
+  * for orc (NOT gzip — ORC's codec set), gzip/none for csv/jsonl.
   */
 final case class DumpSpec(
     fullTables: Seq[String] = Nil,

@@ -229,7 +229,7 @@ class DedupSpec extends SparkSpec {
 
   test("dedupGroups matches union-find on seeded random graphs and a long chain") {
     import spark.implicits._
-    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         val p = parent.getOrElse(x, x)
@@ -251,7 +251,7 @@ class DedupSpec extends SparkSpec {
     val edges = random ++ chain
     val got = Dedup.dedupGroups(edges.toDF("doc_a", "doc_b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === unionFind(200, edges))
+    assert(got === unionFind(edges))
   }
 
   test("dedupGroups over minhash pairs: canonical id is in every pair's component") {

@@ -133,7 +133,9 @@ class TemporalSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_s"),
         r.getAs[Long]("session_end_s"), r.getAs[Long]("n_events"),
         r.getAs[Long]("duration_s")))
-    val want = got.map(_._1).distinct.sorted.flatMap(uid =>
+    // expected set derives from the INPUT's users, so a user silently
+    // dropped by the operator fails the comparison
+    val want = events.map(_._2).distinct.sorted.flatMap(uid =>
       sim(uid).map(s => (uid, s._1, s._2, s._3, s._4)))
     assert(got.toSeq === want.toSeq)
     // the seed produces multi-event AND singleton sessions
@@ -168,7 +170,9 @@ class TemporalSpec extends SparkSpec {
           if (r.isNullAt(r.fieldIndex(s"t${i + 1}_s"))) None
           else Some(r.getAs[Long](s"t${i + 1}_s"))),
           r.getAs[Long]("steps_completed"))).toMap
-    assert(got.nonEmpty)
+    // every input user must appear — a silently dropped key fails here,
+    // not just a wrong chain on an emitted one
+    assert(got.keySet === events.map(_._2).toSet)
     got.foreach { case (uid, (ts, n)) =>
       assert((ts, n) === sim(uid), s"user $uid diverged from simulation")
     }
