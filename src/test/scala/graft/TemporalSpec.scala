@@ -108,6 +108,30 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("retentionCohorts matches a first-active simulation on seeded random activity") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val maxDays = 10
+    val activity = Seq.tabulate(500)(i =>
+      (i.toLong, rnd.nextInt(40).toLong + 1, rnd.nextInt(25).toLong))
+    val df = activity.toDF("event_id", "user_id", "day")
+
+    // reference: cohort = first active day; count distinct users per
+    // (cohort, offset) for every later active day within maxDays
+    val byUser = activity.groupBy(_._2).view.mapValues(_.map(_._3).distinct).toMap
+    val want = byUser.toSeq.flatMap { case (_, days) =>
+      val cohort = days.min
+      days.filter(d => d - cohort <= maxDays).map(d => (cohort, d - cohort))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+    val got = Temporal.retentionCohorts(df, maxDays = maxDays).collect()
+      .map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("day_offset")) ->
+        r.getAs[Long]("n_users")).toMap
+    assert(got === want)
+    // seed produces both day-0 rows and genuine return offsets
+    assert(got.keySet.exists(_._2 == 0L) && got.keySet.exists(_._2 > 0L))
+  }
+
   test("sessionize matches a gap-scan simulation on seeded random streams") {
     import spark.implicits._
     val gap = 10L
