@@ -689,10 +689,15 @@ object Dedup {
     // uncapped persisted-artifact path ([[FingerprintStore]] +
     // [[bloomSketchDedup]]) or raise the confs deliberately.
     val spark = newBatch.sparkSession
+    // getOption with the documented defaults (4M items / 64M bits) so a
+    // Spark build without these optimizer confs degrades to the stock
+    // caps instead of breaking the operator with NoSuchElementException
     val maxItems = spark.conf
-      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
+      .getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumItems")
+      .map(_.toLong).getOrElse(4000000L)
     val maxBits = spark.conf
-      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
+      .getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+      .map(_.toLong).getOrElse(67108864L)
     require(n <= maxItems && numBits <= maxBits,
       s"corpus of $n items needs $numBits bloom bits, beyond the runtime " +
         s"bloom-filter caps ($maxItems items / $maxBits bits): use " +

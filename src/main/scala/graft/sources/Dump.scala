@@ -515,8 +515,12 @@ object Dump {
                 case _ =>
                   // zip LZMA payload: 2-byte version tag + LE16 props
                   // size (5) + [lc/lp/pb byte, LE32 dict size] + raw
-                  // LZMA stream with end-of-stream marker (APPNOTE 4.5;
-                  // what Python's zipfile emits and reads)
+                  // LZMA stream WITHOUT end-of-stream marker (APPNOTE
+                  // 4.4.4: marker presence is general-purpose bit 1,
+                  // which commons-compress's raw-entry writer cannot
+                  // set — so the payload must match the cleared bit:
+                  // sizes declared, no marker; Python's zipfile reads
+                  // this form, and `unarchive` below keys off the bit)
                   val opts = new org.tukaani.xz.LZMA2Options()
                   val props = ((opts.getPb * 5 + opts.getLp) * 9 + opts.getLc)
                   val dict = opts.getDictSize
@@ -525,28 +529,37 @@ object Dump {
                   rawOut.write(Array[Byte](
                     (dict & 0xff).toByte, ((dict >> 8) & 0xff).toByte,
                     ((dict >> 16) & 0xff).toByte, ((dict >> 24) & 0xff).toByte))
-                  (new org.tukaani.xz.LZMAOutputStream(rawOut, opts, true):
+                  (new org.tukaani.xz.LZMAOutputStream(rawOut, opts, false):
                     java.io.OutputStream, 14)
               }
-              val in = fs.open(f.getPath)
               try {
-                val buf = new Array[Byte](64 * 1024)
-                var n = in.read(buf)
-                while (n >= 0) {
-                  crc.update(buf, 0, n); total += n
-                  cOut.write(buf, 0, n)
-                  n = in.read(buf)
-                }
-              } finally in.close()
-              cOut.close()
-              entry.setMethod(methodId)
-              entry.setSize(total)
-              entry.setCompressedSize(spool.length())
-              entry.setCrc(crc.getValue)
-              val spoolIn = new java.io.BufferedInputStream(
-                new java.io.FileInputStream(spool))
-              try out.addRawArchiveEntry(entry, spoolIn)
-              finally spoolIn.close()
+                val in = fs.open(f.getPath)
+                try {
+                  val buf = new Array[Byte](64 * 1024)
+                  var n = in.read(buf)
+                  while (n >= 0) {
+                    crc.update(buf, 0, n); total += n
+                    cOut.write(buf, 0, n)
+                    n = in.read(buf)
+                  }
+                } finally in.close()
+                cOut.close()
+                entry.setMethod(methodId)
+                entry.setSize(total)
+                entry.setCompressedSize(spool.length())
+                entry.setCrc(crc.getValue)
+                val spoolIn = new java.io.BufferedInputStream(
+                  new java.io.FileInputStream(spool))
+                try out.addRawArchiveEntry(entry, spoolIn)
+                finally spoolIn.close()
+              } finally {
+                // failure-path close (both codec streams are idempotent
+                // on double-close; closes rawOut transitively) — without
+                // this a mid-copy throw leaks the compressor + spool fd
+                // and the spool delete below races the open handle
+                try cOut.close()
+                catch { case _: java.io.IOException => () }
+              }
             } finally spool.delete()
         }
       }
@@ -637,8 +650,10 @@ object Dump {
           // commons-compress decodes stored/deflated/bzip2 natively; LZMA
           // (14) it exposes only raw, so parse the APPNOTE 4.5 payload
           // header ourselves (version tag, LE16 props size, 5-byte props)
-          // and decode with the xz codec — end-of-stream marker mode, the
-          // form Python's zipfile writes and reads
+          // and decode with the xz codec — honouring both marker
+          // conventions: bit 1 set → end-of-stream marker mode (Python's
+          // zipfile writes this), bit 1 clear → declared-size mode (our
+          // own writer, and any APPNOTE-compliant EOS-less writer)
           val in: java.io.InputStream =
             if (e.getMethod == 14) {
               val raw = zf.getRawInputStream(e)
@@ -650,7 +665,13 @@ object Dump {
                 s"truncated LZMA properties in ${e.getName}")
               val dictSize = (props(1) & 0xff) | ((props(2) & 0xff) << 8) |
                 ((props(3) & 0xff) << 16) | ((props(4) & 0xff) << 24)
-              new org.tukaani.xz.LZMAInputStream(raw, -1L, props(0), dictSize)
+              // general-purpose bit 1 says whether the stream carries an
+              // end-of-stream marker (APPNOTE 4.4.4). Size -1 makes the
+              // decoder REQUIRE the marker, so pass the declared size for
+              // EOS-less archives (some writers clear the bit and declare
+              // sizes) — they are valid zips and must extract
+              val size = if ((e.getRawFlag & 0x2) != 0) -1L else e.getSize
+              new org.tukaani.xz.LZMAInputStream(raw, size, props(0), dictSize)
             } else zf.getInputStream(e)
           // the central-directory reader does NOT CRC-check what it
           // decodes (java.util.zip's streaming reader did) — meter the
