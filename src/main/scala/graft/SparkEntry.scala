@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Catalog, ForeignKey, TableGraph}
-import graft.operators.{Bpe, Chunk, Closure, Dedup, Dsir, FingerprintStore, Multimodal, QualityLr, Similarity, Temporal, TextAnalysis}
+import graft.operators.{Bpe, Chunk, Closure, Dedup, Dsir, FingerprintStore, MinHashStore, Multimodal, QualityLr, Similarity, Temporal, TextAnalysis}
 import graft.sources.{Dump, DumpSpec}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -850,6 +850,30 @@ object SparkEntry {
           docs.where(col("doc_id") % 10 >= 8),
           Dedup.ngramIndex(docs.where(col("doc_id") % 10 < 8)),
           minContainment = 0.5)
+        .orderBy("batch_id", "corpus_id")
+    },
+
+    // The fuzzy-ingest LOOP against a persisted SIGNATURE artifact
+    // (MinHashStore) — fingerprint_ingest's near-dup sibling: found the
+    // store from half the corpus, gate epoch-1's batch by estimated
+    // Jaccard against the LOADED signatures, fold the surviving docs back
+    // in (append), then gate epoch-2 against the updated store — the
+    // accepted corpus's text is signature-reduced exactly once.
+    "minhash_ingest_dedup" -> { (s, dir) =>
+      val docs = cat(s, dir).table("documents")
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-mhstore").toString
+      MinHashStore.save(docs.where(col("doc_id") % 2 === 0), store)
+      val b1 = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+      val f1 = Dedup.minhashIngestDedup(b1, MinHashStore.load(s, store))
+      MinHashStore.append(
+        b1.join(f1.select(col("batch_id").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti"),
+        store)
+      val b2 = docs.where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+      Dedup.minhashIngestDedup(b2, MinHashStore.load(s, store))
         .orderBy("batch_id", "corpus_id")
     },
 
@@ -2337,6 +2361,49 @@ object SparkEntry {
          FROM cand JOIN sg xa ON xa.doc_id = doc_a JOIN sg yb ON yb.doc_id = doc_b)
          SELECT doc_a, doc_b, inter / (la + lb - inter) AS jaccard, m / 16 AS est_jaccard
          FROM v WHERE inter / (la + lb - inter) >= 0.5 ORDER BY doc_a, doc_b""",
+
+    // replays the two-epoch signature-store loop: epoch-1 flags (batch
+    // %3 vs corpus %2) decide the survivors appended to the store;
+    // epoch-2 gates batch %5 against corpus ∪ survivors — sig arithmetic
+    // identical to dedup_minhash's
+    "minhash_ingest_dedup" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+         FROM documents),
+         sh AS (SELECT doc_id,
+           list_distinct(CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' '))
+             ELSE [] END) AS s
+         FROM t),
+         sg AS (SELECT doc_id,
+           list_transform(range(0, 16), i -> list_min(list_transform(s,
+             x -> ((CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1073741824)
+               * ([8996855, 469992016, 2004217628, 1334294656, 768128343, 2105057655, 1160867219, 479758600, 1419844726, 1603376584, 210333, 1211524435, 710539482, 258642846, 794256414, 579260634][i + 1])
+               + ([405351280, 2046289441, 1592421689, 855095894, 760324133, 1694457692, 292335934, 554079960, 966378448, 485777283, 440949495, 1180586447, 1230674157, 2111880311, 85434598, 657399781][i + 1])) % 2147483647))) AS sig
+         FROM sh WHERE len(s) > 0),
+         bd AS (SELECT doc_id, sig,
+           r.b::VARCHAR || ':' || sig[2 * r.b + 1]::VARCHAR || ':' || sig[2 * r.b + 2]::VARCHAR AS bkey
+         FROM sg CROSS JOIN range(0, 8) r(b)),
+         f1 AS (SELECT DISTINCT x.doc_id AS batch_id
+         FROM bd x JOIN bd y ON x.bkey = y.bkey
+         WHERE x.doc_id % 3 = 0 AND y.doc_id % 2 = 0
+           AND len(list_filter(range(1, 17), i -> x.sig[i] = y.sig[i])) / 16 >= 0.5),
+         corpus2 AS (
+           SELECT doc_id, sig FROM sg WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT doc_id, sig FROM sg WHERE doc_id % 3 = 0
+             AND doc_id NOT IN (SELECT batch_id FROM f1)),
+         bd2 AS (SELECT doc_id, sig,
+           r.b::VARCHAR || ':' || sig[2 * r.b + 1]::VARCHAR || ':' || sig[2 * r.b + 2]::VARCHAR AS bkey
+         FROM corpus2 CROSS JOIN range(0, 8) r(b)),
+         p2 AS (SELECT DISTINCT x.doc_id AS batch_id, y.doc_id AS corpus_id,
+           len(list_filter(range(1, 17), i -> x.sig[i] = y.sig[i])) AS m
+         FROM bd x JOIN bd2 y ON x.bkey = y.bkey
+         WHERE x.doc_id % 5 = 0
+           AND len(list_filter(range(1, 17), i -> x.sig[i] = y.sig[i])) / 16 >= 0.5)
+         SELECT batch_id, corpus_id, m / 16 AS est_jaccard
+         FROM p2 ORDER BY batch_id, corpus_id""",
 
     "dedup_simhash" ->
       """WITH t AS (SELECT doc_id,

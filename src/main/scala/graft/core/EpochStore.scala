@@ -1,0 +1,86 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Epoch-swap persistence shared by the store artifacts
+  * ([[graft.operators.FingerprintStore]], [[graft.operators.MinHashStore]]).
+  *
+  * Every write lands in a NEW `<name>_eN` directory and becomes current
+  * only when the one-line `MANIFEST` file is atomically replaced
+  * (tmp-write + `FileContext.rename(OVERWRITE)` — atomic on HDFS and
+  * local). The prior epoch is deleted only after the manifest points at
+  * the new one, so a driver crash, executor loss, or disk-full mid-write
+  * leaves the previous epoch fully readable, and an append can read the
+  * old epoch while writing the new one with no
+  * overwrite-what-you-read hazard.
+  */
+private[graft] object EpochStore {
+
+  private def manifestPath(path: String) = new Path(s"$path/MANIFEST")
+
+  /** The current committed epoch number, or 0 if none ever committed. */
+  def currentEpoch(spark: SparkSession, path: String): Long = {
+    val mp = manifestPath(path)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mp)) 0L
+    else {
+      val in = fs.open(mp)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        new String(buf.toByteArray, StandardCharsets.UTF_8).trim.toLong
+      } finally in.close()
+    }
+  }
+
+  /** Path of artifact `name` in epoch `e` under the store root. */
+  def epochDir(path: String, name: String, e: Long): String =
+    s"$path/${name}_e$e"
+
+  /** Point the manifest at epoch `n` (atomic replace). Commit NEVER
+    * deletes superseded epochs: a lazy frame (or, on a cluster, an
+    * in-flight query) planned against the old epoch keeps reading files
+    * a commit-time delete would rip out from under it — the Delta-style
+    * discipline is that writers only add, and retention is the explicit,
+    * operator-invoked [[vacuum]].
+    */
+  def commitEpoch(spark: SparkSession, path: String, n: Long): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val mp = manifestPath(path)
+    val fs = mp.getFileSystem(conf)
+    val tmp = new Path(s"$path/MANIFEST.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(n.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = FileContext.getFileContext(mp.toUri, conf)
+    fc.rename(tmp, mp, Options.Rename.OVERWRITE)
+  }
+
+  /** Drop every epoch older than the current one for each artifact name —
+    * call when no reader can still hold plans against old epochs (the
+    * Delta VACUUM contract). Deletion failures are non-fatal: a leftover
+    * old epoch is garbage, not corruption.
+    */
+  def vacuum(
+      spark: SparkSession, path: String, names: Seq[String]): Unit = {
+    val cur = currentEpoch(spark, path)
+    val mp = manifestPath(path)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var e = cur - 1
+    while (e > 0 && names.exists(n =>
+        fs.exists(new Path(epochDir(path, n, e))))) {
+      names.foreach(n => fs.delete(new Path(epochDir(path, n, e)), true))
+      e -= 1
+    }
+  }
+
+  /** The committed epoch, failing loudly on an empty store. */
+  def requireEpoch(spark: SparkSession, path: String, what: String): Long = {
+    val e = currentEpoch(spark, path)
+    require(e > 0, s"no committed $what epoch at $path")
+    e
+  }
+}

@@ -76,6 +76,15 @@ object Dedup {
       .withColumn("sh", shingles(tokens(col("text")), n))
       .where(size(col("sh")) > 0)
 
+  /** LSH band key for band `b` over a signature array: the string
+    * "b:sig[rb]:…:sig[rb+rows−1]" — pure arithmetic over the signature,
+    * shared by [[minhashPairs]] (self-join) and [[minhashIngestDedup]]
+    * (ingest join against a persisted [[MinHashStore]] artifact).
+    */
+  private def bandKey(b: Column, sig: Column, rows: Int): Column =
+    concat_ws(":", (b +: (0 until rows).map(r =>
+      element_at(sig, b * rows + (r + 1)))): _*)
+
   /** MinHash+LSH near-dup pairs: shingle → 16-wide signature → 8 bands of 2
     * rows → band-key equi-join for candidates → exact Jaccard verification
     * within candidates only. Emits pairs with exact Jaccard ≥ `minJaccard`
@@ -117,9 +126,7 @@ object Dedup {
     // (doc, band) → band key string "b:sig[2b]:sig[2b+1]"
     val banded = sigs
       .select(col("doc_id"), explode(sequence(lit(0), lit(bands - 1))).as("b"), col("sig"))
-      .withColumn("bkey", concat_ws(":",
-        (col("b") +: (0 until rows).map(r =>
-          element_at(col("sig"), col("b") * rows + (r + 1)))): _*))
+      .withColumn("bkey", bandKey(col("b"), col("sig"), rows))
       .select(col("doc_id"), col("bkey"))
 
     val cand = banded.as("x").join(banded.as("y"),
@@ -331,6 +338,64 @@ object Dedup {
       .where(col("containment") >= minContainment)
       .select(col("batch_id"), col("corpus_id"), col("inter"), col("nb"),
         col("containment"))
+  }
+
+  /** Ingest-shape MinHash near-dup gate — [[minhashPairs]]'s sibling for
+    * the production loop: score a NEW batch against the EXISTING corpus's
+    * persisted signature artifact ([[MinHashStore.load]]) and report
+    * every (batch, corpus) pair whose signature-estimated Jaccard is ≥
+    * `minEstJaccard`. The accepted corpus's TEXT is never touched — only
+    * its `(doc_id, sig)` signatures, exactly the asymmetry
+    * [[incrementalDedupFp]]/[[ngramIndexDedup]] close for their families.
+    *
+    * Plan (nothing corpus-volume ever shuffles): the batch's signatures
+    * are computed once (batch is ingest-sized) and BROADCAST; the corpus
+    * signature table streams through ONE map-side pass — explode to band
+    * keys (pure arithmetic over `sig`, the key derivation frozen nowhere
+    * in the artifact), broadcast-hash-join the batch's band keys, so only
+    * banding candidates survive the scan. The sole shuffle is the
+    * pair-dedup groupBy at candidate volume. Verification is estimated
+    * Jaccard from the signatures themselves (the corpus text needed for
+    * exact Jaccard is gone by design — at k = 16 the estimator's σ is
+    * ≈ 0.125, and the banding threshold already bounds what reaches it).
+    */
+  def minhashIngestDedup(
+      batch: DataFrame,
+      corpusSigs: DataFrame,
+      n: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    // batch side: signatures once (eager — referenced by band join and
+    // verify), then broadcast into both
+    val bsigs = withShingles(batch, n)
+      .select(col("doc_id").as("batch_id"),
+        minhashSignature(col("sh"), numHashes).as("bsig"))
+      .localCheckpoint()
+    val bband = bsigs
+      .select(col("batch_id"),
+        explode(sequence(lit(0), lit(bands - 1))).as("b"), col("bsig"))
+      .select(col("batch_id"), bandKey(col("b"), col("bsig"), rows).as("bkey"))
+    // corpus side: one streamed pass over the artifact, sig carried so no
+    // second corpus scan is needed for verification
+    val hits = corpusSigs
+      .select(col("doc_id").as("corpus_id"),
+        explode(sequence(lit(0), lit(bands - 1))).as("b"), col("sig").as("csig"))
+      .select(col("corpus_id"),
+        bandKey(col("b"), col("csig"), rows).as("bkey"), col("csig"))
+      .join(broadcast(bband), "bkey")
+    hits
+      .groupBy(col("batch_id"), col("corpus_id"))
+      .agg(first(col("csig")).as("csig"))
+      .join(broadcast(bsigs), "batch_id")
+      .withColumn("est_jaccard",
+        size(filter(sequence(lit(1), lit(numHashes)),
+          i => element_at(col("csig"), i) === element_at(col("bsig"), i)))
+          / lit(numHashes))
+      .where(col("est_jaccard") >= minEstJaccard)
+      .select(col("batch_id"), col("corpus_id"), col("est_jaccard"))
   }
 
   private def ngramScoredPairs(

@@ -1,10 +1,9 @@
 package graft.operators
 
-import java.nio.charset.StandardCharsets
-
-import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.core.EpochStore
 
 /** Persistence for the exact-dedup fingerprint corpus.
   *
@@ -33,112 +32,77 @@ import org.apache.spark.sql.functions._
   * batch's surviving digests back in — the accepted corpus's TEXT is
   * never touched again after its one founding reduction.
   *
-  * Durability: every write lands in a NEW epoch directory
-  * (`fingerprints_eN` / `bloom_eN`) and becomes current only when the
-  * one-line `MANIFEST` file is atomically replaced (tmp-write +
-  * `FileContext.rename(OVERWRITE)` — atomic on HDFS and local). The
-  * prior epoch is deleted only after the manifest points at the new one,
-  * so a driver crash, executor loss, or disk-full mid-append leaves the
-  * previous epoch fully readable — the artifact this module exists to
-  * preserve is never the thing being overwritten. This also lets
-  * [[appendFingerprints]] read the old epoch while writing the new one,
-  * with no checkpoint needed to break the read-your-own-overwrite cycle.
+  * Durability: writes go through [[graft.core.EpochStore]] — each
+  * save/append lands in a NEW `fingerprints_eN`/`bloom_eN` directory and
+  * becomes current only on the atomic MANIFEST swap, so the prior epoch
+  * survives any mid-append crash (the artifact this module exists to
+  * preserve is never the thing being overwritten), and an append reads
+  * the old epoch while writing the new one with no checkpoint needed to
+  * break a read-your-own-overwrite cycle.
   */
 object FingerprintStore {
 
-  private def manifestPath(path: String) = new Path(s"$path/MANIFEST")
-
-  /** The current epoch number, or 0 if the store has never committed. */
-  private def currentEpoch(spark: SparkSession, path: String): Long = {
-    val mp = manifestPath(path)
-    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(mp)) 0L
-    else {
-      val in = fs.open(mp)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-        new String(buf.toByteArray, StandardCharsets.UTF_8).trim.toLong
-      } finally in.close()
-    }
-  }
-
-  /** Point the manifest at epoch `n` (atomic replace), then drop the
-    * superseded epoch's directories. Deletion failures are non-fatal —
-    * a leftover old epoch is garbage, not corruption.
-    */
-  private def commitEpoch(spark: SparkSession, path: String, n: Long): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val mp = manifestPath(path)
-    val fs = mp.getFileSystem(conf)
-    val tmp = new Path(s"$path/MANIFEST.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(n.toString.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    val fc = FileContext.getFileContext(mp.toUri, conf)
-    fc.rename(tmp, mp, Options.Rename.OVERWRITE)
-    val old = n - 1
-    if (old > 0) {
-      fs.delete(new Path(s"$path/fingerprints_e$old"), true)
-      fs.delete(new Path(s"$path/bloom_e$old"), true)
-    }
-  }
+  private val Names = Seq("fingerprints", "bloom")
 
   /** Reduce `corpus` (a `text` column) to its fingerprint artifact at
     * `path`: distinct md5 digests + the Bloom sketch sized for them.
     */
   def save(corpus: DataFrame, path: String, fpp: Double = 0.01): Unit = {
     val spark = corpus.sparkSession
-    val next = currentEpoch(spark, path) + 1
+    val next = EpochStore.currentEpoch(spark, path) + 1
     corpus.select(md5(col("text")).as("text_md5")).distinct()
-      .write.mode("overwrite").parquet(s"$path/fingerprints_e$next")
+      .write.mode("overwrite")
+      .parquet(EpochStore.epochDir(path, "fingerprints", next))
     writeBloom(spark, path, next, fpp)
-    commitEpoch(spark, path, next)
+    EpochStore.commitEpoch(spark, path, next)
   }
 
   /** The persisted distinct-digest table (`text_md5`) — the existing side
     * for [[Dedup.incrementalDedupFp]].
     */
   def loadFingerprints(spark: SparkSession, path: String): DataFrame = {
-    val e = currentEpoch(spark, path)
-    require(e > 0, s"no committed FingerprintStore epoch at $path")
-    spark.read.parquet(s"$path/fingerprints_e$e")
+    val e = EpochStore.requireEpoch(spark, path, "FingerprintStore")
+    spark.read.parquet(EpochStore.epochDir(path, "fingerprints", e))
   }
 
   /** The persisted Bloom sketch bytes (the filter side for
     * [[Dedup.bloomSketchDedup]]) plus the item count it was sized for.
     */
   def loadBloom(spark: SparkSession, path: String): (Array[Byte], Long) = {
-    val e = currentEpoch(spark, path)
-    require(e > 0, s"no committed FingerprintStore epoch at $path")
-    val r = spark.read.parquet(s"$path/bloom_e$e")
+    val e = EpochStore.requireEpoch(spark, path, "FingerprintStore")
+    val r = spark.read.parquet(EpochStore.epochDir(path, "bloom", e))
       .select(col("sketch"), col("n_items")).head()
     (r.getAs[Array[Byte]](0), r.getLong(1))
   }
 
   /** Fold a batch's ACCEPTED digests into the store: union-distinct with
     * the persisted table into a NEW epoch directory, then swap the
-    * manifest. The union is digests-only (16-byte keys, never text); the
-    * new epoch reads the old epoch's files directly — they are distinct
-    * directories, so there is no overwrite-what-you-read hazard and the
-    * prior epoch survives any mid-write crash.
+    * manifest. The union is digests-only (16-byte keys, never text).
     */
   def appendFingerprints(
       acceptedDigests: DataFrame, path: String, fpp: Double = 0.01): Unit = {
     val spark = acceptedDigests.sparkSession
-    val next = currentEpoch(spark, path) + 1
+    val next = EpochStore.currentEpoch(spark, path) + 1
     loadFingerprints(spark, path)
       .unionByName(acceptedDigests.select(col("text_md5")))
       .distinct()
-      .write.mode("overwrite").parquet(s"$path/fingerprints_e$next")
+      .write.mode("overwrite")
+      .parquet(EpochStore.epochDir(path, "fingerprints", next))
     writeBloom(spark, path, next, fpp)
-    commitEpoch(spark, path, next)
+    EpochStore.commitEpoch(spark, path, next)
   }
 
   /** [[appendFingerprints]] from accepted documents (a `text` column). */
   def append(accepted: DataFrame, path: String, fpp: Double = 0.01): Unit =
     appendFingerprints(
       accepted.select(md5(col("text")).as("text_md5")), path, fpp)
+
+  /** Drop superseded epochs — call once no in-flight reader can still
+    * hold plans against them (commits themselves never delete; the Delta
+    * VACUUM contract, [[graft.core.EpochStore.vacuum]]).
+    */
+  def vacuum(spark: SparkSession, path: String): Unit =
+    EpochStore.vacuum(spark, path, Names)
 
   /** (Re)build the sketch artifact from the CURRENT fingerprint table —
     * one bounded count + one distributed sketch aggregation over 16-byte
