@@ -16,15 +16,18 @@ object SparkEntry {
 
   private def cat(s: SparkSession, dir: String): Catalog = Catalog.tpch(s, dir)
 
-  /** DuckDB mirror of `Similarity.docEmbed(dim = 16)` as a shared CTE
-    * chain ending in `de(vec_id, bucket, v)` — dense 16-bucket signed
-    * counts for every doc with a non-zero vector. Substituted into both
-    * doc_embed and doc_knn oracles.
+  /** DuckDB mirror of `Similarity.docEmbed(dim = 16)` over an arbitrary
+    * `(doc_id, text)` source CTE/table, as a shared CTE chain ending in
+    * `de(vec_id, bucket, v)` — dense 16-bucket signed counts for every
+    * row with a non-zero vector. [[DocEmbedSql]] instantiates it on
+    * `documents` (doc_embed / doc_knn / semantic_groups oracles);
+    * chunk_knn substitutes its chunk stream.
     */
-  private val DocEmbedSql: String =
-    """tk AS (SELECT doc_id,
-         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS tok
-       FROM documents),
+  private def docEmbedSqlOn(src: String): String =
+    s"""tk AS (SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS tok
+       FROM $src),""" +
+    """
        hh AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tk),
        sg AS (SELECT doc_id, h % 16 AS bucket,
          CASE WHEN h % 32 >= 16 THEN 1 ELSE -1 END AS sign FROM hh),
@@ -38,6 +41,8 @@ object SparkEntry {
          HAVING sum(CASE WHEN v != 0 THEN 1 ELSE 0 END) > 0),
        de AS (SELECT fullv.doc_id AS vec_id, fullv.bucket, fullv.v
          FROM fullv JOIN nz USING (doc_id))"""
+
+  private val DocEmbedSql: String = docEmbedSqlOn("documents")
 
   /** DuckDB mirror of `Bpe.bpeApply(BpeDemoMerges)`'s padded-string
     * pipeline as a shared CTE chain ending in `bm(doc_id, repr)` —
@@ -1332,6 +1337,15 @@ object SparkEntry {
           k = 3, bands = 2, center = true, corpusHint = Some(docs.count()))
         .orderBy("query_id", "rank")
     },
+
+    // the RAG-indexing capstone: docChunk ∘ docEmbed ∘ knnGraph over
+    // CHUNKS — passage-level neighbor edges with (doc_id, chunk_id)
+    // provenance recovered by exact integer div/mod on the packed chunk
+    // id; chunking adds no shuffle, planes derive from the
+    // embedded-chunk count exactly as the oracle's
+    "chunk_knn" -> ((s, dir) =>
+      Similarity.chunkKnn(cat(s, dir).table("documents"), k = 3)
+        .orderBy("doc_id", "chunk_id", "rank")),
 
     // the text-side capstone: high-cosine kNN edges over the hashed
     // embeddings feed connected components → semantic cluster ids over
@@ -3095,6 +3109,56 @@ object SparkEntry {
          FROM p)
          SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", round(cos, 4) AS cosine
          FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""",
+
+    // doc_knn's CTE chain over the docChunk stream (window 200, overlap
+    // 40 → starts 1, 161, …), chunk identity packed as
+    // doc_id·1e6 + chunk_id and unpacked by exact integer div/mod
+    "chunk_knn" ->
+      s"""WITH chunks AS (
+           SELECT doc_id * 1000000 + (cs - 1) // 160 AS doc_id,
+             substr(text, CAST(cs AS INT), 200) AS text
+           FROM (SELECT doc_id, text,
+                   unnest(range(1, greatest(len(text) - 40, 1) + 1, 160)) AS cs
+                 FROM documents)),
+         ${docEmbedSqlOn("chunks")},
+         e AS (SELECT vec_id, list(CAST(v AS DOUBLE) ORDER BY bucket) AS v
+           FROM de GROUP BY vec_id),
+         n AS (SELECT vec_id, v,
+           sqrt(list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
+                (a, b) -> a + b)) AS nrm
+         FROM e),
+         mu AS (SELECT list(m ORDER BY bucket) AS mu FROM (
+           SELECT bucket, CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS m
+           FROM de GROUP BY bucket)),
+         cn AS (SELECT vec_id, v, nrm,
+           list_transform(range(1, len(v) + 1), i -> v[i] - mu[i]) AS vc
+         FROM n CROSS JOIN mu),
+         pp AS (SELECT greatest(4, CASE
+             WHEN c >= 1 AND power(2, c - 1) >= b THEN c - 1 ELSE c END) AS np
+           FROM (SELECT b, CAST(ceil(log2(b)) AS INT) AS c
+                 FROM (SELECT ceil(count(*) / 64.0) AS b FROM e))),
+         bk AS (SELECT vec_id, v, nrm,
+           array_to_string(list_transform(range(0, np), p -> CASE WHEN
+             list_reduce(list_transform(range(1, len(vc) + 1), i -> vc[i] *
+               ((CAST('0x' || substr(md5('plane|' || p::VARCHAR || '|' || i::VARCHAR), 1, 15) AS BIGINT)
+                 % 2001 - 1000) / 1000.0)),
+               (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END), '') AS b0,
+           array_to_string(list_transform(range(np, 2 * np), p -> CASE WHEN
+             list_reduce(list_transform(range(1, len(vc) + 1), i -> vc[i] *
+               ((CAST('0x' || substr(md5('plane|' || p::VARCHAR || '|' || i::VARCHAR), 1, 15) AS BIGINT)
+                 % 2001 - 1000) / 1000.0)),
+               (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END), '') AS b1
+         FROM cn CROSS JOIN pp),
+         p AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+           list_reduce(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * x.v[i]),
+                (a, b) -> a + b) / (q.nrm * x.nrm) AS cos
+         FROM bk q JOIN bk x ON (x.b0 = q.b0 OR x.b1 = q.b1) AND x.vec_id <> q.vec_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         FROM p)
+         SELECT query_id // 1000000 AS doc_id, query_id % 1000000 AS chunk_id,
+           neighbor_id // 1000000 AS n_doc_id, neighbor_id % 1000000 AS n_chunk_id,
+           CAST(rnk AS BIGINT) AS "rank", round(cos, 4) AS cosine
+         FROM r WHERE rnk <= 3 ORDER BY doc_id, chunk_id, rnk""",
 
     "semantic_groups" ->
       s"""WITH RECURSIVE $DocEmbedSql,

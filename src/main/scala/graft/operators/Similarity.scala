@@ -1000,6 +1000,59 @@ object Similarity {
       .where(exists(col("embedding"), v => v =!= 0.0))
   }
 
+  /** The RAG-indexing capstone, composed as ONE declarative plan:
+    * [[graft.operators.Chunk.docChunk]] (fixed-window overlap chunking —
+    * map-side explode, shuffle-free) → [[docEmbed]] over the CHUNKS →
+    * [[knnGraph]] over the chunk embeddings, with every edge endpoint
+    * mapped back to its `(doc_id, chunk_id)` provenance — the index a
+    * retrieval pipeline actually serves (passage-level neighbors, not
+    * document-level).
+    *
+    * Chunk identity packs as `doc_id · maxChunksPerDoc + chunk_id` so the
+    * whole embed/kNN machinery runs on one integer vector id and the
+    * final projection recovers provenance by exact integer div/mod (no
+    * join back to the chunk table). A chunk_id at or past the packing
+    * bound raises in-plan (`raise_error`, map-side, free when clean)
+    * instead of silently aliasing another document — at the default
+    * window/overlap (200/40) the default bound is only reached by a
+    * single document of ~160 MB of text.
+    *
+    * Scale shape: chunking adds NO shuffle; docEmbed's two bounded
+    * aggregations and knnGraph's banded LSH joins dominate exactly as in
+    * [[knnGraph]] — pass `corpusHint` ≈ the CHUNK count (not the doc
+    * count) at corpus scale; when absent it is measured with one bounded
+    * count over the embedded chunks (the oracle derives the same count).
+    */
+  def chunkKnn(
+      docs: DataFrame,
+      window: Int = 200,
+      overlap: Int = 40,
+      dim: Int = 16,
+      k: Int = 10,
+      bands: Int = 2,
+      center: Boolean = true,
+      corpusHint: Option[Long] = None,
+      maxChunksPerDoc: Long = 1000000L): DataFrame = {
+    require(maxChunksPerDoc > 0, s"maxChunksPerDoc must be positive")
+    val m = maxChunksPerDoc
+    val chunks = Chunk.docChunk(docs, window, overlap)
+      .select(
+        (col("doc_id") * m + when(col("chunk_id") >= m,
+          raise_error(concat(lit(s"chunk_id overflows maxChunksPerDoc=$m "),
+            lit("for doc_id "), col("doc_id").cast("string"))))
+          .otherwise(col("chunk_id"))).as("doc_id"),
+        col("chunk_text").as("text"))
+    val emb = docEmbed(chunks, dim)
+    val hint = corpusHint.getOrElse(emb.count())
+    knnGraph(emb, k, bands, center = center, corpusHint = Some(hint))
+      .select(
+        expr(s"CAST(query_id DIV $m AS BIGINT)").as("doc_id"),
+        (col("query_id") % m).as("chunk_id"),
+        expr(s"CAST(neighbor_id DIV $m AS BIGINT)").as("n_doc_id"),
+        (col("neighbor_id") % m).as("n_chunk_id"),
+        col("rank"), col("cosine"))
+  }
+
   /** All-pairs k-nearest-neighbor GRAPH over the embedding corpus — every
     * vector is simultaneously query and candidate; output is the directed
     * edge list `(query_id, neighbor_id, rank, cosine)`, the substrate for

@@ -475,4 +475,59 @@ class SimilaritySpec extends SparkSpec {
       r.getAs[Double]("density") > hi))
     assert(kept * 1000 >= n * 800L)
   }
+
+  test("chunkKnn: provenance matches the hand-composed pipeline; overflow raises") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(150)
+    val got = Similarity.chunkKnn(docs, k = 3)
+      .orderBy("doc_id", "chunk_id", "rank").collect()
+    assert(got.nonEmpty)
+
+    // hand-compose the same pipeline with explicit packing and unpack by
+    // arithmetic — must be row-identical
+    val m = 1000000L
+    val chunks = graft.operators.Chunk.docChunk(docs)
+      .select((col("doc_id") * m + col("chunk_id")).as("doc_id"),
+        col("chunk_text").as("text"))
+    val embF = Similarity.docEmbed(chunks, dim = 16)
+    val want = Similarity.knnGraph(embF, k = 3, bands = 2, center = true,
+        corpusHint = Some(embF.count()))
+      .select((col("query_id") - pmod(col("query_id"), lit(m))).cast("long")./(m)
+          .cast("long").as("doc_id"),
+        pmod(col("query_id"), lit(m)).as("chunk_id"),
+        (col("neighbor_id") - pmod(col("neighbor_id"), lit(m))).cast("long")./(m)
+          .cast("long").as("n_doc_id"),
+        pmod(col("neighbor_id"), lit(m)).as("n_chunk_id"),
+        col("rank"), col("cosine"))
+      .orderBy("doc_id", "chunk_id", "rank").collect()
+    assert(got.toSeq === want.toSeq)
+
+    // every (n_doc_id, n_chunk_id) endpoint is a real chunk of a real doc
+    val chunkSet = graft.operators.Chunk.docChunk(docs)
+      .select("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.foreach { r =>
+      assert(chunkSet.contains((r.getLong(0), r.getLong(1))))
+      assert(chunkSet.contains((r.getLong(2), r.getLong(3))))
+    }
+
+    // chunk ids at or past the packing bound must fail loudly, not alias
+    val ex = intercept[Exception] {
+      Similarity.chunkKnn(docs, window = 50, overlap = 10,
+        maxChunksPerDoc = 2).collect()
+    }
+    assert(ex.getMessage.contains("chunk_id overflows") ||
+      Option(ex.getCause).exists(_.getMessage.contains("chunk_id overflows")))
+  }
+
+  test("chunkKnn: the chunk stream adds no shuffle before the embed aggregation") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // the chunk explode + id packing is the docEmbed INPUT — it must ride
+    // the scan stage (docChunk's no-Exchange contract survives the select)
+    val m = 1000000L
+    val chunks = graft.operators.Chunk.docChunk(docs)
+      .select((col("doc_id") * m + col("chunk_id")).as("doc_id"),
+        col("chunk_text").as("text"))
+    val plan = chunks.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
 }
