@@ -247,8 +247,11 @@ object SparkEntry {
   /** DuckDB mirror of [[QualityLr.qualityLr]] (iters = 3, lr = 1.0):
     * feature CTE, then one (i_k, w_k) CTE pair per unrolled GD step —
     * identical decimal-rounded gradient arithmetic to the Spark plan.
+    * `trainWhere` restricts the GD corpus and `scoreWhere` the scored
+    * rows (both over `f`) — quality_lr uses TRUE/TRUE (train = score =
+    * whole corpus), quality_lr_apply the even/odd ingest split.
     */
-  private val QualityLrSql: String = {
+  private def qualityLrSqlOn(trainWhere: String, scoreWhere: String): String = {
     val stop = "['the','a','an','and','of','to','in','is','it','that']"
     def step(i: Int, prev: String): String =
       s"""i$i AS (SELECT
@@ -257,7 +260,7 @@ object SparkEntry {
          sum(CAST(round((1/(1+exp(-(w0 + w1*x1 + w2*x2 + w3*x3))) - y) * x2, 6) AS DECIMAL(18,6))) AS g2,
          sum(CAST(round((1/(1+exp(-(w0 + w1*x1 + w2*x2 + w3*x3))) - y) * x3, 6) AS DECIMAL(18,6))) AS g3,
          count(*) AS n, min(w0) AS pw0, min(w1) AS pw1, min(w2) AS pw2, min(w3) AS pw3
-       FROM f CROSS JOIN $prev),
+       FROM ftr CROSS JOIN $prev),
        w$i AS (SELECT
          round(pw0 - 1.0*(CAST(g0 AS DOUBLE)/n), 6) AS w0,
          round(pw1 - 1.0*(CAST(g1 AS DOUBLE)/n), 6) AS w1,
@@ -277,12 +280,15 @@ object SparkEntry {
          round(CAST(least(len(text), 400) AS DOUBLE) / 400, 4) AS x2,
          round(CAST(len(text) AS DOUBLE) / n_tok / 10.0, 4) AS x3
        FROM t2),
+       ftr AS (SELECT * FROM f WHERE $trainWhere),
        w0cte AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
        $chain,
        s AS (SELECT doc_id, CAST(y AS BIGINT) AS label, x1, x2, x3,
          round(1/(1+exp(-(w0 + w1*x1 + w2*x2 + w3*x3))), 4) AS lr_score
-       FROM f CROSS JOIN w3)"""
+       FROM f CROSS JOIN w3 WHERE $scoreWhere)"""
   }
+
+  private val QualityLrSql: String = qualityLrSqlOn("TRUE", "TRUE")
 
   /** DuckDB mirror of [[TextAnalysis.bigramLm]] at a given `minCount`. */
   private def BigramLmSql(minCount: Long): String = {
@@ -1130,6 +1136,20 @@ object SparkEntry {
     // decimal aggregate riding a 1-row broadcast).
     "quality_lr" -> ((s, dir) =>
       QualityLr.qualityLr(cat(s, dir).table("documents")).orderBy("doc_id")),
+
+    // Train-once/gate-many (the DCLM classifier deployment shape):
+    // weights trained on the even half, PERSISTED, loaded, and applied
+    // map-side to the odd-half ingest batch — zero jobs against the
+    // training corpus at apply time; loaded ≡ in-memory spec-asserted.
+    "quality_lr_apply" -> { (s, dir) =>
+      val docs = cat(s, dir).table("documents")
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-qlr").resolve("weights").toString
+      QualityLr.trainAndSaveWeights(docs.where(col("doc_id") % 2 === 0), store)
+      QualityLr.qualityLrApply(
+          docs.where(col("doc_id") % 2 === 1), QualityLr.loadWeights(s, store))
+        .orderBy("doc_id")
+    },
 
     // DSIR importance weights of the full corpus against the en-language
     // slice as the target domain (Xie et al. '23). buckets = 1024 keeps
@@ -2032,6 +2052,11 @@ object SparkEntry {
 
     "quality_lr" ->
       s"""WITH $QualityLrSql
+         SELECT doc_id, label, x1, x2, x3, lr_score, lr_score >= 0.5 AS keep
+         FROM s ORDER BY doc_id""",
+
+    "quality_lr_apply" ->
+      s"""WITH ${qualityLrSqlOn("doc_id % 2 = 0", "doc_id % 2 = 1")}
          SELECT doc_id, label, x1, x2, x3, lr_score, lr_score >= 0.5 AS keep
          FROM s ORDER BY doc_id""",
 

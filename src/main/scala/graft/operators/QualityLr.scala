@@ -90,6 +90,21 @@ object QualityLr {
     w
   }
 
+  /** Shared apply path: score a feature frame against a 1-row weight
+    * frame — the map-side projection both [[qualityLr]] (freshly trained
+    * weights) and [[qualityLrApply]] (loaded artifact) end in.
+    */
+  private def scoreWith(
+      feats: DataFrame, weights: DataFrame, threshold: Double): DataFrame =
+    feats.crossJoin(broadcast(weights))
+      .withColumn("lr_score", round(sigmoid(margin(col)), 4))
+      .select(
+        col("doc_id"),
+        col("y").cast("long").as("label"),
+        col("x1"), col("x2"), col("x3"),
+        col("lr_score"),
+        (col("lr_score") >= threshold).as("keep"))
+
   /** Trained-classifier quality scores: per-doc sigmoid of the learned
     * linear margin, `keep` = score ≥ `threshold` on the 4-decimal rounded
     * score. Output: (doc_id, label, x1, x2, x3, lr_score, keep).
@@ -101,14 +116,38 @@ object QualityLr {
       threshold: Double = 0.5): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val f = features(docs)
-    val w = trainWeights(f, iters, lr)
-    f.crossJoin(broadcast(w))
-      .withColumn("lr_score", round(sigmoid(margin(col)), 4))
-      .select(
-        col("doc_id"),
-        col("y").cast("long").as("label"),
-        col("x1"), col("x2"), col("x3"),
-        col("lr_score"),
-        (col("lr_score") >= threshold).as("keep"))
+    scoreWith(f, trainWeights(f, iters, lr), threshold)
   }
+
+  /** Train on `docs` and persist the 1-row weight frame as a tiny parquet
+    * artifact — the CodebookStore discipline: a deployment trains ONCE
+    * and gates many ingest batches against the saved weights (the DCLM
+    * classifier shape), so the training corpus is never re-read at
+    * ingest time. Parquet round-trips the 6-decimal weights exactly.
+    */
+  def trainAndSaveWeights(
+      docs: DataFrame, path: String, iters: Int = 3, lr: Double = 1.0): Unit = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    trainWeights(features(docs), iters, lr)
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** The persisted weight frame — fails loudly on anything but exactly
+    * one (w0, w1, w2, w3) row rather than silently mis-scoring.
+    */
+  def loadWeights(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val w = spark.read.parquet(path).select("w0", "w1", "w2", "w3")
+    require(w.count() == 1, s"weight artifact at $path must be exactly 1 row")
+    w
+  }
+
+  /** Ingest-shape scoring: gate a batch map-side against a trained
+    * weight frame (typically [[loadWeights]]) — zero training passes,
+    * zero jobs against the training corpus; the whole dedup-side plan is
+    * one projection riding a 1-row broadcast. Byte-equal to scoring with
+    * the in-memory trained weights (spec-asserted).
+    */
+  def qualityLrApply(
+      docs: DataFrame, weights: DataFrame, threshold: Double = 0.5): DataFrame =
+    scoreWith(features(docs), weights, threshold)
 }

@@ -44,4 +44,44 @@ class QualityLrSpec extends SparkSpec {
       .select("doc_id", "lr_score").collect()
     assert(once.toSeq === repart.toSeq)
   }
+
+  test("persisted weights: loaded-weight scores byte-equal the in-memory run") {
+    val train = docs.where(col("doc_id") % 2 === 0)
+    val batch = docs.where(col("doc_id") % 2 === 1)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-qlr-spec").resolve("weights").toString
+    QualityLr.trainAndSaveWeights(train, path)
+
+    // the artifact round-trips the exact 6-decimal weights
+    val loaded = QualityLr.loadWeights(spark, path)
+    val inMem = QualityLr.trainWeights(QualityLr.features(train), 3, 1.0)
+    assert(loaded.collect().toSeq === inMem.collect().toSeq)
+
+    // ingest gating with the loaded artifact ≡ scoring with the
+    // in-memory trained frame, byte for byte
+    val viaStore = QualityLr.qualityLrApply(batch, loaded)
+      .orderBy("doc_id").collect()
+    val viaMem = QualityLr.qualityLrApply(batch, inMem)
+      .orderBy("doc_id").collect()
+    assert(viaStore.toSeq === viaMem.toSeq)
+    assert(viaStore.nonEmpty)
+
+    // train-on-self apply reproduces qualityLr exactly (same plan tail)
+    val selfPath = java.nio.file.Files
+      .createTempDirectory("graft-qlr-self").resolve("weights").toString
+    QualityLr.trainAndSaveWeights(docs, selfPath)
+    val applied = QualityLr
+      .qualityLrApply(docs, QualityLr.loadWeights(spark, selfPath))
+      .orderBy("doc_id").collect()
+    val direct = QualityLr.qualityLr(docs).orderBy("doc_id").collect()
+    assert(applied.toSeq === direct.toSeq)
+
+    // a malformed artifact (2 rows) fails loudly
+    import spark.implicits._
+    val bad = java.nio.file.Files
+      .createTempDirectory("graft-qlr-bad").resolve("weights").toString
+    Seq((0.0, 0.0, 0.0, 0.0), (1.0, 1.0, 1.0, 1.0))
+      .toDF("w0", "w1", "w2", "w3").write.parquet(bad)
+    intercept[IllegalArgumentException] { QualityLr.loadWeights(spark, bad) }
+  }
 }
