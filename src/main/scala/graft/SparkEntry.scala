@@ -610,6 +610,23 @@ object SparkEntry {
         .orderBy("event_id")
     },
 
+    // Last-touch attribution, composed: the stream-stream join's rollup
+    // (latest in-window view per purchase) — equals backward asofJoin
+    // with a one-day tolerance, spec-asserted; the oracle replays it
+    // with DuckDB's native ASOF JOIN
+    "attribution_rollup" -> { (s, dir) =>
+      val ev = cat(s, dir).table("events")
+        .select(col("event_id"), expr("ts div 1000000000").as("ts"),
+          col("user_id"), col("event_type"))
+      graft.streaming.StreamingAttribution.attributeLatest(
+          ev.where(col("event_type") === "view")
+            .select(col("ts"), col("user_id"), col("event_id").as("imp_id")),
+          ev.where(col("event_type") === "purchase")
+            .select(col("ts"), col("user_id"), col("event_id").as("conv_id")),
+          windowSeconds = 86400)
+        .orderBy("conv_id")
+    },
+
     "sessionize" -> ((s, dir) =>
       Temporal.sessionize(
           cat(s, dir).table("events").withColumn("ts", expr("ts div 1000000000")),
@@ -2113,6 +2130,20 @@ object SparkEntry {
          FROM ev ASOF LEFT JOIN o
            ON ev.user_id = o.user_id AND ev.ts <= o.ots
          ORDER BY ev.event_id""",
+
+    "attribution_rollup" ->
+      """WITH imp AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS its,
+           max(event_id) AS imp_id
+         FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         conv AS (SELECT user_id, event_id AS conv_id,
+           epoch_ns(ts) // 1000000000 AS cts
+         FROM events WHERE event_type = 'purchase')
+         SELECT conv.user_id, conv.conv_id, conv.cts AS conv_ts,
+           imp.imp_id, imp.its AS imp_ts, conv.cts - imp.its AS lag_s
+         FROM conv ASOF JOIN imp
+           ON conv.user_id = imp.user_id AND conv.cts >= imp.its
+         WHERE conv.cts - imp.its <= 86400
+         ORDER BY conv_id""",
 
     "sessionize" ->
       """WITH e AS (SELECT user_id, event_id,

@@ -52,4 +52,33 @@ object StreamingAttribution {
         col("imp_id"), col("imp_ts"),
         (col("conv_ts") - col("imp_ts")).as("lag_s"))
   }
+
+  /** The attribution ROLLUP [[attribute]] deliberately leaves to the
+    * caller, composed: one row per conversion carrying its LATEST
+    * in-window impression (last-touch attribution) — ties on imp_ts
+    * break to the larger imp_id, so the pick is deterministic under any
+    * partitioning. The struct-max aggregate is one map-side-combined
+    * groupBy over the pair stream, bounded by conversions × in-window
+    * impressions.
+    *
+    * Equivalent to `Temporal.asofJoin(conversions, impressions,
+    * direction = "backward", tolerance = windowSeconds)` with the
+    * impression side pre-aggregated per (user, ts) — spec-asserted row
+    * identity, tying the streaming join family to the batch temporal
+    * family. On batch frames this runs as-is; a streaming caller keeps
+    * the non-windowed groupBy in update mode (state = open conversions
+    * within the horizon) or rolls up post-sink — the append-mode join
+    * above stays the streaming deliverable.
+    */
+  def attributeLatest(
+      impressions: DataFrame,
+      conversions: DataFrame,
+      windowSeconds: Long = 3600,
+      watermark: String = "1 hour"): DataFrame =
+    attribute(impressions, conversions, windowSeconds, watermark)
+      .groupBy(col("user_id"), col("conv_id"), col("conv_ts"))
+      .agg(max(struct(col("imp_ts"), col("imp_id"))).as("m"))
+      .select(col("user_id"), col("conv_id"), col("conv_ts"),
+        col("m.imp_id").as("imp_id"), col("m.imp_ts").as("imp_ts"),
+        (col("conv_ts") - col("m.imp_ts")).as("lag_s"))
 }

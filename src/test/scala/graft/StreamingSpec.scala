@@ -430,6 +430,47 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((91L, 10L, 50L), (91L, 11L, 30L)))
   }
 
+  test("attribution rollup equals backward asofJoin with the window as tolerance") {
+    // last-touch rollup of the stream-stream join vs the batch temporal
+    // family's asofJoin on the SAME rows — the two families must agree
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"),
+        expr("unix_timestamp(ts)").as("ts"),
+        col("user_id"), col("event_type"))
+    val imps = ev.where(col("event_type") === "view")
+      .select(col("ts"), col("user_id"), col("event_id").as("imp_id"))
+    val convs = ev.where(col("event_type") === "purchase")
+      .select(col("ts"), col("user_id"), col("event_id").as("conv_id"))
+    val window = 86400L
+
+    val viaRollup = graft.streaming.StreamingAttribution
+      .attributeLatest(imps, convs, windowSeconds = window)
+      .select("user_id", "conv_id", "conv_ts", "imp_id", "imp_ts", "lag_s")
+      .orderBy("conv_id").collect()
+
+    // asofJoin needs ≤1 right row per (key, ts): pre-aggregate ties to
+    // max imp_id — the same pick attributeLatest's struct-max makes
+    val right = imps.groupBy("user_id", "ts").agg(max("imp_id").as("imp_id"))
+      .withColumn("imp_ts", col("ts"))
+    val viaAsof = graft.operators.Temporal.asofJoin(
+        convs, right, keyCol = "user_id", tsCol = "ts",
+        payloadCols = Seq("imp_id", "imp_ts"), tolerance = Some(window))
+      .where(col("imp_id").isNotNull)
+      .select(col("user_id"), col("conv_id"), col("ts").as("conv_ts"),
+        col("imp_id"), col("imp_ts"), (col("ts") - col("imp_ts")).as("lag_s"))
+      .orderBy("conv_id").collect()
+
+    assert(viaRollup.toSeq === viaAsof.toSeq)
+    assert(viaRollup.nonEmpty)
+    // one row per conversion, every lag inside the window
+    val ids = viaRollup.map(_.getLong(1))
+    assert(ids.distinct.length === ids.length)
+    viaRollup.foreach { r =>
+      val lag = r.getLong(5)
+      assert(lag >= 0 && lag <= window)
+    }
+  }
+
   test("streaming funnel emits once on ordered completion, respects the window") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
