@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Merge a duckdb_anchor.py run with graft bench numbers into the
+round's DUCKDB_ANCHOR artifact shape (the r12 format: per-query
+duckdb/graft median+min plus the time-weighted total ratio).
+
+Usage: merge_anchor.py <duckdb_anchor_json> <bench_json> [carry_json]
+  <duckdb_anchor_json>: output of scripts/duckdb_anchor.py
+  <bench_json>: graft Bench output (bench_out.json or _partial)
+  [carry_json]: optional prior DUCKDB_ANCHOR_r{N}.json whose query rows
+                are carried over for queries NOT re-measured this run.
+Prints the merged artifact JSON to stdout (caller adds "what" context).
+Driver-side tooling only, like check.py — never a library dep.
+"""
+import json
+import sys
+
+
+def main() -> None:
+    anchor = json.load(open(sys.argv[1]))
+    bench = json.load(open(sys.argv[2]))
+    carry = json.load(open(sys.argv[3])) if len(sys.argv) > 3 else None
+
+    queries = {}
+    if carry:
+        queries.update(carry["queries"])
+    for name, d in anchor["queries"].items():
+        gm = bench["queries"].get(name)
+        gn = bench.get("queries_min", {}).get(name)
+        if gm is None:
+            print(f"WARNING: no graft bench number for {name}; skipped",
+                  file=sys.stderr)
+            continue
+        queries[name] = {
+            "duckdb_median_s": d["median_s"],
+            "duckdb_min_s": d["min_s"],
+            "graft_median_s": round(gm, 4),
+            "graft_min_s": round(gn, 4) if gn is not None else None,
+            "graft_over_duckdb": round(gm / d["median_s"], 2),
+        }
+
+    gt = sum(q["graft_median_s"] for q in queries.values())
+    dt = sum(q["duckdb_median_s"] for q in queries.values())
+    print(json.dumps({
+        "sf_dir": anchor["sf_dir"],
+        "duckdb_version": anchor["version"],
+        "threads": anchor["threads"],
+        "duckdb_reps": anchor["reps"],
+        "time_weighted_graft_over_duckdb": round(gt / dt, 3),
+        "graft_total_s": round(gt, 1),
+        "duckdb_total_s": round(dt, 1),
+        "queries": queries,
+    }, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -80,9 +80,32 @@ object ScaleCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // scale_corpus.py decorrelates copies by PERMUTING each doc's token
+    // stream — which kills every cross-copy n-gram but preserves the
+    // token MULTISET, and therefore the bag-of-words embedding, exactly:
+    // in embedding space the K× corpus is K exact duplicates of the 1×
+    // corpus, every doc gaining K−1 cosine-1.0 twins, so an all-pairs
+    // similarity measurement over docEmbed vectors grows ∝ K² by DATA
+    // pathology (the script docstring's "measure the pathological data"
+    // trap, resurfacing in embedding space — measured: doc_knn 5.1× on
+    // the 10×→30× step before this fix, 1.0× flat after). The embedding
+    // COMPOSITION ops therefore suffix every token with its doc's copy
+    // index (ids pack as orig + copy·origMod, scale_corpus.py's layout):
+    // within-copy similarity structure is preserved — one copy sees one
+    // consistent vocabulary — while cross-copy vectors decorrelate, the
+    // same discipline the script applies to the embeddings table (per-
+    // copy circular shift), which is why knn_graph_hinted needs no fix.
+    val origMod = sys.env.getOrElse("SPARK_GRAFT_SCALE_ORIG_MOD", "5000").toLong
     for (dir <- dirs) {
       def docs = spark.read.parquet(s"$dir/documents.parquet")
       def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      def decorDocs = {
+        import org.apache.spark.sql.functions._
+        docs.withColumn("text",
+          array_join(transform(split(col("text"), "\\s+"),
+            t => concat(t, lit("c"),
+              floor(col("doc_id") / origMod).cast("long").cast("string"))), " "))
+      }
       // events route through the catalog (ts-flavor normalization to
       // epoch-nanos LONG), then to the epoch seconds every event-time
       // operator consumes
@@ -335,7 +358,32 @@ object ScaleCheck {
         // DAU/WAU: distinct (day,user) frame + bounded ×7 window-end
         // expansion — expect linear in the distinct reduction
         "events_dau" -> (() =>
-          SparkEntry.queries("events_dau")(spark, dir)))
+          SparkEntry.queries("events_dau")(spark, dir)),
+        // text → kNN composition at deployment knobs (centered buckets,
+        // derived planes) — expect knn_graph_hinted's curve plus the
+        // linear embed passes
+        "doc_knn_hinted" -> (() =>
+          Similarity.knnGraph(Similarity.docEmbed(decorDocs, dim = 16),
+            k = 3, bands = 2, center = true, corpusHint = Some(nDocs))),
+        // the capstone chain embed ∘ knnGraph ∘ dedupGroups at deployment
+        // knobs — expect doc_knn's curve + pointer-jumping propagation
+        // rounds growing O(log diameter)
+        "semantic_groups" -> { () =>
+          val edges = Similarity.knnGraph(Similarity.docEmbed(decorDocs, dim = 16),
+              k = 3, bands = 2, center = true, corpusHint = Some(nDocs))
+            .where(col("cosine") >= 0.95)
+            .select(col("query_id").as("doc_a"), col("neighbor_id").as("doc_b"))
+          Dedup.dedupGroups(edges)
+        },
+        // RAG chunk index: map-side chunk explode + docEmbed + hinted
+        // kNN over ~4× the rows (chunks) — expect doc_knn's curve at the
+        // chunk multiple
+        "chunk_knn" -> (() => Similarity.chunkKnn(decorDocs, k = 3)),
+        // the persisted-SIGNATURE fuzzy ingest loop (save + gate + append
+        // + gate, the SparkEntry demo verbatim): corpus text is
+        // signature-reduced once at founding — expect linear in the save
+        "minhash_ingest_dedup" -> (() =>
+          SparkEntry.queries("minhash_ingest_dedup")(spark, dir)))
 
       // SPARK_GRAFT_SCALE_ONLY=a,b,c runs a subset (merge results by hand)
       val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
