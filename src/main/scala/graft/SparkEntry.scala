@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Catalog, ForeignKey, TableGraph}
-import graft.operators.{Bpe, Chunk, Closure, Dedup, Dsir, FingerprintStore, MinHashStore, Multimodal, QualityLr, Similarity, Temporal, TextAnalysis}
+import graft.operators.{Bpe, Chunk, Closure, Dedup, Dsir, FingerprintStore, MinHashStore, Multimodal, QualityLr, Similarity, Temporal, TextAnalysis, VectorIndexStore}
 import graft.sources.{Dump, DumpSpec}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -1464,6 +1464,29 @@ object SparkEntry {
       Similarity.ivfPqSearch(cat(s, dir).table("embeddings"), col("vec_id") % 50 === 0,
           kNN = 10, m = 8, k = 16, centEvery = 40, nprobe = 2, residual = true)
         .orderBy("query_id", "rank")),
+
+    // The ANN serving LOOP against a persisted IVFPQ index
+    // (VectorIndexStore — the vector sibling of fingerprint_ingest /
+    // minhash_ingest_dedup): found the index on two-thirds of the
+    // corpus, fold the rest in under the FROZEN founding codebooks
+    // (append), then ADC-search an external query batch against
+    // codebooks + postings alone — the corpus is encoded exactly once
+    // and never rescanned at query time. External queries carry no
+    // self-pair exclusion: a query that is also a corpus row scores its
+    // own posting like any candidate (the serving contract).
+    "ivfpq_ingest_search" -> { (s, dir) =>
+      val emb = cat(s, dir).table("embeddings")
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-vixstore").toString
+      VectorIndexStore.save(emb.where(col("vec_id") % 3 =!= 0), store,
+        m = 8, k = 16, centEvery = 40)
+      VectorIndexStore.append(emb.where(col("vec_id") % 3 === 0), store)
+      VectorIndexStore.search(
+          emb.where(col("vec_id") % 50 === 0)
+            .select(col("vec_id"), col("embedding")),
+          store, kNN = 10, nprobe = 2)
+        .orderBy("query_id", "rank")
+    },
 
     "events_hourly" -> { (s, dir) =>
       // ts is epoch-nanos (nanosAsLong read); bucket to hour starts.
@@ -3484,6 +3507,51 @@ object SparkEntry {
            list_reduce(list_transform(range(0, 8), mi ->
              q.qlut[mi + 1][CAST(x.codes[mi + 1] + 1 AS INT)]), (a, b) -> a + b) AS adist
          FROM idx x JOIN q ON x.cent_id = q.qcent AND x.vec_id <> q.query_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
+         FROM p)
+         SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", round(adist, 4) AS approx_dist2
+         FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+
+    // Serving-loop oracle: identical to ivfpq_search's modeling except
+    // (a) centroids sample only the FOUNDING subset (vec_id % 3 <> 0 —
+    // the frozen-codebook property makes founding+append postings equal
+    // a one-shot encode of the union, so the oracle encodes the union),
+    // and (b) no self-pair exclusion (external-query contract).
+    "ivfpq_ingest_search" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (SELECT vec_id, v,
+           sqrt(list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
+                (a, b) -> a + b)) AS nrm
+         FROM e),
+         c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+           WHERE vec_id % 40 = 1 AND vec_id % 3 <> 0),
+         ac AS (SELECT n.vec_id, c.cent_id,
+           list_reduce(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i]),
+                (a, b) -> a + b) / (n.nrm * c.cnrm) AS cos_c
+         FROM n CROSS JOIN c),
+         acr AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn
+           FROM ac),
+         ce AS (SELECT vec_id,
+           list_transform(range(0, 8), mi ->
+             list_transform(range(0, 16), ci ->
+               list_reduce(list_transform(range(0, 8), di ->
+                 (v[mi * 8 + di + 1] - ((CAST('0x' || substr(md5('pq|' || mi::VARCHAR || '|' || ci::VARCHAR || '|' || (di + 1)::VARCHAR), 1, 15) AS BIGINT) % 2001 - 1000) / 1000.0))
+                 * (v[mi * 8 + di + 1] - ((CAST('0x' || substr(md5('pq|' || mi::VARCHAR || '|' || ci::VARCHAR || '|' || (di + 1)::VARCHAR), 1, 15) AS BIGINT) % 2001 - 1000) / 1000.0))),
+                 (a, b) -> a + b))) AS dss
+         FROM e),
+         t AS (SELECT vec_id, dss,
+           list_transform(dss, ds -> list_position(ds, list_min(ds)) - 1) AS codes
+         FROM ce),
+         idx AS (SELECT acr.vec_id, acr.cent_id, t.codes
+           FROM acr JOIN t ON acr.vec_id = t.vec_id WHERE acr.rn = 1),
+         q AS (SELECT acr.vec_id AS query_id, acr.cent_id AS qcent, t.dss AS qlut
+           FROM acr JOIN t ON acr.vec_id = t.vec_id
+           WHERE acr.rn <= 2 AND acr.vec_id % 50 = 0),
+         p AS (SELECT q.query_id, x.vec_id AS neighbor_id,
+           list_reduce(list_transform(range(0, 8), mi ->
+             qlut[mi + 1][CAST(x.codes[mi + 1] + 1 AS INT)]), (a, b) -> a + b) AS adist
+         FROM idx x JOIN q ON x.cent_id = q.qcent),
          r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
          FROM p)
          SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", round(adist, 4) AS approx_dist2

@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.EpochStore
+
+/** Persistence for the ANN SERVING index — the vector sibling of
+  * [[FingerprintStore]] (exact digests) and [[MinHashStore]] (fuzzy
+  * signatures), closing the last recompute asymmetry in the store
+  * family: [[Similarity.ivfPqSearch]] builds its (cell, PQ codes) index
+  * inside every query plan, so a serving deployment re-encodes the
+  * corpus on every query batch — at 100 TB the encode pass (nc × dim
+  * centroid argmax + m × k × dim/m code argmin per vector) IS the cost.
+  * This store runs it exactly once (FAISS's `IndexIVFPQ` add/search
+  * split, Jégou et al. TPAMI'11 §IV): the index is built at founding,
+  * grows by O(batch) appends, and queries touch only codebooks and
+  * postings — the corpus vectors are DROPPED after encoding.
+  *
+  * Artifact layout (epoch-swap durable via [[graft.core.EpochStore]];
+  * every epoch is self-contained so vacuum can drop old ones whole):
+  *
+  *  - `<path>/postings_eN` — `(vec_id, cell: int, codes: array<long>)`,
+  *    m bytes of quantized vector per row at the defaults (vs dim × 4
+  *    raw): a 10⁹-vector corpus at m = 8 is a ~10 GB table.
+  *  - `<path>/ivf_eN` — `(idx: int, cent_id: long, cv: array<double>,
+  *    cnrm: double)`: the coarse codebook, FROZEN at founding. `idx` is
+  *    the posting `cell` id (array order of the literal-codebook plan).
+  *  - `<path>/pqmeta_eN` — one row `(m, k, dim, cb: array<double>)`:
+  *    the flat PQ codebook + layout, frozen at founding.
+  *
+  * Codebooks are frozen on purpose: append-time re-training would
+  * reassign every existing posting (a full-corpus rebuild disguised as
+  * an append) and silently shift every stored code's meaning. The
+  * trade is standard IVF drift — if the vector distribution moves far
+  * from the founding sample, recall decays and the operator rebuilds
+  * via a fresh [[save]] (the FAISS retrain discipline). Appends encode
+  * with the loaded codebooks, so founding-then-append postings are
+  * row-identical to a one-shot encode of the union under the same
+  * codebooks (spec-asserted).
+  *
+  * [[search]] is the non-residual IVFADC query plan of
+  * [[Similarity.ivfPqSearch]] pointed at the LOADED postings, with one
+  * contract change: queries are an EXTERNAL frame (`vec_id`,
+  * `embedding`), not a filter over the corpus, so there is no
+  * self-pair exclusion — a query that is also a corpus row scores its
+  * own posting like any other candidate (the serving shape: the engine
+  * cannot know the caller's identity space). Postings stay the scanned
+  * (distributed) side, queries broadcast with their ADC lookup tables.
+  */
+object VectorIndexStore {
+
+  private val Names = Seq("postings", "ivf", "pqmeta")
+
+  /** One map-side encode pass under FROZEN codebooks: (vec_id, cell,
+    * codes) — the posting rows for `emb`. Shared verbatim by save and
+    * append so the two can never drift.
+    */
+  private def encode(
+      emb: DataFrame,
+      cents: Array[(Long, Array[Double], Double)],
+      cb: Array[Double], m: Int, k: Int): DataFrame = {
+    val e = Similarity.normalized(emb)
+    e.select(col("vec_id"),
+        Similarity.centCos(cents)(col("v"), col("nrm")).as("css"), col("v"))
+      .select(col("vec_id"),
+        (array_position(col("css"), array_max(col("css"))) - 1)
+          .cast("int").as("cell"),
+        transform(graft.functions.PqDistances(col("v"), typedLit(cb.toSeq), m, k),
+          ds => array_position(ds, array_min(ds)) - 1).as("codes"))
+  }
+
+  private def writeEpoch(
+      spark: SparkSession, path: String, next: Long,
+      postings: DataFrame,
+      cents: Array[(Long, Array[Double], Double)],
+      cb: Array[Double], m: Int, k: Int, dim: Int): Unit = {
+    import spark.implicits._
+    postings.write.mode("overwrite")
+      .parquet(EpochStore.epochDir(path, "postings", next))
+    cents.zipWithIndex
+      .map { case ((id, cv, cn), i) => (i, id, cv.toSeq, cn) }.toSeq
+      .toDF("idx", "cent_id", "cv", "cnrm")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(EpochStore.epochDir(path, "ivf", next))
+    Seq((m, k, dim, cb.toSeq)).toDF("m", "k", "dim", "cb")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(EpochStore.epochDir(path, "pqmeta", next))
+    EpochStore.commitEpoch(spark, path, next)
+  }
+
+  /** Found the index at `path`: derive (or accept) both codebooks from
+    * `emb` (`vec_id`, `embedding`), encode it, persist everything.
+    * Fails loudly on an empty founding corpus — a serving index with no
+    * centroids is a configuration error, not an empty result.
+    */
+  def save(
+      emb: DataFrame, path: String,
+      m: Int = 8, k: Int = 16,
+      centEvery: Int = 40, maxCents: Int = 256,
+      ivfCodebook: Option[Array[(Long, Array[Double])]] = None,
+      pqCodebook: Option[Array[Double]] = None): Unit = {
+    val spark = emb.sparkSession
+    val e = Similarity.normalized(emb)
+    val cents = Similarity.resolveCentroids(e, centEvery, maxCents, ivfCodebook)
+    require(cents.nonEmpty,
+      s"empty IVF codebook founding VectorIndexStore at $path " +
+        "(empty corpus, or no vec_id matched the sampling rule)")
+    val dim = Similarity.probeDim(emb)
+    val cb = Similarity.resolvePqCodebook(dim, m, k, pqCodebook)
+    val next = EpochStore.currentEpoch(spark, path) + 1
+    writeEpoch(spark, path, next, encode(emb, cents, cb, m, k),
+      cents, cb, m, k, dim)
+  }
+
+  /** The loaded index: frozen codebooks (driver-side, they are plan
+    * literals) + the postings frame (distributed — never collected).
+    */
+  final case class Index(
+      cents: Array[(Long, Array[Double], Double)],
+      cb: Array[Double], m: Int, k: Int, dim: Int,
+      postings: DataFrame)
+
+  def load(spark: SparkSession, path: String): Index = {
+    val e = EpochStore.requireEpoch(spark, path, "VectorIndexStore")
+    val cents = spark.read.parquet(EpochStore.epochDir(path, "ivf", e))
+      .orderBy(col("idx")).collect()
+      .map(r => (r.getLong(1), r.getSeq[Double](2).toArray, r.getDouble(3)))
+    val meta = spark.read.parquet(EpochStore.epochDir(path, "pqmeta", e)).head()
+    Index(cents, meta.getSeq[Double](3).toArray,
+      meta.getInt(0), meta.getInt(1), meta.getInt(2),
+      spark.read.parquet(EpochStore.epochDir(path, "postings", e)))
+  }
+
+  /** Fold a new batch (`vec_id`, `embedding`) into the index: encode it
+    * under the FROZEN codebooks, append to a new postings epoch (union
+    * with the persisted table — corpus vectors are never touched after
+    * their founding encode). Caller guarantees batch vec_ids are new;
+    * the batch must match the founding embedding width.
+    */
+  def append(batch: DataFrame, path: String): Unit = {
+    val spark = batch.sparkSession
+    val ix = load(spark, path)
+    val bdim = Similarity.probeDim(batch)
+    require(bdim == ix.dim,
+      s"appended batch embedding width $bdim != index width ${ix.dim}")
+    val next = EpochStore.currentEpoch(spark, path) + 1
+    writeEpoch(spark, path, next,
+      ix.postings.unionByName(encode(batch, ix.cents, ix.cb, ix.m, ix.k)),
+      ix.cents, ix.cb, ix.m, ix.k, ix.dim)
+  }
+
+  /** IVFADC search of `queries` (`vec_id`, `embedding` — an external
+    * frame) against the persisted index: each query probes its `nprobe`
+    * nearest stored cells and ADC-scores only the postings inside them.
+    * Zero jobs against the original corpus — codebooks come off the
+    * driver as plan literals, postings off parquet. Output is the
+    * [[Similarity.ivfPqSearch]] contract: (query_id, neighbor_id, rank,
+    * approx_dist2), kNN rows per query, ties on (adist, vec_id).
+    */
+  def search(
+      queries: DataFrame, path: String,
+      kNN: Int = 10, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val ix = load(queries.sparkSession, path)
+    val nc = ix.cents.length
+    val qdim = Similarity.probeDim(queries)
+    require(qdim == ix.dim || queries.isEmpty,
+      s"query embedding width $qdim != index width ${ix.dim}")
+    // Non-residual LUT is cell-independent: computed once per query
+    // below the probe-cell explode; explode_outer for the
+    // InferFiltersFromGenerate reason documented at ivfPqSearch.
+    val q = Similarity.normalized(queries)
+      .select(col("vec_id"), col("v"),
+        Similarity.centCos(ix.cents)(col("v"), col("nrm")).as("css"))
+      .select(col("vec_id").as("query_id"),
+        graft.functions.PqDistances(col("v"), typedLit(ix.cb.toSeq), ix.m, ix.k)
+          .as("qlut"),
+        Similarity.probeCellsExpr(nc, nprobe).as("qcells"))
+      .select(col("query_id"), col("qlut"),
+        explode_outer(col("qcells")).as("qcell"))
+    val scored = ix.postings.join(broadcast(q), col("cell") === col("qcell"))
+      .withColumn("adist", graft.functions.AdcDistance(col("qlut"), col("codes")))
+      .withColumn("part", spark_partition_id())
+    // two-phase top-k (the ivfPqSearch pattern): per-partition cap
+    // before the per-query shuffle, WindowGroupLimit on both phases
+    val local = Window.partitionBy(col("query_id"), col("part"))
+      .orderBy(col("adist"), col("vec_id"))
+    val survivors = scored.withColumn("lrank", row_number().over(local))
+      .where(col("lrank") <= kNN)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
+    survivors.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= kNN)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"),
+        round(col("adist"), 4).as("approx_dist2"))
+  }
+
+  /** Drop superseded epochs — call once no in-flight reader can still
+    * hold plans against them ([[graft.core.EpochStore.vacuum]]).
+    */
+  def vacuum(spark: SparkSession, path: String): Unit =
+    EpochStore.vacuum(spark, path, Names)
+}

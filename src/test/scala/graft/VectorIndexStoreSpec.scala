@@ -1,0 +1,143 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, VectorIndexStore}
+
+/** The persisted ANN serving loop: append under frozen codebooks must
+  * equal a one-shot encode of the union; search against the artifact
+  * must match a driver-side brute-force IVFADC reference exactly (the
+  * seeded-reference discipline that caught the dedupGroups cap bug);
+  * the epoch-swap write must keep the prior epoch readable until an
+  * explicit vacuum; and malformed use must fail loudly.
+  */
+class VectorIndexStoreSpec extends SparkSpec {
+
+  private def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-$name").resolve("store").toString
+
+  test("append under frozen codebooks equals one-shot encode of the union") {
+    val founding = emb.where(col("vec_id") % 3 =!= 0)
+    val rest = emb.where(col("vec_id") % 3 === 0)
+
+    val grown = tmp("vix-grown")
+    VectorIndexStore.save(founding, grown)
+    VectorIndexStore.append(rest, grown)
+    val ixG = VectorIndexStore.load(spark, grown)
+
+    // one-shot: encode EVERYTHING, but with the codebooks the grown
+    // store froze at founding — the property that makes append an
+    // append, not a rebuild
+    val oneShot = tmp("vix-oneshot")
+    VectorIndexStore.save(emb, oneShot,
+      ivfCodebook = Some(ixG.cents.map { case (id, v, _) => (id, v) }))
+    val ixO = VectorIndexStore.load(spark, oneShot)
+
+    def rows(ix: VectorIndexStore.Index) = ix.postings
+      .select(col("vec_id"), col("cell"), concat_ws(":", col("codes")))
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(rows(ixG).toSeq === rows(ixO).toSeq)
+    assert(ixG.postings.count() === emb.count())
+    assert(ixO.cents.map(_._1).toSeq === ixG.cents.map(_._1).toSeq)
+  }
+
+  test("search matches a driver-side brute-force IVFADC reference") {
+    val path = tmp("vix-ref")
+    VectorIndexStore.save(emb, path)
+    val ix = VectorIndexStore.load(spark, path)
+    val (m, k, dim) = (ix.m, ix.k, ix.dim)
+    val sub = dim / m
+    val kNN = 5
+    val nprobe = 2
+
+    val queries = emb.where(col("vec_id") % 7 === 0)
+    val got = VectorIndexStore.search(queries, path, kNN = kNN, nprobe = nprobe)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+
+    // reference: same arithmetic, sequential fold order, on the driver
+    val postings = ix.postings.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toArray))
+    def lut(v: Array[Double]): Array[Array[Double]] =
+      Array.tabulate(m)(mi => Array.tabulate(k) { ci =>
+        var acc = 0.0
+        for (di <- 0 until sub) {
+          val d = v(mi * sub + di) - ix.cb((mi * k + ci) * sub + di)
+          acc += d * d
+        }
+        acc
+      })
+    val expected = queries.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .flatMap { case (qid, v) =>
+        val nrm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+        val cos = ix.cents.map { case (_, cv, cn) =>
+          var acc = 0.0
+          for (i <- v.indices) acc += v(i) * cv(i)
+          acc / (nrm * cn)
+        }
+        val probes = cos.indices.sortBy(i => (-cos(i), i)).take(nprobe).toSet
+        val ql = lut(v)
+        postings.filter(p => probes.contains(p._2))
+          .map { case (nid, _, codes) =>
+            var acc = 0.0
+            for (mi <- 0 until m) acc += ql(mi)(codes(mi).toInt)
+            (nid, acc)
+          }
+          .sortBy { case (nid, d) => (d, nid) }.take(kNN).zipWithIndex
+          .map { case ((nid, d), i) =>
+            (qid, nid, (i + 1).toLong,
+              BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+      }.sortBy(t => (t._1, t._3))
+
+    assert(got.nonEmpty)
+    assert(got.toSeq === expected.toSeq)
+  }
+
+  test("external queries see no self-exclusion: a corpus row can be its own hit") {
+    val path = tmp("vix-self")
+    VectorIndexStore.save(emb, path)
+    val hits = VectorIndexStore.search(
+        emb.where(col("vec_id") % 7 === 0), path, kNN = 3, nprobe = 2)
+      .where(col("query_id") === col("neighbor_id")).count()
+    // ADC self-distance is the quantization error — small but not
+    // guaranteed minimal; just assert self-pairs are not filtered out
+    assert(hits > 0)
+  }
+
+  test("prior epoch survives an append until vacuum") {
+    val path = tmp("vix-epoch")
+    VectorIndexStore.save(emb.where(col("vec_id") % 3 =!= 0), path)
+    val e1 = new java.io.File(s"$path/postings_e1")
+    assert(e1.exists())
+    VectorIndexStore.append(emb.where(col("vec_id") % 3 === 0), path)
+    assert(e1.exists(), "commit must never delete the epoch a reader may hold")
+    assert(new java.io.File(s"$path/postings_e2").exists())
+    VectorIndexStore.vacuum(spark, path)
+    assert(!e1.exists())
+    assert(VectorIndexStore.load(spark, path).postings.count() === emb.count())
+  }
+
+  test("malformed use fails loudly") {
+    intercept[IllegalArgumentException] {
+      VectorIndexStore.load(spark, tmp("vix-empty"))
+    }
+    intercept[IllegalArgumentException] {
+      // founding corpus whose ids miss the sampling rule entirely
+      VectorIndexStore.save(emb.where(col("vec_id") % 40 === 0), tmp("vix-nocent"))
+    }
+    val path = tmp("vix-dim")
+    VectorIndexStore.save(emb, path)
+    intercept[IllegalArgumentException] {
+      VectorIndexStore.append(
+        emb.select(col("vec_id") + 1000000 as "vec_id",
+          slice(col("embedding"), 1, 8).as("embedding")), path)
+    }
+  }
+}
