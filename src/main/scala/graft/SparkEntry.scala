@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Catalog, ForeignKey, TableGraph}
-import graft.operators.{Bpe, Chunk, Closure, Dedup, Dsir, FingerprintStore, MinHashStore, Multimodal, QualityLr, Similarity, Temporal, TextAnalysis, VectorIndexStore}
+import graft.operators.{Bpe, Chunk, Closure, Dedup, Dsir, FingerprintStore, MinHashStore, Multimodal, QualityLr, SimHashStore, Similarity, Temporal, TextAnalysis, VectorIndexStore}
 import graft.sources.{Dump, DumpSpec}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -902,6 +902,29 @@ object SparkEntry {
       val b2 = docs.where(col("doc_id") % 5 === 0)
         .select(col("doc_id"), col("text"))
       Dedup.minhashIngestDedup(b2, MinHashStore.load(s, store))
+        .orderBy("batch_id", "corpus_id")
+    },
+
+    // The Hamming-bounded fuzzy-ingest LOOP (SimHashStore) — the
+    // minhash_ingest_dedup sibling that completes the fuzzy store
+    // family: same two-epoch save/gate/append/gate shape, but the gate
+    // is EXACT over the carried 48-bit signatures (4-chunk pigeonhole,
+    // hamming <= 3) instead of Jaccard-estimated.
+    "simhash_ingest_dedup" -> { (s, dir) =>
+      val docs = cat(s, dir).table("documents")
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-shstore").toString
+      SimHashStore.save(docs.where(col("doc_id") % 2 === 0), store)
+      val b1 = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+      val f1 = Dedup.simhashIngestDedup(b1, SimHashStore.load(s, store))
+      SimHashStore.append(
+        b1.join(f1.select(col("batch_id").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti"),
+        store)
+      val b2 = docs.where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+      Dedup.simhashIngestDedup(b2, SimHashStore.load(s, store))
         .orderBy("batch_id", "corpus_id")
     },
 
@@ -2517,6 +2540,39 @@ object SparkEntry {
            CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
          FROM s a JOIN s b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.sim, b.sim)) <= 3 ORDER BY doc_a, doc_b""",
+
+    // Two-epoch simhash ingest loop: the chunk-banded gate is EXACT for
+    // hamming <= 3 (pigeonhole), so the oracle models it as the brute
+    // Hamming join; epoch 2's corpus = founding evens + epoch-1
+    // survivors, the minhash_ingest_dedup corpus2 shape.
+    "simhash_ingest_dedup" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+         FROM documents),
+         th AS (SELECT doc_id,
+           list_transform(toks, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS th
+         FROM t WHERE len(toks) > 0),
+         bits AS (SELECT doc_id, list_transform(range(0, 48), b ->
+           CAST(list_sum(list_transform(th, h ->
+             CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) AS BIGINT)) AS bits
+         FROM th),
+         s AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 48), b ->
+           CASE WHEN bits[b + 1] > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
+           AS BIGINT) AS sim
+         FROM bits),
+         f1 AS (SELECT DISTINCT x.doc_id AS batch_id
+         FROM s x JOIN s y ON bit_count(xor(x.sim, y.sim)) <= 3
+         WHERE x.doc_id % 3 = 0 AND y.doc_id % 2 = 0),
+         corpus2 AS (
+           SELECT doc_id, sim FROM s WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT doc_id, sim FROM s WHERE doc_id % 3 = 0
+             AND doc_id NOT IN (SELECT batch_id FROM f1))
+         SELECT DISTINCT x.doc_id AS batch_id, y.doc_id AS corpus_id,
+           CAST(bit_count(xor(x.sim, y.sim)) AS BIGINT) AS hamming
+         FROM s x JOIN corpus2 y ON bit_count(xor(x.sim, y.sim)) <= 3
+         WHERE x.doc_id % 5 = 0
+         ORDER BY batch_id, corpus_id""",
 
     "ngram_jaccard" ->
       """WITH t AS (SELECT doc_id,

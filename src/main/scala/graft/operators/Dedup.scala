@@ -398,6 +398,48 @@ object Dedup {
       .select(col("batch_id"), col("corpus_id"), col("est_jaccard"))
   }
 
+  /** Ingest-shape SimHash near-dup gate — [[simhashPairs]]'s sibling for
+    * the production loop, completing the fuzzy-ingest symmetry
+    * ([[minhashIngestDedup]] estimates Jaccard; this bounds Hamming):
+    * score a NEW batch against the EXISTING corpus's persisted 48-bit
+    * signatures ([[SimHashStore.load]]) and report every (batch, corpus)
+    * pair within `maxHamming` bits. Unlike the MinHash gate this one is
+    * EXACT over the carried signatures: for maxHamming ≤ 3 the 4-chunk
+    * pigeonhole (Manku et al. WWW'07) guarantees every qualifying pair
+    * shares a 12-bit chunk, so the chunk equi-join loses nothing.
+    *
+    * Plan (the minhashIngestDedup discipline): batch signatures compute
+    * once and BROADCAST as chunk keys; the corpus signature table
+    * streams through ONE map-side pass (chunk keys are pure arithmetic
+    * over `simhash` — nothing banding-specific is frozen into the
+    * artifact), the Hamming verify rides the join (both signatures are
+    * on the joined row), and the sole shuffle is the pair-dedup
+    * distinct at candidate volume.
+    */
+  def simhashIngestDedup(
+      batch: DataFrame,
+      corpusSims: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding guarantees recall only for hamming <= 3")
+    val bsims = simhash(batch)
+      .select(col("doc_id").as("batch_id"), col("simhash").as("bsim"))
+      .localCheckpoint()
+    val bchunks = bsims
+      .select(col("batch_id"), col("bsim"),
+        explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("cv", expr("shiftright(bsim, 12 * c) & 4095"))
+    corpusSims
+      .select(col("doc_id").as("corpus_id"),
+        explode(sequence(lit(0), lit(3))).as("c"), col("simhash").as("csim"))
+      .withColumn("cv", expr("shiftright(csim, 12 * c) & 4095"))
+      .join(broadcast(bchunks), Seq("c", "cv"))
+      .withColumn("hamming",
+        bit_count(col("csim").bitwiseXOR(col("bsim"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("batch_id"), col("corpus_id"), col("hamming"))
+      .distinct()
+  }
+
   private def ngramScoredPairs(
       docs: DataFrame, n: Int, maxDf: Int)(
       score: DataFrame => DataFrame): DataFrame = {

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.EpochStore
+
+/** Persistence for the 48-bit SimHash signature corpus — the
+  * Hamming-distance sibling of [[MinHashStore]], finishing the fuzzy
+  * half of the store family: [[Dedup.simhashIngestDedup]] gates a new
+  * crawl batch against everything already accepted, and recomputing the
+  * accepted side's signatures per ingest re-tokenizes the whole corpus.
+  * One frame persists:
+  *
+  *  - `<path>/simhash` — `(doc_id, simhash: long)`, 16 bytes per
+  *    accepted document (a 10⁹-doc corpus is a ~16 GB table).
+  *
+  * The bare signature is the whole artifact on purpose (the
+  * [[MinHashStore]] argument): the 12-bit chunk keys the ingest join
+  * needs are pure shift/mask arithmetic over `simhash`, derived
+  * map-side per ingest — persisting exploded chunk rows would freeze
+  * the banding into the artifact and quadruple it for data the scan
+  * re-derives for free.
+  *
+  * Epoch/manifest durability discipline: [[graft.core.EpochStore]].
+  */
+object SimHashStore {
+
+  private val Names = Seq("simhash")
+
+  /** Reduce `corpus` (`doc_id`, `text`) to its signature artifact at
+    * `path`. Docs with no tokens carry no signal and are excluded,
+    * matching [[Dedup.simhash]].
+    */
+  def save(corpus: DataFrame, path: String): Unit = {
+    val spark = corpus.sparkSession
+    val next = EpochStore.currentEpoch(spark, path) + 1
+    Dedup.simhash(corpus)
+      .write.mode("overwrite")
+      .parquet(EpochStore.epochDir(path, "simhash", next))
+    EpochStore.commitEpoch(spark, path, next)
+  }
+
+  /** The persisted signature table `(doc_id, simhash)` — the corpus
+    * side for [[Dedup.simhashIngestDedup]].
+    */
+  def load(spark: SparkSession, path: String): DataFrame = {
+    val e = EpochStore.requireEpoch(spark, path, "SimHashStore")
+    spark.read.parquet(EpochStore.epochDir(path, "simhash", e))
+  }
+
+  /** Fold an accepted batch (`doc_id`, `text`) into the store — new
+    * epoch via union with the persisted table; corpus text is never
+    * touched after its founding reduction. Caller guarantees accepted
+    * doc_ids are new.
+    */
+  def append(accepted: DataFrame, path: String): Unit = {
+    val spark = accepted.sparkSession
+    val next = EpochStore.currentEpoch(spark, path) + 1
+    load(spark, path)
+      .unionByName(Dedup.simhash(accepted))
+      .write.mode("overwrite")
+      .parquet(EpochStore.epochDir(path, "simhash", next))
+    EpochStore.commitEpoch(spark, path, next)
+  }
+
+  /** Drop superseded epochs — call once no in-flight reader can still
+    * hold plans against them ([[graft.core.EpochStore.vacuum]]).
+    */
+  def vacuum(spark: SparkSession, path: String): Unit =
+    EpochStore.vacuum(spark, path, Names)
+}

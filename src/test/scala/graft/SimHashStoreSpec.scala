@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, SimHashStore}
+
+/** The Hamming-bounded fuzzy-ingest loop: gating against a loaded
+  * artifact must equal gating against signatures computed from corpus
+  * text; the gate must EXACTLY match a brute-force Hamming join (the
+  * 4-chunk pigeonhole guarantee — stronger than MinHash's probabilistic
+  * banding); append must fold survivors in; and the epoch-swap write
+  * must leave the prior epoch readable through a failed append.
+  */
+class SimHashStoreSpec extends SparkSpec {
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-$name").resolve("store").toString
+
+  test("load-then-dedup equals compute-then-dedup") {
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    val batch = docs.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+    val path = tmp("sh-eq")
+    SimHashStore.save(corpus, path)
+
+    val viaStore = Dedup.simhashIngestDedup(batch, SimHashStore.load(spark, path))
+      .orderBy("batch_id", "corpus_id").collect()
+    val viaText = Dedup.simhashIngestDedup(batch, Dedup.simhash(corpus))
+      .orderBy("batch_id", "corpus_id").collect()
+    assert(viaStore.toSeq === viaText.toSeq)
+    assert(viaStore.nonEmpty)
+  }
+
+  test("gate matches the brute-force Hamming join exactly (pigeonhole)") {
+    val corpus = docs.where(col("doc_id") % 2 === 0).limit(120)
+    val batch = docs.where(col("doc_id") % 3 === 0).limit(80)
+      .select(col("doc_id"), col("text"))
+    val path = tmp("sh-brute")
+    SimHashStore.save(corpus, path)
+
+    val got = Dedup.simhashIngestDedup(batch, SimHashStore.load(spark, path))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+
+    val bs = Dedup.simhash(batch).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toVector
+    val cs = Dedup.simhash(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toVector
+    val want = (for {
+      (bid, bsim) <- bs
+      (cid, csim) <- cs
+      h = java.lang.Long.bitCount(bsim ^ csim)
+      if h <= 3
+    } yield (bid, cid, h.toLong)).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("append folds survivors in: re-ingesting the same batch flags everything") {
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    val batch = docs.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+    val path = tmp("sh-append")
+    SimHashStore.save(corpus, path)
+
+    val f1 = Dedup.simhashIngestDedup(batch, SimHashStore.load(spark, path))
+    val survivors = batch.join(
+      f1.select(col("batch_id").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    SimHashStore.append(survivors, path)
+
+    // epoch 2 with the identical batch: every doc with tokens is now a
+    // hamming-0 self-match of either the corpus or its appended self
+    val again = Dedup.simhashIngestDedup(batch, SimHashStore.load(spark, path))
+    val flagged = again.select("batch_id").distinct().count()
+    val withToks = Dedup.simhash(batch).count()
+    assert(flagged === withToks)
+
+    // and the store is exactly simhash(corpus) ∪ simhash(survivors)
+    val stored = SimHashStore.load(spark, path)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = Dedup.simhash(corpus).unionByName(Dedup.simhash(survivors))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(stored === expected)
+  }
+
+  test("epoch swap: a failed append leaves the prior epoch loadable") {
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    val path = tmp("sh-crash")
+    SimHashStore.save(corpus, path)
+    val before = SimHashStore.load(spark, path).count()
+
+    import spark.implicits._
+    val poison = Seq((1L, "x")).toDF("doc_id", "wrong_name")
+    intercept[Exception] { SimHashStore.append(poison, path) }
+    assert(SimHashStore.load(spark, path).count() === before)
+
+    intercept[IllegalArgumentException] {
+      SimHashStore.load(spark, tmp("sh-empty"))
+    }
+  }
+}
