@@ -43,10 +43,17 @@ object SimHashStore {
   /** The persisted signature table `(doc_id, simhash)` — the corpus
     * side for [[Dedup.simhashIngestDedup]].
     */
-  def load(spark: SparkSession, path: String): DataFrame = {
-    val e = EpochStore.requireEpoch(spark, path, "SimHashStore")
+  def load(spark: SparkSession, path: String): DataFrame =
+    loadEpoch(spark, path,
+      EpochStore.requireEpoch(spark, path, "SimHashStore"))
+
+  /** The signature table at a SPECIFIC epoch — superseded epochs stay
+    * readable until [[vacuum]], which is what lets a replayed streaming
+    * micro-batch re-gate against exactly the corpus it originally saw
+    * ([[graft.streaming.StreamingFuzzyIngest]]).
+    */
+  def loadEpoch(spark: SparkSession, path: String, e: Long): DataFrame =
     spark.read.parquet(EpochStore.epochDir(path, "simhash", e))
-  }
 
   /** Fold an accepted batch (`doc_id`, `text`) into the store — new
     * epoch via union with the persisted table; corpus text is never
