@@ -383,7 +383,64 @@ object ScaleCheck {
         // + gate, the SparkEntry demo verbatim): corpus text is
         // signature-reduced once at founding — expect linear in the save
         "minhash_ingest_dedup" -> (() =>
-          SparkEntry.queries("minhash_ingest_dedup")(spark, dir)))
+          SparkEntry.queries("minhash_ingest_dedup")(spark, dir)),
+        // the Hamming-bounded fuzzy ingest loop — NOTE decorDocs, not the
+        // raw scaled corpus: SimHash is a function of the token MULTISET,
+        // which scale_corpus.py's per-copy token permutation preserves
+        // exactly (every copy would be a hamming-0 twin, the docEmbed
+        // pathology), while MinHash's 3-gram shingles decorrelate under
+        // the same permutation — which is why the minhash entry above
+        // reads the corpus raw
+        "simhash_ingest_dedup" -> { () =>
+          val docs = decorDocs
+          val store = java.nio.file.Files
+            .createTempDirectory("graft-shstore-sc").toString
+          graft.operators.SimHashStore.save(
+            docs.where(col("doc_id") % 2 === 0), store)
+          val b1 = docs.where(col("doc_id") % 3 === 0)
+            .select(col("doc_id"), col("text"))
+          val f1 = Dedup.simhashIngestDedup(
+            b1, graft.operators.SimHashStore.load(spark, store))
+          graft.operators.SimHashStore.append(
+            b1.join(f1.select(col("batch_id").as("doc_id")).distinct(),
+              Seq("doc_id"), "left_anti"),
+            store)
+          Dedup.simhashIngestDedup(
+            docs.where(col("doc_id") % 5 === 0)
+              .select(col("doc_id"), col("text")),
+            graft.operators.SimHashStore.load(spark, store))
+        },
+        // the persisted ANN serving loop (save + append + external-query
+        // ADC search, the SparkEntry demo verbatim — embeddings table, which
+        // scale_corpus.py already decorrelates by per-copy circular shift):
+        // expect linear in the founding encode, search bounded by
+        // nprobe × cell width
+        "ivfpq_ingest_search" -> (() =>
+          SparkEntry.queries("ivfpq_ingest_search")(spark, dir)),
+        // the serving loop AT DEPLOYMENT KNOBS — the oracle-pinned demo
+        // above is a fixed-capacity configuration whose cost is quadratic
+        // in corpus size by construction (the embedCosineDup-without-hint
+        // pathology, twice over: the query batch grows ∝ n AND the
+        // 256-cap cell width grows ∝ n, so scored pairs grow ∝ n²); a
+        // deployment sizes nlist at founding (centEvery ≈ corpus/nlist —
+        // encode cost n × nlist stays linear) and serves a query RATE
+        // independent of corpus size (the pinned copy-0 batch here).
+        // Expect linear: founding encode ∝ n, per-query candidates
+        // = nprobe × n/nlist with a 1/64 constant
+        "ivfpq_ingest_hinted" -> { () =>
+          val store = java.nio.file.Files
+            .createTempDirectory("graft-vix-sc").toString
+          val founding = emb.where(col("vec_id") % 3 =!= 0)
+          val ce = math.max(1, (nEmb * 2 / 3 / 64).toInt)
+          graft.operators.VectorIndexStore.save(
+            founding, store, centEvery = ce, maxCents = 64)
+          graft.operators.VectorIndexStore.append(
+            emb.where(col("vec_id") % 3 === 0), store)
+          graft.operators.VectorIndexStore.search(
+            emb.where(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
+              .select(col("vec_id"), col("embedding")),
+            store, kNN = 10, nprobe = 2)
+        })
 
       // SPARK_GRAFT_SCALE_ONLY=a,b,c runs a subset (merge results by hand)
       val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)

@@ -94,6 +94,19 @@ object VectorIndexStore {
     * `emb` (`vec_id`, `embedding`), encode it, persist everything.
     * Fails loudly on an empty founding corpus — a serving index with no
     * centroids is a configuration error, not an empty result.
+    *
+    * SIZING (the deployment knob, measured in SCALECHECK_r13): nlist —
+    * the centroid count, `min(maxCents, founding/centEvery)` — is a
+    * FOUNDING-TIME configuration. Encode cost is rows × nlist × dim
+    * (the coarse-assignment pass every IVF index pays) and per-query
+    * search cost is nprobe × corpus/nlist, so size
+    * `centEvery ≈ founding/nlist` for the nlist the target corpus
+    * wants (FAISS guidance: ~√corpus up to memory limits) and both
+    * stay linear per epoch. Defaults are pinned for the small-SF
+    * oracle replay; at 10⁹ vectors they would leave 256 cells of 4M
+    * vectors each — set the knobs. A corpus that outgrows its founding
+    * nlist by a decade warrants a fresh [[save]] (the retrain
+    * discipline in the object doc).
     */
   def save(
       emb: DataFrame, path: String,

@@ -100,6 +100,21 @@ class VectorIndexStoreSpec extends SparkSpec {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("search plan: queries broadcast, postings stay the scanned side, two-phase top-k") {
+    val path = tmp("vix-plan")
+    VectorIndexStore.save(emb, path)
+    val res = VectorIndexStore.search(
+      emb.where(col("vec_id") % 7 === 0), path, kNN = 3, nprobe = 2)
+    val plan = res.queryExecution.executedPlan.toString
+    // the serving shape: the (small) query batch broadcasts with its ADC
+    // LUTs; the postings table is never collected or broadcast
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    // two-phase top-k with WindowGroupLimit pushdown on both phases
+    // (the ivfPqSearch contract carried over)
+    val limits = "WindowGroupLimit".r.findAllIn(plan).length
+    assert(limits >= 2, s"expected 2 WindowGroupLimit phases, plan had $limits:\n$plan")
+  }
+
   test("external queries see no self-exclusion: a corpus row can be its own hit") {
     val path = tmp("vix-self")
     VectorIndexStore.save(emb, path)
