@@ -22,12 +22,19 @@ def main() -> None:
 
     queries = {}
     if carry:
-        queries.update(carry["queries"])
+        # rows inherited from a prior round are LABELLED as such so a
+        # published artifact never passes off last round's timings as
+        # this round's measurements
+        for name, row in carry["queries"].items():
+            queries[name] = dict(row, carried=True)
     for name, d in anchor["queries"].items():
         gm = bench["queries"].get(name)
         gn = bench.get("queries_min", {}).get(name)
         if gm is None:
-            print(f"WARNING: no graft bench number for {name}; skipped",
+            kept = ("prior-round row KEPT (fresh duckdb measurement "
+                    "DISCARDED)" if name in queries else "row DROPPED")
+            print(f"WARNING: no graft bench number for {name}; {kept} — "
+                  "re-run Bench with this query included",
                   file=sys.stderr)
             continue
         queries[name] = {

@@ -21,20 +21,41 @@ private[graft] object EpochStore {
 
   private def manifestPath(path: String) = new Path(s"$path/MANIFEST")
 
-  /** The current committed epoch number, or 0 if none ever committed. */
-  def currentEpoch(spark: SparkSession, path: String): Long = {
-    val mp = manifestPath(path)
-    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(mp)) 0L
+  /** One-line long file read — `None` if absent. Shared by the manifest
+    * and the streaming replay markers
+    * ([[graft.streaming.StreamingFuzzyIngest]]) so the two cannot drift.
+    */
+  def readLongFile(spark: SparkSession, p: Path): Option[Long] = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
     else {
-      val in = fs.open(mp)
+      val in = fs.open(p)
       try {
         val buf = new java.io.ByteArrayOutputStream()
         org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-        new String(buf.toByteArray, StandardCharsets.UTF_8).trim.toLong
+        Some(new String(buf.toByteArray, StandardCharsets.UTF_8).trim.toLong)
       } finally in.close()
     }
   }
+
+  /** Atomic one-line long file replace: tmp-write + `FileContext.rename
+    * (OVERWRITE)` — atomic on HDFS and local. The commit primitive under
+    * the manifest and the replay markers.
+    */
+  def writeLongAtomic(spark: SparkSession, p: Path, v: Long): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    FileContext.getFileContext(p.toUri, conf)
+      .rename(tmp, p, Options.Rename.OVERWRITE)
+  }
+
+  /** The current committed epoch number, or 0 if none ever committed. */
+  def currentEpoch(spark: SparkSession, path: String): Long =
+    readLongFile(spark, manifestPath(path)).getOrElse(0L)
 
   /** Path of artifact `name` in epoch `e` under the store root. */
   def epochDir(path: String, name: String, e: Long): String =
@@ -47,17 +68,8 @@ private[graft] object EpochStore {
     * discipline is that writers only add, and retention is the explicit,
     * operator-invoked [[vacuum]].
     */
-  def commitEpoch(spark: SparkSession, path: String, n: Long): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val mp = manifestPath(path)
-    val fs = mp.getFileSystem(conf)
-    val tmp = new Path(s"$path/MANIFEST.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(n.toString.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    val fc = FileContext.getFileContext(mp.toUri, conf)
-    fc.rename(tmp, mp, Options.Rename.OVERWRITE)
-  }
+  def commitEpoch(spark: SparkSession, path: String, n: Long): Unit =
+    writeLongAtomic(spark, manifestPath(path), n)
 
   /** Drop every epoch older than the current one for each artifact name —
     * call when no reader can still hold plans against old epochs (the

@@ -57,20 +57,40 @@ object FingerprintStore {
     EpochStore.commitEpoch(spark, path, next)
   }
 
+  /** Artifact directory for `name`: the committed epoch, or — when no
+    * MANIFEST was ever committed — the pre-epoch flat layout this store
+    * wrote before the EpochStore hardening (`<path>/fingerprints`), so
+    * artifacts persisted by the old code stay readable instead of
+    * failing "no committed epoch" with a valid table sitting right
+    * there. The next [[appendFingerprints]] reads through this fallback
+    * and writes epoch 1 — migrating the store forward; the flat dirs
+    * become garbage (not corruption) to delete at leisure.
+    */
+  private def artifactDir(
+      spark: SparkSession, path: String, name: String): String = {
+    val e = EpochStore.currentEpoch(spark, path)
+    if (e > 0) EpochStore.epochDir(path, name, e)
+    else {
+      val lp = new org.apache.hadoop.fs.Path(s"$path/$name")
+      val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.exists(lp),
+        s"no committed FingerprintStore epoch (and no pre-epoch $name " +
+          s"layout) at $path")
+      lp.toString
+    }
+  }
+
   /** The persisted distinct-digest table (`text_md5`) — the existing side
     * for [[Dedup.incrementalDedupFp]].
     */
-  def loadFingerprints(spark: SparkSession, path: String): DataFrame = {
-    val e = EpochStore.requireEpoch(spark, path, "FingerprintStore")
-    spark.read.parquet(EpochStore.epochDir(path, "fingerprints", e))
-  }
+  def loadFingerprints(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(artifactDir(spark, path, "fingerprints"))
 
   /** The persisted Bloom sketch bytes (the filter side for
     * [[Dedup.bloomSketchDedup]]) plus the item count it was sized for.
     */
   def loadBloom(spark: SparkSession, path: String): (Array[Byte], Long) = {
-    val e = EpochStore.requireEpoch(spark, path, "FingerprintStore")
-    val r = spark.read.parquet(EpochStore.epochDir(path, "bloom", e))
+    val r = spark.read.parquet(artifactDir(spark, path, "bloom"))
       .select(col("sketch"), col("n_items")).head()
     (r.getAs[Array[Byte]](0), r.getLong(1))
   }
@@ -125,7 +145,7 @@ object FingerprintStore {
   private def writeBloom(
       spark: SparkSession, path: String, epoch: Long, fpp: Double): Unit = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
-    val fp = spark.read.parquet(s"$path/fingerprints_e$epoch")
+    val fp = spark.read.parquet(EpochStore.epochDir(path, "fingerprints", epoch))
     val n = math.max(1L, fp.count())
     val filter = fp
       .select(conv(substring(col("text_md5"), 1, 15), 16, 10)
@@ -137,6 +157,7 @@ object FingerprintStore {
     Seq((bytes.toByteArray, n, filter.bitSize(), fpp))
       .toDF("sketch", "n_items", "num_bits", "fpp")
       .repartition(1)
-      .write.mode("overwrite").parquet(s"$path/bloom_e$epoch")
+      .write.mode("overwrite")
+      .parquet(EpochStore.epochDir(path, "bloom", epoch))
   }
 }

@@ -128,18 +128,37 @@ object QualityLr {
   def trainAndSaveWeights(
       docs: DataFrame, path: String, iters: Int = 3, lr: Double = 1.0): Unit = {
     require(iters >= 1, s"iters must be >= 1: $iters")
+    // epoch-swap durable like every other store artifact
+    // (graft.core.EpochStore): in the train-once/gate-many deployment a
+    // RETRAIN that crashes mid-write must leave the previous weights
+    // loadable — a plain overwrite would take every downstream ingest
+    // gate down with it until a full retrain completed
+    val spark = docs.sparkSession
+    val next = graft.core.EpochStore.currentEpoch(spark, path) + 1
     trainWeights(features(docs), iters, lr)
-      .repartition(1).write.mode("overwrite").parquet(path)
+      .repartition(1).write.mode("overwrite")
+      .parquet(graft.core.EpochStore.epochDir(path, "weights", next))
+    graft.core.EpochStore.commitEpoch(spark, path, next)
   }
 
   /** The persisted weight frame — fails loudly on anything but exactly
-    * one (w0, w1, w2, w3) row rather than silently mis-scoring.
+    * one (w0, w1, w2, w3) row rather than silently mis-scoring. Reads
+    * the committed epoch; a pre-epoch flat artifact (this round's
+    * earlier layout) stays readable as a fallback.
     */
   def loadWeights(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
-    val w = spark.read.parquet(path).select("w0", "w1", "w2", "w3")
+    val e = graft.core.EpochStore.currentEpoch(spark, path)
+    val dir =
+      if (e > 0) graft.core.EpochStore.epochDir(path, "weights", e) else path
+    val w = spark.read.parquet(dir).select("w0", "w1", "w2", "w3")
     require(w.count() == 1, s"weight artifact at $path must be exactly 1 row")
     w
   }
+
+  /** Drop superseded weight epochs ([[graft.core.EpochStore.vacuum]]). */
+  def vacuumWeights(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    graft.core.EpochStore.vacuum(spark, path, Seq("weights"))
 
   /** Ingest-shape scoring: gate a batch map-side against a trained
     * weight frame (typically [[loadWeights]]) — zero training passes,

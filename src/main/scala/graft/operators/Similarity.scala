@@ -1042,8 +1042,19 @@ object Similarity {
             lit("for doc_id "), col("doc_id").cast("string"))))
           .otherwise(col("chunk_id"))).as("doc_id"),
         col("chunk_text").as("text"))
-    val emb = docEmbed(chunks, dim)
-    val hint = corpusHint.getOrElse(emb.count())
+    // Un-hinted path: the count that derives the plane budget must not
+    // re-run the chunk-explode + embed subtree a second time when
+    // knnGraph materializes its input — localCheckpoint the embedded
+    // frame once and both the count and the graph read the materialized
+    // blocks. (With a hint there is nothing to count, and knnGraph's own
+    // internal checkpoint makes a second one here pure overhead.)
+    val embedded = docEmbed(chunks, dim)
+    val (emb, hint) = corpusHint match {
+      case Some(h) => (embedded, h)
+      case None =>
+        val cp = embedded.localCheckpoint()
+        (cp, cp.count())
+    }
     knnGraph(emb, k, bands, center = center, corpusHint = Some(hint))
       .select(
         expr(s"CAST(query_id DIV $m AS BIGINT)").as("doc_id"),

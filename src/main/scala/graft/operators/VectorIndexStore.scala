@@ -156,8 +156,14 @@ object VectorIndexStore {
     val spark = batch.sparkSession
     val ix = load(spark, path)
     val bdim = Similarity.probeDim(batch)
-    require(bdim == ix.dim,
-      s"appended batch embedding width $bdim != index width ${ix.dim}")
+    if (bdim != ix.dim) {
+      // probeDim's empty-frame sentinel is 1: an ingest loop whose gate
+      // rejected the whole batch appends an EMPTY frame, and that is a
+      // no-op (nothing to fold, no epoch churn), not a width error
+      require(batch.isEmpty,
+        s"appended batch embedding width $bdim != index width ${ix.dim}")
+      return
+    }
     val next = EpochStore.currentEpoch(spark, path) + 1
     writeEpoch(spark, path, next,
       ix.postings.unionByName(encode(batch, ix.cents, ix.cb, ix.m, ix.k)),

@@ -1,8 +1,6 @@
 package graft.streaming
 
-import java.nio.charset.StandardCharsets
-
-import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
@@ -38,35 +36,45 @@ import graft.operators.{Dedup, SimHashStore}
   */
 object StreamingFuzzyIngest {
 
-  private def markerPath(store: String, batchId: Long) =
-    new Path(s"$store/STREAMBATCH_$batchId")
+  private val MarkerPrefix = "STREAMBATCH_"
 
-  /** The pinned corpus epoch for `batchId`, recording it (atomic
-    * tmp-write + rename, the EpochStore manifest discipline) on first
-    * sight.
+  private def markerPath(store: String, batchId: Long) =
+    new Path(s"$store/$MarkerPrefix$batchId")
+
+  /** The pinned corpus epoch for `batchId`, recording it on first
+    * sight — the marker read/commit is [[EpochStore]]'s own one-line
+    * long-file primitives (shared, so the atomicity discipline cannot
+    * drift between the manifest and the markers).
     */
   private def pinEpoch(
-      spark: SparkSession, store: String, batchId: Long): Long = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val mp = markerPath(store, batchId)
-    val fs = mp.getFileSystem(conf)
-    if (fs.exists(mp)) {
-      val in = fs.open(mp)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-        new String(buf.toByteArray, StandardCharsets.UTF_8).trim.toLong
-      } finally in.close()
-    } else {
+      spark: SparkSession, store: String, batchId: Long): Long =
+    EpochStore.readLongFile(spark, markerPath(store, batchId)).getOrElse {
       val e = EpochStore.requireEpoch(spark, store, "SimHashStore")
-      val tmp = new Path(s"$store/STREAMBATCH_$batchId.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(e.toString.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      FileContext.getFileContext(mp.toUri, conf)
-        .rename(tmp, mp, Options.Rename.OVERWRITE)
+      EpochStore.writeLongAtomic(spark, markerPath(store, batchId), e)
       e
     }
+
+  /** Drop replay markers for batches strictly below `beforeBatchId` —
+    * call with the latest batch id the sink's checkpoint has committed
+    * (a batch at-or-past the checkpoint can never replay, so its pin is
+    * dead weight; without cleanup a long-running query accretes one
+    * small marker file per micro-batch forever). Pair with
+    * [[graft.operators.SimHashStore.vacuum]], which reclaims the epoch
+    * DIRECTORIES the dropped markers pinned. Deletion failures are
+    * non-fatal: a leftover marker is garbage, not corruption.
+    */
+  def vacuumMarkers(
+      spark: SparkSession, store: String, beforeBatchId: Long): Unit = {
+    val root = new Path(store)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root))
+      fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(MarkerPrefix))
+          scala.util.Try(n.stripPrefix(MarkerPrefix).toLong).toOption
+            .filter(_ < beforeBatchId)
+            .foreach(_ => fs.delete(st.getPath, false))
+      }
   }
 
   /** Gate ONE batch against the store and fold the survivors in —

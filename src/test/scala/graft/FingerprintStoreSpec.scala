@@ -34,6 +34,23 @@ class FingerprintStoreSpec extends SparkSpec {
     assert(viaStore.nonEmpty)
   }
 
+  test("pre-epoch flat layout stays readable and an append migrates it forward") {
+    import spark.implicits._
+    val path = tmp("fp-legacy")
+    // the layout the pre-EpochStore code wrote: a bare fingerprints dir,
+    // no MANIFEST — a valid artifact that must not be orphaned
+    Seq("a", "b").toDF("text")
+      .select(md5(col("text")).as("text_md5")).distinct()
+      .write.parquet(s"$path/fingerprints")
+    assert(FingerprintStore.loadFingerprints(spark, path).count() === 2)
+
+    FingerprintStore.append(Seq("c").toDF("text"), path)
+    // migrated: epoch 1 committed with all three digests + a rebuilt sketch
+    assert(new java.io.File(s"$path/fingerprints_e1").exists())
+    assert(FingerprintStore.loadFingerprints(spark, path).count() === 3)
+    assert(FingerprintStore.loadBloom(spark, path)._2 === 3L)
+  }
+
   test("fingerprint table is exactly the corpus's distinct digests") {
     val corpus = docs.where(col("doc_id") % 2 === 0)
     val path = tmp("fp-digests")

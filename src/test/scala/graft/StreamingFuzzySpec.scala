@@ -95,5 +95,11 @@ class StreamingFuzzySpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq.sorted
     assert(replay === first)
     assert(SimHashStore.load(spark, store).count() === afterFold)
+
+    // marker reclamation: once the sink checkpoint passes a batch it can
+    // never replay, so its pin is dead weight — vacuumMarkers drops it
+    assert(new java.io.File(s"$store/STREAMBATCH_7").exists())
+    StreamingFuzzyIngest.vacuumMarkers(spark, store, beforeBatchId = 8)
+    assert(!new java.io.File(s"$store/STREAMBATCH_7").exists())
   }
 }

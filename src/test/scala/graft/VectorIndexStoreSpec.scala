@@ -154,5 +154,10 @@ class VectorIndexStoreSpec extends SparkSpec {
         emb.select(col("vec_id") + 1000000 as "vec_id",
           slice(col("embedding"), 1, 8).as("embedding")), path)
     }
+    // an EMPTY append (a gate that rejected the whole batch) is a no-op,
+    // not a width error — and causes no epoch churn
+    val before = VectorIndexStore.load(spark, path).postings.count()
+    VectorIndexStore.append(emb.where(col("vec_id") < 0), path)
+    assert(VectorIndexStore.load(spark, path).postings.count() === before)
   }
 }
