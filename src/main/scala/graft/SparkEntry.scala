@@ -928,6 +928,41 @@ object SparkEntry {
         .orderBy("batch_id", "corpus_id")
     },
 
+    // The STACKED ingest gate — the composition a production crawl
+    // pipeline actually runs per batch, in cost order: (1) cheap
+    // map-side quality heuristics drop junk before anything touches an
+    // artifact, (2) exact dedup against the persisted FingerprintStore
+    // (16-byte keys, batch-internal copies canonicalize to min doc_id
+    // in the same pass), (3) banded MinHash fuzzy dedup against the
+    // persisted MinHashStore — the expensive gate sees only what the
+    // cheap gates passed. Survivors are what [[append]] would fold in.
+    "ingest_gate" -> { (s, dir) =>
+      val docs = cat(s, dir).table("documents")
+      val corpus = docs.where(col("doc_id") % 2 === 0)
+      val batch = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+      val fp = java.nio.file.Files
+        .createTempDirectory("graft-ig-fp").toString
+      val mh = java.nio.file.Files
+        .createTempDirectory("graft-ig-mh").toString
+      FingerprintStore.save(corpus, fp)
+      MinHashStore.save(corpus, mh)
+      val q = TextAnalysis.qualityScore(batch)
+        .where(col("passes_quality"))
+        .select(col("doc_id"), col("n_tokens"))
+      val qd = batch.join(q, Seq("doc_id"), "left_semi")
+      val exd = qd.join(
+        Dedup.incrementalDedupFp(qd, FingerprintStore.loadFingerprints(s, fp))
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val flagged = Dedup.minhashIngestDedup(exd, MinHashStore.load(s, mh))
+      exd.join(flagged.select(col("batch_id").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        .join(q, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"))
+        .orderBy("doc_id")
+    },
+
     // line-granularity exact dedup (CCNet §4.1) over the synthesized
     // line-structured batch (c4Batch — its boilerplate lines recur across
     // docs by construction: "too short." everywhere, javascript/lorem on
@@ -2540,6 +2575,46 @@ object SparkEntry {
            CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
          FROM s a JOIN s b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.sim, b.sim)) <= 3 ORDER BY doc_a, doc_b""",
+
+    // Stacked ingest gate: quality heuristics → exact-digest anti-join
+    // (batch canonicalized to min doc_id per digest) → banded-MinHash
+    // fuzzy flag, each stage consuming the previous stage's survivors.
+    "ingest_gate" ->
+      """WITH t AS (SELECT doc_id, text,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+         FROM documents),
+         q AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+         FROM (SELECT *, len(list_filter(toks, x -> list_contains(
+             ['the','a','an','and','of','to','in','is','it','that'], x))) AS n_stop
+           FROM t WHERE doc_id % 3 = 0)
+         WHERE len(toks) >= 5 AND len(text) >= 40 AND n_stop > 0),
+         ex AS (SELECT md5(d.text) AS h, min(d.doc_id) AS doc_id
+         FROM documents d JOIN q ON d.doc_id = q.doc_id GROUP BY md5(d.text)),
+         corp AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+         ex2 AS (SELECT doc_id FROM ex WHERE h NOT IN (SELECT h FROM corp)),
+         sh AS (SELECT doc_id,
+           list_distinct(CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' '))
+             ELSE [] END) AS s
+         FROM t),
+         sg AS (SELECT doc_id,
+           list_transform(range(0, 16), i -> list_min(list_transform(s,
+             x -> ((CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1073741824)
+               * ([8996855, 469992016, 2004217628, 1334294656, 768128343, 2105057655, 1160867219, 479758600, 1419844726, 1603376584, 210333, 1211524435, 710539482, 258642846, 794256414, 579260634][i + 1])
+               + ([405351280, 2046289441, 1592421689, 855095894, 760324133, 1694457692, 292335934, 554079960, 966378448, 485777283, 440949495, 1180586447, 1230674157, 2111880311, 85434598, 657399781][i + 1])) % 2147483647))) AS sig
+         FROM sh WHERE len(s) > 0),
+         bd AS (SELECT doc_id, sig,
+           r.b::VARCHAR || ':' || sig[2 * r.b + 1]::VARCHAR || ':' || sig[2 * r.b + 2]::VARCHAR AS bkey
+         FROM sg CROSS JOIN range(0, 8) r(b)),
+         f AS (SELECT DISTINCT x.doc_id
+         FROM bd x JOIN bd y ON x.bkey = y.bkey
+         WHERE x.doc_id IN (SELECT doc_id FROM ex2) AND y.doc_id % 2 = 0
+           AND len(list_filter(range(1, 17), i -> x.sig[i] = y.sig[i])) / 16 >= 0.5)
+         SELECT q.doc_id AS doc_id, q.n_tokens FROM q
+         JOIN ex2 ON q.doc_id = ex2.doc_id
+         WHERE q.doc_id NOT IN (SELECT doc_id FROM f)
+         ORDER BY q.doc_id""",
 
     // Two-epoch simhash ingest loop: the chunk-banded gate is EXACT for
     // hamming <= 3 (pigeonhole), so the oracle models it as the brute
