@@ -1546,6 +1546,33 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     },
 
+    // The RAG SERVING path end-to-end: chunk the corpus, embed the
+    // chunks (packed (doc_id, chunk_id) identity), persist the IVFPQ
+    // index ONCE (VectorIndexStore), then serve an external query
+    // batch's chunks against codebooks + postings alone — retrieval
+    // with passage provenance on both sides, zero corpus jobs at query
+    // time. centEvery = 163 (prime): 10^6 ≡ 158 (mod 163), so packed
+    // chunk ids scatter across the sampling rule instead of aliasing
+    // chunk_id as a 10^6-divisor would.
+    "chunk_index_search" -> { (s, dir) =>
+      val docs = cat(s, dir).table("documents")
+      val m = 1000000L
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-cixstore").toString
+      VectorIndexStore.save(Similarity.chunkEmbed(docs, dim = 16), store,
+        m = 8, k = 16, centEvery = 163)
+      VectorIndexStore.search(
+          Similarity.chunkEmbed(docs.where(col("doc_id") % 50 === 0), dim = 16),
+          store, kNN = 5, nprobe = 2)
+        .select(
+          expr(s"CAST(query_id DIV $m AS BIGINT)").as("doc_id"),
+          (col("query_id") % m).as("chunk_id"),
+          expr(s"CAST(neighbor_id DIV $m AS BIGINT)").as("n_doc_id"),
+          (col("neighbor_id") % m).as("n_chunk_id"),
+          col("rank"), col("approx_dist2"))
+        .orderBy("doc_id", "chunk_id", "rank")
+    },
+
     "events_hourly" -> { (s, dir) =>
       // ts is epoch-nanos (nanosAsLong read); bucket to hour starts.
       // Sums go through exact decimals: double addition is not associative,
@@ -3642,6 +3669,76 @@ object SparkEntry {
          FROM p)
          SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", round(adist, 4) AS approx_dist2
          FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+
+    // RAG serving oracle: chunk_knn's chunk->embed CTE chain feeding
+    // ivfpq_ingest_search's IVFADC modeling (dim 16, m 8 -> sub 2),
+    // centroid rule vec_id % 163 = 1 over the packed chunk ids, queries
+    // = the %50 docs' chunks, provenance unpacked by div/mod.
+    "chunk_index_search" ->
+      """WITH chunks AS (
+           SELECT doc_id * 1000000 + (cs - 1) // 160 AS doc_id,
+             substr(text, CAST(cs AS INT), 200) AS text
+           FROM (SELECT doc_id, text,
+                   unnest(range(1, greatest(len(text) - 40, 1) + 1, 160)) AS cs
+                 FROM documents)),
+         tk AS (SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS tok
+         FROM chunks),
+         hh AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tk),
+         sg AS (SELECT doc_id, h % 16 AS bucket,
+           CASE WHEN h % 32 >= 16 THEN 1 ELSE -1 END AS sign FROM hh),
+         g AS (SELECT doc_id, bucket, sum(sign) AS v FROM sg GROUP BY 1, 2),
+         dd AS (SELECT DISTINCT doc_id FROM g),
+         ks AS (SELECT unnest(range(0, 16)) AS bucket),
+         fullv AS (SELECT dd.doc_id, ks.bucket, COALESCE(g.v, 0) AS v
+           FROM dd CROSS JOIN ks
+           LEFT JOIN g ON g.doc_id = dd.doc_id AND g.bucket = ks.bucket),
+         nz AS (SELECT doc_id FROM fullv GROUP BY doc_id
+           HAVING sum(CASE WHEN v != 0 THEN 1 ELSE 0 END) > 0),
+         de AS (SELECT fullv.doc_id AS vec_id, fullv.bucket, fullv.v
+           FROM fullv JOIN nz USING (doc_id)),
+         e AS (SELECT vec_id, list(CAST(v AS DOUBLE) ORDER BY bucket) AS v
+           FROM de GROUP BY vec_id),
+         n AS (SELECT vec_id, v,
+           sqrt(list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
+                (a, b) -> a + b)) AS nrm
+         FROM e),
+         c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+           WHERE vec_id % 163 = 1),
+         ac AS (SELECT n.vec_id, c.cent_id,
+           list_reduce(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i]),
+                (a, b) -> a + b) / (n.nrm * c.cnrm) AS cos_c
+         FROM n CROSS JOIN c),
+         acr AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn
+           FROM ac),
+         ce AS (SELECT vec_id,
+           list_transform(range(0, 8), mi ->
+             list_transform(range(0, 16), ci ->
+               list_reduce(list_transform(range(0, 2), di ->
+                 (v[mi * 2 + di + 1] - ((CAST('0x' || substr(md5('pq|' || mi::VARCHAR || '|' || ci::VARCHAR || '|' || (di + 1)::VARCHAR), 1, 15) AS BIGINT) % 2001 - 1000) / 1000.0))
+                 * (v[mi * 2 + di + 1] - ((CAST('0x' || substr(md5('pq|' || mi::VARCHAR || '|' || ci::VARCHAR || '|' || (di + 1)::VARCHAR), 1, 15) AS BIGINT) % 2001 - 1000) / 1000.0))),
+                 (a, b) -> a + b))) AS dss
+         FROM e),
+         t AS (SELECT vec_id, dss,
+           list_transform(dss, ds -> list_position(ds, list_min(ds)) - 1) AS codes
+         FROM ce),
+         idx AS (SELECT acr.vec_id, acr.cent_id, t.codes
+           FROM acr JOIN t ON acr.vec_id = t.vec_id WHERE acr.rn = 1),
+         q AS (SELECT acr.vec_id AS query_id, acr.cent_id AS qcent, t.dss AS qlut
+           FROM acr JOIN t ON acr.vec_id = t.vec_id
+           WHERE acr.rn <= 2 AND (acr.vec_id // 1000000) % 50 = 0),
+         p AS (SELECT q.query_id, x.vec_id AS neighbor_id,
+           list_reduce(list_transform(range(0, 8), mi ->
+             qlut[mi + 1][CAST(x.codes[mi + 1] + 1 AS INT)]), (a, b) -> a + b) AS adist
+         FROM idx x JOIN q ON x.cent_id = q.qcent),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
+         FROM p)
+         SELECT CAST(query_id // 1000000 AS BIGINT) AS doc_id,
+           query_id % 1000000 AS chunk_id,
+           CAST(neighbor_id // 1000000 AS BIGINT) AS n_doc_id,
+           neighbor_id % 1000000 AS n_chunk_id,
+           CAST(rnk AS BIGINT) AS "rank", round(adist, 4) AS approx_dist2
+         FROM r WHERE rnk <= 5 ORDER BY doc_id, chunk_id, rnk""",
 
     // Serving-loop oracle: identical to ivfpq_search's modeling except
     // (a) centroids sample only the FOUNDING subset (vec_id % 3 <> 0 —

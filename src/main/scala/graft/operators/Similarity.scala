@@ -1023,15 +1023,20 @@ object Similarity {
     * count) at corpus scale; when absent it is measured with one bounded
     * count over the embedded chunks (the oracle derives the same count).
     */
-  def chunkKnn(
+  /** Packed-id chunk embeddings — the shared front half of [[chunkKnn]]
+    * and the chunk serving index
+    * ([[graft.operators.VectorIndexStore]] composition): fixed-window
+    * chunking (map-side explode, shuffle-free) → [[docEmbed]] over the
+    * chunks, with chunk identity packed as
+    * `doc_id · maxChunksPerDoc + chunk_id` into the `vec_id` every
+    * vector operator consumes (overflow raises in-plan; unpack by exact
+    * integer div/mod).
+    */
+  def chunkEmbed(
       docs: DataFrame,
       window: Int = 200,
       overlap: Int = 40,
       dim: Int = 16,
-      k: Int = 10,
-      bands: Int = 2,
-      center: Boolean = true,
-      corpusHint: Option[Long] = None,
       maxChunksPerDoc: Long = 1000000L): DataFrame = {
     require(maxChunksPerDoc > 0, s"maxChunksPerDoc must be positive")
     val m = maxChunksPerDoc
@@ -1042,13 +1047,28 @@ object Similarity {
             lit("for doc_id "), col("doc_id").cast("string"))))
           .otherwise(col("chunk_id"))).as("doc_id"),
         col("chunk_text").as("text"))
+    docEmbed(chunks, dim)
+      .select(col("vec_id"), col("embedding"))
+  }
+
+  def chunkKnn(
+      docs: DataFrame,
+      window: Int = 200,
+      overlap: Int = 40,
+      dim: Int = 16,
+      k: Int = 10,
+      bands: Int = 2,
+      center: Boolean = true,
+      corpusHint: Option[Long] = None,
+      maxChunksPerDoc: Long = 1000000L): DataFrame = {
+    val m = maxChunksPerDoc
     // Un-hinted path: the count that derives the plane budget must not
     // re-run the chunk-explode + embed subtree a second time when
     // knnGraph materializes its input — localCheckpoint the embedded
     // frame once and both the count and the graph read the materialized
     // blocks. (With a hint there is nothing to count, and knnGraph's own
     // internal checkpoint makes a second one here pure overhead.)
-    val embedded = docEmbed(chunks, dim)
+    val embedded = chunkEmbed(docs, window, overlap, dim, m)
     val (emb, hint) = corpusHint match {
       case Some(h) => (embedded, h)
       case None =>
