@@ -947,10 +947,17 @@ object SparkEntry {
         .createTempDirectory("graft-ig-mh").toString
       FingerprintStore.save(corpus, fp)
       MinHashStore.save(corpus, mh)
-      val q = TextAnalysis.qualityScore(batch)
-        .where(col("passes_quality"))
-        .select(col("doc_id"), col("n_tokens"))
-      val qd = batch.join(q, Seq("doc_id"), "left_semi")
+      // one inner join carries n_tokens through the whole stack
+      // (doc_id is unique in the quality frame, so inner ≡ semi + the
+      // trailing re-join the first cut paid); localCheckpoint because
+      // the gated frame feeds three consumers (digest aggregate, fuzzy
+      // gate, final anti-join) and the tokenize subtree must run once
+      val qd = batch.join(
+          TextAnalysis.qualityScore(batch)
+            .where(col("passes_quality"))
+            .select(col("doc_id"), col("n_tokens")),
+          Seq("doc_id"))
+        .localCheckpoint()
       val exd = qd.join(
         Dedup.incrementalDedupFp(qd, FingerprintStore.loadFingerprints(s, fp))
           .select(col("doc_id")),
@@ -958,7 +965,6 @@ object SparkEntry {
       val flagged = Dedup.minhashIngestDedup(exd, MinHashStore.load(s, mh))
       exd.join(flagged.select(col("batch_id").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
-        .join(q, Seq("doc_id"))
         .select(col("doc_id"), col("n_tokens"))
         .orderBy("doc_id")
     },
@@ -3673,30 +3679,20 @@ object SparkEntry {
     // RAG serving oracle: chunk_knn's chunk->embed CTE chain feeding
     // ivfpq_ingest_search's IVFADC modeling (dim 16, m 8 -> sub 2),
     // centroid rule vec_id % 163 = 1 over the packed chunk ids, queries
-    // = the %50 docs' chunks, provenance unpacked by div/mod.
+    // = the %50 docs' chunks, provenance unpacked by div/mod. Like the
+    // ivfpq oracles, the c CTE omits sampleCentroids' maxCents=256 cap —
+    // valid while the corpus yields <= 256 candidates (65 chunk
+    // centroids at sf0.1; past ~42k chunks the cap is the intended
+    // production behavior and the oracle is the side that stops
+    // modeling it — the sampleCentroids doc's contract).
     "chunk_index_search" ->
-      """WITH chunks AS (
+      s"""WITH chunks AS (
            SELECT doc_id * 1000000 + (cs - 1) // 160 AS doc_id,
              substr(text, CAST(cs AS INT), 200) AS text
            FROM (SELECT doc_id, text,
                    unnest(range(1, greatest(len(text) - 40, 1) + 1, 160)) AS cs
                  FROM documents)),
-         tk AS (SELECT doc_id,
-           unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS tok
-         FROM chunks),
-         hh AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tk),
-         sg AS (SELECT doc_id, h % 16 AS bucket,
-           CASE WHEN h % 32 >= 16 THEN 1 ELSE -1 END AS sign FROM hh),
-         g AS (SELECT doc_id, bucket, sum(sign) AS v FROM sg GROUP BY 1, 2),
-         dd AS (SELECT DISTINCT doc_id FROM g),
-         ks AS (SELECT unnest(range(0, 16)) AS bucket),
-         fullv AS (SELECT dd.doc_id, ks.bucket, COALESCE(g.v, 0) AS v
-           FROM dd CROSS JOIN ks
-           LEFT JOIN g ON g.doc_id = dd.doc_id AND g.bucket = ks.bucket),
-         nz AS (SELECT doc_id FROM fullv GROUP BY doc_id
-           HAVING sum(CASE WHEN v != 0 THEN 1 ELSE 0 END) > 0),
-         de AS (SELECT fullv.doc_id AS vec_id, fullv.bucket, fullv.v
-           FROM fullv JOIN nz USING (doc_id)),
+         ${docEmbedSqlOn("chunks")},
          e AS (SELECT vec_id, list(CAST(v AS DOUBLE) ORDER BY bucket) AS v
            FROM de GROUP BY vec_id),
          n AS (SELECT vec_id, v,

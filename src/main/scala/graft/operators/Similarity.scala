@@ -1000,37 +1000,18 @@ object Similarity {
       .where(exists(col("embedding"), v => v =!= 0.0))
   }
 
-  /** The RAG-indexing capstone, composed as ONE declarative plan:
-    * [[graft.operators.Chunk.docChunk]] (fixed-window overlap chunking —
-    * map-side explode, shuffle-free) → [[docEmbed]] over the CHUNKS →
-    * [[knnGraph]] over the chunk embeddings, with every edge endpoint
-    * mapped back to its `(doc_id, chunk_id)` provenance — the index a
-    * retrieval pipeline actually serves (passage-level neighbors, not
-    * document-level).
-    *
-    * Chunk identity packs as `doc_id · maxChunksPerDoc + chunk_id` so the
-    * whole embed/kNN machinery runs on one integer vector id and the
-    * final projection recovers provenance by exact integer div/mod (no
-    * join back to the chunk table). A chunk_id at or past the packing
-    * bound raises in-plan (`raise_error`, map-side, free when clean)
-    * instead of silently aliasing another document — at the default
-    * window/overlap (200/40) the default bound is only reached by a
-    * single document of ~160 MB of text.
-    *
-    * Scale shape: chunking adds NO shuffle; docEmbed's two bounded
-    * aggregations and knnGraph's banded LSH joins dominate exactly as in
-    * [[knnGraph]] — pass `corpusHint` ≈ the CHUNK count (not the doc
-    * count) at corpus scale; when absent it is measured with one bounded
-    * count over the embedded chunks (the oracle derives the same count).
-    */
   /** Packed-id chunk embeddings — the shared front half of [[chunkKnn]]
     * and the chunk serving index
     * ([[graft.operators.VectorIndexStore]] composition): fixed-window
     * chunking (map-side explode, shuffle-free) → [[docEmbed]] over the
     * chunks, with chunk identity packed as
     * `doc_id · maxChunksPerDoc + chunk_id` into the `vec_id` every
-    * vector operator consumes (overflow raises in-plan; unpack by exact
-    * integer div/mod).
+    * vector operator consumes. A chunk_id at or past the packing bound
+    * raises in-plan (`raise_error`, map-side, free when clean) instead
+    * of silently aliasing another document — at the default
+    * window/overlap (200/40) the default bound is only reached by a
+    * single document of ~160 MB of text. Unpack provenance by exact
+    * integer div/mod.
     */
   def chunkEmbed(
       docs: DataFrame,
@@ -1048,9 +1029,22 @@ object Similarity {
           .otherwise(col("chunk_id"))).as("doc_id"),
         col("chunk_text").as("text"))
     docEmbed(chunks, dim)
-      .select(col("vec_id"), col("embedding"))
   }
 
+  /** The RAG-indexing capstone, composed as ONE declarative plan:
+    * [[chunkEmbed]] (chunk explode + packed-id embed) → [[knnGraph]]
+    * over the chunk embeddings, with every edge endpoint mapped back to
+    * its `(doc_id, chunk_id)` provenance — the index a retrieval
+    * pipeline actually serves (passage-level neighbors, not
+    * document-level; the PERSISTED serving sibling is
+    * `chunkEmbed` ∘ [[graft.operators.VectorIndexStore]]).
+    *
+    * Scale shape: chunking adds NO shuffle; docEmbed's two bounded
+    * aggregations and knnGraph's banded LSH joins dominate exactly as in
+    * [[knnGraph]] — pass `corpusHint` ≈ the CHUNK count (not the doc
+    * count) at corpus scale; when absent it is measured with one bounded
+    * count over the embedded chunks (the oracle derives the same count).
+    */
   def chunkKnn(
       docs: DataFrame,
       window: Int = 200,
