@@ -427,6 +427,35 @@ object ScaleCheck {
         // independent of corpus size (the pinned copy-0 batch here).
         // Expect linear: founding encode ∝ n, per-query candidates
         // = nprobe × n/nlist with a 1/64 constant
+        // the stacked per-batch gate (quality -> exact -> fuzzy), the
+        // SparkEntry demo verbatim — raw corpus on purpose: md5 digests
+        // and MinHash shingles both decorrelate under the script's token
+        // permutation, and quality is per-doc. Batch and corpus both
+        // grow with the scale factor — expect linear (each stage is a
+        // measured-flat gate at fixed batch share)
+        "ingest_gate" -> (() =>
+          SparkEntry.queries("ingest_gate")(spark, dir)),
+        // the RAG serving composition AT DEPLOYMENT KNOBS (decorDocs for
+        // the bag-of-words chunks, nlist pinned at founding via derived
+        // centEvery, query batch pinned to the copy-0 docs): expect the
+        // founding chunk-encode to dominate, linear at fixed nlist
+        "chunk_index_hinted" -> { () =>
+          val store = java.nio.file.Files
+            .createTempDirectory("graft-cix-sc").toString
+          val emb = Similarity.chunkEmbed(decorDocs, dim = 16)
+            .localCheckpoint()
+          // forced odd so centEvery cannot divide the 10^6 = 2^6·5^6·...
+          // packing modulus (an even divisor would alias the sampling
+          // rule onto chunk_id — the prime-163 lesson from the demo)
+          val ce = math.max(1, (emb.count() / 64).toInt) | 1
+          graft.operators.VectorIndexStore.save(
+            emb, store, centEvery = ce, maxCents = 64)
+          graft.operators.VectorIndexStore.search(
+            Similarity.chunkEmbed(
+              decorDocs.where(col("doc_id") % 50 === 0 && col("doc_id") < 5000),
+              dim = 16),
+            store, kNN = 5, nprobe = 2)
+        },
         "ivfpq_ingest_hinted" -> { () =>
           val store = java.nio.file.Files
             .createTempDirectory("graft-vix-sc").toString
