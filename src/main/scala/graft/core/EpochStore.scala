@@ -67,9 +67,28 @@ private[graft] object EpochStore {
     * a commit-time delete would rip out from under it — the Delta-style
     * discipline is that writers only add, and retention is the explicit,
     * operator-invoked [[vacuum]].
+    *
+    * CONCURRENCY CONTRACT: one writer per store at a time. Every caller
+    * derives `n = currentEpoch + 1`, so two concurrent appends would
+    * both write `<name>_e(N+1)` and the second manifest swap would
+    * silently absorb the first writer's rows into oblivion. The
+    * re-read guard here turns most of that silent lost-update into a
+    * loud failure (a writer whose read is stale at commit time throws
+    * instead of clobbering); it is best-effort, not a CAS — a plain
+    * filesystem rename cannot compare-and-swap, and serious multi-writer
+    * coordination (Delta-style optimistic log commits) is out of scope
+    * for these artifacts. Serialize writers externally.
     */
-  def commitEpoch(spark: SparkSession, path: String, n: Long): Unit =
+  def commitEpoch(spark: SparkSession, path: String, n: Long): Unit = {
+    val cur = currentEpoch(spark, path)
+    if (cur != n - 1)
+      throw new IllegalStateException(
+        s"concurrent EpochStore writer detected at $path: committing " +
+          s"epoch $n but the manifest already moved to $cur (expected " +
+          s"${n - 1}) — another writer raced this one; its epoch would " +
+          "have been silently lost. Serialize store writers.")
     writeLongAtomic(spark, manifestPath(path), n)
+  }
 
   /** Drop every epoch older than the current one for each artifact name —
     * call when no reader can still hold plans against old epochs (the
