@@ -8,14 +8,30 @@ import org.apache.spark.sql.SparkSession
 /** Epoch-swap persistence shared by the store artifacts
   * ([[graft.operators.FingerprintStore]], [[graft.operators.MinHashStore]]).
   *
-  * Every write lands in a NEW `<name>_eN` directory and becomes current
-  * only when the one-line `MANIFEST` file is atomically replaced
-  * (tmp-write + `FileContext.rename(OVERWRITE)` — atomic on HDFS and
-  * local). The prior epoch is deleted only after the manifest points at
-  * the new one, so a driver crash, executor loss, or disk-full mid-write
-  * leaves the previous epoch fully readable, and an append can read the
-  * old epoch while writing the new one with no
-  * overwrite-what-you-read hazard.
+  * Every write lands in NEW files and becomes current only when the
+  * one-line `MANIFEST` file is atomically replaced (tmp-write +
+  * `FileContext.rename(OVERWRITE)` — atomic on HDFS and local). Prior
+  * epochs are deleted only by the explicit [[vacuum]], so a driver
+  * crash, executor loss, or disk-full mid-write leaves the previous
+  * epoch fully readable, and an append can read the old epoch while
+  * writing the new one with no overwrite-what-you-read hazard.
+  *
+  * SEGMENTED EPOCHS: a corpus-scale artifact must not be rewritten per
+  * ingest batch — at 10⁹ documents a MinHash signature table is ~130 GB,
+  * and an append that unions it with a batch and rewrites the union pays
+  * O(corpus) I/O for an O(batch) delta, growing with corpus age (the
+  * exact failure mode the stores exist to avoid). So an epoch of an
+  * artifact is the LIST of its live segment directories, recorded in a
+  * `<name>_eN.segs` sidecar file: founding writes segment
+  * `<name>_s1` and the list `[<name>_s1]`; an append writes ONLY the
+  * batch's rows as `<name>_s(N+1)` and commits a list referencing the
+  * old segments plus the new one — old segment files are never touched
+  * (spec-asserted byte-identical across appends). [[artifactPaths]]
+  * resolves an epoch to its parquet paths; a missing `.segs` file means
+  * a pre-segmentation monolithic epoch dir `<name>_eN`, which stays
+  * readable and is referenced AS a segment by the first segmented
+  * append over it (zero-cost migration — the Iceberg/Delta manifest-of-
+  * data-files discipline, scoped down to one pointer file per epoch).
   */
 private[graft] object EpochStore {
 
@@ -61,6 +77,79 @@ private[graft] object EpochStore {
   def epochDir(path: String, name: String, e: Long): String =
     s"$path/${name}_e$e"
 
+  // ── Segmented epochs ────────────────────────────────────────────────
+
+  /** Directory NAME (path-relative) of segment `seg` of artifact
+    * `name` — segment ids are the epoch number that wrote them, unique
+    * under the one-writer-at-a-time contract.
+    */
+  def segName(name: String, seg: Long): String = s"${name}_s$seg"
+
+  private def segListPath(path: String, name: String, e: Long) =
+    new Path(s"$path/${name}_e$e.segs")
+
+  /** The live segment list (path-relative dir names, write order) of
+    * artifact `name` at epoch `e` — `None` for a pre-segmentation
+    * monolithic epoch (no `.segs` sidecar).
+    */
+  def readSegments(
+      spark: SparkSession, path: String, name: String,
+      e: Long): Option[Seq[String]] = {
+    val p = segListPath(path, name, e)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        Some(new String(buf.toByteArray, StandardCharsets.UTF_8)
+          .split('\n').iterator.map(_.trim).filter(_.nonEmpty).toSeq)
+      } finally in.close()
+    }
+  }
+
+  /** Record epoch `e`'s live segment list. A plain overwrite-create, not
+    * an atomic rename: the sidecar is invisible until the MANIFEST swap
+    * commits the epoch, and a crashed writer's leftover is overwritten
+    * by the next attempt at the same epoch number.
+    */
+  def writeSegments(
+      spark: SparkSession, path: String, name: String, e: Long,
+      segs: Seq[String]): Unit = {
+    require(segs.nonEmpty && segs.distinct == segs,
+      s"segment list for $name epoch $e must be non-empty and " +
+        s"duplicate-free: $segs")
+    val p = segListPath(path, name, e)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(segs.mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Parquet paths of artifact `name` at epoch `e`: the epoch's segment
+    * dirs when the `.segs` sidecar exists, else the monolithic epoch
+    * dir (pre-segmentation artifacts stay readable unchanged).
+    */
+  def artifactPaths(
+      spark: SparkSession, path: String, name: String,
+      e: Long): Seq[String] =
+    readSegments(spark, path, name, e)
+      .map(_.map(n => s"$path/$n"))
+      .getOrElse(Seq(epochDir(path, name, e)))
+
+  /** The segment list an APPEND at epoch `cur + 1` extends: epoch
+    * `cur`'s recorded list, or — for a pre-segmentation monolithic
+    * epoch — its epoch dir referenced AS the founding segment, so
+    * migration to the segmented layout costs zero I/O.
+    */
+  def segmentsForAppend(
+      spark: SparkSession, path: String, name: String,
+      cur: Long): Seq[String] =
+    readSegments(spark, path, name, cur)
+      .getOrElse(Seq(s"${name}_e$cur"))
+
   /** Point the manifest at epoch `n` (atomic replace). Commit NEVER
     * deletes superseded epochs: a lazy frame (or, on a cluster, an
     * in-flight query) planned against the old epoch keeps reading files
@@ -90,21 +179,43 @@ private[graft] object EpochStore {
     writeLongAtomic(spark, manifestPath(path), n)
   }
 
-  /** Drop every epoch older than the current one for each artifact name —
-    * call when no reader can still hold plans against old epochs (the
-    * Delta VACUUM contract). Deletion failures are non-fatal: a leftover
-    * old epoch is garbage, not corruption.
+  /** Drop everything the CURRENT epoch does not reference, for each
+    * artifact name — call when no reader can still hold plans against
+    * old epochs (the Delta VACUUM contract). Reclaims: superseded
+    * monolithic epoch dirs, superseded `.segs` sidecars, segment dirs
+    * absent from the current epoch's list, and an unreferenced legacy
+    * flat `<path>/<name>` dir. Segment ids ABOVE the current epoch are
+    * left alone — they may belong to an in-flight writer. Deletion
+    * failures are non-fatal: a leftover old epoch is garbage, not
+    * corruption.
     */
   def vacuum(
       spark: SparkSession, path: String, names: Seq[String]): Unit = {
     val cur = currentEpoch(spark, path)
+    if (cur <= 0) return
     val mp = manifestPath(path)
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    var e = cur - 1
-    while (e > 0 && names.exists(n =>
-        fs.exists(new Path(epochDir(path, n, e))))) {
-      names.foreach(n => fs.delete(new Path(epochDir(path, n, e)), true))
-      e -= 1
+    names.foreach { n =>
+      val live: Set[String] =
+        readSegments(spark, path, n, cur).map(_.toSet).getOrElse(Set.empty)
+      val epochRe = (java.util.regex.Pattern.quote(n) + "_e(\\d+)").r
+      val segsRe = (java.util.regex.Pattern.quote(n) + "_e(\\d+)\\.segs").r
+      val segRe = (java.util.regex.Pattern.quote(n) + "_s(\\d+)").r
+      val st = fs.globStatus(new Path(path, n + "_*"))
+      if (st != null) st.foreach { s =>
+        val nm = s.getPath.getName
+        nm match {
+          case segsRe(e) if e.toLong < cur =>
+            fs.delete(s.getPath, false)
+          case epochRe(e) if e.toLong < cur && !live.contains(nm) =>
+            fs.delete(s.getPath, true)
+          case segRe(k) if k.toLong <= cur && !live.contains(nm) =>
+            fs.delete(s.getPath, true)
+          case _ => ()
+        }
+      }
+      val flat = new Path(s"$path/$n")
+      if (!live.contains(n) && fs.exists(flat)) fs.delete(flat, true)
     }
   }
 

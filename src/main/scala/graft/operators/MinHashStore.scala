@@ -15,10 +15,12 @@ import graft.core.EpochStore
   * at 100 TB the shingle+md5 pass IS the cost, exactly the asymmetry the
   * other two stores close. This store persists ONE frame:
   *
-  *  - `<path>/minhash` — `(doc_id, sig: array<long>)`, the corpus's
-  *    MinHash signatures (k 31-bit values ≈ 8k bytes/doc — at 10⁹
-  *    accepted docs and k = 16 a ~130 GB table, a normal parquet
-  *    dataset).
+  *  - `<path>/minhash_sK` segment dirs — `(doc_id, sig: array<long>)`,
+  *    the corpus's MinHash signatures (k 31-bit values ≈ 8k bytes/doc —
+  *    at 10⁹ accepted docs and k = 16 a ~130 GB table, a normal parquet
+  *    dataset), one segment per founding/append epoch; each epoch's
+  *    live-segment list is the `minhash_eN.segs` sidecar
+  *    ([[graft.core.EpochStore]] segmented epochs).
   *
   * The signature is the WHOLE artifact on purpose: the LSH band keys the
   * ingest join needs are pure arithmetic over `sig` (derived map-side in
@@ -54,34 +56,48 @@ object MinHashStore {
       n: Int = 3, numHashes: Int = 16): Unit = {
     val spark = corpus.sparkSession
     val next = EpochStore.currentEpoch(spark, path) + 1
+    val seg = EpochStore.segName("minhash", next)
     signatures(corpus, n, numHashes)
-      .write.mode("overwrite")
-      .parquet(EpochStore.epochDir(path, "minhash", next))
+      .write.mode("overwrite").parquet(s"$path/$seg")
+    EpochStore.writeSegments(spark, path, "minhash", next, Seq(seg))
     EpochStore.commitEpoch(spark, path, next)
   }
 
   /** The persisted signature table `(doc_id, sig)` — the corpus side for
-    * [[Dedup.minhashIngestDedup]].
+    * [[Dedup.minhashIngestDedup]]: the union of the committed epoch's
+    * live segments.
     */
-  def load(spark: SparkSession, path: String): DataFrame = {
-    val e = EpochStore.requireEpoch(spark, path, "MinHashStore")
-    spark.read.parquet(EpochStore.epochDir(path, "minhash", e))
-  }
+  def load(spark: SparkSession, path: String): DataFrame =
+    loadEpoch(spark, path,
+      EpochStore.requireEpoch(spark, path, "MinHashStore"))
 
-  /** Fold an accepted batch (`doc_id`, `text`) into the store: its
-    * signatures append to a NEW epoch directory via union with the
-    * persisted table (signatures-only — corpus text is never touched
-    * after its founding reduction). Caller guarantees accepted doc_ids
-    * are new; signature parameters must match the founding save.
+  /** The signature table at a SPECIFIC epoch — superseded epochs stay
+    * readable until [[vacuum]] (streaming replay reads the epoch a
+    * micro-batch originally gated against).
+    */
+  def loadEpoch(spark: SparkSession, path: String, e: Long): DataFrame =
+    spark.read.parquet(
+      EpochStore.artifactPaths(spark, path, "minhash", e): _*)
+
+  /** Fold an accepted batch (`doc_id`, `text`) into the store: ONLY the
+    * batch's signatures are written, as a new segment of the next
+    * epoch — the persisted corpus segments are referenced by the new
+    * epoch's list, never read or rewritten, so append I/O is O(batch)
+    * regardless of corpus age (at 10⁹ accepted docs the alternative —
+    * union + rewrite — would move the full ~130 GB signature table per
+    * ingest batch). Caller guarantees accepted doc_ids are new;
+    * signature parameters must match the founding save.
     */
   def append(accepted: DataFrame, path: String,
       n: Int = 3, numHashes: Int = 16): Unit = {
     val spark = accepted.sparkSession
-    val next = EpochStore.currentEpoch(spark, path) + 1
-    load(spark, path)
-      .unionByName(signatures(accepted, n, numHashes))
-      .write.mode("overwrite")
-      .parquet(EpochStore.epochDir(path, "minhash", next))
+    val cur = EpochStore.requireEpoch(spark, path, "MinHashStore")
+    val next = cur + 1
+    val seg = EpochStore.segName("minhash", next)
+    signatures(accepted, n, numHashes)
+      .write.mode("overwrite").parquet(s"$path/$seg")
+    EpochStore.writeSegments(spark, path, "minhash", next,
+      EpochStore.segmentsForAppend(spark, path, "minhash", cur) :+ seg)
     EpochStore.commitEpoch(spark, path, next)
   }
 

@@ -11,8 +11,11 @@ import graft.core.EpochStore
   * accepted side's signatures per ingest re-tokenizes the whole corpus.
   * One frame persists:
   *
-  *  - `<path>/simhash` — `(doc_id, simhash: long)`, 16 bytes per
-  *    accepted document (a 10⁹-doc corpus is a ~16 GB table).
+  *  - `<path>/simhash_sK` segment dirs — `(doc_id, simhash: long)`,
+  *    16 bytes per accepted document (a 10⁹-doc corpus is a ~16 GB
+  *    table), one segment per founding/append epoch; each epoch's
+  *    live-segment list is the `simhash_eN.segs` sidecar
+  *    ([[graft.core.EpochStore]] segmented epochs).
   *
   * The bare signature is the whole artifact on purpose (the
   * [[MinHashStore]] argument): the 12-bit chunk keys the ingest join
@@ -34,9 +37,10 @@ object SimHashStore {
   def save(corpus: DataFrame, path: String): Unit = {
     val spark = corpus.sparkSession
     val next = EpochStore.currentEpoch(spark, path) + 1
+    val seg = EpochStore.segName("simhash", next)
     Dedup.simhash(corpus)
-      .write.mode("overwrite")
-      .parquet(EpochStore.epochDir(path, "simhash", next))
+      .write.mode("overwrite").parquet(s"$path/$seg")
+    EpochStore.writeSegments(spark, path, "simhash", next, Seq(seg))
     EpochStore.commitEpoch(spark, path, next)
   }
 
@@ -53,20 +57,24 @@ object SimHashStore {
     * ([[graft.streaming.StreamingFuzzyIngest]]).
     */
   def loadEpoch(spark: SparkSession, path: String, e: Long): DataFrame =
-    spark.read.parquet(EpochStore.epochDir(path, "simhash", e))
+    spark.read.parquet(
+      EpochStore.artifactPaths(spark, path, "simhash", e): _*)
 
-  /** Fold an accepted batch (`doc_id`, `text`) into the store — new
-    * epoch via union with the persisted table; corpus text is never
-    * touched after its founding reduction. Caller guarantees accepted
-    * doc_ids are new.
+  /** Fold an accepted batch (`doc_id`, `text`) into the store — ONLY
+    * the batch's signatures are written, as a new segment of the next
+    * epoch; the persisted corpus segments are referenced by the new
+    * epoch's list, never read or rewritten (append I/O is O(batch),
+    * not O(corpus)). Caller guarantees accepted doc_ids are new.
     */
   def append(accepted: DataFrame, path: String): Unit = {
     val spark = accepted.sparkSession
-    val next = EpochStore.currentEpoch(spark, path) + 1
-    load(spark, path)
-      .unionByName(Dedup.simhash(accepted))
-      .write.mode("overwrite")
-      .parquet(EpochStore.epochDir(path, "simhash", next))
+    val cur = EpochStore.requireEpoch(spark, path, "SimHashStore")
+    val next = cur + 1
+    val seg = EpochStore.segName("simhash", next)
+    Dedup.simhash(accepted)
+      .write.mode("overwrite").parquet(s"$path/$seg")
+    EpochStore.writeSegments(spark, path, "simhash", next,
+      EpochStore.segmentsForAppend(spark, path, "simhash", cur) :+ seg)
     EpochStore.commitEpoch(spark, path, next)
   }
 

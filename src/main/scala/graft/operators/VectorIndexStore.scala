@@ -21,9 +21,13 @@ import graft.core.EpochStore
   * Artifact layout (epoch-swap durable via [[graft.core.EpochStore]];
   * every epoch is self-contained so vacuum can drop old ones whole):
   *
-  *  - `<path>/postings_eN` — `(vec_id, cell: int, codes: array<long>)`,
-  *    m bytes of quantized vector per row at the defaults (vs dim × 4
-  *    raw): a 10⁹-vector corpus at m = 8 is a ~10 GB table.
+  *  - `<path>/postings_sK` segment dirs — `(vec_id, cell: int,
+  *    codes: array<long>)`, m bytes of quantized vector per row at the
+  *    defaults (vs dim × 4 raw): a 10⁹-vector corpus at m = 8 is a
+  *    ~10 GB table. One segment per founding/append epoch, the epoch's
+  *    live list in the `postings_eN.segs` sidecar
+  *    ([[graft.core.EpochStore]] segmented epochs) — append writes only
+  *    the batch's encoded rows, never rewriting persisted postings.
   *  - `<path>/ivf_eN` — `(idx: int, cent_id: long, cv: array<double>,
   *    cnrm: double)`: the coarse codebook, FROZEN at founding. `idx` is
   *    the posting `cell` id (array order of the literal-codebook plan).
@@ -71,14 +75,21 @@ object VectorIndexStore {
           ds => array_position(ds, array_min(ds)) - 1).as("codes"))
   }
 
+  /** Write the NEW postings segment plus the (driver-bounded: ≤maxCents
+    * rows + 1 row) codebook frames for epoch `next`, then commit.
+    * `prevSegs` — the segments the new epoch inherits (empty at
+    * founding): old segment files are never touched, so append I/O is
+    * O(batch) postings regardless of corpus age.
+    */
   private def writeEpoch(
       spark: SparkSession, path: String, next: Long,
-      postings: DataFrame,
+      prevSegs: Seq[String], postings: DataFrame,
       cents: Array[(Long, Array[Double], Double)],
       cb: Array[Double], m: Int, k: Int, dim: Int): Unit = {
     import spark.implicits._
-    postings.write.mode("overwrite")
-      .parquet(EpochStore.epochDir(path, "postings", next))
+    val seg = EpochStore.segName("postings", next)
+    postings.write.mode("overwrite").parquet(s"$path/$seg")
+    EpochStore.writeSegments(spark, path, "postings", next, prevSegs :+ seg)
     cents.zipWithIndex
       .map { case ((id, cv, cn), i) => (i, id, cv.toSeq, cn) }.toSeq
       .toDF("idx", "cent_id", "cv", "cnrm")
@@ -123,17 +134,21 @@ object VectorIndexStore {
     val dim = Similarity.probeDim(emb)
     val cb = Similarity.resolvePqCodebook(dim, m, k, pqCodebook)
     val next = EpochStore.currentEpoch(spark, path) + 1
-    writeEpoch(spark, path, next, encode(emb, cents, cb, m, k),
+    writeEpoch(spark, path, next, Seq.empty, encode(emb, cents, cb, m, k),
       cents, cb, m, k, dim)
   }
 
   /** The loaded index: frozen codebooks (driver-side, they are plan
-    * literals) + the postings frame (distributed — never collected).
+    * literals) + the postings frame (distributed — never collected) +
+    * the epoch the load resolved — the ONE epoch read an append keys
+    * off, so a writer racing between load and commit trips
+    * [[graft.core.EpochStore.commitEpoch]]'s stale-read guard instead
+    * of silently absorbing this writer's view of the store.
     */
   final case class Index(
       cents: Array[(Long, Array[Double], Double)],
       cb: Array[Double], m: Int, k: Int, dim: Int,
-      postings: DataFrame)
+      postings: DataFrame, epoch: Long)
 
   def load(spark: SparkSession, path: String): Index = {
     val e = EpochStore.requireEpoch(spark, path, "VectorIndexStore")
@@ -143,14 +158,18 @@ object VectorIndexStore {
     val meta = spark.read.parquet(EpochStore.epochDir(path, "pqmeta", e)).head()
     Index(cents, meta.getSeq[Double](3).toArray,
       meta.getInt(0), meta.getInt(1), meta.getInt(2),
-      spark.read.parquet(EpochStore.epochDir(path, "postings", e)))
+      spark.read.parquet(
+        EpochStore.artifactPaths(spark, path, "postings", e): _*),
+      e)
   }
 
   /** Fold a new batch (`vec_id`, `embedding`) into the index: encode it
-    * under the FROZEN codebooks, append to a new postings epoch (union
-    * with the persisted table — corpus vectors are never touched after
-    * their founding encode). Caller guarantees batch vec_ids are new;
-    * the batch must match the founding embedding width.
+    * under the FROZEN codebooks and write ONLY the batch's posting rows
+    * as a new segment of the next epoch — persisted postings are
+    * referenced by the new epoch's list, never read or rewritten, so
+    * append I/O is O(batch) regardless of corpus age. Caller guarantees
+    * batch vec_ids are new; the batch must match the founding embedding
+    * width.
     */
   def append(batch: DataFrame, path: String): Unit = {
     val spark = batch.sparkSession
@@ -164,9 +183,13 @@ object VectorIndexStore {
         s"appended batch embedding width $bdim != index width ${ix.dim}")
       return
     }
-    val next = EpochStore.currentEpoch(spark, path) + 1
+    // next derives from the epoch load() RESOLVED (not a re-read of the
+    // manifest): a racer committing in between makes commitEpoch's
+    // cur != next-1 check fire loudly instead of losing its rows
+    val next = ix.epoch + 1
     writeEpoch(spark, path, next,
-      ix.postings.unionByName(encode(batch, ix.cents, ix.cb, ix.m, ix.k)),
+      EpochStore.segmentsForAppend(spark, path, "postings", ix.epoch),
+      encode(batch, ix.cents, ix.cb, ix.m, ix.k),
       ix.cents, ix.cb, ix.m, ix.k, ix.dim)
   }
 

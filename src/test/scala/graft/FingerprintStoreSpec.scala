@@ -45,8 +45,11 @@ class FingerprintStoreSpec extends SparkSpec {
     assert(FingerprintStore.loadFingerprints(spark, path).count() === 2)
 
     FingerprintStore.append(Seq("c").toDF("text"), path)
-    // migrated: epoch 1 committed with all three digests + a rebuilt sketch
-    assert(new java.io.File(s"$path/fingerprints_e1").exists())
+    // migrated: epoch 1 committed, the flat dir referenced AS the
+    // founding segment (zero-copy migration) plus the batch's novel
+    // digest as segment 1, with a rebuilt sketch covering all three
+    assert(new java.io.File(s"$path/fingerprints_e1.segs").exists())
+    assert(new java.io.File(s"$path/fingerprints").exists())
     assert(FingerprintStore.loadFingerprints(spark, path).count() === 3)
     assert(FingerprintStore.loadBloom(spark, path)._2 === 3L)
   }
@@ -111,8 +114,74 @@ class FingerprintStoreSpec extends SparkSpec {
       .orderBy("m").collect().map(_.getString(0)).toSeq
     assert(stored === expected)
 
-    // the rebuilt sketch covers the appended digests too: zero admitted
+    // the merged sketch covers the appended digests too: zero admitted
     val (sketch, _) = FingerprintStore.loadBloom(spark, path)
     assert(Dedup.bloomSketchDedup(batch, sketch).count() === 0)
+  }
+
+  test("append writes only the novel digests: founding files byte-untouched") {
+    import spark.implicits._
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    val path = tmp("fp-obatch")
+    FingerprintStore.save(corpus, path)
+
+    def snapshot(dir: String): Map[String, (Long, Long)] = {
+      new java.io.File(dir).listFiles().filter(_.isFile)
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val before = snapshot(s"$path/fingerprints_s1")
+    assert(before.nonEmpty)
+    val (_, n1) = FingerprintStore.loadBloom(spark, path)
+
+    // a batch that OVERLAPS the corpus and itself: only the truly novel
+    // digests may land in the new segment (exact-distinct invariant
+    // without rewriting — the map-side semi + broadcast anti pair)
+    val overlapping = corpus.limit(5).select(col("text"))
+      .unionByName(Seq("novel-a", "novel-b", "novel-b").toDF("text"))
+    FingerprintStore.append(overlapping, path)
+
+    assert(snapshot(s"$path/fingerprints_s1") === before,
+      "O(batch) append must not rewrite the founding segment")
+    val seg2 = spark.read.parquet(s"$path/fingerprints_s2")
+      .collect().map(_.getString(0)).sorted.toSeq
+    val wantNovel = Seq("novel-a", "novel-b").toDF("text")
+      .select(md5(col("text")).as("m")).collect().map(_.getString(0)).sorted.toSeq
+    assert(seg2 === wantNovel)
+    // the union is still exactly-distinct, and the sketch row's exact
+    // count advanced by the two novel digests via the O(batch) merge
+    val stored = FingerprintStore.loadFingerprints(spark, path)
+    assert(stored.count() === stored.distinct().count())
+    assert(FingerprintStore.loadBloom(spark, path)._2 === n1 + 2)
+  }
+
+  test("sketch merge holds to capacity, then rebuilds with fresh headroom") {
+    import spark.implicits._
+    val path = tmp("fp-capacity")
+    // tiny founding: n = 2, capacity = max(64, 2n) = 64
+    FingerprintStore.save(Seq("a", "b").toDF("text"), path)
+    val meta1 = spark.read.parquet(s"$path/bloom_e1")
+      .select("num_bits", "capacity").head()
+    assert(meta1.getLong(1) === 64L)
+
+    // within capacity: merge keeps bit size identical
+    FingerprintStore.append((1 to 30).map(i => s"doc-$i").toDF("text"), path)
+    val meta2 = spark.read.parquet(s"$path/bloom_e2")
+      .select("num_bits", "capacity", "n_items").head()
+    assert(meta2.getLong(0) === meta1.getLong(0), "merge must not resize")
+    assert(meta2.getLong(1) === 64L)
+    assert(meta2.getLong(2) === 32L)
+
+    // overflow: 2 + 30 + 40 > 64 forces the amortized rebuild — new
+    // capacity is 2× the grown corpus, bit size grows with it
+    FingerprintStore.append((1 to 40).map(i => s"more-$i").toDF("text"), path)
+    val meta3 = spark.read.parquet(s"$path/bloom_e3")
+      .select("num_bits", "capacity", "n_items").head()
+    assert(meta3.getLong(2) === 72L)
+    assert(meta3.getLong(1) === 144L)
+    assert(meta3.getLong(0) > meta1.getLong(0))
+    // and the rebuilt sketch still admits nothing already stored
+    val (sketch, _) = FingerprintStore.loadBloom(spark, path)
+    val stored = (1 to 40).map(i => (i.toLong, s"more-$i")).toDF("doc_id", "text")
+    assert(Dedup.bloomSketchDedup(stored, sketch).count() === 0)
   }
 }

@@ -118,14 +118,47 @@ class MinHashStoreSpec extends SparkSpec {
     intercept[Exception] { MinHashStore.append(poison, path) }
     assert(MinHashStore.load(spark, path).count() === before)
 
-    // a real append keeps the old epoch on disk (commits never delete —
-    // in-flight readers may hold plans against it); vacuum reclaims it
+    // a real append keeps the old epoch's sidecar on disk (commits never
+    // delete — in-flight readers may hold plans against it); vacuum
+    // reclaims superseded sidecars but KEEPS segments the current epoch
+    // references (the founding segment lives in every later epoch)
     MinHashStore.append(
       docs.where(col("doc_id") % 3 === 1).select(col("doc_id"), col("text")),
       path)
-    assert(new java.io.File(s"$path/minhash_e1").exists())
+    assert(new java.io.File(s"$path/minhash_e1.segs").exists())
+    assert(new java.io.File(s"$path/minhash_s1").exists())
     MinHashStore.vacuum(spark, path)
-    assert(!new java.io.File(s"$path/minhash_e1").exists())
+    assert(!new java.io.File(s"$path/minhash_e1.segs").exists())
+    assert(new java.io.File(s"$path/minhash_s1").exists(),
+      "vacuum must keep segments the current epoch references")
     assert(MinHashStore.load(spark, path).count() > before)
+  }
+
+  test("append writes only the batch segment: founding files byte-untouched") {
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    val path = tmp("mh-obatch")
+    MinHashStore.save(corpus, path)
+
+    def snapshot(dir: String): Map[String, (Long, Long)] = {
+      val d = new java.io.File(dir)
+      d.listFiles().filter(_.isFile)
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val before = snapshot(s"$path/minhash_s1")
+    assert(before.nonEmpty)
+
+    val batch = docs.where(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("text"))
+    MinHashStore.append(batch, path)
+
+    // O(batch) append: the founding segment's files are byte-identical
+    // (same names, lengths, mtimes) — nothing corpus-sized moved
+    assert(snapshot(s"$path/minhash_s1") === before)
+    // the new epoch = founding segment + exactly the batch's signatures
+    assert(new java.io.File(s"$path/minhash_s2").exists())
+    val segRows = spark.read.parquet(s"$path/minhash_s2").count()
+    assert(segRows === freshSigs(batch).count())
+    assert(MinHashStore.load(spark, path).count() ===
+      freshSigs(corpus).count() + segRows)
   }
 }

@@ -105,4 +105,23 @@ class SimHashStoreSpec extends SparkSpec {
       SimHashStore.load(spark, tmp("sh-empty"))
     }
   }
+
+  test("append writes only the batch segment: founding files byte-untouched") {
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    val path = tmp("sh-obatch")
+    SimHashStore.save(corpus, path)
+    def snapshot(dir: String): Map[String, (Long, Long)] =
+      new java.io.File(dir).listFiles().filter(_.isFile)
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    val before = snapshot(s"$path/simhash_s1")
+    assert(before.nonEmpty)
+
+    val batch = docs.where(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("text"))
+    SimHashStore.append(batch, path)
+    assert(snapshot(s"$path/simhash_s1") === before,
+      "O(batch) append must not rewrite the founding segment")
+    assert(spark.read.parquet(s"$path/simhash_s2").count() ===
+      Dedup.simhash(batch).count())
+  }
 }

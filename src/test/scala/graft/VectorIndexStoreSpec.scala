@@ -163,16 +163,31 @@ class VectorIndexStoreSpec extends SparkSpec {
     assert(rec > 0.0)
   }
 
-  test("prior epoch survives an append until vacuum") {
+  test("prior epoch survives an append until vacuum; founding segment untouched") {
     val path = tmp("vix-epoch")
     VectorIndexStore.save(emb.where(col("vec_id") % 3 =!= 0), path)
-    val e1 = new java.io.File(s"$path/postings_e1")
-    assert(e1.exists())
+    val s1 = new java.io.File(s"$path/postings_s1")
+    val e1segs = new java.io.File(s"$path/postings_e1.segs")
+    val ivf1 = new java.io.File(s"$path/ivf_e1")
+    assert(s1.exists() && e1segs.exists() && ivf1.exists())
+    def snapshot(d: java.io.File): Map[String, (Long, Long)] =
+      d.listFiles().filter(_.isFile)
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    val before = snapshot(s1)
+
     VectorIndexStore.append(emb.where(col("vec_id") % 3 === 0), path)
-    assert(e1.exists(), "commit must never delete the epoch a reader may hold")
-    assert(new java.io.File(s"$path/postings_e2").exists())
+    assert(e1segs.exists(), "commit must never delete the epoch a reader may hold")
+    assert(new java.io.File(s"$path/postings_s2").exists())
+    assert(snapshot(s1) === before,
+      "O(batch) append must not rewrite the founding postings segment")
+    // the new segment holds exactly the batch's rows
+    assert(spark.read.parquet(s"$path/postings_s2").count() ===
+      emb.where(col("vec_id") % 3 === 0).count())
+
     VectorIndexStore.vacuum(spark, path)
-    assert(!e1.exists())
+    assert(!e1segs.exists())
+    assert(!ivf1.exists(), "superseded codebook epochs are reclaimed")
+    assert(s1.exists(), "vacuum must keep segments the current epoch references")
     assert(VectorIndexStore.load(spark, path).postings.count() === emb.count())
   }
 
