@@ -47,6 +47,14 @@ def main() -> None:
 
     gt = sum(q["graft_median_s"] for q in queries.values())
     dt = sum(q["duckdb_median_s"] for q in queries.values())
+    # the headline ratio must state how much of it is inherited: list the
+    # carried rows at the top level and publish a second ratio over the
+    # fresh-only rows, so a mixed-round blend can never masquerade as a
+    # single-session measurement
+    carried = sorted(n for n, q in queries.items() if q.get("carried"))
+    fresh = {n: q for n, q in queries.items() if not q.get("carried")}
+    fg = sum(q["graft_median_s"] for q in fresh.values())
+    fd = sum(q["duckdb_median_s"] for q in fresh.values())
     print(json.dumps({
         "sf_dir": anchor["sf_dir"],
         "duckdb_version": anchor["version"],
@@ -55,6 +63,10 @@ def main() -> None:
         "time_weighted_graft_over_duckdb": round(gt / dt, 3),
         "graft_total_s": round(gt, 1),
         "duckdb_total_s": round(dt, 1),
+        "carried_queries": carried,
+        "fresh_graft_over_duckdb": round(fg / fd, 3) if fd else None,
+        "fresh_graft_total_s": round(fg, 1),
+        "fresh_duckdb_total_s": round(fd, 1),
         "queries": queries,
     }, indent=1))
 

@@ -444,10 +444,13 @@ object ScaleCheck {
             .createTempDirectory("graft-cix-sc").toString
           val emb = Similarity.chunkEmbed(decorDocs, dim = 16)
             .localCheckpoint()
-          // forced odd so centEvery cannot divide the 10^6 = 2^6·5^6·...
-          // packing modulus (an even divisor would alias the sampling
-          // rule onto chunk_id — the prime-163 lesson from the demo)
-          val ce = math.max(1, (emb.count() / 64).toInt) | 1
+          // bumped until coprime with the 10^6 = 2^6·5^6 chunk-packing
+          // modulus: a centEvery sharing a factor with it (odd divisors
+          // exist — 5, 25, …, 15625) aliases the vec_id % centEvery
+          // sampling rule onto a fixed chunk_id residue and collapses the
+          // sampled centroids (the prime-163 lesson from the demo)
+          val ce = Iterator.from(math.max(1, (emb.count() / 64).toInt))
+            .find(c => BigInt(c).gcd(BigInt(1000000)) == 1).get
           graft.operators.VectorIndexStore.save(
             emb, store, centEvery = ce, maxCents = 64)
           graft.operators.VectorIndexStore.search(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Catalog, ForeignKey, TableGraph}
-import graft.operators.{Bpe, Chunk, Closure, Dedup, Dsir, FingerprintStore, MinHashStore, Multimodal, QualityLr, SimHashStore, Similarity, Temporal, TextAnalysis, VectorIndexStore}
+import graft.operators.{Bpe, Chunk, Closure, Dedup, Dsir, FingerprintStore, IngestGate, MinHashStore, Multimodal, QualityLr, SimHashStore, Similarity, Temporal, TextAnalysis, VectorIndexStore}
 import graft.sources.{Dump, DumpSpec}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -947,24 +947,12 @@ object SparkEntry {
         .createTempDirectory("graft-ig-mh").toString
       FingerprintStore.save(corpus, fp)
       MinHashStore.save(corpus, mh)
-      // one inner join carries n_tokens through the whole stack
-      // (doc_id is unique in the quality frame, so inner ≡ semi + the
-      // trailing re-join the first cut paid); localCheckpoint because
-      // the gated frame feeds three consumers (digest aggregate, fuzzy
-      // gate, final anti-join) and the tokenize subtree must run once
-      val qd = batch.join(
-          TextAnalysis.qualityScore(batch)
-            .where(col("passes_quality"))
-            .select(col("doc_id"), col("n_tokens")),
-          Seq("doc_id"))
-        .localCheckpoint()
-      val exd = qd.join(
-        Dedup.incrementalDedupFp(qd, FingerprintStore.loadFingerprints(s, fp))
-          .select(col("doc_id")),
-        Seq("doc_id"), "left_semi")
-      val flagged = Dedup.minhashIngestDedup(exd, MinHashStore.load(s, mh))
-      exd.join(flagged.select(col("batch_id").as("doc_id")).distinct(),
-          Seq("doc_id"), "left_anti")
+      // the stack body lives in IngestGate — ONE body under this oracle
+      // query, the streaming twin (StreamingIngestGate), and the ingest
+      // CLI, so the three forms can never drift
+      IngestGate.gate(batch,
+          FingerprintStore.loadFingerprints(s, fp),
+          MinHashStore.load(s, mh))
         .select(col("doc_id"), col("n_tokens"))
         .orderBy("doc_id")
     },
@@ -1544,6 +1532,25 @@ object SparkEntry {
         .createTempDirectory("graft-vixstore").toString
       VectorIndexStore.save(emb.where(col("vec_id") % 3 =!= 0), store,
         m = 8, k = 16, centEvery = 40)
+      VectorIndexStore.append(emb.where(col("vec_id") % 3 === 0), store)
+      VectorIndexStore.search(
+          emb.where(col("vec_id") % 50 === 0)
+            .select(col("vec_id"), col("embedding")),
+          store, kNN = 10, nprobe = 2)
+        .orderBy("query_id", "rank")
+    },
+
+    // The serving loop in the BETTER-RECALL form: codes quantize the
+    // own-cell residual (the founding `residual = true` knob, persisted
+    // in pqmeta and routed automatically by search — one ADC LUT per
+    // probed cell from the query's residual against that cell). Same
+    // save/append/external-search shape as ivfpq_ingest_search.
+    "ivfpq_ingest_residual" -> { (s, dir) =>
+      val emb = cat(s, dir).table("embeddings")
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-vixresid").toString
+      VectorIndexStore.save(emb.where(col("vec_id") % 3 =!= 0), store,
+        m = 8, k = 16, centEvery = 40, residual = true)
       VectorIndexStore.append(emb.where(col("vec_id") % 3 === 0), store)
       VectorIndexStore.search(
           emb.where(col("vec_id") % 50 === 0)
@@ -3775,6 +3782,61 @@ object SparkEntry {
          p AS (SELECT q.query_id, x.vec_id AS neighbor_id,
            list_reduce(list_transform(range(0, 8), mi ->
              qlut[mi + 1][CAST(x.codes[mi + 1] + 1 AS INT)]), (a, b) -> a + b) AS adist
+         FROM idx x JOIN q ON x.cent_id = q.qcent),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
+         FROM p)
+         SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", round(adist, 4) AS approx_dist2
+         FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+
+    // Residual serving-loop oracle: the ivfpq_residual modeling with the
+    // ivfpq_ingest_search deltas — centroids sample only the FOUNDING
+    // subset (frozen codebooks make founding+append ≡ one-shot union
+    // encode) and no self-pair exclusion (external-query contract).
+    "ivfpq_ingest_residual" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (SELECT vec_id, v,
+           sqrt(list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
+                (a, b) -> a + b)) AS nrm
+         FROM e),
+         c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+           WHERE vec_id % 40 = 1 AND vec_id % 3 <> 0),
+         ac AS (SELECT n.vec_id, c.cent_id,
+           list_reduce(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i]),
+                (a, b) -> a + b) / (n.nrm * c.cnrm) AS cos_c
+         FROM n CROSS JOIN c),
+         acr AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn
+           FROM ac),
+         enc AS (SELECT a.vec_id, a.cent_id,
+           list_transform(range(1, len(nn.v) + 1), i -> nn.v[i] - cc.cv[i]) AS rv
+         FROM acr a JOIN n nn ON a.vec_id = nn.vec_id JOIN c cc ON a.cent_id = cc.cent_id
+         WHERE a.rn = 1),
+         ce AS (SELECT vec_id, cent_id,
+           list_transform(range(0, 8), mi ->
+             list_transform(range(0, 16), ci ->
+               list_reduce(list_transform(range(0, 8), di ->
+                 (rv[mi * 8 + di + 1] - ((CAST('0x' || substr(md5('pq|' || mi::VARCHAR || '|' || ci::VARCHAR || '|' || (di + 1)::VARCHAR), 1, 15) AS BIGINT) % 2001 - 1000) / 1000.0))
+                 * (rv[mi * 8 + di + 1] - ((CAST('0x' || substr(md5('pq|' || mi::VARCHAR || '|' || ci::VARCHAR || '|' || (di + 1)::VARCHAR), 1, 15) AS BIGINT) % 2001 - 1000) / 1000.0))),
+                 (a, b) -> a + b))) AS dss
+         FROM enc),
+         idx AS (SELECT vec_id, cent_id,
+           list_transform(dss, ds -> list_position(ds, list_min(ds)) - 1) AS codes
+         FROM ce),
+         qr AS (SELECT a.vec_id AS query_id, a.cent_id AS qcent,
+           list_transform(range(1, len(nn.v) + 1), i -> nn.v[i] - cc.cv[i]) AS rq
+         FROM acr a JOIN n nn ON a.vec_id = nn.vec_id JOIN c cc ON a.cent_id = cc.cent_id
+         WHERE a.rn <= 2 AND a.vec_id % 50 = 0),
+         q AS (SELECT query_id, qcent,
+           list_transform(range(0, 8), mi ->
+             list_transform(range(0, 16), ci ->
+               list_reduce(list_transform(range(0, 8), di ->
+                 (rq[mi * 8 + di + 1] - ((CAST('0x' || substr(md5('pq|' || mi::VARCHAR || '|' || ci::VARCHAR || '|' || (di + 1)::VARCHAR), 1, 15) AS BIGINT) % 2001 - 1000) / 1000.0))
+                 * (rq[mi * 8 + di + 1] - ((CAST('0x' || substr(md5('pq|' || mi::VARCHAR || '|' || ci::VARCHAR || '|' || (di + 1)::VARCHAR), 1, 15) AS BIGINT) % 2001 - 1000) / 1000.0))),
+                 (a, b) -> a + b))) AS qlut
+         FROM qr),
+         p AS (SELECT q.query_id, x.vec_id AS neighbor_id,
+           list_reduce(list_transform(range(0, 8), mi ->
+             q.qlut[mi + 1][CAST(x.codes[mi + 1] + 1 AS INT)]), (a, b) -> a + b) AS adist
          FROM idx x JOIN q ON x.cent_id = q.qcent),
          r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
          FROM p)

@@ -694,6 +694,17 @@ object Similarity {
       dot(v, array(cv.map(lit(_)): _*)) / (nrm * lit(cn))
     }: _*)
 
+  /** `v − centroid(cell)` as one zip_with over the literal centroid
+    * matrix — the residual the full IVFADC form quantizes (Jégou et al.
+    * §IV-A). Shared by [[ivfPqSearch]] and [[VectorIndexStore]] so the
+    * in-plan and persisted encode sides cannot drift.
+    */
+  private[operators] def residualExpr(
+      cents: Array[(Long, Array[Double], Double)])(v: Column, cell: Column): Column =
+    zip_with(v,
+      element_at(typedLit(cents.map(_._2.toSeq).toSeq), cell + 1),
+      (a, b) => a - b)
+
   /** Semantic deduplication (SemDeDup, Abbas et al. '23): cluster the
     * embedding corpus, then near-dup only WITHIN clusters — the way
     * embedding dedup actually runs at 100 TB, because the cluster
@@ -888,11 +899,8 @@ object Similarity {
     // codebook quantizes them tighter (measured recall lift in the spec).
     // Cost: the query side computes nprobe LUTs instead of one; the
     // corpus side is unchanged (still one map-side pass).
-    val centVecs: Seq[Seq[Double]] = cents.map(_._2.toSeq).toSeq
-    def resid(v: Column, cell: Column): Column =
-      zip_with(v, element_at(typedLit(centVecs), cell + 1), (a, b) => a - b)
     def pqDss(v: Column, cell: Column): Column =
-      graft.functions.PqDistances(if (residual) resid(v, cell) else v,
+      graft.functions.PqDistances(if (residual) residualExpr(cents)(v, cell) else v,
         typedLit(pcb.toSeq), m, k)
     val withCell = e.select(col("vec_id"), col("v"),
         centCos(cents)(col("v"), col("nrm")).as("css"))

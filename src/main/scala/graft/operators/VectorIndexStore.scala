@@ -22,17 +22,25 @@ import graft.core.EpochStore
   * every epoch is self-contained so vacuum can drop old ones whole):
   *
   *  - `<path>/postings_sK` segment dirs — `(vec_id, cell: int,
-  *    codes: array<long>)`, m bytes of quantized vector per row at the
-  *    defaults (vs dim × 4 raw): a 10⁹-vector corpus at m = 8 is a
-  *    ~10 GB table. One segment per founding/append epoch, the epoch's
-  *    live list in the `postings_eN.segs` sidecar
+  *    codes: array<long>, cdist: float)`, m bytes of quantized vector
+  *    per row at the defaults (vs dim × 4 raw): a 10⁹-vector corpus at
+  *    m = 8 is a ~10 GB table. One segment per founding/append epoch,
+  *    the epoch's live list in the `postings_eN.segs` sidecar
   *    ([[graft.core.EpochStore]] segmented epochs) — append writes only
   *    the batch's encoded rows, never rewriting persisted postings.
+  *    `cdist` (coarse-assignment distance) feeds the staleness
+  *    telemetry and is column-pruned out of every search scan.
   *  - `<path>/ivf_eN` — `(idx: int, cent_id: long, cv: array<double>,
   *    cnrm: double)`: the coarse codebook, FROZEN at founding. `idx` is
   *    the posting `cell` id (array order of the literal-codebook plan).
-  *  - `<path>/pqmeta_eN` — one row `(m, k, dim, cb: array<double>)`:
-  *    the flat PQ codebook + layout, frozen at founding.
+  *  - `<path>/pqmeta_eN` — one row `(m, k, dim, cb: array<double>,
+  *    residual: boolean)`: the flat PQ codebook + layout + encoding
+  *    form, frozen at founding — search routes off the persisted flag,
+  *    so a caller can never ADC-score residual codes with raw-vector
+  *    LUTs.
+  *  - `<path>/drift_eN` — the staleness history, one row per epoch of
+  *    the current lineage ([[driftStats]]): the rebuild-when-stale
+  *    signal the frozen-codebook trade requires.
   *
   * Codebooks are frozen on purpose: append-time re-training would
   * reassign every existing posting (a full-corpus rebuild disguised as
@@ -44,8 +52,9 @@ import graft.core.EpochStore
   * row-identical to a one-shot encode of the union under the same
   * codebooks (spec-asserted).
   *
-  * [[search]] is the non-residual IVFADC query plan of
-  * [[Similarity.ivfPqSearch]] pointed at the LOADED postings, with one
+  * [[search]] is the IVFADC query plan of [[Similarity.ivfPqSearch]]
+  * (residual or raw-vector form, routed by the persisted founding
+  * `residual` flag) pointed at the LOADED postings, with one
   * contract change: queries are an EXTERNAL frame (`vec_id`,
   * `embedding`), not a filter over the corpus, so there is no
   * self-pair exclusion — a query that is also a corpus row scores its
@@ -55,24 +64,37 @@ import graft.core.EpochStore
   */
 object VectorIndexStore {
 
-  private val Names = Seq("postings", "ivf", "pqmeta")
+  private val Names = Seq("postings", "ivf", "pqmeta", "drift")
 
   /** One map-side encode pass under FROZEN codebooks: (vec_id, cell,
-    * codes) — the posting rows for `emb`. Shared verbatim by save and
-    * append so the two can never drift.
+    * codes, cdist) — the posting rows for `emb`. Shared verbatim by save
+    * and append so the two can never drift. `residual` is the full
+    * IVFADC form: codes quantize `v − centroid(cell)` instead of `v`
+    * (Jégou et al. §IV-A — residuals have smaller variance, so the same
+    * codebook quantizes them tighter; recall lift spec-measured).
+    * `cdist = 1 − cos(v, centroid(cell))` is the coarse-assignment
+    * distance the staleness telemetry aggregates — a float column in the
+    * posting segment that costs one byte-row beside the codes and is
+    * pruned away by every search scan.
     */
   private def encode(
       emb: DataFrame,
       cents: Array[(Long, Array[Double], Double)],
-      cb: Array[Double], m: Int, k: Int): DataFrame = {
+      cb: Array[Double], m: Int, k: Int, residual: Boolean): DataFrame = {
     val e = Similarity.normalized(emb)
-    e.select(col("vec_id"),
-        Similarity.centCos(cents)(col("v"), col("nrm")).as("css"), col("v"))
-      .select(col("vec_id"),
+    e.select(col("vec_id"), col("v"),
+        Similarity.centCos(cents)(col("v"), col("nrm")).as("css"))
+      .select(col("vec_id"), col("v"),
         (array_position(col("css"), array_max(col("css"))) - 1)
           .cast("int").as("cell"),
-        transform(graft.functions.PqDistances(col("v"), typedLit(cb.toSeq), m, k),
-          ds => array_position(ds, array_min(ds)) - 1).as("codes"))
+        (lit(1.0) - array_max(col("css"))).cast("float").as("cdist"))
+      .select(col("vec_id"), col("cell"),
+        transform(graft.functions.PqDistances(
+            if (residual) Similarity.residualExpr(cents)(col("v"), col("cell"))
+            else col("v"),
+            typedLit(cb.toSeq), m, k),
+          ds => array_position(ds, array_min(ds)) - 1).as("codes"),
+        col("cdist"))
   }
 
   /** Write the NEW postings segment plus the (driver-bounded: ≤maxCents
@@ -80,12 +102,21 @@ object VectorIndexStore {
     * `prevSegs` — the segments the new epoch inherits (empty at
     * founding): old segment files are never touched, so append I/O is
     * O(batch) postings regardless of corpus age.
+    *
+    * Staleness telemetry rides the write: one bounded aggregate over the
+    * just-written segment's `cdist` column (columnar — only that
+    * column's pages are re-read) appends a (epoch, kind, n_rows,
+    * mean_cdist, p95_cdist) row to the `drift_eN` history frame, carried
+    * forward from `carryDriftFrom` so each epoch's history is
+    * self-contained (vacuum-safe). A fresh [[save]] resets the history —
+    * a re-found store is a rebuild with a new baseline.
     */
   private def writeEpoch(
       spark: SparkSession, path: String, next: Long,
       prevSegs: Seq[String], postings: DataFrame,
       cents: Array[(Long, Array[Double], Double)],
-      cb: Array[Double], m: Int, k: Int, dim: Int): Unit = {
+      cb: Array[Double], m: Int, k: Int, dim: Int, residual: Boolean,
+      carryDriftFrom: Option[Long]): Unit = {
     import spark.implicits._
     val seg = EpochStore.segName("postings", next)
     postings.write.mode("overwrite").parquet(s"$path/$seg")
@@ -95,10 +126,46 @@ object VectorIndexStore {
       .toDF("idx", "cent_id", "cv", "cnrm")
       .coalesce(1).write.mode("overwrite")
       .parquet(EpochStore.epochDir(path, "ivf", next))
-    Seq((m, k, dim, cb.toSeq)).toDF("m", "k", "dim", "cb")
+    Seq((m, k, dim, cb.toSeq, residual))
+      .toDF("m", "k", "dim", "cb", "residual")
       .coalesce(1).write.mode("overwrite")
       .parquet(EpochStore.epochDir(path, "pqmeta", next))
+    val st = spark.read.parquet(s"$path/$seg")
+      .agg(count(lit(1)), avg(col("cdist")),
+        expr("percentile_approx(cdist, 0.95)")).head()
+    val row = (next, if (carryDriftFrom.isEmpty) "founding" else "append",
+      st.getLong(0),
+      if (st.isNullAt(1)) 0.0 else st.getDouble(1),
+      if (st.isNullAt(2)) 0.0 else
+        st.get(2) match { case f: Float => f.toDouble; case d: Double => d })
+    val prior = carryDriftFrom.toSeq.flatMap { e =>
+      val p = new org.apache.hadoop.fs.Path(EpochStore.epochDir(path, "drift", e))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Seq.empty // store founded before drift telemetry
+      else spark.read.parquet(p.toString).collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4)))
+    }
+    (prior :+ row).toDF("epoch", "kind", "n_rows", "mean_cdist", "p95_cdist")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(EpochStore.epochDir(path, "drift", next))
     EpochStore.commitEpoch(spark, path, next)
+  }
+
+  /** The persisted staleness history: one row per epoch of the CURRENT
+    * lineage — (epoch, kind: founding|append, n_rows, mean_cdist,
+    * p95_cdist), where cdist is each vector's coarse-assignment distance
+    * `1 − cos(v, nearest centroid)` under the FROZEN founding codebook.
+    * The rebuild signal the store's own docs prescribe: an append batch
+    * whose mean/p95 sits well above the founding row's is drawing from a
+    * distribution the codebook no longer covers — recall is decaying and
+    * the operator should re-found ([[save]]) on current data. Rows are
+    * tiny (one per epoch) and each epoch's frame is self-contained, so
+    * the history survives [[vacuum]].
+    */
+  def driftStats(spark: SparkSession, path: String): DataFrame = {
+    val e = EpochStore.requireEpoch(spark, path, "VectorIndexStore")
+    spark.read.parquet(EpochStore.epochDir(path, "drift", e))
   }
 
   /** Found the index at `path`: derive (or accept) both codebooks from
@@ -124,7 +191,8 @@ object VectorIndexStore {
       m: Int = 8, k: Int = 16,
       centEvery: Int = 40, maxCents: Int = 256,
       ivfCodebook: Option[Array[(Long, Array[Double])]] = None,
-      pqCodebook: Option[Array[Double]] = None): Unit = {
+      pqCodebook: Option[Array[Double]] = None,
+      residual: Boolean = false): Unit = {
     val spark = emb.sparkSession
     val e = Similarity.normalized(emb)
     val cents = Similarity.resolveCentroids(e, centEvery, maxCents, ivfCodebook)
@@ -134,8 +202,9 @@ object VectorIndexStore {
     val dim = Similarity.probeDim(emb)
     val cb = Similarity.resolvePqCodebook(dim, m, k, pqCodebook)
     val next = EpochStore.currentEpoch(spark, path) + 1
-    writeEpoch(spark, path, next, Seq.empty, encode(emb, cents, cb, m, k),
-      cents, cb, m, k, dim)
+    writeEpoch(spark, path, next, Seq.empty,
+      encode(emb, cents, cb, m, k, residual),
+      cents, cb, m, k, dim, residual, carryDriftFrom = None)
   }
 
   /** The loaded index: frozen codebooks (driver-side, they are plan
@@ -148,19 +217,23 @@ object VectorIndexStore {
   final case class Index(
       cents: Array[(Long, Array[Double], Double)],
       cb: Array[Double], m: Int, k: Int, dim: Int,
-      postings: DataFrame, epoch: Long)
+      postings: DataFrame, epoch: Long, residual: Boolean)
 
   def load(spark: SparkSession, path: String): Index = {
     val e = EpochStore.requireEpoch(spark, path, "VectorIndexStore")
     val cents = spark.read.parquet(EpochStore.epochDir(path, "ivf", e))
       .orderBy(col("idx")).collect()
       .map(r => (r.getLong(1), r.getSeq[Double](2).toArray, r.getDouble(3)))
-    val meta = spark.read.parquet(EpochStore.epochDir(path, "pqmeta", e)).head()
+    val metaDf = spark.read.parquet(EpochStore.epochDir(path, "pqmeta", e))
+    val meta = metaDf.head()
+    // pqmeta written before the residual knob has no column: non-residual
     Index(cents, meta.getSeq[Double](3).toArray,
       meta.getInt(0), meta.getInt(1), meta.getInt(2),
       spark.read.parquet(
         EpochStore.artifactPaths(spark, path, "postings", e): _*),
-      e)
+      e,
+      if (metaDf.columns.contains("residual")) meta.getAs[Boolean]("residual")
+      else false)
   }
 
   /** Fold a new batch (`vec_id`, `embedding`) into the index: encode it
@@ -189,8 +262,9 @@ object VectorIndexStore {
     val next = ix.epoch + 1
     writeEpoch(spark, path, next,
       EpochStore.segmentsForAppend(spark, path, "postings", ix.epoch),
-      encode(batch, ix.cents, ix.cb, ix.m, ix.k),
-      ix.cents, ix.cb, ix.m, ix.k, ix.dim)
+      encode(batch, ix.cents, ix.cb, ix.m, ix.k, ix.residual),
+      ix.cents, ix.cb, ix.m, ix.k, ix.dim, ix.residual,
+      carryDriftFrom = Some(ix.epoch))
   }
 
   /** IVFADC search of `queries` (`vec_id`, `embedding` — an external
@@ -210,18 +284,32 @@ object VectorIndexStore {
     val qdim = Similarity.probeDim(queries)
     require(qdim == ix.dim || queries.isEmpty,
       s"query embedding width $qdim != index width ${ix.dim}")
-    // Non-residual LUT is cell-independent: computed once per query
-    // below the probe-cell explode; explode_outer for the
-    // InferFiltersFromGenerate reason documented at ivfPqSearch.
-    val q = Similarity.normalized(queries)
+    // LUT placement mirrors ivfPqSearch: a non-residual LUT is
+    // cell-independent — computed once per query below the probe-cell
+    // explode (explode_outer for the InferFiltersFromGenerate reason
+    // documented there); a residual index genuinely needs one LUT per
+    // probed cell (the query's residual against THAT cell), so there the
+    // PqDistances sits above the explode by necessity.
+    val withCss = Similarity.normalized(queries)
       .select(col("vec_id"), col("v"),
         Similarity.centCos(ix.cents)(col("v"), col("nrm")).as("css"))
-      .select(col("vec_id").as("query_id"),
-        graft.functions.PqDistances(col("v"), typedLit(ix.cb.toSeq), ix.m, ix.k)
-          .as("qlut"),
-        Similarity.probeCellsExpr(nc, nprobe).as("qcells"))
-      .select(col("query_id"), col("qlut"),
-        explode_outer(col("qcells")).as("qcell"))
+    val q =
+      if (ix.residual)
+        withCss
+          .select(col("vec_id").as("query_id"), col("v").as("vq"),
+            explode_outer(Similarity.probeCellsExpr(nc, nprobe)).as("qcell"))
+          .select(col("query_id"), col("qcell"),
+            graft.functions.PqDistances(
+              Similarity.residualExpr(ix.cents)(col("vq"), col("qcell")),
+              typedLit(ix.cb.toSeq), ix.m, ix.k).as("qlut"))
+      else
+        withCss
+          .select(col("vec_id").as("query_id"),
+            graft.functions.PqDistances(col("v"), typedLit(ix.cb.toSeq), ix.m, ix.k)
+              .as("qlut"),
+            Similarity.probeCellsExpr(nc, nprobe).as("qcells"))
+          .select(col("query_id"), col("qlut"),
+            explode_outer(col("qcells")).as("qcell"))
     val scored = ix.postings.join(broadcast(q), col("cell") === col("qcell"))
       .withColumn("adist", graft.functions.AdcDistance(col("qlut"), col("codes")))
       .withColumn("part", spark_partition_id())

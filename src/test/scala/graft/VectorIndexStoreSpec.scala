@@ -163,6 +163,113 @@ class VectorIndexStoreSpec extends SparkSpec {
     assert(rec > 0.0)
   }
 
+  test("residual store serves exactly the in-plan residual IVFADC results") {
+    import org.apache.spark.sql.expressions.Window
+    val path = tmp("vix-resid")
+    VectorIndexStore.save(emb, path, residual = true)
+    assert(VectorIndexStore.load(spark, path).residual,
+      "the founding residual flag must persist in pqmeta")
+    val qf = col("vec_id") % 20 === 0
+    // same no-self-exclusion bridge as the non-residual parity test:
+    // ask for 11, drop the self-pair, re-rank
+    val raw = VectorIndexStore.search(emb.where(qf), path, kNN = 11, nprobe = 3)
+      .where(col("query_id") =!= col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    val served = raw.withColumn("r2", row_number().over(w)).where(col("r2") <= 10)
+      .select(col("query_id"), col("neighbor_id"),
+        col("r2").cast("long").as("rank"), col("approx_dist2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val inPlan = Similarity.ivfPqSearch(emb, qf, kNN = 10, nprobe = 3, residual = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(served.nonEmpty)
+    assert(served === inPlan)
+    // the lift the residual form exists for, measured on the store path
+    // (same configuration, same query set, same truth)
+    val truth = Similarity.annTopK(emb, qf, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(p: String): Double = {
+      val r = VectorIndexStore.search(emb.where(qf), p, kNN = 11, nprobe = 3)
+        .where(col("query_id") =!= col("neighbor_id"))
+        .withColumn("r2", row_number().over(w)).where(col("r2") <= 10)
+        .select("query_id", "neighbor_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      r.count(truth.contains) / truth.size.toDouble
+    }
+    val nonResid = tmp("vix-nonresid")
+    VectorIndexStore.save(emb, nonResid)
+    val (rr, rn) = (recall(path), recall(nonResid))
+    info(f"serving recall@10 at nprobe 3: residual $rr%.3f vs raw $rn%.3f")
+    assert(rr > rn,
+      f"residual encoding must lift recall on the store path ($rr%.3f vs $rn%.3f)")
+  }
+
+  test("append and search honor the persisted residual flag") {
+    val path = tmp("vix-resid-grow")
+    val founding = emb.where(col("vec_id") % 3 =!= 0)
+    VectorIndexStore.save(founding, path, residual = true)
+    VectorIndexStore.append(emb.where(col("vec_id") % 3 === 0), path)
+    val ixG = VectorIndexStore.load(spark, path)
+    assert(ixG.residual, "append must carry the founding encoding form")
+    // frozen-codebook append parity, residual form: one-shot encode of
+    // the union under the grown store's codebooks must be row-identical
+    val oneShot = tmp("vix-resid-oneshot")
+    VectorIndexStore.save(emb, oneShot, residual = true,
+      ivfCodebook = Some(ixG.cents.map { case (id, v, _) => (id, v) }))
+    def rows(ix: VectorIndexStore.Index) = ix.postings
+      .select(col("vec_id"), col("cell"), concat_ws(":", col("codes")))
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(rows(ixG).toSeq === rows(VectorIndexStore.load(spark, oneShot)).toSeq)
+  }
+
+  test("drift telemetry: a shifted batch moves the staleness metric, an in-distribution one does not") {
+    import spark.implicits._
+    // controlled geometry (the embeddings table is too diffuse to
+    // separate subset noise from a real shift): the corpus clusters
+    // around axes e1..e4 with small deterministic jitter, the codebook
+    // IS those axes, and the shifted batch clusters around e5..e8 —
+    // directions the founding codebook does not cover at all
+    val dim = 8
+    def cluster(ids: Range, axes: Range): Seq[(Long, Array[Float])] =
+      ids.map { i =>
+        val axis = axes(i % axes.length)
+        val v = Array.tabulate(dim)(d =>
+          (if (d == axis) 1.0f else 0.0f) + 0.02f * ((i * 7 + d * 3) % 5 - 2))
+        (i.toLong, v)
+      }
+    def frame(rows: Seq[(Long, Array[Float])]) =
+      rows.toDF("vec_id", "embedding")
+    val codebook = Array.tabulate(4)(a =>
+      (a.toLong, Array.tabulate(dim)(d => if (d == a) 1.0 else 0.0)))
+
+    val path = tmp("vix-drift")
+    VectorIndexStore.save(frame(cluster(0 until 120, 0 until 4)), path,
+      m = 4, k = 4, ivfCodebook = Some(codebook))
+    // in-distribution: fresh ids, same clusters
+    VectorIndexStore.append(frame(cluster(1000 until 1080, 0 until 4)), path)
+    // shifted: the clusters the founding codebook never saw
+    VectorIndexStore.append(frame(cluster(2000 until 2080, 4 until 8)), path)
+
+    val hist = VectorIndexStore.driftStats(spark, path)
+      .orderBy("epoch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(hist.length === 3, s"one history row per epoch: ${hist.toSeq}")
+    assert(hist(0)._2 === "founding" && hist(1)._2 === "append")
+    val Seq(f, inDist, shifted) = hist.toSeq.map(_._4)
+    info(f"mean cdist: founding $f%.4f, in-distribution $inDist%.4f, shifted $shifted%.4f")
+    assert(math.abs(inDist - f) < 0.05,
+      f"an in-distribution batch must sit near the founding baseline ($inDist%.4f vs $f%.4f)")
+    assert(shifted > f + 0.5,
+      f"a shifted batch must move the metric well past the baseline ($shifted%.4f vs $f%.4f)")
+    assert(hist.forall(h => h._5 >= h._4), "p95 >= mean in every epoch")
+    // the history survives vacuum — each epoch's frame is self-contained
+    VectorIndexStore.vacuum(spark, path)
+    assert(VectorIndexStore.driftStats(spark, path).count() === 3)
+  }
+
   test("prior epoch survives an append until vacuum; founding segment untouched") {
     val path = tmp("vix-epoch")
     VectorIndexStore.save(emb.where(col("vec_id") % 3 =!= 0), path)
