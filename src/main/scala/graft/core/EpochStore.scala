@@ -41,7 +41,20 @@ private[graft] object EpochStore {
     * and the streaming replay markers
     * ([[graft.streaming.StreamingFuzzyIngest]]) so the two cannot drift.
     */
-  def readLongFile(spark: SparkSession, p: Path): Option[Long] = {
+  def readLongFile(spark: SparkSession, p: Path): Option[Long] =
+    readLongsFile(spark, p).map { ls =>
+      require(ls.length == 1, s"$p: expected one value, found ${ls.length}")
+      ls.head
+    }
+
+  /** One-line whitespace-separated longs read — `None` if absent. The
+    * multi-value form of [[readLongFile]]: a marker that must pin
+    * SEVERAL artifacts' epochs together (the stacked-gate stream pins
+    * the fingerprint AND minhash stores per batch,
+    * [[graft.streaming.StreamingIngestGate]]) records them in ONE
+    * atomically-replaced file, so the pins can never be torn.
+    */
+  def readLongsFile(spark: SparkSession, p: Path): Option[Seq[Long]] = {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
@@ -49,7 +62,8 @@ private[graft] object EpochStore {
       try {
         val buf = new java.io.ByteArrayOutputStream()
         org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-        Some(new String(buf.toByteArray, StandardCharsets.UTF_8).trim.toLong)
+        Some(new String(buf.toByteArray, StandardCharsets.UTF_8).trim
+          .split("\\s+").toSeq.map(_.toLong))
       } finally in.close()
     }
   }
@@ -58,12 +72,17 @@ private[graft] object EpochStore {
     * (OVERWRITE)` — atomic on HDFS and local. The commit primitive under
     * the manifest and the replay markers.
     */
-  def writeLongAtomic(spark: SparkSession, p: Path, v: Long): Unit = {
+  def writeLongAtomic(spark: SparkSession, p: Path, v: Long): Unit =
+    writeLongsAtomic(spark, p, Seq(v))
+
+  /** [[writeLongAtomic]] for several values on one line (single rename,
+    * so a multi-store pin commits all-or-nothing). */
+  def writeLongsAtomic(spark: SparkSession, p: Path, vs: Seq[Long]): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = p.getFileSystem(conf)
     val tmp = new Path(p.getParent, p.getName + ".tmp")
     val out = fs.create(tmp, true)
-    try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+    try out.write(vs.mkString(" ").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     FileContext.getFileContext(p.toUri, conf)
       .rename(tmp, p, Options.Rename.OVERWRITE)

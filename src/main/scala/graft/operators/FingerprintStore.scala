@@ -111,6 +111,17 @@ object FingerprintStore {
   def loadFingerprints(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(artifactPaths(spark, path, "fingerprints"): _*)
 
+  /** The digest table at a SPECIFIC committed epoch — superseded epochs
+    * stay readable until [[vacuum]] (streaming replay reads the epoch a
+    * micro-batch originally gated against,
+    * [[graft.streaming.StreamingIngestGate]]). Pre-epoch flat layouts
+    * have no pinnable epochs; found the store first.
+    */
+  def loadFingerprintsEpoch(
+      spark: SparkSession, path: String, e: Long): DataFrame =
+    spark.read.parquet(
+      EpochStore.artifactPaths(spark, path, "fingerprints", e): _*)
+
   /** The persisted Bloom sketch bytes (the filter side for
     * [[Dedup.bloomSketchDedup]]) plus the item count it was sized for.
     */
