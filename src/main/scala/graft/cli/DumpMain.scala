@@ -99,7 +99,8 @@ object Cli {
   private val Valued = Set("source", "output", "o", "full", "f", "partial", "p",
     "compression", "c", "format", "fk", "pk", "input", "i", "cleanup-method", "m",
     "target", "jdbc-url", "jdbc-user", "jdbc-password", "jdbc-driver",
-    "jdbc-schema", "recreate-database", "jdbc-admin-url", "archive-compression")
+    "jdbc-schema", "recreate-database", "jdbc-admin-url", "archive-compression",
+    "stores", "found", "batch")
 
   def parse(args: Seq[String]): Opts = {
     var values = Map.empty[String, Seq[String]].withDefaultValue(Nil)

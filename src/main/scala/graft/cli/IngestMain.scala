@@ -1,0 +1,119 @@
+package graft.cli
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{FingerprintStore, IngestGate, MinHashStore}
+
+/** `graft-ingest` — the operational driver for the persisted-store crawl
+  * loop, the CLI a production pipeline runs daily (the store family's
+  * sibling of [[DumpMain]]/[[LoadMain]] over the dump surface; the
+  * reference ships only console-script entry points, setup.py:51 — this
+  * is the ingest-side analog for the operators the reference lacks).
+  *
+  * {{{
+  * // found both gate artifacts from the accepted corpus (doc_id, text):
+  * sbt "runMain graft.cli.IngestMain --stores /stores --found /corpus.parquet"
+  *
+  * // gate a crawl batch through quality → exact → fuzzy, write the
+  * // survivors + per-stage telemetry, and fold them into both stores:
+  * sbt "runMain graft.cli.IngestMain --stores /stores \
+  *   --batch /crawl/batch-0017.parquet -o /gated/batch-0017 --append"
+  *
+  * // reclaim superseded store epochs once no reader can hold them:
+  * sbt "runMain graft.cli.IngestMain --stores /stores --vacuum"
+  * }}}
+  *
+  * `--stores <dir>` roots both artifacts (`<dir>/fingerprints`,
+  * `<dir>/minhash`). Inputs are parquet frames with `doc_id`, `text`
+  * (any other columns ride along). Actions compose in pipeline order:
+  * `--found` (re)founds, then `--batch` gates (requiring founded
+  * stores), `--append` folds the just-gated survivors in, `--vacuum`
+  * runs last. The gate body is [[graft.operators.IngestGate]] — the
+  * SAME stack as the `ingest_gate` oracle query and the streaming twin.
+  *
+  * Telemetry: gating writes `<output>/telemetry.json` with per-stage
+  * counts — what each gate dropped is the number an operator watches
+  * (a quality collapse means the crawler broke; an exact-dup spike
+  * means a re-crawl) — plus the appended store epochs when `--append`
+  * ran.
+  */
+object IngestMain {
+
+  def main(args: Array[String]): Unit = {
+    val spark = Cli.session("graft-ingest")
+    try run(args.toSeq, spark)
+    finally spark.stop()
+  }
+
+  def run(args: Seq[String], spark: SparkSession): Unit = {
+    val opts = Cli.parse(args)
+    val stores = opts.required("stores")
+    val fp = s"$stores/fingerprints"
+    val mh = s"$stores/minhash"
+
+    def frame(path: String): DataFrame = {
+      val df = spark.read.parquet(path)
+      require(df.columns.contains("doc_id") && df.columns.contains("text"),
+        s"$path must carry doc_id and text columns " +
+          s"(found: ${df.columns.mkString(", ")})")
+      df
+    }
+
+    opts.value("found").foreach { corpus =>
+      val c = frame(corpus)
+      FingerprintStore.save(c, fp)
+      MinHashStore.save(c, mh)
+      println(s"Founded fingerprint + minhash stores under $stores " +
+        s"from $corpus")
+    }
+
+    opts.value("batch").foreach { batchPath =>
+      val out = opts.required("output", short = "o")
+      val batch = frame(batchPath)
+      val stages = IngestGate.gateStages(batch,
+        FingerprintStore.loadFingerprints(spark, fp),
+        MinHashStore.load(spark, mh))
+      // one pass computes the survivor set; stage frames are counted
+      // AFTER so the counts describe exactly what was written (the
+      // quality frame is already localCheckpoint'd inside the gate, so
+      // the stack never re-tokenizes per count)
+      val survivors = stages.survivors.localCheckpoint()
+      survivors.write.mode("overwrite").parquet(s"$out/survivors")
+      val counts = Seq(
+        "batch_total" -> batch.count(),
+        "after_quality" -> stages.quality.count(),
+        "after_exact_dedup" -> stages.exact.count(),
+        "survivors" -> survivors.count())
+      val appended =
+        if (opts.flag("append")) {
+          FingerprintStore.append(survivors, fp)
+          MinHashStore.append(survivors, mh)
+          Seq("fingerprint_epoch" -> graft.core.EpochStore
+              .currentEpoch(spark, fp),
+            "minhash_epoch" -> graft.core.EpochStore.currentEpoch(spark, mh))
+        } else Seq.empty
+      val json = (counts ++ appended)
+        .map { case (k, v) => s""""$k": $v""" }
+        .mkString("{\n  ", ",\n  ", "\n}\n")
+      Files.createDirectories(Paths.get(out))
+      Files.write(Paths.get(s"$out/telemetry.json"),
+        json.getBytes(StandardCharsets.UTF_8))
+      println(counts.map { case (k, v) => s"$k=$v" }.mkString(" ") +
+        (if (opts.flag("append")) s" (folded into both stores)" else ""))
+    }
+
+    if (opts.flag("vacuum")) {
+      FingerprintStore.vacuum(spark, fp)
+      MinHashStore.vacuum(spark, mh)
+      println(s"Vacuumed superseded epochs under $stores")
+    }
+
+    require(opts.value("found").nonEmpty || opts.value("batch").nonEmpty
+      || opts.flag("vacuum"),
+      "nothing to do: pass --found <corpus>, --batch <dir> -o <out>, " +
+        "and/or --vacuum")
+  }
+}

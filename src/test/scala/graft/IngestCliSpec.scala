@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.cli.IngestMain
+import graft.operators.{FingerprintStore, IngestGate, MinHashStore}
+
+/** End-to-end drive of the ingest CLI over temp dirs: found → gate →
+  * telemetry → append → next batch gates against the grown stores →
+  * vacuum. The CLI must produce exactly what the library calls produce
+  * (it is a THIN main over IngestGate + the stores — any divergence is
+  * a bug in the main, not a new behavior).
+  */
+class IngestCliSpec extends SparkSpec {
+
+  test("found, gate with telemetry, append, re-gate, vacuum") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_ingest_cli").toString
+
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the quiet river bank today"),
+      (2L, "streaming pipelines gate crawled documents against persisted artifacts before acceptance"))
+    val batch1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the quiet river bank today"), // exact dup of corpus 0
+      (11L, "completely fresh words arrive here now bringing novel content for the corpus store"),
+      (12L, "no")) // quality-gated
+    val batch2 = Seq(
+      (20L, "completely fresh words arrive here now bringing novel content for the corpus shop"), // fuzzy dup of SURVIVOR 11
+      (21L, "entirely unrelated final sentence closing the stream with distinct vocabulary choices"))
+
+    corpus.toDF("doc_id", "text").write.parquet(s"$tmp/corpus.parquet")
+    batch1.toDF("doc_id", "text").write.parquet(s"$tmp/batch1.parquet")
+    batch2.toDF("doc_id", "text").write.parquet(s"$tmp/batch2.parquet")
+
+    IngestMain.run(Seq("--stores", s"$tmp/stores",
+      "--found", s"$tmp/corpus.parquet"), spark)
+    assert(FingerprintStore.loadFingerprints(spark, s"$tmp/stores/fingerprints")
+      .count() === 2)
+
+    // gate batch 1 and fold the survivors in
+    IngestMain.run(Seq("--stores", s"$tmp/stores",
+      "--batch", s"$tmp/batch1.parquet", "-o", s"$tmp/gated1",
+      "--append"), spark)
+    val s1 = spark.read.parquet(s"$tmp/gated1/survivors")
+    assert(s1.select("doc_id").as[Long].collect().toSeq.sorted === Seq(11L))
+    val tele = ujsonish(s"$tmp/gated1/telemetry.json")
+    assert(tele("batch_total") === 3)
+    assert(tele("after_quality") === 2)     // 12 dropped
+    assert(tele("after_exact_dedup") === 1) // 10 dropped
+    assert(tele("survivors") === 1)
+    assert(tele("fingerprint_epoch") === 2) // founded at 1, appended to 2
+    assert(tele("minhash_epoch") === 2)
+
+    // batch 2 gates against the GROWN stores: 20 falls fuzzily to
+    // survivor 11 folded by the previous run — the loop property,
+    // through the CLI surface
+    IngestMain.run(Seq("--stores", s"$tmp/stores",
+      "--batch", s"$tmp/batch2.parquet", "-o", s"$tmp/gated2"), spark)
+    val s2 = spark.read.parquet(s"$tmp/gated2/survivors")
+    assert(s2.select("doc_id").as[Long].collect().toSeq.sorted === Seq(21L))
+    // no --append: the stores did not advance
+    assert(graft.core.EpochStore.currentEpoch(spark, s"$tmp/stores/fingerprints") === 2)
+
+    // and the CLI's survivor set is exactly the library's
+    val lib = IngestGate.gate(batch2.toDF("doc_id", "text"),
+        FingerprintStore.loadFingerprints(spark, s"$tmp/stores/fingerprints"),
+        MinHashStore.load(spark, s"$tmp/stores/minhash"))
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(s2.select("doc_id").as[Long].collect().toSeq.sorted === lib)
+
+    // vacuum drops the superseded founding epoch dirs but keeps current
+    IngestMain.run(Seq("--stores", s"$tmp/stores", "--vacuum"), spark)
+    assert(FingerprintStore.loadFingerprints(spark, s"$tmp/stores/fingerprints")
+      .count() === 3)
+    assert(MinHashStore.load(spark, s"$tmp/stores/minhash").count() === 3)
+
+    // a batch without founded stores fails loudly, as does a frame
+    // missing the contract columns
+    val bare = Files.createTempDirectory("graft_ingest_bare").toString
+    intercept[IllegalArgumentException] {
+      IngestMain.run(Seq("--stores", s"$bare/stores",
+        "--batch", s"$tmp/batch1.parquet", "-o", s"$bare/out"), spark)
+    }
+    Seq((1L, "x")).toDF("id", "body").write.parquet(s"$bare/bad.parquet")
+    intercept[IllegalArgumentException] {
+      IngestMain.run(Seq("--stores", s"$tmp/stores",
+        "--batch", s"$bare/bad.parquet", "-o", s"$bare/out2"), spark)
+    }
+    // and a do-nothing invocation is a usage error, not a silent no-op
+    intercept[IllegalArgumentException] {
+      IngestMain.run(Seq("--stores", s"$tmp/stores"), spark)
+    }
+  }
+
+  /** telemetry.json is flat {"k": long} — parse without a JSON dep. */
+  private def ujsonish(path: String): Map[String, Long] =
+    scala.io.Source.fromFile(path).mkString
+      .split("[{},\n]").map(_.trim).filter(_.contains(":"))
+      .map { kv =>
+        val Array(k, v) = kv.split(":").map(_.trim)
+        k.stripPrefix("\"").stripSuffix("\"") -> v.toLong
+      }.toMap
+}
