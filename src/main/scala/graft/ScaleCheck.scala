@@ -129,7 +129,52 @@ object ScaleCheck {
       // codebook as n/centEvery until maxCents, a quadratic window)
       val trained = Similarity.trainIvfCodebook(emb, k = 64)
 
+      // Segmented-epoch append cost at FIXED batch size over a GROWING
+      // founded corpus — the claim the segment layout exists for: append
+      // writes only the batch's rows as a new segment, so its cost must
+      // be flat in corpus size. Stores found lazily (the warmup rep pays
+      // the founding, discarded by min-of-reps); the fixed batch is the
+      // copy-0 docs (present identically at every K) re-keyed past any
+      // corpus id per rep. Expectations differ BY DESIGN: minhash append
+      // never touches corpus data (signature batch + a name-list
+      // sidecar) — flat; fingerprint append streams the corpus's 16-byte
+      // digest column once map-side for the exact-distinct novelty
+      // anti-join — a small linear term in digest count (the exactness
+      // price; the WRITE is still O(batch)).
+      lazy val mhAppendStore = {
+        val s = java.nio.file.Files
+          .createTempDirectory("graft-mhapp-sc").toString
+        graft.operators.MinHashStore.save(docs, s)
+        s
+      }
+      lazy val fpAppendStore = {
+        val s = java.nio.file.Files
+          .createTempDirectory("graft-fpapp-sc").toString
+        graft.operators.FingerprintStore.save(docs, s)
+        s
+      }
+      var appendRep = 0L
+      def fixedFreshBatch(): DataFrame = {
+        import org.apache.spark.sql.functions._
+        appendRep += 1
+        docs.where(col("doc_id") < 5000 && col("doc_id") % 10 === 7)
+          .select((col("doc_id") + lit(1000000000L)
+            + lit(appendRep * 1000000L)).as("doc_id"),
+            // rep-salted so every rep's digests are NOVEL — measuring
+            // the real novel-append path, not the all-dup fast path
+            concat(col("text"), lit(" rep"),
+              lit(appendRep).cast("string")).as("text"))
+      }
+
       val ops: Seq[(String, () => DataFrame)] = Seq(
+        "minhash_store_append" -> { () =>
+          graft.operators.MinHashStore.append(fixedFreshBatch(), mhAppendStore)
+          spark.range(1).toDF("ok")
+        },
+        "fingerprint_store_append" -> { () =>
+          graft.operators.FingerprintStore.append(fixedFreshBatch(), fpAppendStore)
+          spark.range(1).toDF("ok")
+        },
         "dedup_minhash" -> (() => Dedup.minhashPairs(docs)),
         "ngram_scores_df20" -> (() => Dedup.ngramScores(docs, maxDf = 20)),
         "dup_spans" -> (() => Dedup.dupSpans(docs, w = 15, stride = 5)),

@@ -198,15 +198,39 @@ private[graft] object EpochStore {
     writeLongAtomic(spark, manifestPath(path), n)
   }
 
-  /** Drop everything the CURRENT epoch does not reference, for each
-    * artifact name — call when no reader can still hold plans against
-    * old epochs (the Delta VACUUM contract). Reclaims: superseded
+  /** Replay-pin marker files: `<KIND>BATCH_<id>` / `<KIND>PIN_<id>` in
+    * the store root ([[graft.streaming.StreamingFuzzyIngest]] /
+    * [[graft.streaming.StreamingIngestGate]]). CONTRACT: the FIRST long
+    * in a marker pins an epoch of THE STORE THE FILE SITS IN (later
+    * longs may pin other stores — the stacked gate's primary marker
+    * carries both its stores' pins). [[vacuum]] reads these so it can
+    * never reclaim an epoch a live replay still needs.
+    */
+  private val MarkerName = "^[A-Z]+(?:BATCH|PIN)_\\d+$".r
+
+  /** Epochs pinned by replay markers in this store's root. */
+  def pinnedEpochs(spark: SparkSession, path: String): Set[Long] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Set.empty
+    else fs.listStatus(root).iterator
+      .filter(s => MarkerName.matches(s.getPath.getName))
+      .flatMap(s => readLongsFile(spark, s.getPath).flatMap(_.headOption))
+      .toSet
+  }
+
+  /** Drop everything that neither the CURRENT epoch nor a live replay
+    * PIN ([[pinnedEpochs]] — a streaming marker not yet vacuumed)
+    * references, for each artifact name. Reclaims: superseded
     * monolithic epoch dirs, superseded `.segs` sidecars, segment dirs
-    * absent from the current epoch's list, and an unreferenced legacy
+    * absent from every kept epoch's list, and an unreferenced legacy
     * flat `<path>/<name>` dir. Segment ids ABOVE the current epoch are
-    * left alone — they may belong to an in-flight writer. Deletion
-    * failures are non-fatal: a leftover old epoch is garbage, not
-    * corruption.
+    * left alone — they may belong to an in-flight writer. Pinned
+    * epochs keep their sidecar and every segment their list names, so
+    * vacuum-before-marker-cleanup degrades to reclaiming less instead
+    * of breaking a replay (the marker vacuum then unpins and the next
+    * vacuum finishes the job). Deletion failures are non-fatal: a
+    * leftover old epoch is garbage, not corruption.
     */
   def vacuum(
       spark: SparkSession, path: String, names: Seq[String]): Unit = {
@@ -214,9 +238,14 @@ private[graft] object EpochStore {
     if (cur <= 0) return
     val mp = manifestPath(path)
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pins = pinnedEpochs(spark, path).filter(_ < cur)
     names.foreach { n =>
-      val live: Set[String] =
-        readSegments(spark, path, n, cur).map(_.toSet).getOrElse(Set.empty)
+      // names kept: every dir any kept epoch's list references (a
+      // pinned epoch with no sidecar is a pre-segmentation monolithic
+      // dir — keep that dir itself)
+      val keep: Set[String] = (Seq(cur) ++ pins).flatMap { e =>
+        readSegments(spark, path, n, e).getOrElse(Seq(s"${n}_e$e"))
+      }.toSet
       val epochRe = (java.util.regex.Pattern.quote(n) + "_e(\\d+)").r
       val segsRe = (java.util.regex.Pattern.quote(n) + "_e(\\d+)\\.segs").r
       val segRe = (java.util.regex.Pattern.quote(n) + "_s(\\d+)").r
@@ -224,17 +253,17 @@ private[graft] object EpochStore {
       if (st != null) st.foreach { s =>
         val nm = s.getPath.getName
         nm match {
-          case segsRe(e) if e.toLong < cur =>
+          case segsRe(e) if e.toLong < cur && !pins.contains(e.toLong) =>
             fs.delete(s.getPath, false)
-          case epochRe(e) if e.toLong < cur && !live.contains(nm) =>
+          case epochRe(e) if e.toLong < cur && !keep.contains(nm) =>
             fs.delete(s.getPath, true)
-          case segRe(k) if k.toLong <= cur && !live.contains(nm) =>
+          case segRe(k) if k.toLong <= cur && !keep.contains(nm) =>
             fs.delete(s.getPath, true)
           case _ => ()
         }
       }
       val flat = new Path(s"$path/$n")
-      if (!live.contains(n) && fs.exists(flat)) fs.delete(flat, true)
+      if (!keep.contains(n) && fs.exists(flat)) fs.delete(flat, true)
     }
   }
 

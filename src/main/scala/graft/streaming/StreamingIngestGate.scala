@@ -39,52 +39,73 @@ import graft.operators.{FingerprintStore, IngestGate, MinHashStore}
 object StreamingIngestGate {
 
   private val MarkerPrefix = "GATEBATCH_"
+  private val EchoPrefix = "GATEPIN_"
 
   private def markerPath(fpStore: String, batchId: Long) =
     new Path(s"$fpStore/$MarkerPrefix$batchId")
 
+  private def echoPath(mhStore: String, batchId: Long) =
+    new Path(s"$mhStore/$EchoPrefix$batchId")
+
   /** The pinned (fingerprint, minhash) epochs for `batchId`, recording
-    * them on first sight. The marker lives in the FINGERPRINT store's
-    * dir (the stack's first artifact) — one marker per batch, both pins
-    * inside, committed by one rename. A crash after reading the epochs
-    * but before the marker lands is safe: nothing has folded yet, so a
-    * replay re-reads the same values.
+    * them on first sight. The AUTHORITATIVE marker lives in the
+    * FINGERPRINT store's dir (the stack's first artifact) — one marker
+    * per batch, both pins inside, committed by one rename, so the pair
+    * can never be torn. A one-long ECHO of the minhash pin also lands
+    * in the MINHASH store's dir, because `EpochStore.vacuum` protects
+    * pinned epochs by reading markers in ITS OWN store root — without
+    * the echo, vacuuming the minhash store couldn't see the gate's pin.
+    * The echo is written BEFORE the primary: a crash between the two
+    * leaves a garbage pin (vacuum keeps a little extra until marker
+    * cleanup), never a replay that reads a reclaimed epoch. On replay
+    * the primary is authoritative and the echo is re-asserted if the
+    * crash ate it. A crash before the primary lands is safe: nothing
+    * has folded yet, so a replay re-reads the same epochs.
     */
   private def pinEpochs(
       spark: SparkSession, fpStore: String, mhStore: String,
       batchId: Long): (Long, Long) =
     EpochStore.readLongsFile(spark, markerPath(fpStore, batchId)) match {
-      case Some(Seq(f, m)) => (f, m)
+      case Some(Seq(f, m)) =>
+        if (EpochStore.readLongsFile(spark, echoPath(mhStore, batchId)).isEmpty)
+          EpochStore.writeLongAtomic(spark, echoPath(mhStore, batchId), m)
+        (f, m)
       case Some(other) => sys.error(
         s"corrupt gate marker for batch $batchId: expected 2 epochs, " +
           s"found $other")
       case None =>
         val f = EpochStore.requireEpoch(spark, fpStore, "FingerprintStore")
         val m = EpochStore.requireEpoch(spark, mhStore, "MinHashStore")
+        EpochStore.writeLongAtomic(spark, echoPath(mhStore, batchId), m)
         EpochStore.writeLongsAtomic(
           spark, markerPath(fpStore, batchId), Seq(f, m))
         (f, m)
     }
 
-  /** Drop replay markers for batches strictly below `beforeBatchId` —
-    * the [[StreamingFuzzyIngest.vacuumMarkers]] contract (call with the
+  /** Drop replay markers (primary AND echo, each from its store's dir)
+    * for batches strictly below `beforeBatchId` — the
+    * [[StreamingFuzzyIngest.vacuumMarkers]] contract (call with the
     * sink checkpoint's committed batch id; pair with BOTH stores'
-    * `vacuum`). Deletion failures are non-fatal: a leftover marker is
-    * garbage, not corruption.
+    * `vacuum`, which a still-live marker pin now blocks from reclaiming
+    * the pinned epoch — `EpochStore.vacuum`). Deletion failures are
+    * non-fatal: a leftover marker is garbage, not corruption.
     */
   def vacuumMarkers(
-      spark: SparkSession, fpStore: String, beforeBatchId: Long): Unit = {
-    val root = new Path(fpStore)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(root))
-      fs.listStatus(root).foreach { st =>
-        val n = st.getPath.getName
-        if (n.startsWith(MarkerPrefix))
-          scala.util.Try(n.stripPrefix(MarkerPrefix).toLong).toOption
-            .filter(_ < beforeBatchId)
-            .foreach(_ => fs.delete(st.getPath, false))
-      }
-  }
+      spark: SparkSession, fpStore: String, mhStore: String,
+      beforeBatchId: Long): Unit =
+    Seq(fpStore -> MarkerPrefix, mhStore -> EchoPrefix).foreach {
+      case (store, prefix) =>
+        val root = new Path(store)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(root))
+          fs.listStatus(root).foreach { st =>
+            val n = st.getPath.getName
+            if (n.startsWith(prefix))
+              scala.util.Try(n.stripPrefix(prefix).toLong).toOption
+                .filter(_ < beforeBatchId)
+                .foreach(_ => fs.delete(st.getPath, false))
+          }
+    }
 
   /** Gate ONE batch (`doc_id`, `text`) through the full stack and fold
     * the survivors into both stores — idempotent per `batchId` (see

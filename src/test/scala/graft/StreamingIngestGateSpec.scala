@@ -113,13 +113,33 @@ class StreamingIngestGateSpec extends SparkSpec {
     assert(FingerprintStore.loadFingerprints(spark, fp).count() === fpN)
     assert(MinHashStore.load(spark, mh).count() === mhN)
 
-    // the marker is ONE file carrying both pins, in the fp store's dir
+    // the AUTHORITATIVE marker is ONE file carrying both pins, in the
+    // fp store's dir; the mh store carries a one-long echo so ITS
+    // vacuum can see the pin
     val marker = new java.io.File(s"$fp/GATEBATCH_7")
-    assert(marker.exists())
+    val echo = new java.io.File(s"$mh/GATEPIN_7")
+    assert(marker.exists() && echo.exists())
     assert(scala.io.Source.fromFile(marker).mkString.trim
       .split("\\s+").length === 2)
-    StreamingIngestGate.vacuumMarkers(spark, fp, beforeBatchId = 8)
-    assert(!marker.exists())
+    assert(scala.io.Source.fromFile(echo).mkString.trim
+      .split("\\s+").length === 1)
+
+    // while the pins live, NEITHER store's vacuum may reclaim the
+    // pinned pre-fold epoch: the batch must stay replayable
+    FingerprintStore.vacuum(spark, fp)
+    MinHashStore.vacuum(spark, mh)
+    val replayAfterVacuum = StreamingIngestGate
+      .foldBatch(batch, fp, mh, batchId = 7L)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(replayAfterVacuum === first)
+
+    // marker cleanup unpins both; the next vacuum finishes the job
+    StreamingIngestGate.vacuumMarkers(spark, fp, mh, beforeBatchId = 8)
+    assert(!marker.exists() && !echo.exists())
+    FingerprintStore.vacuum(spark, fp)
+    MinHashStore.vacuum(spark, mh)
+    assert(!new java.io.File(s"$mh/minhash_e1.segs").exists(),
+      "the unpinned superseded epoch is reclaimed once the marker is gone")
   }
 
   test("a crash between the two folds replays into skip-fp, perform-mh") {
