@@ -676,14 +676,41 @@ object Dedup {
     * components real near-dup clusters mostly are. If the cap is somehow
     * still hit, the operator now FAILS LOUDLY instead of returning
     * wrong groups.
+    *
+    * PER-ROUND BARRIER — parquet spill, NOT localCheckpoint. Measured
+    * (r14, 10⁶-node chain forcing 22 rounds): with a per-round
+    * `localCheckpoint`, driver-side per-round cost starts DOUBLING
+    * around round 16 (0.8 s → 38 s by round 22; 2.7× the round-15–21
+    * window of the real 30×-corpus run) even though every stage in the
+    * round totals < 2 s — the checkpoint does not yield a fully
+    * independent frame, and per-action driver work grows with the
+    * accumulated generation graph when the round's plan references the
+    * checkpointed labels three times (neighbor join, pointer-jump
+    * self-join, base). A parquet round-trip IS a hard barrier: the next
+    * round plans against a plain file scan, and the same 22-round chain
+    * runs flat (~1 s every round, 34.5 s total vs 82 s). Labels
+    * alternate between two spill slots so a round never overwrites the
+    * slot it is reading. `spillDir` must be on a SHARED filesystem for
+    * a multi-node cluster (pass the job's checkpoint dir); the default
+    * driver-local temp dir suits local/single-node runs. The spill is
+    * deleted on the way out — the returned frame is materialized first.
     */
-  def dedupGroups(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+  def dedupGroups(pairs: DataFrame, maxIters: Int = 50,
+      spillDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .localCheckpoint() // reused every iteration: compute the pair set once
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+    val spill = spillDir.getOrElse(java.nio.file.Files
+      .createTempDirectory("graft-dedupgroups-spill").toString)
+    def barrier(df: DataFrame, slot: Int): DataFrame = {
+      val p = s"$spill/labels_$slot"
+      df.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    var labels = barrier(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")), 0)
     var changed = 1L
     var iter = 0
     def round(): Unit = {
@@ -691,7 +718,7 @@ object Dedup {
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
       // pointer jump: my label is a node id — fetch THAT node's label
       val hop = labels.select(col("id").as("jid"), col("label").as("jlabel"))
-      val next = labels.join(prop, col("id") === col("src"), "left")
+      val next = barrier(labels.join(prop, col("id") === col("src"), "left")
         .join(hop, col("label") === col("jid"), "left")
         .select(col("id"),
           least(col("label"),
@@ -699,8 +726,9 @@ object Dedup {
             coalesce(col("jlabel"), col("label"))).as("nl"),
           col("label").as("old"))
         .select(col("id"), col("nl").as("label"),
-          (col("nl") < col("old")).as("chg"))
-        .localCheckpoint()
+          (col("nl") < col("old")).as("chg")),
+        // write the slot the round is NOT reading from
+        1 - (iter % 2))
       changed = next.where(col("chg")).count()
       labels = next.select("id", "label")
       iter += 1
@@ -718,7 +746,15 @@ object Dedup {
             s"($changed labels still moving) — raise maxIters; returning " +
             "partial labels would silently split components")
     }
-    labels.select(col("id").as("doc_id"), col("label").as("group_id"))
+    // materialize the result OFF the spill files, then reclaim them
+    val out = labels
+      .select(col("id").as("doc_id"), col("label").as("group_id"))
+      .localCheckpoint()
+    scala.util.Try {
+      val p = new org.apache.hadoop.fs.Path(spill)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    out
   }
 
   /** Incremental exact dedup: filter a NEWLY-INGESTED batch against the

@@ -254,6 +254,23 @@ class DedupSpec extends SparkSpec {
     assert(got === unionFind(edges))
   }
 
+  test("dedupGroups stays convergent and correct past the deep-round regime") {
+    import spark.implicits._
+    // a 30k-node path graph needs ~17 pointer-jumping rounds — inside
+    // the regime where the old per-round localCheckpoint barrier's
+    // driver cost DOUBLED per round (measured r14: 0.8 s -> 38 s/round
+    // by round 22 on a 10^6 chain; the parquet spill barrier runs the
+    // same loop flat). This spec pins correctness at that depth; the
+    // flat-cost evidence lives in SCALECHECK_r14.
+    val n = 30000L
+    val chain = spark.range(n)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val got = Dedup.dedupGroups(chain)
+    assert(got.count() === n + 1)
+    assert(got.where(col("group_id") =!= 0L).count() === 0,
+      "every node of one chain must converge to the minimum id")
+  }
+
   test("dedupGroups over minhash pairs: canonical id is in every pair's component") {
     val pairs = Dedup.minhashPairs(docs, minJaccard = 0.5)
     val groups = Dedup.dedupGroups(pairs)
