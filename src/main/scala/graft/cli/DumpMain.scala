@@ -100,7 +100,7 @@ object Cli {
     "compression", "c", "format", "fk", "pk", "input", "i", "cleanup-method", "m",
     "target", "jdbc-url", "jdbc-user", "jdbc-password", "jdbc-driver",
     "jdbc-schema", "recreate-database", "jdbc-admin-url", "archive-compression",
-    "stores", "found", "batch")
+    "stores", "found", "batch", "watch", "checkpoint")
 
   def parse(args: Seq[String]): Opts = {
     var values = Map.empty[String, Seq[String]].withDefaultValue(Nil)

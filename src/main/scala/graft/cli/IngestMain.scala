@@ -24,6 +24,12 @@ import graft.operators.{FingerprintStore, IngestGate, MinHashStore}
   *
   * // reclaim superseded store epochs once no reader can hold them:
   * sbt "runMain graft.cli.IngestMain --stores /stores --vacuum"
+  *
+  * // CONTINUOUS crawl loop: tail a drop directory as a stream, gate +
+  * // fold each micro-batch (StreamingIngestGate, replay-safe), write
+  * // survivors per batch; --once drains and exits (cron-able):
+  * sbt "runMain graft.cli.IngestMain --stores /stores \
+  *   --watch /crawl/incoming -o /gated --once"
   * }}}
   *
   * `--stores <dir>` roots both artifacts (`<dir>/fingerprints`,
@@ -105,6 +111,37 @@ object IngestMain {
         (if (opts.flag("append")) s" (folded into both stores)" else ""))
     }
 
+    // The CONTINUOUS form: tail a crawl drop directory as a file-source
+    // stream and run the SAME replay-safe loop StreamingIngestGate specs
+    // (per-batch two-store epoch pin, fold survivors into both stores).
+    // The drop contract is Spark's file source's: parquet FILES appear
+    // atomically in the watch dir (stage elsewhere, move in) — nested
+    // dataset DIRECTORIES are not discovered.
+    // `--once` = Trigger.AvailableNow: drain what's there, then stop —
+    // the cron-able shape (and what the spec drives); without it the
+    // query runs until killed. The checkpoint (default
+    // `<output>/_checkpoint`) is what makes a re-launch resume AFTER
+    // the batches it already folded instead of re-gating them.
+    opts.value("watch").foreach { watchDir =>
+      val out = opts.required("output", short = "o")
+      val ckpt = opts.value("checkpoint").getOrElse(s"$out/_checkpoint")
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("text", "string")
+      val stream = spark.readStream.schema(schema).parquet(watchDir)
+      val writer = graft.streaming.StreamingIngestGate
+        .ingest(stream, fp, mh, (df, id) => {
+          df.write.mode("overwrite").parquet(s"$out/batch_$id")
+          println(s"batch $id: ${df.count()} survivors -> $out/batch_$id")
+        })
+        .option("checkpointLocation", ckpt)
+      val q =
+        if (opts.flag("once"))
+          writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        else writer.start()
+      q.awaitTermination()
+    }
+
     if (opts.flag("vacuum")) {
       FingerprintStore.vacuum(spark, fp)
       MinHashStore.vacuum(spark, mh)
@@ -112,8 +149,8 @@ object IngestMain {
     }
 
     require(opts.value("found").nonEmpty || opts.value("batch").nonEmpty
-      || opts.flag("vacuum"),
+      || opts.value("watch").nonEmpty || opts.flag("vacuum"),
       "nothing to do: pass --found <corpus>, --batch <dir> -o <out>, " +
-        "and/or --vacuum")
+        "--watch <dir> -o <out>, and/or --vacuum")
   }
 }

@@ -94,6 +94,58 @@ class IngestCliSpec extends SparkSpec {
     }
   }
 
+  test("--watch --once drains the drop dir, folds survivors, and resumes past processed batches") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_ingest_watch").toString
+
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the quiet river bank today"),
+      (2L, "streaming pipelines gate crawled documents against persisted artifacts before acceptance"))
+    corpus.toDF("doc_id", "text").write.parquet(s"$tmp/corpus.parquet")
+    IngestMain.run(Seq("--stores", s"$tmp/stores",
+      "--found", s"$tmp/corpus.parquet"), spark)
+
+    // the file-stream source consumes FILES appearing in the watch dir
+    // (the crawl-drop contract: writers stage elsewhere and atomically
+    // move the finished file in) — stage with spark, move the part file
+    def drop(rows: Seq[(Long, String)], name: String): Unit = {
+      val stage = s"$tmp/stage_$name"
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      new java.io.File(s"$tmp/drop").mkdirs()
+      Files.move(part.toPath, java.nio.file.Paths.get(s"$tmp/drop/$name"))
+    }
+
+    // drop batch 1 into the watch dir, drain once
+    drop(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the quiet river bank today"), // exact dup
+      (11L, "completely fresh words arrive here now bringing novel content for the corpus store")),
+      "b1.parquet")
+    IngestMain.run(Seq("--stores", s"$tmp/stores",
+      "--watch", s"$tmp/drop", "-o", s"$tmp/gated", "--once"), spark)
+    val out1 = spark.read.parquet(s"$tmp/gated/batch_0")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(out1 === Seq(11L))
+    assert(graft.core.EpochStore
+      .currentEpoch(spark, s"$tmp/stores/fingerprints") === 2,
+      "the gate store folded the drained batch (found = epoch 1, +1 append)")
+
+    // drop batch 2, drain again: the CHECKPOINT resumes past batch 1
+    // (no re-gate, no re-fold), and 20 falls fuzzily to survivor 11
+    drop(Seq(
+      (20L, "completely fresh words arrive here now bringing novel content for the corpus shop"), // fuzzy dup of SURVIVOR 11
+      (21L, "entirely unrelated final sentence closing the stream with distinct vocabulary choices")),
+      "b2.parquet")
+    IngestMain.run(Seq("--stores", s"$tmp/stores",
+      "--watch", s"$tmp/drop", "-o", s"$tmp/gated", "--once"), spark)
+    val out2 = spark.read.parquet(s"$tmp/gated/batch_1")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(out2 === Seq(21L))
+    // corpus(2) + 11 + 21 — batch 1's fold happened exactly once
+    assert(MinHashStore.load(spark, s"$tmp/stores/minhash").count() === 4)
+  }
+
   /** telemetry.json is flat {"k": long} — parse without a JSON dep. */
   private def ujsonish(path: String): Map[String, Long] =
     scala.io.Source.fromFile(path).mkString
