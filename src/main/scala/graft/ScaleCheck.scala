@@ -166,7 +166,61 @@ object ScaleCheck {
               lit(appendRep).cast("string")).as("text"))
       }
 
+      // BPE encode at demo (8) vs production-scale (1k+) merge counts:
+      // the greedy encoder's claim is per-word cost CONSTANT in the merge
+      // count, so the m1k curve must sit on the m8 curve (the replaced
+      // stacked-replace fold was O(merges × doc-length): 128× apart).
+      // The 1k table is well-formed by construction — prefix chains of
+      // the corpus's frequent words — so it both fires on this corpus
+      // and satisfies the greedy≡rank-order contract.
+      lazy val bigMergeTable: Seq[(String, String)] = {
+        import org.apache.spark.sql.functions._
+        val top = docs
+          .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("w"))
+          .groupBy("w").count()
+          .orderBy(col("count").desc, col("w"))
+          .limit(400)
+          .collect().map(_.getString(0))
+        val seen = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
+        top.foreach { w =>
+          val cps = w.toSeq.map(_.toString)
+          if (cps.length >= 2) {
+            var acc = cps.head
+            cps.tail.zipWithIndex.foreach { case (c, i) =>
+              val r = if (i == cps.length - 2) c + graft.operators.Bpe.Eow else c
+              seen += ((acc, r))
+              acc = acc + r
+            }
+          }
+        }
+        // the synthetic corpus's ~31-word vocabulary yields only ~110 real
+        // chains; pad with well-formed chains over words the corpus cannot
+        // contain (digit-bearing) so the RANK MAP genuinely carries 1k+
+        // entries — the per-pair hash probe pays the same whether its map
+        // has 8 rows or 30k, which is exactly the constant-in-M claim
+        var pad = 0
+        while (seen.size < 1200) {
+          val w = s"zz${pad}xq${pad % 7}"
+          val cps = w.toSeq.map(_.toString)
+          var acc = cps.head
+          cps.tail.zipWithIndex.foreach { case (c, i) =>
+            val r = if (i == cps.length - 2) c + graft.operators.Bpe.Eow else c
+            seen += ((acc, r))
+            acc = acc + r
+          }
+          pad += 1
+        }
+        seen.toSeq
+      }
+      val demoMerges = Seq(
+        ("t", "h"), ("th", "e</w>"), ("a", "l"), ("u", "e</w>"),
+        ("r", "o"), ("ro", "w</w>"), ("k", "e"), ("ke", "y</w>"))
+
       val ops: Seq[(String, () => DataFrame)] = Seq(
+        "bpe_tokenize_m8" -> (() =>
+          graft.operators.Bpe.bpeApply(docs, demoMerges)),
+        "bpe_tokenize_m1k" -> (() =>
+          graft.operators.Bpe.bpeApply(docs, bigMergeTable)),
         "minhash_store_append" -> { () =>
           graft.operators.MinHashStore.append(fixedFreshBatch(), mhAppendStore)
           spark.range(1).toDF("ok")

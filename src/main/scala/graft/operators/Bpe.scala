@@ -143,20 +143,45 @@ object Bpe {
         col("merged"), col("pair_count"))
   }
 
-  /** Tokenize with a trained merge table: each document's words are
-    * segmented to marked characters and the merges replay IN RANK ORDER —
-    * the exact encoder of the trained tokenizer. The merge table arrives
-    * as a driver-side list (a bounded artifact, like a codebook — fetch
-    * it once via `.collect()` from [[bpeTrain]]'s frame); application is
-    * one map-side pass, zero shuffle: the whole document becomes one
-    * padded symbol stream (safe — see [[Eow]]) and each merge is one
-    * codegen'd string replace, the fold unrolled into the plan.
+  /** Tokenize with a trained merge table — the exact encoder of the
+    * trained tokenizer. The merge table arrives as a driver-side list (a
+    * bounded artifact, like a codebook — fetch it once via `.collect()`
+    * from [[bpeTrain]]'s frame); application is one map-side pass, zero
+    * shuffle, through the codegen'd single-pass greedy encoder
+    * [[graft.functions.BpeEncode]]: per word, the lowest-rank adjacent
+    * pair merges first (leftmost on ties) against a plan-literal rank
+    * map, so per-word cost and generated-code size are CONSTANT in the
+    * merge count — a 30k-merge production vocabulary runs the same plan
+    * as the 8-merge demo table. For any table [[bpeTrain]] can emit this
+    * is bit-identical to replaying the merges in rank order
+    * ([[bpeApplyFold]]; equivalence contract and proof sketch on
+    * [[graft.functions.BpeEncoder]], parity spec-asserted at 100+
+    * trained merges).
     *
     * Emits per-doc `bpe_tokens` (subword units in order) and
     * `n_bpe_tokens` — the REAL token count a sequence-packing budget
     * should use in place of the whitespace proxy.
     */
   def bpeApply(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val toks = graft.functions.BpeEncode(TextAnalysis.tokens(col("text")), merges)
+    docs.select(col("doc_id"),
+      TextAnalysis.bindOnce(toks, t =>
+        struct(t.as("bpe_tokens"),
+          size(t).cast("long").as("n_bpe_tokens"))).as("s"))
+      .select(col("doc_id"), col("s.bpe_tokens"), col("s.n_bpe_tokens"))
+  }
+
+  /** The replaced rank-order-replay encoder, retained as [[bpeApply]]'s
+    * parity witness: the whole document becomes one padded symbol stream
+    * (safe — see [[Eow]]) and each merge is one codegen'd string replace,
+    * the fold unrolled into the plan — O(merges × doc-length) per row
+    * with plan size linear in the merge count, which is why it is NOT
+    * the production encoder. Kept because its semantics are replayable
+    * verbatim as nested `replace()` calls in DuckDB (the bpe_tokenize
+    * oracle) and because the greedy-equals-rank-order equivalence spec
+    * needs both forms.
+    */
+  def bpeApplyFold(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val repr0 = array_join(transform(TextAnalysis.tokens(col("text")),
       w => wordRepr(w)), "")
     val merged = merges.foldLeft(repr0: Column) {

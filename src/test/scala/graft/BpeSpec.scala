@@ -70,6 +70,92 @@ class BpeSpec extends SparkSpec {
     assert(a === b)
   }
 
+  // deterministic word soup rich enough to sustain 100+ trained merges:
+  // zipfian-ish draws over a 60-word lexicon of 3–10-letter words
+  private def richCorpus = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val lexicon = Vector.fill(60)(
+      (1 to (3 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(9)).toChar).mkString)
+    val docs = (1L to 40L).map { id =>
+      val words = (1 to 80).map { _ =>
+        lexicon(math.min(rnd.nextInt(60), rnd.nextInt(60))) // skewed
+      }
+      (id, words.mkString(" "))
+    }
+    docs.toDF("doc_id", "text")
+  }
+
+  /** Well-formed-by-construction merge table: prefix chains of the
+    * corpus's frequent words ((c1,c2), (c1c2,c3), …, final right carrying
+    * the marker) — every left is produced by an earlier merge of the same
+    * chain, every right is an initial symbol. Lets the parity spec reach
+    * production-scale merge counts without paying one training iteration
+    * per merge.
+    */
+  private def chainMerges(docs: org.apache.spark.sql.DataFrame, topWords: Int): Seq[(String, String)] = {
+    val top = docs
+      .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("w").count()
+      .orderBy(col("count").desc, col("w"))
+      .limit(topWords)
+      .collect().map(_.getString(0))
+    val seen = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
+    top.foreach { w =>
+      val cps = w.toSeq.map(_.toString)
+      if (cps.length >= 2) {
+        var acc = cps.head
+        cps.tail.zipWithIndex.foreach { case (c, i) =>
+          val r = if (i == cps.length - 2) c + Bpe.Eow else c
+          seen += ((acc, r))
+          acc = acc + r
+        }
+      }
+    }
+    seen.toSeq
+  }
+
+  test("greedy encoder matches the rank-order fold on a trained table") {
+    val merges = Bpe.bpeTrain(richCorpus, numMerges = 25).collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    assert(merges.size === 25)
+    val a = Bpe.bpeApply(richCorpus, merges).orderBy("doc_id").collect().toSeq
+    val b = Bpe.bpeApplyFold(richCorpus, merges).orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
+  test("greedy encoder matches the fold at 150+ well-formed merges") {
+    val merges = chainMerges(richCorpus, topWords = 40)
+    assert(merges.size >= 150, s"chain table too small: ${merges.size}")
+    val a = Bpe.bpeApply(richCorpus, merges).orderBy("doc_id").collect().toSeq
+    val b = Bpe.bpeApplyFold(richCorpus, merges).orderBy("doc_id").collect().toSeq
+    assert(a === b)
+    // the table actually fires: frequent words collapse to single units
+    val toks = a.head.getAs[scala.collection.Seq[String]]("bpe_tokens")
+    assert(toks.exists(_.length > 3))
+  }
+
+  test("greedy encoder matches the fold on the real corpus under the demo table") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val demo = Seq(
+      ("t", "h"), ("th", "e</w>"), ("a", "l"), ("u", "e</w>"),
+      ("r", "o"), ("ro", "w</w>"), ("k", "e"), ("ke", "y</w>"))
+    val a = Bpe.bpeApply(docs, demo).orderBy("doc_id").collect().toSeq
+    val b = Bpe.bpeApplyFold(docs, demo).orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
+  test("BpeEncode rejects space-bearing merge symbols loudly") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab")).toDF("doc_id", "text")
+    val ex = intercept[Throwable] {
+      Bpe.bpeApply(docs, Seq(("a b", "c"))).collect()
+    }
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .flatMap(e => Option(e.getMessage)).toSeq
+    assert(msgs.exists(_.contains("spaces")), msgs.mkString(" | "))
+  }
+
   test("maxVocab caps the iteration frame to the most frequent word types") {
     import spark.implicits._
     // cap of 2 keeps newest(6) and low(5); all newest-internal pairs tie
