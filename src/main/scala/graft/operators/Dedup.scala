@@ -690,10 +690,29 @@ object Dedup {
     * round plans against a plain file scan, and the same 22-round chain
     * runs flat (~1 s every round, 34.5 s total vs 82 s). Labels
     * alternate between two spill slots so a round never overwrites the
-    * slot it is reading. `spillDir` must be on a SHARED filesystem for
-    * a multi-node cluster (pass the job's checkpoint dir); the default
-    * driver-local temp dir suits local/single-node runs. The spill is
-    * deleted on the way out — the returned frame is materialized first.
+    * slot it is reading. Because the pathology is a function of
+    * checkpoint GENERATION DEPTH (flat through ~8, compounding past
+    * ~16), the barrier is HYBRID: the first 8 generations use the
+    * in-memory localCheckpoint (clique-shaped real components converge
+    * in 2–4 rounds and never pay file I/O), and only deep-diameter
+    * graphs graduate to the parquet spill, well before the compounding
+    * regime — the 10⁶-chain regression spec covers the crossover.
+    *
+    * SPILL LIFECYCLE (the multi-node safety contract): the barrier root
+    * resolves spillDir param → the session's `setCheckpointDir` →
+    * driver-local temp ONLY under a local master — a multi-node job with
+    * neither configured fails loudly up front instead of spilling to a
+    * path the executors can't read. Every invocation works inside its
+    * OWN `dedupgroups-<uuid>` subdirectory of that root (concurrent
+    * invocations against one checkpoint dir can't collide) and deletes
+    * ONLY that subdirectory's intermediate slots on the way out — never
+    * the caller's root, which may be the job's shared checkpoint dir
+    * with other state in it. The returned frame reads the final labels
+    * from `<subdir>/result` — a plain fault-tolerant file scan (an
+    * executor loss recomputes from the file, unlike a localCheckpoint
+    * whose lost blocks are unrecoverable); like a reliable Spark
+    * checkpoint, that one file set outlives the call and is the
+    * caller's to reclaim when the result is no longer needed.
     */
   def dedupGroups(pairs: DataFrame, maxIters: Int = 50,
       spillDir: Option[String] = None): DataFrame = {
@@ -702,12 +721,30 @@ object Dedup {
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .localCheckpoint() // reused every iteration: compute the pair set once
-    val spill = spillDir.getOrElse(java.nio.file.Files
-      .createTempDirectory("graft-dedupgroups-spill").toString)
+    val root = resolveSpillRoot(spillDir,
+      spark.sparkContext.getCheckpointDir, spark.sparkContext.isLocal)
+    val spill = s"$root/dedupgroups-${java.util.UUID.randomUUID()}"
+    var lastSlot: String = null
+    // HYBRID barrier: the localCheckpoint pathology is a function of
+    // checkpoint GENERATION depth (driver cost starts compounding past
+    // ~16 generations when the round plan references the labels 3×;
+    // flat through 8 — measured r14, SCALECHECK_r14), while the parquet
+    // round-trip pays two file passes every round regardless. So the
+    // first 8 generations take the cheap in-memory barrier — clique-ish
+    // real dedup components converge in 2–4 rounds and never touch the
+    // filesystem — and only deep-diameter graphs graduate to the parquet
+    // spill, well before the compounding regime.
+    val hybridGens = 8
+    var gen = 0
     def barrier(df: DataFrame, slot: Int): DataFrame = {
-      val p = s"$spill/labels_$slot"
-      df.write.mode("overwrite").parquet(p)
-      spark.read.parquet(p)
+      gen += 1
+      if (gen <= hybridGens) df.localCheckpoint()
+      else {
+        val p = s"$spill/labels_$slot"
+        df.write.mode("overwrite").parquet(p)
+        lastSlot = p
+        spark.read.parquet(p)
+      }
     }
     var labels = barrier(edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")), 0)
@@ -746,16 +783,52 @@ object Dedup {
             s"($changed labels still moving) — raise maxIters; returning " +
             "partial labels would silently split components")
     }
-    // materialize the result OFF the spill files, then reclaim them
-    val out = labels
-      .select(col("id").as("doc_id"), col("label").as("group_id"))
-      .localCheckpoint()
-    scala.util.Try {
-      val p = new org.apache.hadoop.fs.Path(spill)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    // promote the final labels to <subdir>/result — a same-FS rename of
+    // the last parquet slot when the deep-round path ran, one small
+    // write when convergence stayed inside the in-memory generations —
+    // reclaim the intermediate slots, and return a plain file-scan frame
+    // over the result: fault-tolerant lineage, nothing pointing at
+    // deleted paths or evictable blocks
+    val fs = new org.apache.hadoop.fs.Path(spill)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val resultPath = s"$spill/result"
+    if (lastSlot == null)
+      labels.select("id", "label").write.mode("overwrite").parquet(resultPath)
+    else {
+      require(fs.rename(new org.apache.hadoop.fs.Path(lastSlot),
+          new org.apache.hadoop.fs.Path(resultPath)),
+        s"dedupGroups: failed to promote $lastSlot to $resultPath")
+      Seq(0, 1).foreach { s =>
+        val p = new org.apache.hadoop.fs.Path(s"$spill/labels_$s")
+        scala.util.Try(fs.delete(p, true))
+      }
     }
-    out
+    spark.read.parquet(resultPath)
+      .select(col("id").as("doc_id"), col("label").as("group_id"))
   }
+
+  /** [[dedupGroups]]' spill-root resolution, factored pure so every
+    * branch is spec-testable without a non-local session: explicit
+    * `spillDir` wins; else the session checkpoint dir (already the
+    * shared-filesystem path on a real cluster); else a driver-local temp
+    * dir ONLY when the master is local — on a multi-node master a
+    * driver-local path would be invisible to executors and the barrier
+    * would corrupt or lose labels, so fail loudly before any work.
+    */
+  private[graft] def resolveSpillRoot(
+      spillDir: Option[String],
+      checkpointDir: Option[String],
+      isLocalMaster: Boolean): String =
+    spillDir.orElse(checkpointDir).getOrElse {
+      if (isLocalMaster)
+        java.nio.file.Files.createTempDirectory("graft-dedupgroups-spill").toString
+      else
+        throw new IllegalArgumentException(
+          "dedupGroups needs a shared-filesystem spill directory on a " +
+            "multi-node cluster: pass spillDir or set " +
+            "spark.sparkContext.setCheckpointDir — a driver-local temp " +
+            "dir would be invisible to executors")
+    }
 
   /** Incremental exact dedup: filter a NEWLY-INGESTED batch against the
     * EXISTING corpus — the ingestion shape of a continuously-growing

@@ -271,6 +271,76 @@ class DedupSpec extends SparkSpec {
       "every node of one chain must converge to the minimum id")
   }
 
+  test("dedupGroups spill-root resolution: param wins, then checkpoint dir, temp only local") {
+    assert(Dedup.resolveSpillRoot(Some("/shared/a"), Some("/ckpt"), isLocalMaster = false)
+      === "/shared/a")
+    assert(Dedup.resolveSpillRoot(None, Some("/ckpt"), isLocalMaster = false) === "/ckpt")
+    val tmp = Dedup.resolveSpillRoot(None, None, isLocalMaster = true)
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(tmp)))
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.resolveSpillRoot(None, None, isLocalMaster = false)
+    }
+    assert(ex.getMessage.contains("shared-filesystem"))
+  }
+
+  test("dedupGroups never deletes caller state in a shared spillDir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shared-ckpt")
+    val sentinel = dir.resolve("precious-other-job-state.txt")
+    java.nio.file.Files.writeString(sentinel, "do not delete")
+    // a 5k-node chain needs ~13 rounds — past the 8 in-memory hybrid
+    // generations, so the parquet slots are genuinely written and their
+    // cleanup is what this spec is watching
+    val chain = spark.range(5000L)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val got = Dedup.dedupGroups(chain, spillDir = Some(dir.toString))
+    assert(got.count() === 5001L)
+    assert(got.where(col("group_id") =!= 0L).count() === 0)
+    assert(java.nio.file.Files.exists(sentinel),
+      "the caller's own checkpoint-dir state must survive the spill cleanup")
+    // the invocation's subdir keeps only the fault-tolerant result files
+    // the returned frame reads from — intermediate slots are reclaimed
+    val sub = java.nio.file.Files.list(dir).filter(p =>
+      p.getFileName.toString.startsWith("dedupgroups-")).toArray
+    assert(sub.length === 1)
+    val inside = java.nio.file.Files.list(
+      sub(0).asInstanceOf[java.nio.file.Path]).toArray.map(_.toString)
+    assert(inside.exists(_.endsWith("/result")))
+    assert(!inside.exists(_.contains("labels_")))
+  }
+
+  test("concurrent dedupGroups invocations sharing one spillDir stay isolated") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = java.nio.file.Files.createTempDirectory("graft-shared-ckpt2").toString
+    val a = Future(Dedup.dedupGroups(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b"),
+      spillDir = Some(dir)).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    val b = Future(Dedup.dedupGroups(
+      Seq((10L, 11L), (12L, 11L)).toDF("doc_a", "doc_b"),
+      spillDir = Some(dir)).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    assert(Await.result(a, 300.seconds) ===
+      Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    assert(Await.result(b, 300.seconds) ===
+      Seq(10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("dedupGroups result survives lost cached blocks (file-scan lineage)") {
+    import spark.implicits._
+    val pairs = Seq((5L, 6L), (6L, 7L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dedupGroups(pairs)
+    // consume twice with a blockManager-free path between: a plain
+    // file-scan result recomputes identically; a localCheckpoint-backed
+    // one would depend on executor block survival
+    assert(got.count() === 3)
+    spark.sqlContext.clearCache()
+    assert(got.orderBy("doc_id").collect().map(_.getLong(1)).toSeq ===
+      Seq(5L, 5L, 5L))
+  }
+
   test("dedupGroups over minhash pairs: canonical id is in every pair's component") {
     val pairs = Dedup.minhashPairs(docs, minJaccard = 0.5)
     val groups = Dedup.dedupGroups(pairs)
