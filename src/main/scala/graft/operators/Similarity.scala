@@ -696,8 +696,13 @@ object Similarity {
 
   /** `v − centroid(cell)` as one zip_with over the literal centroid
     * matrix — the residual the full IVFADC form quantizes (Jégou et al.
-    * §IV-A). Shared by [[ivfPqSearch]] and [[VectorIndexStore]] so the
-    * in-plan and persisted encode sides cannot drift.
+    * §IV-A). RETAINED AS THE PARITY WITNESS for
+    * [[graft.functions.PqResidualDistances]], which folds this
+    * subtraction into the codegen'd distance loop (zip_with is a
+    * higher-order function Spark evaluates interpreted, allocating a
+    * boxed residual array per row — the encode-pass tax the fused
+    * expression removes); bit-equality of the two forms is
+    * spec-asserted (FunctionsSpec).
     */
   private[operators] def residualExpr(
       cents: Array[(Long, Array[Double], Double)])(v: Column, cell: Column): Column =
@@ -900,8 +905,9 @@ object Similarity {
     // Cost: the query side computes nprobe LUTs instead of one; the
     // corpus side is unchanged (still one map-side pass).
     def pqDss(v: Column, cell: Column): Column =
-      graft.functions.PqDistances(if (residual) residualExpr(cents)(v, cell) else v,
-        typedLit(pcb.toSeq), m, k)
+      if (residual)
+        graft.functions.PqResidualDistances(v, cell, cents.map(_._2), pcb, m, k)
+      else graft.functions.PqDistances(v, typedLit(pcb.toSeq), m, k)
     val withCell = e.select(col("vec_id"), col("v"),
         centCos(cents)(col("v"), col("nrm")).as("css"))
       .withColumn("cell",

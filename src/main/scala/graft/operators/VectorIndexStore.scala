@@ -89,10 +89,11 @@ object VectorIndexStore {
           .cast("int").as("cell"),
         (lit(1.0) - array_max(col("css"))).cast("float").as("cdist"))
       .select(col("vec_id"), col("cell"),
-        transform(graft.functions.PqDistances(
-            if (residual) Similarity.residualExpr(cents)(col("v"), col("cell"))
-            else col("v"),
-            typedLit(cb.toSeq), m, k),
+        transform(
+          if (residual)
+            graft.functions.PqResidualDistances(
+              col("v"), col("cell"), cents.map(_._2), cb, m, k)
+          else graft.functions.PqDistances(col("v"), typedLit(cb.toSeq), m, k),
           ds => array_position(ds, array_min(ds)) - 1).as("codes"),
         col("cdist"))
   }
@@ -299,9 +300,9 @@ object VectorIndexStore {
           .select(col("vec_id").as("query_id"), col("v").as("vq"),
             explode_outer(Similarity.probeCellsExpr(nc, nprobe)).as("qcell"))
           .select(col("query_id"), col("qcell"),
-            graft.functions.PqDistances(
-              Similarity.residualExpr(ix.cents)(col("vq"), col("qcell")),
-              typedLit(ix.cb.toSeq), ix.m, ix.k).as("qlut"))
+            graft.functions.PqResidualDistances(
+              col("vq"), col("qcell"), ix.cents.map(_._2), ix.cb,
+              ix.m, ix.k).as("qlut"))
       else
         withCss
           .select(col("vec_id").as("query_id"),

@@ -87,4 +87,42 @@ class FunctionsSpec extends SparkSpec {
     val viaSql = df.selectExpr("dot_product(a, b)").head().getDouble(0)
     assert(viaColumn === viaSql)
   }
+
+  test("PqResidualDistances is bit-equal to the zip_with residual composition") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val dim = 8
+    val m = 4
+    val k = 3
+    val cents = Array.fill(5)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val cb = Array.fill(m * k * (dim / m))(rnd.nextDouble() * 2 - 1)
+    val df = (0 until 64).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextDouble() * 2 - 1), i % 5))
+      .toDF("vec_id", "v", "cell")
+      .select(col("vec_id"), col("v"), col("cell").cast("int").as("cell"))
+    // the replaced composition: interpreted zip_with residual, then the
+    // codegen'd PqDistances over it (Similarity.residualExpr's body)
+    val composed = graft.functions.PqDistances(
+      zip_with(col("v"),
+        element_at(typedLit(cents.map(_.toSeq).toSeq), col("cell") + 1),
+        (a, b) => a - b),
+      typedLit(cb.toSeq), m, k)
+    val fused = graft.functions.PqResidualDistances(
+      col("v"), col("cell"), cents, cb, m, k)
+    val rows = df.select(col("vec_id"), composed.as("c"), fused.as("f"))
+      .orderBy("vec_id").collect()
+    rows.foreach { r =>
+      assert(r.getSeq[scala.collection.Seq[Double]](1) === r.getSeq[scala.collection.Seq[Double]](2))
+    }
+    // out-of-range cell: NULL through both forms (element_at OOB null vs
+    // the fused expression's explicit range check)
+    val bad = df.select(
+      graft.functions.PqResidualDistances(
+        col("v"), lit(99).cast("int"), cents, cb, m, k).as("f")).head()
+    assert(bad.isNullAt(0))
+    // width mismatch: NULL, the PqDistances contract
+    val narrow = df.select(graft.functions.PqResidualDistances(
+      slice(col("v"), 1, 3), col("cell"), cents, cb, m, k).as("f")).head()
+    assert(narrow.isNullAt(0))
+  }
 }
