@@ -1499,7 +1499,7 @@ object SparkEntry {
         .orderBy("vec_id")),
 
     // asymmetric search over the SQ index: exact queries vs reconstructed
-    // corpus, one codegen'd dot probe per pair, two-phase top-k
+    // corpus, one codegen'd dot probe per pair, map-capped window top-k
     "sq_search" -> ((s, dir) =>
       Similarity.sqSearch(cat(s, dir).table("embeddings"), col("vec_id") % 50 === 0,
           kNN = 10)

@@ -19,8 +19,8 @@ import graft.operators.TextAnalysis.{bindOnce, hexHash, tokens}
   * bounded by `buckets` rows; the log-ratio table (≤ `buckets` rows) is a
   * plan-time broadcast joined map-side into the raw feature stream; doc
   * scoring is one partial-aggregated shuffle on doc_id; top-k runs the
-  * two-phase local/global rank (WindowGroupLimit both phases — no global
-  * sort, no skew concentration). Per-bucket log-ratios are rounded to 6
+  * map-capped single-window rank (WindowGroupLimit Partial + Final — no
+  * global sort, no skew concentration). Per-bucket log-ratios are rounded to 6
   * decimals and decimal-summed, so every score is partition-order
   * independent and engine-portable (the unigram_lm discipline).
   */

@@ -21,7 +21,9 @@ import TextAnalysis.bindOnce
   *   within buckets), `annLsh`/`annIvf` restrict search to the query's
   *   bucket/cell. `exact = true` (cosine-dup) and `annTopK` are the exact
   *   baselines — `annTopK` streams map-side against broadcast queries with
-  *   a two-phase top-k so no task ever sorts the whole corpus.
+  *   a map-capped single-window top-k (rank ≤ k compiles to a Partial
+  *   WindowGroupLimit below the exchange) so no task ever sorts or
+  *   forwards the whole corpus's scores.
   * - Embeddings are assumed fixed-width (one model ⇒ one dimension); the
   *   width is probed from the first row at plan time. Mismatched-width
   *   pairs yield NULL cosine (DotProduct's contract) and drop out of every
@@ -140,10 +142,10 @@ object Similarity {
   }
 
   /** Exact top-k neighbors per query vector (brute-force ANN baseline).
-    * Queries broadcast; candidates stream map-side. The top-k is two-phase:
-    * phase 1 takes a local top-k per (query, input partition) — every
-    * window partition is bounded by the map partition size, so no task
-    * ever sorts the whole corpus's scores — and phase 2 ranks the
+    * Queries broadcast; candidates stream map-side. The per-query top-k
+    * is ONE window whose rank ≤ k filter compiles to WindowGroupLimit
+    * Partial (below the exchange) + Final: each map partition forwards at
+    * most k rows per query, so the global phase ranks the
     * ≤ k × partitions survivors globally. Any global top-k row ranks ≤ k
     * within its own partition, so phase 1 loses nothing; ties break on
     * neighbor id in both phases, making the result exact and deterministic
@@ -156,13 +158,8 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("vq"), col("nrm").as("nq"))
     val scored = broadcast(q).join(e, col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("vq"), col("v")) / (col("nq") * col("nrm")))
-      .withColumn("part", spark_partition_id())
-    val local = Window.partitionBy(col("query_id"), col("part"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    val survivors = scored.withColumn("lrank", row_number().over(local))
-      .where(col("lrank") <= k)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    survivors.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rank").cast("long").as("rank"), round(col("cos"), 4).as("cosine"))
@@ -418,8 +415,8 @@ object Similarity {
     * full precision and its per-subspace distance matrix doubles as a
     * lookup table, so scoring a neighbor is m table probes + adds against
     * its m-byte code — the corpus's vectors are never touched. Queries
-    * (with LUTs) broadcast; codes stream map-side; two-phase top-k as in
-    * annTopK. The exact-rank baseline is annTopK; this is what replaces
+    * (with LUTs) broadcast; codes stream map-side; map-capped
+    * single-window top-k as in annTopK. The exact-rank baseline is annTopK; this is what replaces
     * it when the corpus only exists in compressed form.
     */
   def pqSearch(
@@ -443,13 +440,8 @@ object Similarity {
     // sum as the unrolled element_at fold, ~10× less per-pair overhead)
     val scored = broadcast(q).join(corpus, col("vec_id") =!= col("query_id"))
       .withColumn("adist", graft.functions.AdcDistance(col("qlut"), col("codes")))
-      .withColumn("part", spark_partition_id())
-    val local = Window.partitionBy(col("query_id"), col("part"))
-      .orderBy(col("adist"), col("vec_id"))
-    val survivors = scored.withColumn("lrank", row_number().over(local))
-      .where(col("lrank") <= kNN)
     val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
-    survivors.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= kNN)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rank").cast("long").as("rank"), round(col("adist"), 4).as("approx_dist2"))
@@ -527,8 +519,9 @@ object Similarity {
     * |q|² + |r|² − 2·q·r with the reconstruction norm precomputed
     * map-side per corpus row — so each pair costs ONE codegen'd [[dot]]
     * probe over the reconstructed array, and the top-k is the shared
-    * two-phase shape (per-partition top-k, then a global rank over
-    * ≤ k × partitions survivors — no corpus-wide sort).
+    * map-capped single-window shape (WindowGroupLimit Partial caps each
+    * partition's contribution at k before the exchange, so the global
+    * rank sees ≤ k × partitions survivors — no corpus-wide sort).
     */
   def sqSearch(emb: DataFrame, queryFilter: Column, kNN: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -553,13 +546,8 @@ object Similarity {
     val scored = broadcast(q).join(sq, col("vec_id") =!= col("query_id"))
       .withColumn("adist",
         col("qn2") + col("rn2") - lit(2.0) * dot(col("qv"), col("r")))
-      .withColumn("part", spark_partition_id())
-    val local = Window.partitionBy(col("query_id"), col("part"))
-      .orderBy(col("adist"), col("vec_id"))
-    val survivors = scored.withColumn("lrank", row_number().over(local))
-      .where(col("lrank") <= kNN)
     val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
-    survivors.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= kNN)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rank").cast("long").as("rank"), round(col("adist"), 4).as("approx_dist2"))
@@ -953,20 +941,17 @@ object Similarity {
     val scored = index.join(broadcast(q),
         col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
       .withColumn("adist", graft.functions.AdcDistance(col("qlut"), col("codes")))
-      .withColumn("part", spark_partition_id())
-    // two-phase top-k (the pqSearch/annTopK pattern): a per-partition
-    // row_number caps each partition's contribution at kNN BEFORE the
-    // per-query shuffle, so a skewed cell at high nprobe cannot
-    // concentrate one query's full candidate set (nprobe × cell size) in
-    // a single window partition — the global phase sees at most
-    // partitions × kNN survivors per query. Both windows carry
-    // WindowGroupLimit pushdown (top-k aware, no full partition sort).
-    val local = Window.partitionBy(col("query_id"), col("part"))
-      .orderBy(col("adist"), col("vec_id"))
-    val survivors = scored.withColumn("lrank", row_number().over(local))
-      .where(col("lrank") <= kNN)
+    // single-window top-k: the rank <= kNN filter makes Spark insert
+    // WindowGroupLimit(Partial) BELOW the exchange — each map partition
+    // forwards at most kNN rows per query, so a skewed cell at high
+    // nprobe cannot concentrate one query's full candidate set
+    // (nprobe × cell size) in a single window partition: the global
+    // phase sees at most partitions × kNN survivors per query. The
+    // manual (query_id, partition_id) pre-rank phase this replaces
+    // added a full Exchange+Sort+Window of the candidate volume for a
+    // bound the native partial limit already provides (plan-asserted).
     val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
-    survivors.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= kNN)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rank").cast("long").as("rank"), round(col("adist"), 4).as("approx_dist2"))
@@ -1105,9 +1090,10 @@ object Similarity {
     * joins on (band, bucket): shuffle volume rows × bands, verify work
     * Σ bucket² per band, never rows². A pair colliding in several bands is
     * scored once — the pair key groupBy that dedups it is candidate-volume
-    * bounded, not corpus². Per-query top-k is then two-phase (the
-    * [[annTopK]] discipline): a local top-k per (query, partition) bounds
-    * every window sort before the global rank. Edge recall per pair at
+    * bounded, not corpus². Per-query top-k is then the map-capped
+    * single window (the [[annTopK]] discipline): the Partial
+    * WindowGroupLimit bounds every partition's contribution at k before
+    * the global rank's exchange. Edge recall per pair at
     * cosine θ is 1 − (1 − p₁^planes)^bands with p₁ = 1 − arccos(θ)/π —
     * bands buy recall at linear shuffle cost, the standard LSH trade.
     *
@@ -1188,14 +1174,9 @@ object Similarity {
           .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
           .agg(max(col("cos")).as("cos"))
       }
-    val scored = cand.withColumn("part", spark_partition_id())
-    val local = Window.partitionBy(col("query_id"), col("part"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    val survivors = scored.withColumn("lrank", row_number().over(local))
-      .where(col("lrank") <= k)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    survivors.withColumn("rank", row_number().over(w))
+    cand.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"), round(col("cos"), 4).as("cosine"))

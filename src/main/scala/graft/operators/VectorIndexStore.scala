@@ -313,15 +313,11 @@ object VectorIndexStore {
             explode_outer(col("qcells")).as("qcell"))
     val scored = ix.postings.join(broadcast(q), col("cell") === col("qcell"))
       .withColumn("adist", graft.functions.AdcDistance(col("qlut"), col("codes")))
-      .withColumn("part", spark_partition_id())
-    // two-phase top-k (the ivfPqSearch pattern): per-partition cap
-    // before the per-query shuffle, WindowGroupLimit on both phases
-    val local = Window.partitionBy(col("query_id"), col("part"))
-      .orderBy(col("adist"), col("vec_id"))
-    val survivors = scored.withColumn("lrank", row_number().over(local))
-      .where(col("lrank") <= kNN)
+    // single-window top-k (the ivfPqSearch pattern): rank <= kNN puts a
+    // WindowGroupLimit(Partial) below the exchange — the map-side cap
+    // the old manual two-phase pattern paid an extra Exchange for
     val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
-    survivors.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= kNN)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rank").cast("long").as("rank"),

@@ -266,12 +266,15 @@ class SimilaritySpec extends SparkSpec {
     val repart = Similarity.ivfPqSearch(emb.repartition(13), qf, kNN = 5, centEvery = 20)
       .orderBy("query_id", "rank").collect().toSeq
     assert(base === repart)
-    // two-phase top-k: both the per-partition and the global rank must
-    // carry WindowGroupLimit pushdown, so a skewed cell at high nprobe
-    // cannot concentrate one query's candidates in a single window sort
+    // single-window top-k, capped map-side: rank <= kNN must compile to
+    // WindowGroupLimit Partial (below the exchange) + Final, so a skewed
+    // cell at high nprobe cannot concentrate one query's candidates in a
+    // single window sort — and no manual second window phase remains
     val plan = res.queryExecution.executedPlan.toString
     val limits = "WindowGroupLimit".r.findAllIn(plan).length
-    assert(limits >= 2, s"expected 2 WindowGroupLimit phases, plan had $limits:\n$plan")
+    assert(limits === 2, s"expected Partial+Final WindowGroupLimit, plan had $limits:\n$plan")
+    assert("Window".r.findAllIn(plan).length === 3,
+      s"expected one Window + Partial/Final limits:\n$plan")
   }
 
   test("similarity operators yield empty results on an empty frame (no throw)") {

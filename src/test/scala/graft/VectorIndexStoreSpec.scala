@@ -100,7 +100,7 @@ class VectorIndexStoreSpec extends SparkSpec {
     assert(got.toSeq === expected.toSeq)
   }
 
-  test("search plan: queries broadcast, postings stay the scanned side, two-phase top-k") {
+  test("search plan: queries broadcast, postings scanned, single-window map-capped top-k") {
     val path = tmp("vix-plan")
     VectorIndexStore.save(emb, path)
     val res = VectorIndexStore.search(
@@ -109,10 +109,16 @@ class VectorIndexStoreSpec extends SparkSpec {
     // the serving shape: the (small) query batch broadcasts with its ADC
     // LUTs; the postings table is never collected or broadcast
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
-    // two-phase top-k with WindowGroupLimit pushdown on both phases
-    // (the ivfPqSearch contract carried over)
+    // ONE window, capped map-side: the rank <= kNN filter must compile to
+    // WindowGroupLimit(Partial) below the exchange + Final above — each
+    // map partition forwards at most kNN rows per query, the bound the
+    // replaced manual (query_id, partition_id) pre-rank phase paid a
+    // whole extra Exchange+Sort+Window for
     val limits = "WindowGroupLimit".r.findAllIn(plan).length
-    assert(limits >= 2, s"expected 2 WindowGroupLimit phases, plan had $limits:\n$plan")
+    assert(limits === 2, s"expected Partial+Final WindowGroupLimit, plan had $limits:\n$plan")
+    // 2 WindowGroupLimit + 1 Window node — the manual second phase is gone
+    assert("Window".r.findAllIn(plan).length === 3,
+      s"expected one Window + Partial/Final limits:\n$plan")
   }
 
   test("external queries see no self-exclusion: a corpus row can be its own hit") {
