@@ -52,7 +52,11 @@ final class Catalog(
     @transient private val reader: Option[String => DataFrame] = None,
     // driver-side resource pinning the catalog's consistency (the exported-
     // snapshot holder connection) — released by close()
-    @transient private val resource: Option[AutoCloseable] = None)
+    @transient private val resource: Option[AutoCloseable] = None,
+    // schema-dump parity metadata (JDBC catalogs only): secondary indexes
+    // and column DEFAULT expressions, carried into the dumped DDL
+    val indexes: Map[String, Seq[graft.sources.IndexDef]] = Map.empty,
+    val columnDefaults: Map[String, Map[String, String]] = Map.empty)
     extends Serializable with AutoCloseable {
 
   def table(name: String): DataFrame = {
@@ -80,10 +84,12 @@ final class Catalog(
     primaryKeys.getOrElse(name, sys.error(s"no primary key registered for $name"))
 
   def withForeignKeys(extra: ForeignKey*): Catalog =
-    new Catalog(spark, dir, tables, foreignKeys ++ extra, primaryKeys, reader, resource)
+    new Catalog(spark, dir, tables, foreignKeys ++ extra, primaryKeys, reader,
+      resource, indexes, columnDefaults)
 
   def withPrimaryKeys(extra: (String, Seq[String])*): Catalog =
-    new Catalog(spark, dir, tables, foreignKeys, primaryKeys ++ extra, reader, resource)
+    new Catalog(spark, dir, tables, foreignKeys, primaryKeys ++ extra, reader,
+      resource, indexes, columnDefaults)
 
   /** Releases any resource pinning this catalog's consistency (the exported-
     * snapshot holder of `Catalog.jdbc(consistentSnapshot = true)`). Reads
@@ -146,7 +152,7 @@ object Catalog {
         spark, effCfg, meta.qualifiedNames.getOrElse(t, t),
         partitionColumn = if (consistent) None else meta.partitionColumns.get(t))
       new Catalog(spark, effCfg.url, meta.tables, meta.foreignKeys, meta.primaryKeys,
-        Some(read), holder)
+        Some(read), holder, meta.indexes, meta.columnDefaults)
     } catch {
       // introspection failed after the snapshot opened: release the holder
       // connection rather than leaking its open transaction

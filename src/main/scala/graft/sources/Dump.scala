@@ -101,8 +101,13 @@ object Dump {
     * `ALTER TABLE … ADD CONSTRAINT` statements (the reference's dumped DDL
     * keeps PK/FK too — pg_dump restores them on load, base.py:227), so a
     * load into an empty database can restore referential integrity, not
-    * just column shapes. FK edges whose parent is outside the dumped table
-    * set are omitted — they could never validate against this dump.
+    * just column shapes — plus, for JDBC catalogs, the remaining pg_dump
+    * -s surface: column DEFAULT expressions (as `ALTER … SET DEFAULT`
+    * statements, portable across PG/Derby/H2 where inline-CREATE syntax
+    * is not) and secondary `CREATE [UNIQUE] INDEX` statements, both
+    * introspected from DatabaseMetaData. FK edges whose parent is outside
+    * the dumped table set are omitted — they could never validate against
+    * this dump.
     */
   private def writeSchema(catalog: Catalog, tables: Seq[String], path: String): Unit = {
     val inSet = tables.toSet
@@ -118,8 +123,13 @@ object Dump {
           s"${t}_${fk.columnPairs.map(_._1).mkString("_")}_fk " +
           s"FOREIGN KEY (${fk.columnPairs.map(_._1).mkString(", ")}) " +
           s"REFERENCES ${fk.foreignTable} (${fk.columnPairs.map(_._2).mkString(", ")});")
+      val defs = catalog.columnDefaults.getOrElse(t, Map.empty).toSeq.sortBy(_._1)
+        .map { case (c, v) => s"ALTER TABLE $t ALTER COLUMN $c SET DEFAULT $v;" }
+      val idxs = catalog.indexes.getOrElse(t, Seq.empty).map(ix =>
+        s"CREATE ${if (ix.unique) "UNIQUE " else ""}INDEX ${ix.name} " +
+          s"ON $t (${ix.columns.mkString(", ")});")
       writeText(catalog.spark, s"$path/schema/$t.sql",
-        (Seq(create) ++ pk ++ fks).mkString("\n"))
+        (Seq(create) ++ pk ++ fks ++ defs ++ idxs).mkString("\n"))
     }
   }
 
@@ -337,12 +347,15 @@ object Dump {
   private val PkStmt =
     """ALTER TABLE (\S+) ADD CONSTRAINT \S+ PRIMARY KEY \(([^)]*)\)""".r
 
-  /** Replays the dumped PK/FK DDL onto a live target, bulk-load order:
-    * every PK column is first made NOT NULL (Spark's JDBC writer creates
-    * nullable columns, and no engine accepts a PK over one — dialect
-    * handled by [[Jdbc.notNullSql]]), then all PRIMARY KEY statements,
-    * then all FOREIGN KEY statements (their parents' PKs exist by then,
-    * regardless of FK-graph order).
+  /** Replays the dumped PK/FK/default/index DDL onto a live target,
+    * bulk-load order: every PK column is first made NOT NULL (Spark's
+    * JDBC writer creates nullable columns, and no engine accepts a PK
+    * over one — dialect handled by [[Jdbc.notNullSql]]), then all
+    * PRIMARY KEY statements, then all FOREIGN KEY statements (their
+    * parents' PKs exist by then, regardless of FK-graph order), then
+    * column `SET DEFAULT` statements and finally `CREATE INDEX`
+    * statements — indexes last so the bulk load above never paid
+    * incremental index maintenance (the pg_dump/pg_restore order).
     */
   private def replayConstraints(
       spark: SparkSession, dumpPath: String, cfg: JdbcConfig,
@@ -350,12 +363,16 @@ object Dump {
     val stmts = tables.flatMap(t => schemaStatements(spark, dumpPath, t))
     val pkStmts = stmts.filter(_.contains(" PRIMARY KEY "))
     val fkStmts = stmts.filter(_.contains(" FOREIGN KEY "))
+    val defStmts = stmts.filter(s =>
+      s.startsWith("ALTER TABLE") && s.contains(" SET DEFAULT "))
+    val idxStmts = stmts.filter(s =>
+      s.startsWith("CREATE INDEX") || s.startsWith("CREATE UNIQUE INDEX"))
     val notNulls = pkStmts.flatMap {
       case PkStmt(t, cols) =>
         cols.split(",").map(c => Jdbc.notNullSql(cfg, t, c.trim)).toSeq
       case _ => Nil
     }
-    Jdbc.execute(cfg, notNulls ++ pkStmts ++ fkStmts)
+    Jdbc.execute(cfg, notNulls ++ pkStmts ++ fkStmts ++ defStmts ++ idxStmts)
   }
 
   /** Replays the manifest's sequence state onto a live JDBC target — the

@@ -53,7 +53,16 @@ final case class DbMeta(
     foreignKeys: Seq[ForeignKey],
     primaryKeys: Map[String, Seq[String]],
     qualifiedNames: Map[String, String],
-    partitionColumns: Map[String, String])
+    partitionColumns: Map[String, String],
+    indexes: Map[String, Seq[IndexDef]] = Map.empty,
+    columnDefaults: Map[String, Map[String, String]] = Map.empty)
+
+/** A secondary index as introspected from `DatabaseMetaData.getIndexInfo`:
+  * the schema-dump parity piece a bare CREATE TABLE + PK/FK replay loses
+  * (reference postgresql.py:129 — pg_dump -s carries secondary indexes).
+  * Columns are in ORDINAL_POSITION order.
+  */
+final case class IndexDef(name: String, unique: Boolean, columns: Seq[String])
 
 /** A server-side exported snapshot, held open by its exporting transaction —
   * the distributed re-expression of the reference's run-the-whole-dump-in-one-
@@ -247,6 +256,9 @@ object Jdbc {
       .save()
 
   private def rows[A](rs: java.sql.ResultSet)(f: java.sql.ResultSet => A): Vector[A] = {
+    // null-tolerant: spec-faked DatabaseMetaData returns null for calls it
+    // doesn't stub, which must read as "no rows", not NPE
+    if (rs == null) return Vector.empty
     val buf = Vector.newBuilder[A]
     while (rs.next()) buf += f(rs)
     rs.close()
@@ -259,7 +271,8 @@ object Jdbc {
     * c_custkey), which would otherwise match any character.
     */
   private def escapePattern(md: java.sql.DatabaseMetaData, s: String): String = {
-    val esc = md.getSearchStringEscape
+    // JDBC-standard fallback: spec-faked metadata may not stub the escape
+    val esc = Option(md.getSearchStringEscape).getOrElse("\\")
     s.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
   }
 
@@ -447,6 +460,50 @@ object Jdbc {
         }.filter(fk => nameSet(fk.foreignTable))
       }
 
+      // Secondary indexes (getIndexInfo): rows grouped by INDEX_NAME in
+      // first-encounter order; statistic rows (no name/column) skipped;
+      // the PK's backing index — identified by column set — skipped, since
+      // its DDL already rides the PRIMARY KEY constraint replay; and
+      // SYSTEM-GENERATED backing indexes — identified by a name that is
+      // not a plain SQL identifier (Derby's FK/PK conglomerates carry
+      // UUID-suffixed names like "SQL0000000082-c0a0c103-…") — skipped,
+      // since the engine recreates them with the constraints themselves
+      // and their names cannot replay as unquoted DDL anyway.
+      val ident = "[A-Za-z_][A-Za-z0-9_]*".r
+      val idxs = tabs.map { case (sc, t) =>
+        val pkSet = pks.getOrElse(t, Seq.empty).toSet
+        val parts = rows(md.getIndexInfo(null, sc.orNull, t, false, true))(r =>
+          (Option(r.getString("INDEX_NAME")), r.getShort("ORDINAL_POSITION").toInt,
+            Option(r.getString("COLUMN_NAME")), !r.getBoolean("NON_UNIQUE")))
+        val grouped = scala.collection.mutable.LinkedHashMap
+          .empty[String, Vector[(Int, String, Boolean)]]
+        parts.foreach {
+          case (Some(nm), pos, Some(cn), uq) =>
+            grouped.update(nm, grouped.getOrElse(nm, Vector.empty) :+ ((pos, cn, uq)))
+          case _ => () // tableIndexStatistic rows carry no index
+        }
+        t -> grouped.toVector.map { case (nm, ps) =>
+          IndexDef(nm, ps.head._3, ps.sortBy(_._1).map(_._2))
+        }.filter(ix => ix.columns.toSet != pkSet &&
+          ident.matches(ix.name))
+      }.toMap.filter(_._2.nonEmpty)
+
+      // Column DEFAULTs (getColumns COLUMN_DEF) — the other pg_dump -s
+      // parity piece. Identity/generated markers are engine bookkeeping,
+      // not replayable value expressions: skipped (sequence state travels
+      // via the manifest instead).
+      val defaults = tabs.map { case (sc, t) =>
+        t -> rows(md.getColumns(null, sc.map(escapePattern(md, _)).orNull,
+            escapePattern(md, t), "%"))(r =>
+            (r.getString("COLUMN_NAME"), Option(r.getString("COLUMN_DEF"))))
+          .collect { case (c, Some(d))
+              if d.trim.nonEmpty &&
+                !d.trim.toUpperCase.startsWith("AUTOINCREMENT") &&
+                !d.trim.toUpperCase.startsWith("GENERATED") =>
+            c -> d.trim }
+          .toMap
+      }.toMap.filter(_._2.nonEmpty)
+
       val numeric = Set(java.sql.Types.TINYINT, java.sql.Types.SMALLINT,
         java.sql.Types.INTEGER, java.sql.Types.BIGINT, java.sql.Types.DECIMAL,
         java.sql.Types.NUMERIC)
@@ -462,7 +519,7 @@ object Jdbc {
         }
       }.toMap
 
-      DbMeta(names, fks, pks, qualified, partCols)
+      DbMeta(names, fks, pks, qualified, partCols, idxs, defaults)
     }
   }
 }

@@ -152,6 +152,77 @@ class JdbcCatalogSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("recreate load restores secondary indexes and column defaults (pg_dump -s parity)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jdbc_ixdef").toString
+    val db = s"$tmp/src"
+    createSchema(db)
+    insertData(db)
+    // dress the source with the pg_dump -s surface a PK/FK-only dump
+    // loses: a defaulted column, a plain secondary index, a unique index
+    val conn0 = DriverManager.getConnection(s"jdbc:derby:$db", "app", "app")
+    try {
+      val st = conn0.createStatement()
+      st.execute("ALTER TABLE CUST ADD COLUMN C_TIER VARCHAR(16) DEFAULT 'basic'")
+      st.execute("CREATE INDEX ORDERS_TOTAL_IX ON ORDERS (O_TOTAL, O_CID)")
+      // numeric column: the recreate target types string columns through
+      // Spark's JDBC dialect (CLOB on Derby), which Derby can't index —
+      // an orthogonal typing limitation of bulk recreate, not of the
+      // index DDL roundtrip under test here
+      st.execute("ALTER TABLE REGION ADD COLUMN R_CODE INT DEFAULT 7")
+      st.execute("UPDATE REGION SET R_CODE = R_ID")
+      st.execute("CREATE UNIQUE INDEX REGION_CODE_UX ON REGION (R_CODE)")
+      st.close()
+    } finally conn0.close()
+
+    // introspection carries them…
+    val cat = Catalog.jdbc(spark, cfgFor(db))
+    assert(cat.columnDefaults("CUST")("C_TIER") === "'basic'")
+    val srcIdx = cat.indexes.getOrElse("ORDERS", Seq.empty)
+      .find(_.name == "ORDERS_TOTAL_IX")
+    assert(srcIdx.exists(ix => !ix.unique && ix.columns === Seq("O_TOTAL", "O_CID")),
+      s"expected the composite index, got ${cat.indexes}")
+    assert(cat.indexes.getOrElse("REGION", Seq.empty)
+      .exists(ix => ix.name == "REGION_CODE_UX" && ix.unique &&
+        ix.columns === Seq("R_CODE")))
+    // …and never the PK's backing index (it rides the PK constraint)
+    assert(!cat.indexes.values.flatten.exists(_.columns == Seq("R_ID")))
+
+    val dump = s"$tmp/dump"
+    Dump.write(cat, DumpSpec(
+      fullTables = Seq("REGION"),
+      partialTables = Map("ORDERS" ->
+        cat.table("ORDERS").where(col("O_TOTAL") > 100))), dump)
+
+    // recreate into an EMPTY database: indexes + defaults must come back
+    val db2 = s"$tmp/empty"
+    Class.forName(DerbyDriver)
+    DriverManager.getConnection(s"jdbc:derby:$db2;create=true", "app", "app").close()
+    Dump.loadIntoJdbc(spark, dump, cfgFor(db2), cleanup = Some("recreate"))
+
+    val meta = Jdbc.introspect(cfgFor(db2), schema = Some("APP"))
+    assert(meta.indexes.getOrElse("ORDERS", Seq.empty)
+      .exists(ix => ix.name == "ORDERS_TOTAL_IX" && !ix.unique &&
+        ix.columns === Seq("O_TOTAL", "O_CID")))
+    assert(meta.indexes.getOrElse("REGION", Seq.empty)
+      .exists(ix => ix.name == "REGION_CODE_UX" && ix.unique))
+    assert(meta.columnDefaults("CUST")("C_TIER") === "'basic'")
+    // the restored default FUNCTIONS: an insert omitting the column fills it
+    val conn = DriverManager.getConnection(s"jdbc:derby:$db2", "app", "app")
+    try {
+      val st = conn.createStatement()
+      st.execute("INSERT INTO CUST (C_ID, C_NAME, C_NID) VALUES (99, 'zoe', 1)")
+      val rs = st.executeQuery("SELECT C_TIER FROM CUST WHERE C_ID = 99")
+      rs.next()
+      assert(rs.getString(1) === "basic")
+      rs.close()
+      // the restored UNIQUE index ENFORCES: R_CODE 1 is already taken
+      intercept[java.sql.SQLException] {
+        st.execute("INSERT INTO REGION (R_ID, R_NAME, R_CODE) VALUES (9, 'x', 1)")
+      }
+      st.close()
+    } finally conn.close()
+  }
+
   test("sequence state replays onto identity-column load targets") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_jdbc_seq").toString
     val db = s"$tmp/src"
