@@ -72,7 +72,7 @@ object DumpMain {
     // Single-file convenience (≙ the reference's zip wire format) for small
     // dumps; the directory stays the scale artifact. --archive-compression
     // picks the entry method ≙ the reference's COMPRESSION_MAPPING
-    // (stored | deflated | deflated:0-9).
+    // (stored | deflated | deflated:0-9 | bzip2 | lzma).
     if (opts.flag("archive")) Dump.archive(spark, output, s"$output.zip",
       opts.value("archive-compression").getOrElse("deflated"))
     println(s"Dumped ${(opts.multi("full", short = "f") ++ partial.keys).distinct.size}+ tables to $output" +
@@ -100,7 +100,8 @@ object Cli {
     "compression", "c", "format", "fk", "pk", "input", "i", "cleanup-method", "m",
     "target", "jdbc-url", "jdbc-user", "jdbc-password", "jdbc-driver",
     "jdbc-schema", "recreate-database", "jdbc-admin-url", "archive-compression",
-    "stores", "found", "batch", "watch", "checkpoint")
+    "stores", "found", "batch", "watch", "checkpoint", "watch-schema",
+    "vacuum-every")
 
   def parse(args: Seq[String]): Opts = {
     var values = Map.empty[String, Seq[String]].withDefaultValue(Nil)

@@ -27,9 +27,12 @@ import graft.operators.{FingerprintStore, IngestGate, MinHashStore}
   *
   * // CONTINUOUS crawl loop: tail a drop directory as a stream, gate +
   * // fold each micro-batch (StreamingIngestGate, replay-safe), write
-  * // survivors per batch; --once drains and exits (cron-able):
+  * // survivors per batch; --once drains and exits (cron-able). The
+  * // batch schema comes from --watch-schema <parquet> or inferred from
+  * // files already in the watch dir; --vacuum-every N reclaims
+  * // superseded store epochs every N batches, current pin preserved:
   * sbt "runMain graft.cli.IngestMain --stores /stores \
-  *   --watch /crawl/incoming -o /gated --once"
+  *   --watch /crawl/incoming -o /gated --once --vacuum-every 10"
   * }}}
   *
   * `--stores <dir>` roots both artifacts (`<dir>/fingerprints`,
@@ -125,13 +128,48 @@ object IngestMain {
     opts.value("watch").foreach { watchDir =>
       val out = opts.required("output", short = "o")
       val ckpt = opts.value("checkpoint").getOrElse(s"$out/_checkpoint")
-      val schema = new org.apache.spark.sql.types.StructType()
-        .add("doc_id", "long").add("text", "string")
+      // Schema: `--watch-schema <parquet>` names a sample file/dir to
+      // take it from; otherwise it is inferred from files already in the
+      // watch dir. No hardcoded (doc_id, text) projection — ride-along
+      // columns survive the gate (the --batch contract), so they must
+      // survive the stream too. An empty watch dir with no --watch-schema
+      // fails loudly up front instead of silently assuming a shape.
+      val schema = opts.value("watch-schema")
+        .map(p => spark.read.parquet(p).schema)
+        .getOrElse {
+          try spark.read.parquet(watchDir).schema
+          catch {
+            case e: org.apache.spark.sql.AnalysisException => sys.error(
+              s"cannot infer the batch schema from $watchDir (${e.getMessage.takeWhile(_ != '\n')}); " +
+                "pass --watch-schema <parquet-with-the-batch-shape> when the " +
+                "watch dir starts empty")
+          }
+        }
+      require(schema.fieldNames.contains("doc_id") &&
+          schema.fieldNames.contains("text"),
+        s"watch schema must carry doc_id and text columns " +
+          s"(found: ${schema.fieldNames.mkString(", ")})")
+      // `--vacuum-every N`: every N micro-batches, drop replay markers
+      // for batches the checkpoint has committed (strictly below the
+      // current id — the current batch's marker stays, so its pinned
+      // epochs survive and a post-vacuum replay of THIS batch still
+      // reads exactly what it read) and reclaim both stores' superseded
+      // epochs mid-stream.
+      val vacuumEvery = opts.value("vacuum-every").map(_.toInt)
+      vacuumEvery.foreach(n =>
+        require(n >= 1, s"--vacuum-every must be >= 1, got $n"))
       val stream = spark.readStream.schema(schema).parquet(watchDir)
       val writer = graft.streaming.StreamingIngestGate
         .ingest(stream, fp, mh, (df, id) => {
           df.write.mode("overwrite").parquet(s"$out/batch_$id")
           println(s"batch $id: ${df.count()} survivors -> $out/batch_$id")
+          vacuumEvery.filter(n => (id + 1) % n == 0).foreach { _ =>
+            graft.streaming.StreamingIngestGate.vacuumMarkers(spark, fp, mh, id)
+            FingerprintStore.vacuum(spark, fp)
+            MinHashStore.vacuum(spark, mh)
+            println(s"vacuumed superseded store epochs after batch $id " +
+              "(current pin preserved)")
+          }
         })
         .option("checkpointLocation", ckpt)
       val q =

@@ -62,8 +62,14 @@ private[graft] object EpochStore {
       try {
         val buf = new java.io.ByteArrayOutputStream()
         org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-        Some(new String(buf.toByteArray, StandardCharsets.UTF_8).trim
-          .split("\\s+").toSeq.map(_.toLong))
+        val txt = new String(buf.toByteArray, StandardCharsets.UTF_8).trim
+        try Some(txt.split("\\s+").toSeq.map(_.toLong))
+        catch {
+          case e: NumberFormatException => throw new IllegalStateException(
+            s"corrupt or truncated epoch marker at $p " +
+              s"(content: '${txt.take(64)}') — manifest/pin files are " +
+              "single-line longs; restore the file or re-found the store", e)
+        }
       } finally in.close()
     }
   }

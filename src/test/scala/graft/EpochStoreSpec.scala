@@ -26,4 +26,26 @@ class EpochStoreSpec extends SparkSpec {
     }
     assert(EpochStore.currentEpoch(spark, path) === 2L)
   }
+
+  test("a truncated or corrupt marker file names its path loudly") {
+    val dir = Files.createTempDirectory("graft-epoch-bad")
+    val bad = dir.resolve("MANIFEST_garbage")
+    Files.writeString(bad, "12 notanumber")
+    val ex = intercept[IllegalStateException] {
+      EpochStore.readLongsFile(spark,
+        new org.apache.hadoop.fs.Path(bad.toString))
+    }
+    assert(ex.getMessage.contains(bad.getFileName.toString),
+      s"error must name the file: ${ex.getMessage}")
+    assert(ex.getMessage.contains("notanumber"),
+      "error must show the offending content")
+    // an EMPTY marker (the classic truncation) is equally loud
+    val empty = dir.resolve("MANIFEST_empty")
+    Files.writeString(empty, "")
+    val ex2 = intercept[IllegalStateException] {
+      EpochStore.readLongsFile(spark,
+        new org.apache.hadoop.fs.Path(empty.toString))
+    }
+    assert(ex2.getMessage.contains("MANIFEST_empty"))
+  }
 }

@@ -146,6 +146,68 @@ class IngestCliSpec extends SparkSpec {
     assert(MinHashStore.load(spark, s"$tmp/stores/minhash").count() === 4)
   }
 
+  test("--watch: inferred schema keeps ride-along columns; --vacuum-every reclaims mid-stream, pin survives") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_ingest_vac").toString
+    Seq((0L, "the quick brown fox jumps over the lazy dog near the quiet river bank today", "en"))
+      .toDF("doc_id", "text", "lang").write.parquet(s"$tmp/corpus.parquet")
+    IngestMain.run(Seq("--stores", s"$tmp/stores",
+      "--found", s"$tmp/corpus.parquet"), spark)
+
+    def drop(rows: Seq[(Long, String, String)], name: String): Unit = {
+      val stage = s"$tmp/stage_$name"
+      rows.toDF("doc_id", "text", "lang").coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      new java.io.File(s"$tmp/drop").mkdirs()
+      Files.move(part.toPath, java.nio.file.Paths.get(s"$tmp/drop/$name"))
+    }
+    def exists(p: String) = new java.io.File(p).exists()
+
+    // an empty watch dir without --schema fails loudly, not silently
+    val ex = intercept[RuntimeException] {
+      IngestMain.run(Seq("--stores", s"$tmp/stores",
+        "--watch", s"$tmp/empty_drop", "-o", s"$tmp/gated", "--once"), spark)
+    }
+    assert(ex.getMessage.contains("--watch-schema"))
+
+    // batch 0: schema INFERRED from the dropped file — the ride-along
+    // `lang` column must survive the gate into the survivor output
+    drop(Seq((10L, "completely fresh words arrive here now bringing novel content for the corpus store", "en")),
+      "b1.parquet")
+    IngestMain.run(Seq("--stores", s"$tmp/stores",
+      "--watch", s"$tmp/drop", "-o", s"$tmp/gated", "--once",
+      "--vacuum-every", "1"), spark)
+    val out0 = spark.read.parquet(s"$tmp/gated/batch_0")
+    assert(out0.columns.contains("lang"), s"ride-along dropped: ${out0.columns.toSeq}")
+    assert(out0.select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq === Seq((10L, "en")))
+
+    // batch 1 via --watch-schema (the empty-dir form), vacuum fires after it:
+    // batch 0's marker is dropped (its checkpoint committed), epoch 1's
+    // sidecar is reclaimed, while batch 1's OWN pin (epoch 2) survives —
+    // a replay of batch 1 would still read exactly what it read
+    drop(Seq((20L, "entirely unrelated final sentence closing the stream with distinct vocabulary choices", "de")),
+      "b2.parquet")
+    IngestMain.run(Seq("--stores", s"$tmp/stores",
+      "--watch", s"$tmp/drop", "-o", s"$tmp/gated", "--once",
+      "--watch-schema", s"$tmp/corpus.parquet", "--vacuum-every", "1"), spark)
+    assert(spark.read.parquet(s"$tmp/gated/batch_1")
+      .select("doc_id").as[Long].collect().toSeq === Seq(20L))
+
+    val fpd = s"$tmp/stores/fingerprints"
+    assert(!exists(s"$fpd/GATEBATCH_0"), "committed batch's marker must be vacuumed")
+    assert(exists(s"$fpd/GATEBATCH_1"), "the current batch's pin must survive")
+    assert(!exists(s"$fpd/fingerprints_e1.segs"),
+      "the unpinned superseded epoch must be reclaimed mid-stream")
+    assert(exists(s"$fpd/fingerprints_e2.segs"),
+      "batch 1's pinned epoch must survive its own vacuum")
+    assert(exists(s"$fpd/fingerprints_e3.segs"), "the current epoch stays")
+    // the store still serves: a third founding-free gate run loads fine
+    assert(graft.operators.MinHashStore
+      .load(spark, s"$tmp/stores/minhash").count() === 3)
+  }
+
   /** telemetry.json is flat {"k": long} — parse without a JSON dep. */
   private def ujsonish(path: String): Map[String, Long] =
     scala.io.Source.fromFile(path).mkString
