@@ -738,6 +738,16 @@ object SparkEntry {
     "token_count" -> ((s, dir) =>
       TextAnalysis.tokenCount(cat(s, dir).table("documents")).orderBy("doc_id")),
 
+    // BM25 lexical retrieval — the keyword half of the RAG serving stack
+    // (chunk_knn / chunk_index_search is the vector half): literal query
+    // terms, map-side tf, one broadcast stats row, TakeOrderedAndProject
+    // top-k. 'dup' is the corpus's one rare term (df ≈ 0.5%), so idf
+    // ordering is actually exercised against the ~19%-df commons.
+    "bm25_topk" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(cat(s, dir).table("documents"),
+          Seq("dup", "row", "vector"), k = 20)
+        .orderBy("rank")),
+
     "quality_score" -> ((s, dir) =>
       TextAnalysis.qualityScore(cat(s, dir).table("documents")).orderBy("doc_id")),
 
@@ -1775,6 +1785,39 @@ object SparkEntry {
            CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens,
            len(text) / greatest(len(toks), 1) AS chars_per_token
          FROM t ORDER BY doc_id""",
+
+    "bm25_topk" ->
+      """WITH tk AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+         FROM documents),
+         tf AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+           CAST(len(list_filter(toks, x -> x = 'dup')) AS BIGINT) AS tf0,
+           CAST(len(list_filter(toks, x -> x = 'row')) AS BIGINT) AS tf1,
+           CAST(len(list_filter(toks, x -> x = 'vector')) AS BIGINT) AS tf2
+         FROM tk),
+         st AS (SELECT count(*) AS n, sum(dl) AS sdl,
+           sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+           sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+           sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+         FROM tf),
+         sc AS (SELECT doc_id, round(
+             ln(1.0 + (CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
+               * (CAST(tf0 AS DOUBLE) * (1.2 + 1.0))
+               / (CAST(tf0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))
+           + ln(1.0 + (CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+               * (CAST(tf1 AS DOUBLE) * (1.2 + 1.0))
+               / (CAST(tf1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))
+           + ln(1.0 + (CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+               * (CAST(tf2 AS DOUBLE) * (1.2 + 1.0))
+               / (CAST(tf2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))),
+           4) AS score
+         FROM tf CROSS JOIN st)
+         SELECT doc_id, rank, score FROM (
+           SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+             score
+           FROM sc WHERE score > 0) t
+         WHERE rank <= 20 ORDER BY rank""",
 
     "quality_score" ->
       """WITH t AS (SELECT doc_id, text,

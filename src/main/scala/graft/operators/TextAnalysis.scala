@@ -1227,4 +1227,72 @@ object TextAnalysis {
             (size(ls) - size(kept)).cast("long").as("n_removed")))).as("s"))
       .select(col("doc_id"), col("s.clean_text"), col("s.n_lines"),
         col("s.n_removed"))
+
+  /** BM25 top-k lexical retrieval (Robertson & Zaragoza '09, the
+    * Okapi/Lucene scoring function) — the keyword half of a RAG serving
+    * stack beside the vector half ([[Similarity.chunkKnn]] /
+    * [[graft.operators.VectorIndexStore]]): rank documents for a bounded
+    * query-term set by Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf the Lucene `ln(1 + (N−df+0.5)/(df+0.5))` form (always positive).
+    *
+    * 100 TB plan shape: query terms are PLAN LITERALS, so per-doc term
+    * frequencies are Q array-filter counts map-side over one tokenize —
+    * no explode, no corpus-keyed shuffle anywhere. Corpus statistics
+    * (N, Σdl, per-term df) reduce to ONE broadcast row (partials are a
+    * row per partition); scoring is map-side against it; the global
+    * top-k is TakeOrderedAndProject (no corpus sort, no window over
+    * corpus volume). Two scan passes total (statistics + scoring), both
+    * scan-bound — the [[unigramLm]] exact-form trade, with a 1-row
+    * reduction instead of its vocabulary shuffle.
+    *
+    * Determinism/portability: per-term contributions sum in QUERY ORDER
+    * inside one projection (a fixed expression chain, not a float
+    * aggregate), every operation is written in the same order the DuckDB
+    * oracle replays, and the score rounds to 4 decimals before the
+    * (score desc, doc_id) rank — engine-portable under any partitioning.
+    * Zero-scoring documents (no query term present) are dropped.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    require(k >= 1, s"k must be >= 1: $k")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val tf = docs.select(col("doc_id"), bindOnce(tokens(col("text")), tk =>
+        struct((size(tk).cast("long").as("dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            size(filter(tk, x => x === lit(t))).cast("long").as(s"tf$i")
+          }): _*)).as("s"))
+      .select((col("doc_id") +: col("s.dl").as("dl") +:
+        terms.indices.map(i => col(s"s.tf$i").as(s"tf$i"))): _*)
+    val stats = tf.agg(
+      count(lit(1)).as("n"),
+      (sum(col("dl")).as("sdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))): _*)
+    val nD = col("n").cast("double")
+    val avgdl = col("sdl").cast("double") / nD
+    val contribs = terms.indices.map { i =>
+      val tfD = col(s"tf$i").cast("double")
+      val dfD = col(s"df$i").cast("double")
+      val idf = log(lit(1.0) + (nD - dfD + lit(0.5)) / (dfD + lit(0.5)))
+      idf * (tfD * (lit(k1) + lit(1.0))) /
+        (tfD + lit(k1) * (lit(1.0) - lit(b) +
+          lit(b) * col("dl").cast("double") / avgdl))
+    }
+    val topk = tf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(contribs.reduce(_ + _), 4).as("score"))
+      .where(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+    // rank over the ≤ k survivors only — never a corpus-volume window
+    topk.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long"))
+      .select(col("doc_id"), col("rank"), col("score"))
+  }
 }

@@ -640,4 +640,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L).getAs[String]("clean_text") === "only\nunique\nlines")
     assert(out(2L).getAs[Long]("n_removed") === 0L)
   }
+
+  test("bm25TopK: rare-term idf dominates, tf saturates, zero-match docs drop") {
+    import spark.implicits._
+    // 10 filler docs make 'common' common; 'zebra' appears in one doc
+    val docs = (
+      Seq(
+        (1L, "zebra common common"),        // the rare term + commons
+        (2L, "common common common common"), // commons only, higher tf
+        (3L, "common"),                      // commons only, short
+        (4L, "nothing matching here at all")) ++
+      (10L to 15L).map(i => (i, "common filler words and more filler")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, Seq("zebra", "common"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the zebra doc outranks every commons-only doc: one rare term beats
+    // any amount of a ubiquitous one (idf dominance + tf saturation)
+    assert(got.head._1 === 1L)
+    assert(got.map(_._2).toSeq === (1L to got.length).toSeq)
+    // scores strictly ordered desc with doc_id tiebreak, all positive
+    assert(got.sliding(2).forall { case Array(a, b) =>
+      a._3 > b._3 || (a._3 == b._3 && a._1 < b._1) })
+    assert(got.forall(_._3 > 0))
+    // doc 4 matches no query term — dropped, not scored 0
+    assert(!got.map(_._1).contains(4L))
+    // k bounds the output
+    assert(got.length === 5)
+    // partitioning-independent (the engine-portability contract)
+    val again = TextAnalysis.bm25TopK(docs.repartition(7), Seq("zebra", "common"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === again.toSeq)
+    // query terms are case-normalized like the tokenizer's output
+    val upper = TextAnalysis.bm25TopK(docs, Seq("ZEBRA", "Common"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === upper.toSeq)
+  }
 }
