@@ -221,6 +221,11 @@ object ScaleCheck {
           graft.operators.Bpe.bpeApply(docs, demoMerges)),
         "bpe_tokenize_m1k" -> (() =>
           graft.operators.Bpe.bpeApply(docs, bigMergeTable)),
+        // BM25: two scan passes + a 1-row broadcast + TakeOrdered —
+        // expected linear, scan-bound
+        "bm25_topk" -> (() =>
+          graft.operators.TextAnalysis.bm25TopK(docs,
+            Seq("dup", "row", "vector"), k = 20)),
         "minhash_store_append" -> { () =>
           graft.operators.MinHashStore.append(fixedFreshBatch(), mhAppendStore)
           spark.range(1).toDF("ok")
