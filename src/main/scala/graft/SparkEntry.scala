@@ -748,6 +748,21 @@ object SparkEntry {
           Seq("dup", "row", "vector"), k = 20)
         .orderBy("rank")),
 
+    // HYBRID retrieval: BM25 lexical ranks fused with docEmbed cosine
+    // ranks (query = doc 42's own embedding) by reciprocal-rank fusion —
+    // the two serving halves combined the calibration-free way. Both
+    // inputs are top-50 lists, so the fusion itself never sees the
+    // corpus.
+    "hybrid_topk" -> { (s, dir) =>
+      val docs = cat(s, dir).table("documents")
+      val lex = TextAnalysis.bm25TopK(docs, Seq("dup", "row", "vector"), k = 50)
+        .select(col("doc_id"), col("rank"))
+      val vec = Similarity.annTopK(Similarity.docEmbed(docs, dim = 16),
+          col("vec_id") === 42, k = 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(Seq(lex, vec), k = 20).orderBy("rank")
+    },
+
     "quality_score" -> ((s, dir) =>
       TextAnalysis.qualityScore(cat(s, dir).table("documents")).orderBy("doc_id")),
 
@@ -1817,6 +1832,70 @@ object SparkEntry {
              CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
              score
            FROM sc WHERE score > 0) t
+         WHERE rank <= 20 ORDER BY rank""",
+
+    "hybrid_topk" ->
+      s"""WITH $DocEmbedSql,
+         e AS (SELECT vec_id, list(CAST(v AS DOUBLE) ORDER BY bucket) AS v
+           FROM de GROUP BY vec_id),
+         n AS (SELECT vec_id, v,
+           sqrt(list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
+                (a, b) -> a + b)) AS nrm
+         FROM e),
+         vp AS (SELECT x.vec_id AS doc_id,
+           list_reduce(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * x.v[i]),
+                (a, b) -> a + b) / (q.nrm * x.nrm) AS cos
+         FROM n q JOIN n x ON x.vec_id <> q.vec_id
+         WHERE q.vec_id = 42),
+         vtop AS (SELECT doc_id, rnk FROM (
+           SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rnk FROM vp) t
+         WHERE rnk <= 50),
+         btk AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS toks
+         FROM documents),
+         btf AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+           CAST(len(list_filter(toks, x -> x = 'dup')) AS BIGINT) AS tf0,
+           CAST(len(list_filter(toks, x -> x = 'row')) AS BIGINT) AS tf1,
+           CAST(len(list_filter(toks, x -> x = 'vector')) AS BIGINT) AS tf2
+         FROM btk),
+         bst AS (SELECT count(*) AS n, sum(dl) AS sdl,
+           sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+           sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+           sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+         FROM btf),
+         bsc AS (SELECT doc_id, round(
+             ln(1.0 + (CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
+               * (CAST(tf0 AS DOUBLE) * (1.2 + 1.0))
+               / (CAST(tf0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))
+           + ln(1.0 + (CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+               * (CAST(tf1 AS DOUBLE) * (1.2 + 1.0))
+               / (CAST(tf1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))
+           + ln(1.0 + (CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+               * (CAST(tf2 AS DOUBLE) * (1.2 + 1.0))
+               / (CAST(tf2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))),
+           4) AS score
+         FROM btf CROSS JOIN bst),
+         btop AS (SELECT doc_id, rnk FROM (
+           SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+           FROM bsc WHERE score > 0) t
+         WHERE rnk <= 50),
+         contrib AS (
+           SELECT doc_id,
+             CAST(round(1.0 / (60.0 + CAST(rnk AS DOUBLE)), 12) AS DECIMAL(20,12)) AS c
+           FROM btop
+           UNION ALL
+           SELECT doc_id,
+             CAST(round(1.0 / (60.0 + CAST(rnk AS DOUBLE)), 12) AS DECIMAL(20,12)) AS c
+           FROM vtop),
+         fused AS (SELECT doc_id,
+             round(CAST(sum(c) AS DOUBLE), 10) AS rrf_score,
+             CAST(count(*) AS BIGINT) AS n_systems
+           FROM contrib GROUP BY doc_id)
+         SELECT doc_id, rank, rrf_score, n_systems FROM (
+           SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank,
+             rrf_score, n_systems
+           FROM fused) t
          WHERE rank <= 20 ORDER BY rank""",
 
     "quality_score" ->

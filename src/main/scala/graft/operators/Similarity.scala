@@ -1252,4 +1252,47 @@ object Similarity {
         (col("density") >= col("lo") && col("density") <= col("hi"))
           .as("keep"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher SIGIR'09) — the
+    * standard way a HYBRID retrieval stack combines its lexical
+    * ([[graft.operators.TextAnalysis.bm25TopK]]) and vector
+    * ([[annTopK]] / [[graft.operators.VectorIndexStore.search]]) result
+    * lists without score calibration: each system contributes
+    * `1/(k0 + rank)` per document, fused score = the sum over systems,
+    * so agreement between rankers dominates any single ranker's scale.
+    * Inputs are (doc_id, rank) frames — ranks, never raw scores, which
+    * is what makes RRF calibration-free.
+    *
+    * Scale shape: the inputs are TOP-K LISTS (bounded — each system
+    * already reduced its corpus), so everything here is k-sized: a union
+    * of ≤ Σkᵢ rows, one tiny groupBy, TakeOrderedAndProject. The corpus
+    * never appears.
+    *
+    * Determinism: each contribution is rounded to 12 decimals and summed
+    * as DECIMAL (exact, partition-order independent — the unigram_lm
+    * discipline); the fused score rounds to 10 before the
+    * (score desc, doc_id) rank, so results are engine-portable.
+    * `n_systems` reports how many input lists contained the doc — the
+    * agreement signal a reranking stage thresholds on.
+    */
+  def rrfFuse(
+      rankings: Seq[DataFrame], k: Int = 10, k0: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k >= 1 && k0 >= 1, s"k and k0 must be >= 1: ($k, $k0)")
+    val tagged = rankings.map(_.select(col("doc_id"),
+      round(lit(1.0) / (lit(k0).cast("double") + col("rank").cast("double")), 12)
+        .cast("decimal(20,12)").as("c")))
+    tagged.reduce(_ unionByName _)
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("sc"), count(lit(1)).cast("long").as("n_systems"))
+      .select(col("doc_id"), round(col("sc").cast("double"), 10).as("rrf_score"),
+        col("n_systems"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf_score").desc, col("doc_id")))
+          .cast("long"))
+      .select(col("doc_id"), col("rank"), col("rrf_score"), col("n_systems"))
+  }
 }

@@ -533,4 +533,26 @@ class SimilaritySpec extends SparkSpec {
     val plan = chunks.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+  test("rrfFuse: agreement beats any single ranker, exact hand-computed scores") {
+    import spark.implicits._
+    val lex = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rank")
+    val vec = Seq((3L, 1L), (4L, 2L), (1L, 3L)).toDF("doc_id", "rank")
+    val got = Similarity.rrfFuse(Seq(lex, vec), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // doc 1: 1/61 + 1/63; doc 3: 1/63 + 1/61 — tie broken by doc_id;
+    // both beat doc 2 (1/62 alone) and doc 4 (1/62 alone)
+    assert(got.map(_._1).toSeq === Seq(1L, 3L, 2L, 4L))
+    assert(got.map(_._2).toSeq === Seq(1L, 2L, 3L, 4L))
+    def c(r: Long) = BigDecimal(1.0 / (60.0 + r)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val exp13 = (c(1) + c(3)).toDouble
+    assert(got(0)._3 === BigDecimal(exp13).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(0)._3 === got(1)._3) // the symmetric pair scores identically
+    assert(got.map(_._4).toSeq === Seq(2L, 2L, 1L, 1L)) // n_systems
+    // k bounds; partitioning-independent
+    assert(Similarity.rrfFuse(Seq(lex, vec), k = 2).count() === 2)
+    val again = Similarity.rrfFuse(
+      Seq(lex.repartition(5), vec.repartition(3)), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq === again.toSeq)
+  }
 }
