@@ -1204,8 +1204,11 @@ object SparkEntry {
 
     // BPE merge-table training (rows-only: the iterative argmax is not
     // one SQL query; semantics pinned by BpeSpec's hand-derived merges)
+    // the driver-loop trainer (one corpus pass + in-memory merges) —
+    // bit-identical to the Spark-iterated Bpe.bpeTrain (parity-specced),
+    // and the form that reaches 30k-merge production vocabularies
     "bpe_train" -> ((s, dir) =>
-      Bpe.bpeTrain(cat(s, dir).table("documents"), numMerges = 20)
+      Bpe.bpeTrainFast(cat(s, dir).table("documents"), numMerges = 20)
         .orderBy("merge_rank")),
 
     // tokenization under a FIXED (pretrained-style) merge table — the

@@ -143,6 +143,162 @@ object Bpe {
         col("merged"), col("pair_count"))
   }
 
+  /** [[bpeTrain]] with the merge loop moved DRIVER-SIDE — the production
+    * trainer. [[bpeTrain]] runs one Spark job per merge (argmax +
+    * vocab-map round trip): exact at any vocabulary, but a 30k-merge
+    * production run is 30k driver round-trips — hours of scheduling for
+    * seconds of work. This variant pays ONE distributed corpus pass (the
+    * same capped word-frequency aggregation) and then runs the classic
+    * incremental BPE trainer over the collected vocabulary in memory:
+    * per-pair counts and a pair→words occurrence index updated only for
+    * the words a merge touches, so 30k merges cost seconds. The
+    * factorization is unchanged — pair statistics over (word, freq) ARE
+    * the corpus statistics — and the cap bounds driver memory by the
+    * PARAMETER (`maxVocab` rows of short strings), which is why
+    * `maxVocab > 0` is required here: the uncapped exact form stays with
+    * [[bpeTrain]].
+    *
+    * Bit-parity with [[bpeTrain]] (spec-asserted, counts included): the
+    * same (count desc, left asc, right asc) argmax with string order
+    * compared as UNSIGNED UTF-8 BYTES (Spark's binary string ordering,
+    * not Java's UTF-16 compareTo — they differ above the BMP), the same
+    * per-word left-to-right non-overlapping merge the padded-string
+    * replace performs, the same pairs-counted-per-position semantics
+    * (overlapping occurrences of a doubled symbol all count), the same
+    * no-pair-recurs early stop.
+    */
+  def bpeTrainFast(
+      docs: DataFrame,
+      numMerges: Int = 30,
+      maxVocab: Int = 50000): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
+    require(maxVocab > 0,
+      "bpeTrainFast needs the vocabulary cap (maxVocab > 0) — the driver " +
+        "loop is bounded by it; use bpeTrain for the uncapped exact form")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the ONE corpus-volume pass: capped word-frequency vocabulary,
+    // the same deterministic (n desc, word asc) cut bpeTrain takes
+    val vocab = wordVocab(docs)
+      .orderBy(col("n").desc, col("word")).limit(maxVocab)
+      .collect().map(r => (r.getAs[String]("word"), r.getAs[Long]("n")))
+
+    // word → mutable symbol buffer (marked code points, the wordRepr
+    // segmentation); pair counts weighted by word frequency, positions
+    // counted like the posexplode (overlaps included)
+    def segment(w: String): scala.collection.mutable.ArrayBuffer[String] = {
+      val syms = scala.collection.mutable.ArrayBuffer.empty[String]
+      if (w.isEmpty) syms += Eow
+      else {
+        var ci = 0
+        while (ci < w.length) {
+          val next = ci + Character.charCount(w.codePointAt(ci))
+          val s = w.substring(ci, next)
+          syms += (if (next >= w.length) s + Eow else s)
+          ci = next
+        }
+      }
+      syms
+    }
+    val words = vocab.map { case (w, n) => (segment(w), n) }
+    // Spark's string ordering = unsigned UTF-8 byte order
+    val byteOrd: Ordering[String] = (a: String, b: String) => {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      var d = 0
+      val m = math.min(x.length, y.length)
+      while (d == 0 && i < m) {
+        d = (x(i) & 0xff) - (y(i) & 0xff)
+        i += 1
+      }
+      if (d != 0) d else x.length - y.length
+    }
+    val pairOrd = Ordering.Tuple2(byteOrd, byteOrd)
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    // the argmax structure: (count desc, pair asc-by-bytes), kept in sync
+    // incrementally so each merge's best is O(log pairs), not a rescan
+    val ranked = scala.collection.mutable.TreeSet.empty[(Long, (String, String))](
+      Ordering.Tuple2(Ordering.Long.reverse, pairOrd))
+    val occurs = scala.collection.mutable
+      .HashMap.empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    def bump(p: (String, String), delta: Long): Unit = {
+      val old = counts.getOrElse(p, 0L)
+      if (old != 0L) ranked.remove((old, p))
+      val nw = old + delta
+      if (nw == 0L) counts.remove(p)
+      else {
+        counts.update(p, nw)
+        ranked.add((nw, p))
+      }
+    }
+    def addWord(wi: Int, sign: Long): Unit = {
+      val (syms, n) = words(wi)
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        bump(p, sign * n)
+        if (sign > 0)
+          occurs.getOrElseUpdate(p, scala.collection.mutable.HashSet.empty) += wi
+        // a negative pass leaves stale occurrence entries behind — they
+        // are filtered at use (the re-check on merge is authoritative)
+        i += 1
+      }
+    }
+    words.indices.foreach(addWord(_, 1L))
+
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val head = ranked.headOption
+      if (head.isEmpty || head.get._1 < 2L) done = true
+      else {
+        val (bestN, bestPair) = head.get
+        val (l, r) = bestPair
+        val lr = l + r
+        merges += ((rank, l, r, lr, bestN))
+        // merge in every word that may carry the pair: subtract the
+        // word's pair positions, apply the left-to-right non-overlapping
+        // replace, re-add
+        val affected = occurs.getOrElse(bestPair, scala.collection.mutable.HashSet.empty)
+          .toArray
+        occurs.remove(bestPair)
+        affected.foreach { wi =>
+          val (syms, _) = words(wi)
+          var has = false
+          var i = 0
+          while (!has && i < syms.length - 1) {
+            has = syms(i) == l && syms(i + 1) == r
+            i += 1
+          }
+          if (has) {
+            addWord(wi, -1L)
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+                out += lr
+                j += 2
+              } else {
+                out += syms(j)
+                j += 1
+              }
+            }
+            syms.clear()
+            syms ++= out
+            addWord(wi, 1L)
+          }
+        }
+        rank += 1
+      }
+    }
+    merges.result()
+      .toDF("merge_rank", "left", "right", "merged", "pair_count")
+      .select(col("merge_rank").cast("long"), col("left"), col("right"),
+        col("merged"), col("pair_count"))
+  }
+
   /** Tokenize with a trained merge table — the exact encoder of the
     * trained tokenizer. The merge table arrives as a driver-side list (a
     * bounded artifact, like a codebook — fetch it once via `.collect()`

@@ -156,6 +156,56 @@ class BpeSpec extends SparkSpec {
     assert(msgs.exists(_.contains("spaces")), msgs.mkString(" | "))
   }
 
+  test("bpeTrainFast is bit-identical to the Spark-iterated trainer") {
+    // the Sennrich corpus: exact tuple parity including counts
+    val a = Bpe.bpeTrain(corpus, numMerges = 4).collect().toSeq
+    val b = Bpe.bpeTrainFast(corpus, numMerges = 4).collect().toSeq
+    assert(a === b)
+    // a richer corpus at depth: 25 merges, tie-breaks exercised
+    val c = Bpe.bpeTrain(richCorpus, numMerges = 25).collect().toSeq
+    val d = Bpe.bpeTrainFast(richCorpus, numMerges = 25).collect().toSeq
+    assert(c === d)
+    // the vocabulary cap takes the same deterministic cut
+    val e = Bpe.bpeTrain(corpus, numMerges = 3, maxVocab = 2).collect().toSeq
+    val f = Bpe.bpeTrainFast(corpus, numMerges = 3, maxVocab = 2).collect().toSeq
+    assert(e === f)
+    // early stop: no pair recurs -> empty table in both
+    import spark.implicits._
+    val flat = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(Bpe.bpeTrainFast(flat, numMerges = 5).count() === 0)
+    // the uncapped exact form stays with bpeTrain
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.bpeTrainFast(corpus, numMerges = 1, maxVocab = 0)
+    }
+    assert(ex.getMessage.contains("maxVocab"))
+  }
+
+  test("bpeTrainFast reaches production merge counts in one corpus pass") {
+    // 100 merges over the rich corpus: the Spark-iterated form would be
+    // 100 jobs; the driver loop is one aggregation + in-memory work.
+    // Exactness at depth is covered by the parity test; here assert the
+    // table is well-formed (every left produced by an earlier merge or
+    // an initial symbol) and strictly rank-ordered
+    val m = Bpe.bpeTrainFast(richCorpus, numMerges = 100).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(m.length > 50, s"rich corpus should sustain 50+ merges, got ${m.length}")
+    assert(m.map(_._1).toSeq === (0L until m.length).toSeq)
+    val produced = scala.collection.mutable.Set.empty[String]
+    def initial(s: String): Boolean = {
+      val bare = s.stripSuffix(Bpe.Eow)
+      bare.nonEmpty && bare.codePointCount(0, bare.length) == 1
+    }
+    m.foreach { case (_, l, r, lr) =>
+      // a left never carries the marker (no right neighbor to merge with)
+      assert(!l.endsWith(Bpe.Eow))
+      assert(initial(l) || produced.contains(l),
+        s"left '$l' neither initial nor produced earlier")
+      assert(initial(r) || produced.contains(r),
+        s"right '$r' neither initial nor produced earlier")
+      produced += lr
+    }
+  }
+
   test("maxVocab caps the iteration frame to the most frequent word types") {
     import spark.implicits._
     // cap of 2 keeps newest(6) and low(5); all newest-internal pairs tie
