@@ -226,6 +226,11 @@ object ScaleCheck {
         "bm25_topk" -> (() =>
           graft.operators.TextAnalysis.bm25TopK(docs,
             Seq("dup", "row", "vector"), k = 20)),
+        // driver-loop BPE trainer at 100 merges (the synthetic vocab's
+        // ceiling): ONE corpus pass + in-memory merges — expected linear
+        // in the word-count aggregation, flat in the merge count
+        "bpe_train_fast_m100" -> (() =>
+          graft.operators.Bpe.bpeTrainFast(docs, numMerges = 100)),
         "minhash_store_append" -> { () =>
           graft.operators.MinHashStore.append(fixedFreshBatch(), mhAppendStore)
           spark.range(1).toDF("ok")
