@@ -16,6 +16,19 @@ object SparkEntry {
 
   private def cat(s: SparkSession, dir: String): Catalog = Catalog.tpch(s, dir)
 
+  /** The bm25_batch query set — shared by the Spark entry and its
+    * generated oracle SQL so both replay the identical batch: 'dup' is
+    * the corpus's rare term, 'row'/'vector' the ~19%-df commons, and
+    * query 4's term misses the corpus entirely (the zero-match drop
+    * witness). Term order inside a query is the score's summation order
+    * on both engines.
+    */
+  private val Bm25BatchQueries: Seq[(Long, Seq[String])] = Seq(
+    (1L, Seq("dup", "row")),
+    (2L, Seq("vector")),
+    (3L, Seq("row", "vector", "dup")),
+    (4L, Seq("zzznotaterm")))
+
   /** DuckDB mirror of `Similarity.docEmbed(dim = 16)` over an arbitrary
     * `(doc_id, text)` source CTE/table, as a shared CTE chain ending in
     * `de(vec_id, bucket, v)` — dense 16-bucket signed counts for every
@@ -43,6 +56,51 @@ object SparkEntry {
          FROM fullv JOIN nz USING (doc_id))"""
 
   private val DocEmbedSql: String = docEmbedSqlOn("documents")
+
+  /** DuckDB mirror of [[graft.operators.TextAnalysis.bm25TopKBatch]] over
+    * `corpus(doc_id, text)`, generated from the SAME query set the Spark
+    * entry runs so both engines replay the identical batch: per-term tf
+    * columns over the batch's sorted term union, one stats row, per-query
+    * scores summed in each query's term order (the determinism contract),
+    * per-query rank ≤ k.
+    */
+  private def bm25BatchSql(
+      corpus: String, queries: Seq[(Long, Seq[String])], k: Int): String = {
+    val terms = queries.flatMap(_._2.map(_.toLowerCase).distinct)
+      .distinct.sorted
+    val ti = terms.zipWithIndex.toMap
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf$i" }
+    val dfCols = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+    def contrib(i: Int): String =
+      s"ln(1.0 + (CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / " +
+        s"(CAST(df$i AS DOUBLE) + 0.5)) * (CAST(tf$i AS DOUBLE) * (1.2 + 1.0)) / " +
+        s"(CAST(tf$i AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * " +
+        "CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))"
+    val scs = queries.map { case (qid, ts0) =>
+      val ts = ts0.map(_.toLowerCase).distinct
+      s"SELECT doc_id, CAST($qid AS BIGINT) AS query_id, " +
+        s"round(${ts.map(t => contrib(ti(t))).mkString("\n           + ")}, 4) " +
+        "AS score FROM btf CROSS JOIN bst"
+    }.mkString("\n         UNION ALL\n         ")
+    s"""btk AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS toks
+         FROM $corpus),
+         btf AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+           ${tfCols.mkString(",\n           ")}
+         FROM btk),
+         bst AS (SELECT count(*) AS n, sum(dl) AS sdl,
+           ${dfCols.mkString(",\n           ")}
+         FROM btf),
+         bsc AS ($scs),
+         bqt AS (SELECT query_id, doc_id, rank, score FROM (
+           SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+             score
+           FROM bsc WHERE score > 0) t
+         WHERE rank <= $k)"""
+  }
 
   /** DuckDB mirror of `Bpe.bpeApply(BpeDemoMerges)`'s padded-string
     * pipeline as a shared CTE chain ending in `bm(doc_id, repr)` —
@@ -748,6 +806,19 @@ object SparkEntry {
           Seq("dup", "row", "vector"), k = 20)
         .orderBy("rank")),
 
+    // BATCH BM25 — the serving contract: an external query batch
+    // (bounded, collected once, terms → plan literals) answered from ONE
+    // corpus pass; zero-scoring (query, doc) pairs drop inside the
+    // map-side array filter before the explode, and the per-query top-k
+    // is a single WindowGroupLimit-capped window. Query 4's term misses
+    // the whole corpus — it must vanish from the output, not emit rows.
+    "bm25_batch" -> { (s, dir) =>
+      import s.implicits._
+      val q = Bm25BatchQueries.toDF("query_id", "terms")
+      TextAnalysis.bm25TopKBatch(cat(s, dir).table("documents"), q, k = 10)
+        .orderBy("query_id", "rank")
+    },
+
     // HYBRID retrieval: BM25 lexical ranks fused with docEmbed cosine
     // ranks (query = doc 42's own embedding) by reciprocal-rank fusion —
     // the two serving halves combined the calibration-free way. Both
@@ -761,6 +832,38 @@ object SparkEntry {
           col("vec_id") === 42, k = 50)
         .select(col("neighbor_id").as("doc_id"), col("rank"))
       Similarity.rrfFuse(Seq(lex, vec), k = 20).orderBy("rank")
+    },
+
+    // HYBRID retrieval at CHUNK granularity against the PERSISTED index —
+    // the full RAG serving stack in one plan: lexical = BM25 over the
+    // chunked corpus (packed (doc_id, chunk_id) identity, the
+    // chunk_index_search id discipline), vector = IVFPQ search of the
+    // saved VectorIndexStore (codebooks + postings only at query time),
+    // fused by RRF with provenance unpacked by exact div/mod. Both
+    // inputs are top-50 lists, so the fusion never sees the corpus.
+    "hybrid_chunk_search" -> { (s, dir) =>
+      val docs = cat(s, dir).table("documents")
+      val m = 1000000L
+      val chunkCorpus = graft.operators.Chunk.docChunk(docs)
+        .select((col("doc_id") * m + col("chunk_id")).as("doc_id"),
+          col("chunk_text").as("text"))
+      val lex = TextAnalysis.bm25TopK(chunkCorpus,
+          Seq("dup", "row", "vector"), k = 50)
+        .select(col("doc_id"), col("rank"))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-hybstore").toString
+      VectorIndexStore.save(Similarity.chunkEmbed(docs, dim = 16), store,
+        m = 8, k = 16, centEvery = 163)
+      val vec = VectorIndexStore.search(
+          Similarity.chunkEmbed(docs.where(col("doc_id") === 42), dim = 16)
+            .where(col("vec_id") === 42L * m),
+          store, kNN = 50, nprobe = 2)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(Seq(lex, vec), k = 20)
+        .select(expr(s"CAST(doc_id DIV $m AS BIGINT)").as("doc_id"),
+          (col("doc_id") % m).as("chunk_id"),
+          col("rank"), col("rrf_score"), col("n_systems"))
+        .orderBy("rank")
     },
 
     "quality_score" -> ((s, dir) =>
@@ -1397,8 +1500,9 @@ object SparkEntry {
     // derives planes (the doc_knn deployment-shape discipline); the
     // oracle derives the same count in SQL
     "knn_graph" -> { (s, dir) =>
-      val emb = cat(s, dir).table("embeddings")
-      Similarity.knnGraph(emb, k = 5, bands = 2, corpusHint = Some(emb.count()))
+      val c = cat(s, dir)
+      Similarity.knnGraph(c.table("embeddings"), k = 5, bands = 2,
+          corpusHint = Some(c.rowCount("embeddings")))
         .orderBy("query_id", "rank")
     },
 
@@ -1411,9 +1515,9 @@ object SparkEntry {
     // dense core = redundant, sparse tail = outlier — one bounded groupBy
     // over the knn_graph edge list, deployment-shaped via corpusHint
     "embed_density" -> { (s, dir) =>
-      val emb = cat(s, dir).table("embeddings")
-      Similarity.embedDensity(emb, k = 5, bands = 2,
-          corpusHint = Some(emb.count()))
+      val c = cat(s, dir)
+      Similarity.embedDensity(c.table("embeddings"), k = 5, bands = 2,
+          corpusHint = Some(c.rowCount("embeddings")))
         .orderBy("vec_id")
     },
 
@@ -1421,10 +1525,10 @@ object SparkEntry {
     // cuts drop the sparsest 5 % (outliers) and densest 10 % (redundant
     // core); every scored vector emitted with its keep flag
     "density_prune" -> { (s, dir) =>
-      val emb = cat(s, dir).table("embeddings")
-      Similarity.densityPrune(emb, dropSparsestPermille = 50,
+      val c = cat(s, dir)
+      Similarity.densityPrune(c.table("embeddings"), dropSparsestPermille = 50,
           dropDensestPermille = 100, k = 5, bands = 2,
-          corpusHint = Some(emb.count()))
+          corpusHint = Some(c.rowCount("embeddings")))
         .orderBy("vec_id")
     },
 
@@ -1448,10 +1552,10 @@ object SparkEntry {
     // pinned plane count turns the within-bucket verify quadratic as
     // the corpus grows. The oracle derives the same count in SQL.
     "doc_knn" -> { (s, dir) =>
-      val docs = cat(s, dir).table("documents")
+      val c = cat(s, dir)
       Similarity.knnGraph(
-          Similarity.docEmbed(docs, dim = 16),
-          k = 3, bands = 2, center = true, corpusHint = Some(docs.count()))
+          Similarity.docEmbed(c.table("documents"), dim = 16),
+          k = 3, bands = 2, center = true, corpusHint = Some(c.rowCount("documents")))
         .orderBy("query_id", "rank")
     },
 
@@ -1468,10 +1572,10 @@ object SparkEntry {
     // embeddings feed connected components → semantic cluster ids over
     // raw text, zero external model (docEmbed ∘ knnGraph ∘ dedupGroups)
     "semantic_groups" -> { (s, dir) =>
-      val docs = cat(s, dir).table("documents")
+      val c = cat(s, dir)
       val edges = Similarity.knnGraph(
-          Similarity.docEmbed(docs, dim = 16),
-          k = 3, bands = 2, center = true, corpusHint = Some(docs.count()))
+          Similarity.docEmbed(c.table("documents"), dim = 16),
+          k = 3, bands = 2, center = true, corpusHint = Some(c.rowCount("documents")))
         .where(col("cosine") >= 0.95)
         .select(col("query_id").as("doc_a"), col("neighbor_id").as("doc_b"))
       Dedup.dedupGroups(edges).orderBy("doc_id")
@@ -1837,6 +1941,11 @@ object SparkEntry {
            FROM sc WHERE score > 0) t
          WHERE rank <= 20 ORDER BY rank""",
 
+    "bm25_batch" ->
+      s"""WITH ${bm25BatchSql("documents", Bm25BatchQueries, 10)}
+         SELECT query_id, doc_id, rank, score FROM bqt
+         ORDER BY query_id, rank""",
+
     "hybrid_topk" ->
       s"""WITH $DocEmbedSql,
          e AS (SELECT vec_id, list(CAST(v AS DOUBLE) ORDER BY bucket) AS v
@@ -1900,6 +2009,77 @@ object SparkEntry {
              rrf_score, n_systems
            FROM fused) t
          WHERE rank <= 20 ORDER BY rank""",
+
+    // Chunk-granularity hybrid: the chunk_index_search IVFPQ modeling
+    // (one query chunk, nprobe 2, top-50) fused with generated chunk-
+    // level BM25 (bm25BatchSql over the chunks CTE, top-50) by the
+    // hybrid_topk RRF replay; provenance unpacked by exact div/mod.
+    "hybrid_chunk_search" ->
+      s"""WITH chunks AS (
+           SELECT doc_id * 1000000 + (cs - 1) // 160 AS doc_id,
+             substr(text, CAST(cs AS INT), 200) AS text
+           FROM (SELECT doc_id, text,
+                   unnest(range(1, greatest(len(text) - 40, 1) + 1, 160)) AS cs
+                 FROM documents)),
+         ${bm25BatchSql("chunks", Seq((0L, Seq("dup", "row", "vector"))), 50)},
+         ${docEmbedSqlOn("chunks")},
+         e AS (SELECT vec_id, list(CAST(v AS DOUBLE) ORDER BY bucket) AS v
+           FROM de GROUP BY vec_id),
+         n AS (SELECT vec_id, v,
+           sqrt(list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
+                (a, b) -> a + b)) AS nrm
+         FROM e),
+         c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+           WHERE vec_id % 163 = 1),
+         ac AS (SELECT n.vec_id, c.cent_id,
+           list_reduce(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i]),
+                (a, b) -> a + b) / (n.nrm * c.cnrm) AS cos_c
+         FROM n CROSS JOIN c),
+         acr AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn
+           FROM ac),
+         ce AS (SELECT vec_id,
+           list_transform(range(0, 8), mi ->
+             list_transform(range(0, 16), ci ->
+               list_reduce(list_transform(range(0, 2), di ->
+                 (v[mi * 2 + di + 1] - ((CAST('0x' || substr(md5('pq|' || mi::VARCHAR || '|' || ci::VARCHAR || '|' || (di + 1)::VARCHAR), 1, 15) AS BIGINT) % 2001 - 1000) / 1000.0))
+                 * (v[mi * 2 + di + 1] - ((CAST('0x' || substr(md5('pq|' || mi::VARCHAR || '|' || ci::VARCHAR || '|' || (di + 1)::VARCHAR), 1, 15) AS BIGINT) % 2001 - 1000) / 1000.0))),
+                 (a, b) -> a + b))) AS dss
+         FROM e),
+         t AS (SELECT vec_id, dss,
+           list_transform(dss, ds -> list_position(ds, list_min(ds)) - 1) AS codes
+         FROM ce),
+         idx AS (SELECT acr.vec_id, acr.cent_id, t.codes
+           FROM acr JOIN t ON acr.vec_id = t.vec_id WHERE acr.rn = 1),
+         q AS (SELECT acr.vec_id AS query_id, acr.cent_id AS qcent, t.dss AS qlut
+           FROM acr JOIN t ON acr.vec_id = t.vec_id
+           WHERE acr.rn <= 2 AND acr.vec_id = 42000000),
+         p AS (SELECT q.query_id, x.vec_id AS neighbor_id,
+           list_reduce(list_transform(range(0, 8), mi ->
+             qlut[mi + 1][CAST(x.codes[mi + 1] + 1 AS INT)]), (a, b) -> a + b) AS adist
+         FROM idx x JOIN q ON x.cent_id = q.qcent),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
+         FROM p),
+         vtop AS (SELECT neighbor_id AS doc_id, rnk FROM r WHERE rnk <= 50),
+         contrib AS (
+           SELECT doc_id,
+             CAST(round(1.0 / (60.0 + CAST(rank AS DOUBLE)), 12) AS DECIMAL(20,12)) AS c
+           FROM bqt
+           UNION ALL
+           SELECT doc_id,
+             CAST(round(1.0 / (60.0 + CAST(rnk AS DOUBLE)), 12) AS DECIMAL(20,12)) AS c
+           FROM vtop),
+         fused AS (SELECT doc_id,
+             round(CAST(sum(c) AS DOUBLE), 10) AS rrf_score,
+             CAST(count(*) AS BIGINT) AS n_systems
+           FROM contrib GROUP BY doc_id),
+         fr AS (SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS frank,
+             rrf_score, n_systems
+           FROM fused)
+         SELECT CAST(doc_id // 1000000 AS BIGINT) AS doc_id,
+           doc_id % 1000000 AS chunk_id,
+           frank AS "rank", rrf_score, n_systems
+         FROM fr WHERE frank <= 20 ORDER BY frank""",
 
     "quality_score" ->
       """WITH t AS (SELECT doc_id, text,

@@ -149,6 +149,18 @@ object IngestMain {
           schema.fieldNames.contains("text"),
         s"watch schema must carry doc_id and text columns " +
           s"(found: ${schema.fieldNames.mkString(", ")})")
+      // The schema is PINNED for the life of the stream (Spark's file
+      // source contract): micro-batches whose files carry additional
+      // ride-along columns are projected DOWN to this shape. Announce the
+      // pin so an operator diffing survivors against drops knows what was
+      // kept, and warn per-batch when a wider footer arrives (below) —
+      // evolving batch shapes need --watch-schema with the wider shape,
+      // or a restart once the watch dir carries the new files.
+      println(s"watch schema pinned: ${schema.fieldNames.mkString(", ")}" +
+        (if (opts.value("watch-schema").isEmpty)
+           " (inferred from files present at start; wider later batches " +
+             "are projected down — pass --watch-schema to widen)"
+         else " (from --watch-schema)"))
       // `--vacuum-every N`: every N micro-batches, drop replay markers
       // for batches the checkpoint has committed (strictly below the
       // current id — the current batch's marker stays, so its pinned
@@ -163,6 +175,21 @@ object IngestMain {
         .ingest(stream, fp, mh, (df, id) => {
           df.write.mode("overwrite").parquet(s"$out/batch_$id")
           println(s"batch $id: ${df.count()} survivors -> $out/batch_$id")
+          // Silent-drop telemetry: if this batch's file footers carry
+          // columns beyond the pinned schema, say so — the stream
+          // projected them away. Footer reads are driver-side and bounded
+          // by the batch's file count; never let telemetry kill the query.
+          try {
+            val files = df.inputFiles
+            if (files.nonEmpty) {
+              val wider = spark.read.parquet(files.toIndexedSeq: _*)
+                .schema.fieldNames.toSet -- schema.fieldNames
+              if (wider.nonEmpty)
+                println(s"batch $id: WARNING dropped columns not in the " +
+                  s"pinned watch schema: ${wider.toSeq.sorted.mkString(", ")} " +
+                  "(pass --watch-schema with the wider shape to keep them)")
+            }
+          } catch { case scala.util.control.NonFatal(_) => () }
           vacuumEvery.filter(n => (id + 1) % n == 0).foreach { _ =>
             graft.streaming.StreamingIngestGate.vacuumMarkers(spark, fp, mh, id)
             FingerprintStore.vacuum(spark, fp)

@@ -56,7 +56,10 @@ final class Catalog(
     // schema-dump parity metadata (JDBC catalogs only): secondary indexes
     // and column DEFAULT expressions, carried into the dumped DDL
     val indexes: Map[String, Seq[graft.sources.IndexDef]] = Map.empty,
-    val columnDefaults: Map[String, Map[String, String]] = Map.empty)
+    val columnDefaults: Map[String, Map[String, String]] = Map.empty,
+    // (view name, definition) in introspection order — dumped as CREATE
+    // VIEW statements after indexes (the pg_dump -s order)
+    val views: Seq[(String, String)] = Nil)
     extends Serializable with AutoCloseable {
 
   def table(name: String): DataFrame = {
@@ -66,6 +69,38 @@ final class Catalog(
       case Some(read) => read(name)
       case None       => spark.read.parquet(s"$dir/$name.parquet")
     }
+  }
+
+  /** Exact row count WITHOUT a Spark job for parquet-backed tables: the
+    * footer of every parquet file carries its block row counts, so the
+    * count is a driver-side metadata read — what sizing hints like
+    * [[graft.operators.Similarity.knnGraph]]'s `corpusHint` (which only
+    * derives log₂-scale plane counts) should use instead of paying a
+    * full count() action per invocation. JDBC-backed catalogs fall back
+    * to `count()` — there is no cheaper exact answer through a driver.
+    */
+  def rowCount(name: String): Long = {
+    require(tables.contains(name), s"unknown table: $name")
+    // Probe the parquet path rather than branching on `reader`: the
+    // parquet-backed catalogs (tpch included) wrap their scan in a reader
+    // closure too, but row counts are reader-invariant — the closure only
+    // normalizes column types. A catalog whose dir is not a filesystem
+    // path (JDBC url) lands in the count() fallback.
+    val footers = scala.util.Try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      val fs = root.getFileSystem(conf)
+      require(fs.exists(root))
+      fs.listStatus(root).iterator
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map { st =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum
+    }
+    footers.getOrElse(table(name).count())
   }
 
   /** FKs out of `table`. Mirrors xdump's `get_foreign_keys(table, full_tables,
@@ -85,11 +120,11 @@ final class Catalog(
 
   def withForeignKeys(extra: ForeignKey*): Catalog =
     new Catalog(spark, dir, tables, foreignKeys ++ extra, primaryKeys, reader,
-      resource, indexes, columnDefaults)
+      resource, indexes, columnDefaults, views)
 
   def withPrimaryKeys(extra: (String, Seq[String])*): Catalog =
     new Catalog(spark, dir, tables, foreignKeys, primaryKeys ++ extra, reader,
-      resource, indexes, columnDefaults)
+      resource, indexes, columnDefaults, views)
 
   /** Releases any resource pinning this catalog's consistency (the exported-
     * snapshot holder of `Catalog.jdbc(consistentSnapshot = true)`). Reads
@@ -152,7 +187,7 @@ object Catalog {
         spark, effCfg, meta.qualifiedNames.getOrElse(t, t),
         partitionColumn = if (consistent) None else meta.partitionColumns.get(t))
       new Catalog(spark, effCfg.url, meta.tables, meta.foreignKeys, meta.primaryKeys,
-        Some(read), holder, meta.indexes, meta.columnDefaults)
+        Some(read), holder, meta.indexes, meta.columnDefaults, meta.views)
     } catch {
       // introspection failed after the snapshot opened: release the holder
       // connection rather than leaking its open transaction

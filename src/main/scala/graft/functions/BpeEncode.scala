@@ -56,8 +56,40 @@ final class BpeEncoder(merges: Array[(String, String)]) extends Serializable {
     m
   }
 
+
   /** End-of-word marker; must match [[graft.operators.Bpe.Eow]]. */
   private val Eow = "</w>"
+
+  // Well-formedness gate: greedy lowest-rank encoding ≡ rank-order replay
+  // ONLY when every non-initial symbol a merge references is produced by a
+  // strictly earlier-ranked merge (true of everything bpeTrain emits — a
+  // pair must exist in the step-j vocabulary to be learned at rank j). A
+  // hand-crafted or imported table violating it would tokenize DIFFERENTLY
+  // here than under replay, so fail loudly at construction instead of
+  // silently diverging. Initial symbols are one code point, optionally
+  // marker-suffixed (what segmentation emits), or the bare marker (empty
+  // word); everything else must appear as an earlier merge's output.
+  locally {
+    def initial(s: String): Boolean = {
+      val core = if (s != Eow && s.endsWith(Eow)) s.dropRight(Eow.length) else s
+      core == Eow ||
+        (core.nonEmpty && core.codePointCount(0, core.length) == 1)
+    }
+    val produced = new java.util.HashSet[String]()
+    var i = 0
+    while (i < merges.length) {
+      val (l, r) = merges(i)
+      for (s <- Seq(l, r))
+        require(initial(s) || produced.contains(s),
+          s"malformed BPE merge table: rank $i references symbol '$s' that " +
+            "is neither an initial symbol (one code point, optional " +
+            s"'$Eow' suffix) nor produced by an earlier merge — greedy " +
+            "encoding would diverge from rank-order replay; fix the table " +
+            "or replay it explicitly via Bpe.bpeApplyFold")
+      produced.add(l + r)
+      i += 1
+    }
+  }
 
   /** Encode one document's word array to its subword-token array: each
     * word independently (the marker guarantees merges never cross word

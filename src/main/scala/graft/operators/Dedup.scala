@@ -711,19 +711,62 @@ object Dedup {
     * from `<subdir>/result` — a plain fault-tolerant file scan (an
     * executor loss recomputes from the file, unlike a localCheckpoint
     * whose lost blocks are unrecoverable); like a reliable Spark
-    * checkpoint, that one file set outlives the call and is the
-    * caller's to reclaim when the result is no longer needed.
+    * checkpoint, that one file set outlives the call. Reclaim it via
+    * [[dedupGroupsReclaimable]]'s handle when the result is no longer
+    * needed; the self-created temp-root case additionally cleans itself
+    * up at JVM exit.
     */
   def dedupGroups(pairs: DataFrame, maxIters: Int = 50,
-      spillDir: Option[String] = None): DataFrame = {
+      spillDir: Option[String] = None): DataFrame =
+    dedupGroupsReclaimable(pairs, maxIters, spillDir).groups
+
+  /** [[dedupGroups]]' result plus its RECLAMATION HANDLE. The returned
+    * frame scans `resultPath` (fault-tolerant file lineage — see
+    * [[dedupGroups]]), which means the file set OUTLIVES the call: a
+    * long-running pipeline invoking [[Similarity.semanticGroups]] daily
+    * against a shared checkpoint root would otherwise accrete one orphan
+    * `dedupgroups-<uuid>` dir per day with no sanctioned way to remove
+    * it. `reclaim()` deletes exactly this invocation's subdirectory —
+    * never a sibling invocation's state, never the caller's root — after
+    * which the frame must not be used. When the root was a self-created
+    * driver-temp dir (no spillDir, no session checkpoint dir, local
+    * master), a JVM shutdown hook additionally reclaims it on exit, so
+    * an interactive session that never calls `reclaim()` still leaks
+    * nothing past its own lifetime.
+    */
+  final case class DedupGroupsResult(
+      groups: DataFrame, resultPath: String, spillSubdir: String) {
+    def reclaim(): Unit = {
+      val p = new org.apache.hadoop.fs.Path(spillSubdir)
+      val fs = p.getFileSystem(
+        groups.sparkSession.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+    }
+  }
+
+  def dedupGroupsReclaimable(pairs: DataFrame, maxIters: Int = 50,
+      spillDir: Option[String] = None): DedupGroupsResult = {
     val spark = pairs.sparkSession
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .localCheckpoint() // reused every iteration: compute the pair set once
+    val ownsTempRoot =
+      spillDir.isEmpty && spark.sparkContext.getCheckpointDir.isEmpty &&
+        spark.sparkContext.isLocal
     val root = resolveSpillRoot(spillDir,
       spark.sparkContext.getCheckpointDir, spark.sparkContext.isLocal)
     val spill = s"$root/dedupgroups-${java.util.UUID.randomUUID()}"
+    // Self-created temp root: the caller never learns the path unless it
+    // keeps the handle, so tie the root's lifetime to the JVM — delete on
+    // exit (repeat invocations in a long-lived session stop accreting
+    // disk). Caller-provided roots are the caller's to manage.
+    if (ownsTempRoot) Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scala.util.Try {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          .delete(p, true)
+      }: Unit))
     var lastSlot: String = null
     // HYBRID barrier: the localCheckpoint pathology is a function of
     // checkpoint GENERATION depth (driver cost starts compounding past
@@ -803,8 +846,10 @@ object Dedup {
         scala.util.Try(fs.delete(p, true))
       }
     }
-    spark.read.parquet(resultPath)
-      .select(col("id").as("doc_id"), col("label").as("group_id"))
+    DedupGroupsResult(
+      spark.read.parquet(resultPath)
+        .select(col("id").as("doc_id"), col("label").as("group_id")),
+      resultPath, spill)
   }
 
   /** [[dedupGroups]]' spill-root resolution, factored pure so every

@@ -1089,11 +1089,13 @@ object Similarity {
     * `planes` bits each) turns the n² pair space into `bands` equi-SELF-
     * joins on (band, bucket): shuffle volume rows × bands, verify work
     * Σ bucket² per band, never rows². A pair colliding in several bands is
-    * scored once — the pair key groupBy that dedups it is candidate-volume
-    * bounded, not corpus². Per-query top-k is then the map-capped
-    * single window (the [[annTopK]] discipline): the Partial
-    * WindowGroupLimit bounds every partition's contribution at k before
-    * the global rank's exchange. Edge recall per pair at
+    * scored once — and before the pair-key dedup groupBy, a per-(query,
+    * band) top-k (exact — proof at the call site) collapses its exchange
+    * input from the full candidate-pair volume to n × bands × k skinny
+    * rows, so no corpus-volume pair set ever crosses an exchange.
+    * Per-query top-k is then the map-capped single window (the
+    * [[annTopK]] discipline): the Partial WindowGroupLimit bounds every
+    * partition's contribution at k before the global rank's exchange. Edge recall per pair at
     * cosine θ is 1 − (1 − p₁^planes)^bands with p₁ = 1 − arccos(θ)/π —
     * bands buy recall at linear shuffle cost, the standard LSH trade.
     *
@@ -1165,13 +1167,37 @@ object Similarity {
             col("bb.band").as("band"), col("bb.bucket").as("bucket"))
         val q = banded.select(col("vec_id").as("query_id"), col("v").as("vq"),
           col("nrm").as("nq"), col("band").as("qband"), col("bucket").as("qbucket"))
-        banded.join(q,
+        // Project the scored pair down to (query, neighbor, band, cos)
+        // IMMEDIATELY — the vectors exist only inside the join stage's
+        // codegen; nothing vector-width crosses an exchange after this.
+        val pairs = banded.join(q,
             col("band") === col("qband") && col("bucket") === col("qbucket") &&
               col("vec_id") =!= col("query_id"))
-          .withColumn("cos", dot(col("vq"), col("v")) / (col("nq") * col("nrm")))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            col("band"),
+            (dot(col("vq"), col("v")) / (col("nq") * col("nrm"))).as("cos"))
+        // Per-(query, band) top-k BELOW the pair-dedup exchange. This is
+        // NOT the removed redundant two-phase pattern (whose phase 1
+        // duplicated the final window's own Partial limit): the final
+        // window's native WindowGroupLimit cannot reach below the dedup
+        // groupBy, which otherwise shuffles the FULL candidate-pair
+        // volume — the 48 GiB spill regime the pair-heavy queries hit in
+        // their last measured scale decade. A band's pairs all live in
+        // that band's (band, bucket) partition, so the Partial limit
+        // here collapses the exchange input to exactly n × bands × k
+        // skinny rows. EXACT, not a recall trade: a pair in the true
+        // union top-k is beaten by < k candidates overall, hence by < k
+        // within any band that generated it (every within-band
+        // competitor is also in the union), so it survives its band's
+        // (cos desc, neighbor_id) top-k — the union of per-band top-k
+        // lists is a superset of the global top-k.
+        val wb = Window.partitionBy(col("query_id"), col("band"))
+          .orderBy(col("cos").desc, col("neighbor_id"))
+        pairs.withColumn("brank", row_number().over(wb))
+          .where(col("brank") <= k)
           // cross-band pair dedup: cos is identical wherever the pair
           // collided, so max is exact and order-independent
-          .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+          .groupBy(col("query_id"), col("neighbor_id"))
           .agg(max(col("cos")).as("cos"))
       }
     val w = Window.partitionBy(col("query_id"))
@@ -1280,9 +1306,18 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
     require(k >= 1 && k0 >= 1, s"k and k0 must be >= 1: ($k, $k0)")
-    val tagged = rankings.map(_.select(col("doc_id"),
-      round(lit(1.0) / (lit(k0).cast("double") + col("rank").cast("double")), 12)
-        .cast("decimal(20,12)").as("c")))
+    // A system contributes AT MOST ONCE per document: collapse each input
+    // to min(rank) per doc_id first, so a ranking with duplicate doc_ids
+    // (e.g. a multi-query annTopK frame passed without per-query
+    // filtering) can neither inflate rrf_score by summing several
+    // contributions nor push n_systems past rankings.size. min(rank) is
+    // the document's best showing in that system — the standard RRF
+    // reading. Still k-sized work: each input is already a top-k list.
+    val tagged = rankings.map(
+      _.groupBy(col("doc_id")).agg(min(col("rank")).as("rank"))
+        .select(col("doc_id"),
+          round(lit(1.0) / (lit(k0).cast("double") + col("rank").cast("double")), 12)
+            .cast("decimal(20,12)").as("c")))
     tagged.reduce(_ unionByName _)
       .groupBy("doc_id")
       .agg(sum(col("c")).as("sc"), count(lit(1)).cast("long").as("n_systems"))

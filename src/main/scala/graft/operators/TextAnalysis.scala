@@ -1295,4 +1295,93 @@ object TextAnalysis {
           .cast("long"))
       .select(col("doc_id"), col("rank"), col("score"))
   }
+
+  /** BATCH-query [[bm25TopK]] — the serving contract the rest of the
+    * store family honors ([[graft.operators.VectorIndexStore.search]]):
+    * an EXTERNAL QUERY BATCH `(query_id, terms)` answered from ONE
+    * corpus pass, per-query top-k out.
+    *
+    * 100 TB plan shape: the batch is a BOUNDED external artifact, so it
+    * is fetched driver-side once (the codebook discipline, capped at
+    * `maxQueries`) and its term UNION becomes plan literals — per-doc
+    * term frequencies are |T| map-side array-filter counts over one
+    * tokenize, exactly [[bm25TopK]]'s no-explode trick; corpus
+    * statistics (N, Σdl, per-term df for all of T) reduce to ONE
+    * broadcast row. Scoring then emits per-doc `(query_id, score)`
+    * structs with zero-scoring pairs filtered INSIDE the array before
+    * the explode, so exploded volume is matching pairs only — on a
+    * selective query batch that is a tiny fraction of corpus × Q. The
+    * per-query top-k is one window: Spark plants a
+    * WindowGroupLimit(Partial) below the exchange, so each task ships
+    * at most k rows per query and total shuffle volume is bounded by
+    * partitions × Q × k — the corpus is never shuffled on its own key.
+    *
+    * Determinism: per-term contributions sum in the QUERY's term order
+    * inside one projection and the score rounds to 4 decimals before
+    * the (score desc, doc_id) rank — [[bm25TopK]]'s engine-portable
+    * contract, per query.
+    */
+  def bm25TopKBatch(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      maxQueries: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1: $k")
+    val qrows = queries
+      .select(col("query_id").cast("long"), col("terms").cast("array<string>"))
+      .limit(maxQueries + 1).collect()
+    require(qrows.nonEmpty, "bm25TopKBatch needs at least one query")
+    require(qrows.length <= maxQueries,
+      s"query batch exceeds maxQueries=$maxQueries — split the batch " +
+        "(each query's terms become plan literals; an unbounded batch " +
+        "would grow the plan without bound)")
+    val qs: Seq[(Long, Seq[String])] = qrows.toIndexedSeq.map { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        "query batch rows must carry non-null query_id and terms")
+      (r.getLong(0), r.getSeq[String](1).map(_.toLowerCase).distinct)
+    }
+    require(qs.map(_._1).distinct.size == qs.size,
+      "duplicate query_id in the batch")
+    qs.foreach { case (qid, ts) =>
+      require(ts.nonEmpty, s"query $qid has no terms") }
+    val terms = qs.flatMap(_._2).distinct.sorted
+    val tIdx = terms.zipWithIndex.toMap
+    val tf = docs.select(col("doc_id"), bindOnce(tokens(col("text")), tk =>
+        struct((size(tk).cast("long").as("dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            size(filter(tk, x => x === lit(t))).cast("long").as(s"tf$i")
+          }): _*)).as("s"))
+      .select((col("doc_id") +: col("s.dl").as("dl") +:
+        terms.indices.map(i => col(s"s.tf$i").as(s"tf$i"))): _*)
+    val stats = tf.agg(
+      count(lit(1)).as("n"),
+      (sum(col("dl")).as("sdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))): _*)
+    val nD = col("n").cast("double")
+    val avgdl = col("sdl").cast("double") / nD
+    def contrib(i: Int): Column = {
+      val tfD = col(s"tf$i").cast("double")
+      val dfD = col(s"df$i").cast("double")
+      val idf = log(lit(1.0) + (nD - dfD + lit(0.5)) / (dfD + lit(0.5)))
+      idf * (tfD * (lit(k1) + lit(1.0))) /
+        (tfD + lit(k1) * (lit(1.0) - lit(b) +
+          lit(b) * col("dl").cast("double") / avgdl))
+    }
+    val scored = tf.crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        explode(filter(array(qs.map { case (qid, ts) =>
+          struct(lit(qid).as("query_id"),
+            round(ts.map(t => contrib(tIdx(t))).reduce(_ + _), 4).as("score"))
+        }: _*), s => s.getField("score") > 0)).as("q"))
+      .select(col("q.query_id"), col("doc_id"), col("q.score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
+  }
 }

@@ -131,6 +131,20 @@ object Dump {
       writeText(catalog.spark, s"$path/schema/$t.sql",
         (Seq(create) ++ pk ++ fks ++ defs ++ idxs).mkString("\n"))
     }
+    // Views last (the pg_dump -s order — they may reference any table or
+    // an earlier view). The introspected definition text is either the
+    // bare SELECT (INFORMATION_SCHEMA engines) or a full CREATE VIEW
+    // statement (Derby keeps the original DDL text) — normalize to one
+    // statement per view. A partial dump that excludes a view's base
+    // table still dumps the view (pg_dump -s does too); its replay then
+    // fails loudly at load instead of silently losing the definition.
+    if (catalog.views.nonEmpty)
+      writeText(catalog.spark, s"$path/schema/_views.sql",
+        catalog.views.map { case (v, d) =>
+          val dd = d.trim.stripSuffix(";").trim
+          if (dd.toUpperCase.startsWith("CREATE ")) s"$dd;"
+          else s"CREATE VIEW $v AS $dd;"
+        }.mkString("\n"))
   }
 
   /** The dumped DDL statements of one table, semicolons stripped (JDBC
@@ -353,9 +367,10 @@ object Dump {
     * over one — dialect handled by [[Jdbc.notNullSql]]), then all
     * PRIMARY KEY statements, then all FOREIGN KEY statements (their
     * parents' PKs exist by then, regardless of FK-graph order), then
-    * column `SET DEFAULT` statements and finally `CREATE INDEX`
-    * statements — indexes last so the bulk load above never paid
-    * incremental index maintenance (the pg_dump/pg_restore order).
+    * column `SET DEFAULT` statements, `CREATE INDEX` statements —
+    * indexes after the bulk load so it never paid incremental index
+    * maintenance — and finally `CREATE VIEW` statements from
+    * `schema/_views.sql` (the pg_dump/pg_restore order).
     */
   private def replayConstraints(
       spark: SparkSession, dumpPath: String, cfg: JdbcConfig,
@@ -372,7 +387,14 @@ object Dump {
         cols.split(",").map(c => Jdbc.notNullSql(cfg, t, c.trim)).toSeq
       case _ => Nil
     }
-    Jdbc.execute(cfg, notNulls ++ pkStmts ++ fkStmts ++ defStmts ++ idxStmts)
+    // views after everything (their base tables and indexes exist by then
+    // — the pg_restore order); absent file = dump carried no views
+    val viewStmts =
+      try readText(spark, s"$dumpPath/schema/_views.sql")
+        .split(";").map(_.trim).filter(_.nonEmpty).toSeq
+      catch { case _: java.io.IOException => Nil }
+    Jdbc.execute(cfg,
+      notNulls ++ pkStmts ++ fkStmts ++ defStmts ++ idxStmts ++ viewStmts)
   }
 
   /** Replays the manifest's sequence state onto a live JDBC target — the

@@ -55,7 +55,12 @@ final case class DbMeta(
     qualifiedNames: Map[String, String],
     partitionColumns: Map[String, String],
     indexes: Map[String, Seq[IndexDef]] = Map.empty,
-    columnDefaults: Map[String, Map[String, String]] = Map.empty)
+    columnDefaults: Map[String, Map[String, String]] = Map.empty,
+    // (view name, definition text) in introspection order — the remaining
+    // pg_dump -s parity piece after indexes and DEFAULTs (reference
+    // postgresql.py:129 dumps the whole schema; CHECK constraints stay the
+    // adjudicated gap — no portable JDBC/catalog surface exposes them)
+    views: Seq[(String, String)] = Nil)
 
 /** A secondary index as introspected from `DatabaseMetaData.getIndexInfo`:
   * the schema-dump parity piece a bare CREATE TABLE + PK/FK replay loses
@@ -462,8 +467,12 @@ object Jdbc {
 
       // Secondary indexes (getIndexInfo): rows grouped by INDEX_NAME in
       // first-encounter order; statistic rows (no name/column) skipped;
-      // the PK's backing index — identified by column set — skipped, since
-      // its DDL already rides the PRIMARY KEY constraint replay; and
+      // the PK's backing index — identified as a UNIQUE index whose
+      // ORDERED column sequence equals the PK's — skipped, since its DDL
+      // already rides the PRIMARY KEY constraint replay (a set-equality
+      // test would also drop a user's reverse-order lookup index like
+      // (b,a) over PK (a,b), which is a distinct physical structure a
+      // pg_dump -s would keep); and
       // SYSTEM-GENERATED backing indexes — identified by a name that is
       // not a plain SQL identifier (Derby's FK/PK conglomerates carry
       // UUID-suffixed names like "SQL0000000082-c0a0c103-…") — skipped,
@@ -471,7 +480,7 @@ object Jdbc {
       // and their names cannot replay as unquoted DDL anyway.
       val ident = "[A-Za-z_][A-Za-z0-9_]*".r
       val idxs = tabs.map { case (sc, t) =>
-        val pkSet = pks.getOrElse(t, Seq.empty).toSet
+        val pkSeq = pks.getOrElse(t, Seq.empty)
         val parts = rows(md.getIndexInfo(null, sc.orNull, t, false, true))(r =>
           (Option(r.getString("INDEX_NAME")), r.getShort("ORDINAL_POSITION").toInt,
             Option(r.getString("COLUMN_NAME")), !r.getBoolean("NON_UNIQUE")))
@@ -484,7 +493,7 @@ object Jdbc {
         }
         t -> grouped.toVector.map { case (nm, ps) =>
           IndexDef(nm, ps.head._3, ps.sortBy(_._1).map(_._2))
-        }.filter(ix => ix.columns.toSet != pkSet &&
+        }.filter(ix => !(ix.unique && ix.columns == pkSeq) &&
           ident.matches(ix.name))
       }.toMap.filter(_._2.nonEmpty)
 
@@ -519,7 +528,62 @@ object Jdbc {
         }
       }.toMap
 
-      DbMeta(names, fks, pks, qualified, partCols, idxs, defaults)
+      // Views (getTables type VIEW) with their definition text where the
+      // engine exposes it: Derby's SYS.SYSVIEWS, everything
+      // INFORMATION_SCHEMA-shaped (H2, Postgres, MySQL) via
+      // INFORMATION_SCHEMA.VIEWS. A view whose definition no catalog
+      // query yields is SKIPPED (an empty CREATE VIEW would be a lie);
+      // introspection order is preserved so a view over an earlier view
+      // replays after its dependency on engines that list dependents
+      // later (Derby and PG both do).
+      val viewTabs = rows(md.getTables(null, schema.orNull, "%",
+        Array("VIEW")))(r =>
+        (Option(r.getString("TABLE_SCHEM")).filter(_.nonEmpty),
+          r.getString("TABLE_NAME")))
+      val views = viewTabs.flatMap { case (sc, v) =>
+        viewDefinition(conn, sc, v).map(d => v -> d)
+      }
+
+      DbMeta(names, fks, pks, qualified, partCols, idxs, defaults, views)
     }
   }
+
+  /** One-value catalog query, absent on any failure — the probe shape
+    * [[viewDefinition]] routes dialects with (an engine without the
+    * probed catalog table just throws, which means "try the next").
+    */
+  private def queryOne(
+      conn: java.sql.Connection, sql: String, args: Seq[String])
+      : Option[String] =
+    scala.util.Try {
+      val ps = conn.prepareStatement(sql)
+      try {
+        args.zipWithIndex.foreach { case (a, i) => ps.setString(i + 1, a) }
+        val rs = ps.executeQuery()
+        try { if (rs.next()) Option(rs.getString(1)) else None }
+        finally rs.close()
+      } finally ps.close()
+    }.toOption.flatten
+
+  /** A view's definition text: Derby keeps it in SYS.SYSVIEWS
+    * .VIEWDEFINITION; the INFORMATION_SCHEMA.VIEWS fallback covers H2,
+    * Postgres and MySQL. Either form may be the bare SELECT or a full
+    * CREATE VIEW statement — [[graft.sources.Dump]] normalizes at write
+    * time.
+    */
+  private[graft] def viewDefinition(
+      conn: java.sql.Connection, schema: Option[String], view: String)
+      : Option[String] =
+    queryOne(conn,
+      "SELECT v.VIEWDEFINITION FROM SYS.SYSVIEWS v " +
+        "JOIN SYS.SYSTABLES t ON v.TABLEID = t.TABLEID " +
+        "JOIN SYS.SYSSCHEMAS s ON t.SCHEMAID = s.SCHEMAID " +
+        "WHERE t.TABLENAME = ?" +
+        schema.map(_ => " AND s.SCHEMANAME = ?").getOrElse(""),
+      Seq(view) ++ schema)
+    .orElse(queryOne(conn,
+      "SELECT VIEW_DEFINITION FROM INFORMATION_SCHEMA.VIEWS " +
+        "WHERE TABLE_NAME = ?" +
+        schema.map(_ => " AND TABLE_SCHEMA = ?").getOrElse(""),
+      Seq(view) ++ schema))
 }

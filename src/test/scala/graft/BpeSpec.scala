@@ -216,4 +216,27 @@ class BpeSpec extends SparkSpec {
       .map(r => (r.getAs[String]("merged"), r.getAs[Long]("pair_count")))
     assert(m.toSeq === Seq(("es", 6L), ("ew", 6L), ("est</w>", 6L)))
   }
+
+  test("BpeEncoder rejects malformed merge tables at construction") {
+    // greedy ≡ rank-order replay only holds when every non-initial symbol
+    // a merge references is produced by an earlier merge — a table
+    // violating it must fail loudly, not silently tokenize differently
+    val e = intercept[IllegalArgumentException] {
+      new graft.functions.BpeEncoder(Array(("ab", "c"))) // "ab" never produced
+    }
+    assert(e.getMessage.contains("malformed BPE merge table"))
+    intercept[IllegalArgumentException] {
+      // produced later, not earlier: rank 0 references rank 1's output
+      new graft.functions.BpeEncoder(Array(("ab", "c"), ("a", "b")))
+    }
+    intercept[IllegalArgumentException] {
+      new graft.functions.BpeEncoder(Array(("a", "bc</w>"))) // marker form, still unproduced
+    }
+    // well-formed shapes construct fine: single-codepoint initials (with
+    // or without the marker), the bare marker (empty word), and chained
+    // references to earlier outputs
+    new graft.functions.BpeEncoder(Array(("a", "b"), ("ab", "c"), ("abc", "d</w>")))
+    new graft.functions.BpeEncoder(Array(("a", "b</w>"), ("c", "ab</w>")))
+    new graft.functions.BpeEncoder(Array(("a", "</w>")))
+  }
 }

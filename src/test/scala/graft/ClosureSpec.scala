@@ -158,4 +158,12 @@ class ClosureSpec extends SparkSpec {
       TableGraph.loadLevels(Seq("a", "b"), fks)
     }
   }
+
+  test("rowCount answers from parquet footers and matches count()") {
+    // exactness: the footer sum IS the scan count, for a single-file and
+    // a multi-file table alike
+    for (t <- Seq("region", "lineitem", "documents"))
+      assert(cat.rowCount(t) === cat.table(t).count(), t)
+    intercept[IllegalArgumentException] { cat.rowCount("nope") }
+  }
 }

@@ -406,4 +406,23 @@ class DedupSpec extends SparkSpec {
     Dedup.stripDupLines(lineDocs).count()
     assert(spark.sharedState.cacheManager.isEmpty)
   }
+
+  test("dedupGroupsReclaimable: the handle reclaims exactly its own subdir") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val root = Files.createTempDirectory("graft-dgr-root").toString
+    // caller state sharing the spill root must survive reclamation
+    Files.write(Paths.get(root, "keepme.txt"), "x".getBytes)
+    val res = Dedup.dedupGroupsReclaimable(pairs, spillDir = Some(root))
+    assert(res.groups.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+    // the handle names the real on-disk lineage of the returned frame
+    assert(res.resultPath.startsWith(res.spillSubdir))
+    assert(res.spillSubdir.startsWith(root))
+    assert(Files.exists(Paths.get(res.resultPath)))
+    res.reclaim()
+    assert(!Files.exists(Paths.get(res.spillSubdir)))
+    assert(Files.exists(Paths.get(root, "keepme.txt")))
+  }
 }

@@ -567,4 +567,69 @@ class JdbcCatalogSpec extends SparkSpec {
     assert(back.primaryKey("ORDERS") === Seq("O_ID"))
     assert(back.foreignKeys === cat.foreignKeys)
   }
+
+  test("recreate load restores VIEWS (pg_dump -s parity, after indexes)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jdbc_view").toString
+    val db = s"$tmp/src"
+    createSchema(db)
+    insertData(db)
+    val conn0 = DriverManager.getConnection(s"jdbc:derby:$db", "app", "app")
+    try {
+      val st = conn0.createStatement()
+      st.execute("CREATE VIEW BIG_ORDERS AS " +
+        "SELECT O_ID, O_TOTAL, O_CID FROM ORDERS WHERE O_TOTAL > 100")
+      // a view OVER a view: replay order must respect the dependency
+      st.execute("CREATE VIEW BIG_ORDER_IDS AS SELECT O_ID FROM BIG_ORDERS")
+      st.close()
+    } finally conn0.close()
+
+    // introspection carries name + definition, in dependency-safe order,
+    // and views never leak into the TABLE set
+    val cat = Catalog.jdbc(spark, cfgFor(db))
+    assert(cat.views.map(_._1) === Seq("BIG_ORDERS", "BIG_ORDER_IDS"))
+    assert(!cat.tables.contains("BIG_ORDERS"))
+
+    val dump = s"$tmp/dump"
+    Dump.write(cat, DumpSpec(fullTables = cat.tables), dump)
+
+    val db2 = s"$tmp/empty"
+    Class.forName(DerbyDriver)
+    DriverManager.getConnection(s"jdbc:derby:$db2;create=true", "app", "app").close()
+    Dump.loadIntoJdbc(spark, dump, cfgFor(db2), cleanup = Some("recreate"))
+
+    // both views exist on the target and FUNCTION over the loaded rows
+    val meta2 = Jdbc.introspect(cfgFor(db2), schema = Some("APP"))
+    assert(meta2.views.map(_._1) === Seq("BIG_ORDERS", "BIG_ORDER_IDS"))
+    val conn = DriverManager.getConnection(s"jdbc:derby:$db2", "app", "app")
+    try {
+      val st = conn.createStatement()
+      val rs = st.executeQuery("SELECT count(*) FROM BIG_ORDER_IDS")
+      rs.next()
+      assert(rs.getInt(1) === 3) // orders 1 (250), 3 (120), 5 (300)
+      rs.close()
+      st.close()
+    } finally conn.close()
+  }
+
+  test("a reverse-order lookup index over the PK's columns is NOT the PK's backing index") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jdbc_revix").toString
+    val db = s"$tmp/src"
+    Class.forName(DerbyDriver)
+    val conn = DriverManager.getConnection(s"jdbc:derby:$db;create=true", "app", "app")
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE PAIRS (A INT NOT NULL, B INT NOT NULL, " +
+        "V VARCHAR(8), PRIMARY KEY (A, B))")
+      // same column SET as the PK, different ORDER — a real, distinct
+      // physical structure pg_dump -s keeps; set-equality dropped it
+      st.execute("CREATE INDEX PAIRS_BA_IX ON PAIRS (B, A)")
+      st.close()
+    } finally conn.close()
+    val meta = Jdbc.introspect(cfgFor(db), schema = Some("APP"))
+    val idx = meta.indexes.getOrElse("PAIRS", Seq.empty)
+    assert(idx.exists(ix => ix.name == "PAIRS_BA_IX" &&
+      ix.columns === Seq("B", "A")), s"reverse-order index lost: $idx")
+    // the PK's own backing index still never dumps
+    assert(!idx.exists(ix => ix.columns == Seq("A", "B") && ix.unique))
+  }
 }

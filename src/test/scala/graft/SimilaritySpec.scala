@@ -555,4 +555,45 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
     assert(got.toSeq === again.toSeq)
   }
+
+  test("knnGraph banded path: band-level pre-cap below the dedup exchange, both windows map-capped") {
+    // The pair-dedup groupBy must never see the full candidate-pair
+    // volume: a per-(query, band) top-k runs below it (exact — union of
+    // per-band top-k ⊇ global top-k, proof at the operator), and both it
+    // and the final per-query rank compile to Partial+Final
+    // WindowGroupLimit pairs → 4 limit nodes, 2 Window nodes, and no
+    // vector-width column crosses the post-score exchanges.
+    val g = Similarity.knnGraph(emb, k = 3, bands = 2)
+    val plan = g.queryExecution.executedPlan.toString
+    val limits = "WindowGroupLimit".r.findAllIn(plan).length
+    assert(limits === 4,
+      s"expected 2× (Partial+Final) WindowGroupLimit, plan had $limits:\n$plan")
+    assert("Window".r.findAllIn(plan).length === 6,
+      s"expected two Window nodes (+ their limit pairs):\n$plan")
+    // result is partitioning-independent (the exactness witness rides the
+    // oracle; this guards the distributed determinism)
+    val base = g.orderBy("query_id", "rank").collect().toSeq
+    val again = Similarity.knnGraph(emb.repartition(13), k = 3, bands = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(base === again)
+  }
+
+  test("rrfFuse: a system contributes once per doc — duplicates collapse to min rank") {
+    import spark.implicits._
+    // doc 1 appears TWICE in the lexical list (a multi-query frame passed
+    // without per-query filtering): it must contribute 1/(60+1) once —
+    // its best showing — not 1/(60+1) + 1/(60+5); and n_systems counts
+    // SYSTEMS (2), never rows (3)
+    val lex = Seq((1L, 1L), (1L, 5L), (2L, 2L)).toDF("doc_id", "rank")
+    val vec = Seq((1L, 2L)).toDF("doc_id", "rank")
+    val got = Similarity.rrfFuse(Seq(lex, vec), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getLong(3)))
+    def c(r: Long) = BigDecimal(1.0 / (60.0 + r))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val d1 = got.find(_._1 == 1L).get
+    assert(d1._2 === BigDecimal((c(1) + c(2)).toDouble)
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(d1._3 === 2L)
+    assert(got.find(_._1 == 2L).get._3 === 1L)
+  }
 }

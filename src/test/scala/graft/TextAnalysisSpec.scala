@@ -675,4 +675,56 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq === upper.toSeq)
   }
+
+  test("bm25TopKBatch ≡ per-query bm25TopK; no-match query vanishes; batch validated") {
+    import spark.implicits._
+    val docs = (
+      Seq(
+        (1L, "zebra common common"),
+        (2L, "common common common common"),
+        (3L, "common"),
+        (4L, "nothing matching here at all")) ++
+      (10L to 15L).map(i => (i, "common filler words and more filler")))
+      .toDF("doc_id", "text")
+    val specs = Seq(
+      (7L, Seq("zebra", "common")),
+      (8L, Seq("filler", "words")),
+      (9L, Seq("zzznope")))
+    val batch = specs.toDF("query_id", "terms")
+    val out = TextAnalysis.bm25TopKBatch(docs, batch, k = 5)
+      .orderBy("query_id", "rank")
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // each query's slice is EXACTLY the single-query operator's answer —
+    // same scores, same ranks (determinism contract shared term-order sum)
+    for ((qid, ts) <- specs.take(2)) {
+      val single = TextAnalysis.bm25TopK(docs, ts, k = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val slice = got.filter(_._1 == qid).map(t => (t._2, t._3, t._4))
+      assert(slice.toSeq === single.toSeq, s"query $qid diverges")
+    }
+    // the corpus-missing term scores nothing anywhere: query 9 is ABSENT
+    assert(!got.map(_._1).contains(9L))
+    // the per-query top-k is the map-capped single window — the partial
+    // limit must be planted below the exchange (the scale contract)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+    // partitioning-independent
+    val again = TextAnalysis.bm25TopKBatch(docs.repartition(7), batch, k = 5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === again.toSeq)
+    // duplicate query_id, empty terms, oversized batch: fail loudly
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopKBatch(docs,
+        Seq((1L, Seq("a")), (1L, Seq("b"))).toDF("query_id", "terms"), k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopKBatch(docs,
+        Seq((1L, Seq.empty[String])).toDF("query_id", "terms"), k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopKBatch(docs, batch, k = 1, maxQueries = 2)
+    }
+  }
 }
