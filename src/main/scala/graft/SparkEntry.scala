@@ -819,6 +819,24 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     },
 
+    // the WHOLE batch serving loop: batch BM25 (query terms) fused with
+    // batch exact-cosine retrieval (each query_id's own embedding as the
+    // vector channel) by per-query RRF — query 4's lexical term misses
+    // the corpus, so its fusion is vector-only (n_systems = 1
+    // throughout that query's rows)
+    "hybrid_batch_search" -> { (s, dir) =>
+      import s.implicits._
+      val docs = cat(s, dir).table("documents")
+      val q = Bm25BatchQueries.toDF("query_id", "terms")
+      val lex = TextAnalysis.bm25TopKBatch(docs, q, k = 50)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val vec = Similarity.annTopK(Similarity.docEmbed(docs, dim = 16),
+          col("vec_id").isin(Bm25BatchQueries.map(_._1): _*), k = 50)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuseBatch(Seq(lex, vec), k = 10)
+        .orderBy("query_id", "rank")
+    },
+
     // HYBRID retrieval: BM25 lexical ranks fused with docEmbed cosine
     // ranks (query = doc 42's own embedding) by reciprocal-rank fusion —
     // the two serving halves combined the calibration-free way. Both
@@ -1945,6 +1963,47 @@ object SparkEntry {
       s"""WITH ${bm25BatchSql("documents", Bm25BatchQueries, 10)}
          SELECT query_id, doc_id, rank, score FROM bqt
          ORDER BY query_id, rank""",
+
+    // Batch hybrid: bqt = the generated batch-BM25 replay (top-50), vtop
+    // = per-query exact cosine over docEmbed (each query_id's own
+    // vector), fused per query by the RRF replay.
+    "hybrid_batch_search" ->
+      s"""WITH ${bm25BatchSql("documents", Bm25BatchQueries, 50)},
+         $DocEmbedSql,
+         e AS (SELECT vec_id, list(CAST(v AS DOUBLE) ORDER BY bucket) AS v
+           FROM de GROUP BY vec_id),
+         n AS (SELECT vec_id, v,
+           sqrt(list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
+                (a, b) -> a + b)) AS nrm
+         FROM e),
+         vp AS (SELECT q.vec_id AS query_id, x.vec_id AS doc_id,
+           list_reduce(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * x.v[i]),
+                (a, b) -> a + b) / (q.nrm * x.nrm) AS cos
+         FROM n q JOIN n x ON x.vec_id <> q.vec_id
+         WHERE q.vec_id IN (${Bm25BatchQueries.map(_._1).mkString(", ")})),
+         vtop AS (SELECT query_id, doc_id, rnk FROM (
+           SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rnk
+           FROM vp) t
+         WHERE rnk <= 50),
+         contrib AS (
+           SELECT query_id, doc_id,
+             CAST(round(1.0 / (60.0 + CAST(rank AS DOUBLE)), 12) AS DECIMAL(20,12)) AS c
+           FROM bqt
+           UNION ALL
+           SELECT query_id, doc_id,
+             CAST(round(1.0 / (60.0 + CAST(rnk AS DOUBLE)), 12) AS DECIMAL(20,12)) AS c
+           FROM vtop),
+         fused AS (SELECT query_id, doc_id,
+             round(CAST(sum(c) AS DOUBLE), 10) AS rrf_score,
+             CAST(count(*) AS BIGINT) AS n_systems
+           FROM contrib GROUP BY query_id, doc_id),
+         fr AS (SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS frank,
+             rrf_score, n_systems
+           FROM fused)
+         SELECT query_id, doc_id, frank AS "rank", rrf_score, n_systems
+         FROM fr WHERE frank <= 10 ORDER BY query_id, frank""",
 
     "hybrid_topk" ->
       s"""WITH $DocEmbedSql,

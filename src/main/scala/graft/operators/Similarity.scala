@@ -1330,4 +1330,42 @@ object Similarity {
           .cast("long"))
       .select(col("doc_id"), col("rank"), col("rrf_score"), col("n_systems"))
   }
+
+  /** BATCH [[rrfFuse]] — fuses per-QUERY ranked lists, completing the
+    * batch serving loop ([[graft.operators.TextAnalysis.bm25TopKBatch]]
+    * lexical + [[graft.operators.VectorIndexStore.search]] vector, both
+    * of which already answer a whole external query batch): inputs are
+    * `(query_id, doc_id, rank)` frames, output is the fused top-k per
+    * query. Same semantics as [[rrfFuse]] applied independently per
+    * query_id — min(rank) collapse per (query, doc) within each system,
+    * decimal-summed contributions, 10-decimal round before the
+    * (score desc, doc_id) rank.
+    *
+    * Scale shape: every input is a per-query TOP-K list, so total volume
+    * is Σ systems × queries × k — the corpus never appears; the
+    * per-query rank is one window whose rank ≤ k filter compiles to the
+    * map-capped WindowGroupLimit.
+    */
+  def rrfFuseBatch(
+      rankings: Seq[DataFrame], k: Int = 10, k0: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rankings.nonEmpty, "rrfFuseBatch needs at least one ranking")
+    require(k >= 1 && k0 >= 1, s"k and k0 must be >= 1: ($k, $k0)")
+    val tagged = rankings.map(
+      _.groupBy(col("query_id"), col("doc_id")).agg(min(col("rank")).as("rank"))
+        .select(col("query_id"), col("doc_id"),
+          round(lit(1.0) / (lit(k0).cast("double") + col("rank").cast("double")), 12)
+            .cast("decimal(20,12)").as("c")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    tagged.reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("sc"), count(lit(1)).cast("long").as("n_systems"))
+      .select(col("query_id"), col("doc_id"),
+        round(col("sc").cast("double"), 10).as("rrf_score"), col("n_systems"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        col("rrf_score"), col("n_systems"))
+  }
 }

@@ -37,16 +37,17 @@ object BpeProdScale {
 
   /** The char-diverse corpus: each token gains a deterministic hash tag
     * of (token, doc_id) — PER-DOCUMENT, so each base word type fans out
-    * into up to 997 distinct suffixed TYPES across the corpus (~31k word
-    * types from the ~31-word synthetic vocabulary, with digit-bearing
-    * tails), giving the trainer real pair structure at 30k merges while
-    * document shape and volume stay the corpus's own.
+    * into up to 9973 distinct suffixed TYPES across the corpus (hundreds
+    * of thousands of word types from the ~31-word synthetic vocabulary,
+    * digit-bearing tails; training caps at the 50k most frequent),
+    * giving the trainer real pair structure at 30k merges while document
+    * shape and volume stay the corpus's own.
     */
   def diverse(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), array_join(
       transform(split(col("text"), "\\s+"),
         t => concat(t, lit("-h"),
-          pmod(xxhash64(t, col("doc_id")), lit(997)).cast("string"))),
+          pmod(xxhash64(t, col("doc_id")), lit(9973)).cast("string"))),
       " ").as("text"))
 
   def main(args: Array[String]): Unit = {

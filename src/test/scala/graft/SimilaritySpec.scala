@@ -578,6 +578,30 @@ class SimilaritySpec extends SparkSpec {
     assert(base === again)
   }
 
+  test("rrfFuseBatch ≡ per-query rrfFuse; per-query rank map-capped") {
+    import spark.implicits._
+    val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L), (2L, 20L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val vec = Seq((1L, 11L, 1L), (2L, 21L, 1L), (2L, 20L, 2L), (3L, 30L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val fused = Similarity.rrfFuseBatch(Seq(lex, vec), k = 5)
+    val got = fused.orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    // every query's slice equals the single-query operator over its slices
+    for (q <- Seq(1L, 2L, 3L)) {
+      val single = Similarity.rrfFuse(Seq(
+          lex.where(col("query_id") === q).select("doc_id", "rank"),
+          vec.where(col("query_id") === q).select("doc_id", "rank")), k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      val slice = got.filter(_._1 == q).map(t => (t._2, t._3, t._4, t._5))
+      assert(slice.toSeq === single.toSeq, s"query $q diverges")
+    }
+    // query 3 exists in ONE system only — present, n_systems = 1
+    assert(got.filter(_._1 == 3L).map(_._5).toSeq === Seq(1L))
+    // the per-query rank is the map-capped single window
+    assert(fused.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   test("rrfFuse: a system contributes once per doc — duplicates collapse to min rank") {
     import spark.implicits._
     // doc 1 appears TWICE in the lexical list (a multi-query frame passed
