@@ -488,6 +488,13 @@ object ScaleCheck {
         // kNN over ~4× the rows (chunks) — expect doc_knn's curve at the
         // chunk multiple
         "chunk_knn" -> (() => Similarity.chunkKnn(decorDocs, k = 3)),
+        // the bucketCap recall dial at the design bucket width (hinted
+        // planes target ~64): bounds verify at buckets × 64² per band no
+        // matter the distribution — the documented mitigation for the
+        // chunk-graph's last-decade pair constant (recall delta measured
+        // in SimilaritySpec; here the COST side of the trade)
+        "chunk_knn_cap64" -> (() =>
+          Similarity.chunkKnn(decorDocs, k = 3, bucketCap = Some(64))),
         // the persisted-SIGNATURE fuzzy ingest loop (save + gate + append
         // + gate, the SparkEntry demo verbatim): corpus text is
         // signature-reduced once at founding — expect linear in the save

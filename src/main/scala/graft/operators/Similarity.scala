@@ -1053,7 +1053,8 @@ object Similarity {
       bands: Int = 2,
       center: Boolean = true,
       corpusHint: Option[Long] = None,
-      maxChunksPerDoc: Long = 1000000L): DataFrame = {
+      maxChunksPerDoc: Long = 1000000L,
+      bucketCap: Option[Int] = None): DataFrame = {
     val m = maxChunksPerDoc
     // Un-hinted path: the count that derives the plane budget must not
     // re-run the chunk-explode + embed subtree a second time when
@@ -1068,7 +1069,8 @@ object Similarity {
         val cp = embedded.localCheckpoint()
         (cp, cp.count())
     }
-    knnGraph(emb, k, bands, center = center, corpusHint = Some(hint))
+    knnGraph(emb, k, bands, center = center, corpusHint = Some(hint),
+        bucketCap = bucketCap)
       .select(
         expr(s"CAST(query_id DIV $m AS BIGINT)").as("doc_id"),
         (col("query_id") % m).as("chunk_id"),
@@ -1095,7 +1097,13 @@ object Similarity {
     * rows, so no corpus-volume pair set ever crosses an exchange.
     * Per-query top-k is then the map-capped single window (the
     * [[annTopK]] discipline): the Partial WindowGroupLimit bounds every
-    * partition's contribution at k before the global rank's exchange. Edge recall per pair at
+    * partition's contribution at k before the global rank's exchange.
+    * `bucketCap` (off by default) additionally bounds every (band,
+    * bucket) to a deterministic salted-hash sample of `cap` vectors —
+    * the EXPLICIT recall dial (measured in the spec like the multi-probe
+    * knobs) for pair volume past the decade where hinted planes alone
+    * strain executor memory; verify work is then ≤ buckets × cap² per
+    * band no matter how the corpus is distributed. Edge recall per pair at
     * cosine θ is 1 − (1 − p₁^planes)^bands with p₁ = 1 − arccos(θ)/π —
     * bands buy recall at linear shuffle cost, the standard LSH trade.
     *
@@ -1125,8 +1133,10 @@ object Similarity {
       planes: Int = 4,
       exact: Boolean = false,
       center: Boolean = false,
-      corpusHint: Option[Long] = None): DataFrame = {
+      corpusHint: Option[Long] = None,
+      bucketCap: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(bucketCap.forall(_ >= 1), s"bucketCap must be >= 1: $bucketCap")
     val effPlanes = corpusHint.map(planesFor(_)).getOrElse(planes)
     // The normalized frame is referenced up to three times (both sides of
     // the band self-join, plus the centering mean) — and `emb` is often a
@@ -1165,12 +1175,34 @@ object Similarity {
                   .as("bucket"))): _*)).as("bb"))
           .select(col("vec_id"), col("v"), col("nrm"),
             col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-        val q = banded.select(col("vec_id").as("query_id"), col("v").as("vq"),
+        // Optional per-(band, bucket) candidate cap — the EXPLICIT recall
+        // trade for deployments that need the all-pairs graph past the
+        // decade where even linear pair volume strains executor memory
+        // (the hinted planes keep expected bucket width ~64, but a
+        // pathological bucket — or the sheer pair constant at 10⁶⁺
+        // vectors — can still dominate; the multi-probe knob philosophy,
+        // inverted). The cap keeps a deterministic salted-hash-ordered
+        // sample of each bucket — unbiased w.r.t. vector content, stable
+        // across runs/partitionings — and bounds the verify stage at
+        // buckets × cap² per band. Capped vectors still QUERY (they keep
+        // their own bucket row on the query side only if kept — a dropped
+        // vector loses both roles in that band, the standard LSH-sample
+        // trade); recall loss is measured in the spec alongside the
+        // multi-probe knobs, not guessed. Default None = exact banded
+        // semantics, the oracle-checked path.
+        val bandedEff = bucketCap.fold(banded) { cap =>
+          val wc = Window.partitionBy(col("band"), col("bucket"))
+            .orderBy(pmod(xxhash64(col("vec_id"), lit("bucketcap")),
+              lit(1000000007L)), col("vec_id"))
+          banded.withColumn("crank", row_number().over(wc))
+            .where(col("crank") <= cap).drop("crank")
+        }
+        val q = bandedEff.select(col("vec_id").as("query_id"), col("v").as("vq"),
           col("nrm").as("nq"), col("band").as("qband"), col("bucket").as("qbucket"))
         // Project the scored pair down to (query, neighbor, band, cos)
         // IMMEDIATELY — the vectors exist only inside the join stage's
         // codegen; nothing vector-width crosses an exchange after this.
-        val pairs = banded.join(q,
+        val pairs = bandedEff.join(q,
             col("band") === col("qband") && col("bucket") === col("qbucket") &&
               col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),

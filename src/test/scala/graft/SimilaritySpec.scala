@@ -578,6 +578,37 @@ class SimilaritySpec extends SparkSpec {
     assert(base === again)
   }
 
+  test("knnGraph bucketCap: deterministic unbiased sample, measured recall trade") {
+    // Ground truth: the exact all-pairs edges. The cap is the EXPLICIT
+    // recall dial for pair volume past the hinted-planes regime —
+    // measured here like the multi-probe knobs, never guessed.
+    val truth = Similarity.knnGraph(emb, k = 5, exact = true)
+      .select("query_id", "neighbor_id")
+    val nTruth = truth.count().toDouble
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("query_id", "neighbor_id").intersect(truth).count() / nTruth
+    val uncapped = Similarity.knnGraph(emb, k = 5, bands = 2)
+    val capped = Similarity.knnGraph(emb, k = 5, bands = 2, bucketCap = Some(16))
+    val rU = recall(uncapped)
+    val rC = recall(capped)
+    info(f"knnGraph recall@5 — uncapped: $rU%.3f, bucketCap 16: $rC%.3f")
+    // sampling candidates cannot create information...
+    assert(rC <= rU + 1e-9)
+    // ...but an unbiased 16-of-~31 bucket sample must stay usable
+    assert(rC > 0.25 * rU, s"cap destroyed recall: $rC vs $rU")
+    // the cap genuinely bites at this width (fewer candidate edges survive)
+    assert(capped.count() < uncapped.count())
+    // deterministic under any partitioning (the salted-hash order is
+    // content-independent and stable)
+    val emb13 = emb.repartition(13)
+    val again = Similarity.knnGraph(emb13, k = 5, bands = 2, bucketCap = Some(16))
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(capped.orderBy("query_id", "rank").collect().toSeq === again)
+    intercept[IllegalArgumentException] {
+      Similarity.knnGraph(emb, k = 5, bucketCap = Some(0))
+    }
+  }
+
   test("rrfFuseBatch ≡ per-query rrfFuse; per-query rank map-capped") {
     import spark.implicits._
     val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L), (2L, 20L, 1L))
