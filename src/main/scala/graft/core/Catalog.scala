@@ -59,7 +59,10 @@ final class Catalog(
     val columnDefaults: Map[String, Map[String, String]] = Map.empty,
     // (view name, definition) in introspection order — dumped as CREATE
     // VIEW statements after indexes (the pg_dump -s order)
-    val views: Seq[(String, String)] = Nil)
+    val views: Seq[(String, String)] = Nil,
+    // table → (constraint name, clause): CHECK constraints, dumped as
+    // ALTER TABLE … ADD CONSTRAINT … CHECK and replayed after FKs
+    val checks: Map[String, Seq[(String, String)]] = Map.empty)
     extends Serializable with AutoCloseable {
 
   def table(name: String): DataFrame = {
@@ -120,11 +123,11 @@ final class Catalog(
 
   def withForeignKeys(extra: ForeignKey*): Catalog =
     new Catalog(spark, dir, tables, foreignKeys ++ extra, primaryKeys, reader,
-      resource, indexes, columnDefaults, views)
+      resource, indexes, columnDefaults, views, checks)
 
   def withPrimaryKeys(extra: (String, Seq[String])*): Catalog =
     new Catalog(spark, dir, tables, foreignKeys, primaryKeys ++ extra, reader,
-      resource, indexes, columnDefaults, views)
+      resource, indexes, columnDefaults, views, checks)
 
   /** Releases any resource pinning this catalog's consistency (the exported-
     * snapshot holder of `Catalog.jdbc(consistentSnapshot = true)`). Reads
@@ -187,7 +190,8 @@ object Catalog {
         spark, effCfg, meta.qualifiedNames.getOrElse(t, t),
         partitionColumn = if (consistent) None else meta.partitionColumns.get(t))
       new Catalog(spark, effCfg.url, meta.tables, meta.foreignKeys, meta.primaryKeys,
-        Some(read), holder, meta.indexes, meta.columnDefaults, meta.views)
+        Some(read), holder, meta.indexes, meta.columnDefaults, meta.views,
+        meta.checks)
     } catch {
       // introspection failed after the snapshot opened: release the holder
       // connection rather than leaking its open transaction

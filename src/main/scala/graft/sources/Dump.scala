@@ -104,10 +104,11 @@ object Dump {
     * just column shapes — plus, for JDBC catalogs, the remaining pg_dump
     * -s surface: column DEFAULT expressions (as `ALTER … SET DEFAULT`
     * statements, portable across PG/Derby/H2 where inline-CREATE syntax
-    * is not) and secondary `CREATE [UNIQUE] INDEX` statements, both
-    * introspected from DatabaseMetaData. FK edges whose parent is outside
-    * the dumped table set are omitted — they could never validate against
-    * this dump.
+    * is not), secondary `CREATE [UNIQUE] INDEX` statements (both
+    * introspected from DatabaseMetaData), CHECK constraints (engine
+    * catalogs — Derby SYS.SYSCHECKS / INFORMATION_SCHEMA) and views
+    * (`schema/_views.sql`). FK edges whose parent is outside the dumped
+    * table set are omitted — they could never validate against this dump.
     */
   private def writeSchema(catalog: Catalog, tables: Seq[String], path: String): Unit = {
     val inSet = tables.toSet
@@ -123,13 +124,25 @@ object Dump {
           s"${t}_${fk.columnPairs.map(_._1).mkString("_")}_fk " +
           s"FOREIGN KEY (${fk.columnPairs.map(_._1).mkString(", ")}) " +
           s"REFERENCES ${fk.foreignTable} (${fk.columnPairs.map(_._2).mkString(", ")});")
+      // CHECK constraints (the final pg_dump -s piece): source names
+      // replay as-is when they are plain identifiers; engine-generated
+      // non-identifier names get a deterministic local one (the
+      // constraint MATTERS, its unquotable name doesn't)
+      val ident = "[A-Za-z_][A-Za-z0-9_]*".r
+      val cks = catalog.checks.getOrElse(t, Seq.empty).zipWithIndex.map {
+        case ((nm, cl), i) =>
+          val name = if (ident.matches(nm)) nm else s"${t}_check$i"
+          val c = cl.trim
+          val clause = if (c.startsWith("(")) c else s"($c)"
+          s"ALTER TABLE $t ADD CONSTRAINT $name CHECK $clause;"
+      }
       val defs = catalog.columnDefaults.getOrElse(t, Map.empty).toSeq.sortBy(_._1)
         .map { case (c, v) => s"ALTER TABLE $t ALTER COLUMN $c SET DEFAULT $v;" }
       val idxs = catalog.indexes.getOrElse(t, Seq.empty).map(ix =>
         s"CREATE ${if (ix.unique) "UNIQUE " else ""}INDEX ${ix.name} " +
           s"ON $t (${ix.columns.mkString(", ")});")
       writeText(catalog.spark, s"$path/schema/$t.sql",
-        (Seq(create) ++ pk ++ fks ++ defs ++ idxs).mkString("\n"))
+        (Seq(create) ++ pk ++ fks ++ cks ++ defs ++ idxs).mkString("\n"))
     }
     // Views last (the pg_dump -s order — they may reference any table or
     // an earlier view). The introspected definition text is either the
@@ -378,6 +391,7 @@ object Dump {
     val stmts = tables.flatMap(t => schemaStatements(spark, dumpPath, t))
     val pkStmts = stmts.filter(_.contains(" PRIMARY KEY "))
     val fkStmts = stmts.filter(_.contains(" FOREIGN KEY "))
+    val ckStmts = stmts.filter(_.contains(" CHECK ("))
     val defStmts = stmts.filter(s =>
       s.startsWith("ALTER TABLE") && s.contains(" SET DEFAULT "))
     val idxStmts = stmts.filter(s =>
@@ -394,7 +408,8 @@ object Dump {
         .split(";").map(_.trim).filter(_.nonEmpty).toSeq
       catch { case _: java.io.IOException => Nil }
     Jdbc.execute(cfg,
-      notNulls ++ pkStmts ++ fkStmts ++ defStmts ++ idxStmts ++ viewStmts)
+      notNulls ++ pkStmts ++ fkStmts ++ ckStmts ++ defStmts ++ idxStmts ++
+        viewStmts)
   }
 
   /** Replays the manifest's sequence state onto a live JDBC target — the

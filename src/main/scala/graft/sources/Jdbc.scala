@@ -56,11 +56,16 @@ final case class DbMeta(
     partitionColumns: Map[String, String],
     indexes: Map[String, Seq[IndexDef]] = Map.empty,
     columnDefaults: Map[String, Map[String, String]] = Map.empty,
-    // (view name, definition text) in introspection order — the remaining
-    // pg_dump -s parity piece after indexes and DEFAULTs (reference
-    // postgresql.py:129 dumps the whole schema; CHECK constraints stay the
-    // adjudicated gap — no portable JDBC/catalog surface exposes them)
-    views: Seq[(String, String)] = Nil)
+    // (view name, definition text) in introspection order — a pg_dump -s
+    // parity piece after indexes and DEFAULTs (reference postgresql.py:129
+    // dumps the whole schema)
+    views: Seq[(String, String)] = Nil,
+    // table → (constraint name, check clause) — the last pg_dump -s piece:
+    // CHECK constraints, introspected from the engine catalog (Derby
+    // SYS.SYSCHECKS; H2/Postgres/MySQL INFORMATION_SCHEMA); single-column
+    // IS NOT NULL rows (PG models NOT NULL as checks there) are skipped —
+    // pg_dump doesn't emit those either
+    checks: Map[String, Seq[(String, String)]] = Map.empty)
 
 /** A secondary index as introspected from `DatabaseMetaData.getIndexInfo`:
   * the schema-dump parity piece a bare CREATE TABLE + PK/FK replay loses
@@ -544,7 +549,13 @@ object Jdbc {
         viewDefinition(conn, sc, v).map(d => v -> d)
       }
 
-      DbMeta(names, fks, pks, qualified, partCols, idxs, defaults, views)
+      // CHECK constraints per table — the final pg_dump -s piece.
+      val checks = tabs.map { case (sc, t) =>
+        t -> tableChecks(conn, sc, t)
+      }.toMap.filter(_._2.nonEmpty)
+
+      DbMeta(names, fks, pks, qualified, partCols, idxs, defaults, views,
+        checks)
     }
   }
 
@@ -564,6 +575,63 @@ object Jdbc {
         finally rs.close()
       } finally ps.close()
     }.toOption.flatten
+
+  /** Two-column catalog query, empty on any failure — [[queryOne]]'s
+    * row-list sibling for (name, definition) catalog walks.
+    */
+  private def queryPairs(
+      conn: java.sql.Connection, sql: String, args: Seq[String])
+      : Seq[(String, String)] =
+    scala.util.Try {
+      val ps = conn.prepareStatement(sql)
+      try {
+        args.zipWithIndex.foreach { case (a, i) => ps.setString(i + 1, a) }
+        val rs = ps.executeQuery()
+        try {
+          val out = Seq.newBuilder[(String, String)]
+          while (rs.next()) out += ((rs.getString(1), rs.getString(2)))
+          out.result()
+        } finally rs.close()
+      } finally ps.close()
+    }.getOrElse(Nil)
+
+  /** Single-column `x IS NOT NULL` clauses are NOT user CHECK constraints:
+    * Postgres models NOT NULL through information_schema.check_constraints
+    * and pg_dump -s does not emit them as CHECKs (the NOT NULL rides the
+    * column), so neither do we — the PK replay path handles nullability.
+    */
+  private val NotNullClause =
+    """(?is)^\(?\s*"?[A-Za-z_][A-Za-z0-9_]*"?\s+IS\s+NOT\s+NULL\s*\)?$""".r
+
+  /** A table's CHECK constraints as (name, clause): Derby's SYS.SYSCHECKS
+    * first, then the INFORMATION_SCHEMA pair (H2, Postgres, MySQL).
+    */
+  private[graft] def tableChecks(
+      conn: java.sql.Connection, schema: Option[String], table: String)
+      : Seq[(String, String)] = {
+    val derby = queryPairs(conn,
+      "SELECT cons.CONSTRAINTNAME, ck.CHECKDEFINITION FROM SYS.SYSCHECKS ck " +
+        "JOIN SYS.SYSCONSTRAINTS cons ON ck.CONSTRAINTID = cons.CONSTRAINTID " +
+        "JOIN SYS.SYSTABLES t ON cons.TABLEID = t.TABLEID " +
+        "JOIN SYS.SYSSCHEMAS s ON t.SCHEMAID = s.SCHEMAID " +
+        "WHERE t.TABLENAME = ?" +
+        schema.map(_ => " AND s.SCHEMANAME = ?").getOrElse(""),
+      Seq(table) ++ schema)
+    val rows =
+      if (derby.nonEmpty) derby
+      else queryPairs(conn,
+        "SELECT tc.CONSTRAINT_NAME, cc.CHECK_CLAUSE " +
+          "FROM INFORMATION_SCHEMA.TABLE_CONSTRAINTS tc " +
+          "JOIN INFORMATION_SCHEMA.CHECK_CONSTRAINTS cc " +
+          "ON tc.CONSTRAINT_NAME = cc.CONSTRAINT_NAME " +
+          "AND tc.CONSTRAINT_SCHEMA = cc.CONSTRAINT_SCHEMA " +
+          "WHERE tc.CONSTRAINT_TYPE = 'CHECK' AND tc.TABLE_NAME = ?" +
+          schema.map(_ => " AND tc.TABLE_SCHEMA = ?").getOrElse(""),
+        Seq(table) ++ schema)
+    rows.filter { case (_, clause) =>
+      clause != null && NotNullClause.findFirstIn(clause.trim).isEmpty
+    }
+  }
 
   /** A view's definition text: Derby keeps it in SYS.SYSVIEWS
     * .VIEWDEFINITION; the INFORMATION_SCHEMA.VIEWS fallback covers H2,

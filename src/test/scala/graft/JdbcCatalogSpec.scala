@@ -611,6 +611,49 @@ class JdbcCatalogSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("recreate load restores CHECK constraints (closing the last pg_dump -s gap)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jdbc_check").toString
+    val db = s"$tmp/src"
+    createSchema(db)
+    insertData(db)
+    val conn0 = DriverManager.getConnection(s"jdbc:derby:$db", "app", "app")
+    try {
+      val st = conn0.createStatement()
+      st.execute("ALTER TABLE ORDERS ADD CONSTRAINT ORDERS_TOTAL_CK " +
+        "CHECK (O_TOTAL >= 0)")
+      st.close()
+    } finally conn0.close()
+
+    // introspection carries (name, clause) from SYS.SYSCHECKS
+    val cat = Catalog.jdbc(spark, cfgFor(db))
+    val src = cat.checks.getOrElse("ORDERS", Seq.empty)
+    assert(src.exists { case (nm, cl) =>
+      nm == "ORDERS_TOTAL_CK" && cl.toUpperCase.contains("O_TOTAL") },
+      s"check not introspected: ${cat.checks}")
+
+    val dump = s"$tmp/dump"
+    Dump.write(cat, DumpSpec(fullTables = cat.tables), dump)
+
+    val db2 = s"$tmp/empty"
+    Class.forName(DerbyDriver)
+    DriverManager.getConnection(s"jdbc:derby:$db2;create=true", "app", "app").close()
+    Dump.loadIntoJdbc(spark, dump, cfgFor(db2), cleanup = Some("recreate"))
+
+    // the restored constraint exists AND enforces
+    val meta2 = Jdbc.introspect(cfgFor(db2), schema = Some("APP"))
+    assert(meta2.checks.getOrElse("ORDERS", Seq.empty)
+      .exists(_._1 == "ORDERS_TOTAL_CK"), s"not restored: ${meta2.checks}")
+    val conn = DriverManager.getConnection(s"jdbc:derby:$db2", "app", "app")
+    try {
+      val st = conn.createStatement()
+      intercept[java.sql.SQLException] {
+        st.execute("INSERT INTO ORDERS VALUES (99, -5.0, 1)")
+      }
+      st.execute("INSERT INTO ORDERS VALUES (99, 5.0, 1)") // satisfying row loads
+      st.close()
+    } finally conn.close()
+  }
+
   test("a reverse-order lookup index over the PK's columns is NOT the PK's backing index") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_jdbc_revix").toString
     val db = s"$tmp/src"
