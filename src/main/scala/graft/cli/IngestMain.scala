@@ -51,6 +51,43 @@ import graft.operators.{FingerprintStore, IngestGate, MinHashStore}
   */
 object IngestMain {
 
+  /** Columns a micro-batch's file FOOTERS carry beyond the pinned stream
+    * schema — the set the file source silently projects away. mergeSchema
+    * unions ALL the batch's footers (a single-footer sample would miss a
+    * mixed batch's wider files); the read is a driver-side footer walk
+    * bounded by the batch's file count.
+    */
+  private[graft] def droppedColumns(
+      spark: SparkSession, files: Seq[String],
+      pinned: Set[String]): Seq[String] =
+    if (files.isEmpty) Seq.empty
+    else (spark.read.option("mergeSchema", "true").parquet(files: _*)
+      .schema.fieldNames.toSet -- pinned).toSeq.sorted
+
+  /** The files the file-stream source assigned to `batchId`, from the
+    * checkpoint's source log (`<ckpt>/sources/0/<batchId>` — one JSON
+    * entry per file, written at batch PLANNING time, so it is readable
+    * from inside the batch's own foreachBatch). This is the only
+    * reliable per-batch file list: the foreachBatch frame itself is
+    * RDD-backed (no file lineage), and the survivors frame is
+    * checkpointed besides.
+    */
+  private[graft] def batchFiles(
+      spark: SparkSession, ckpt: String, batchId: Long): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$ckpt/sources/0/$batchId")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val PathField = """"path"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+      PathField.findAllMatchIn(text).map(_.group(1)
+        .replace("\\/", "/").replace("\\\\", "\\")).toSeq
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Cli.session("graft-ingest")
     try run(args.toSeq, spark)
@@ -175,21 +212,6 @@ object IngestMain {
         .ingest(stream, fp, mh, (df, id) => {
           df.write.mode("overwrite").parquet(s"$out/batch_$id")
           println(s"batch $id: ${df.count()} survivors -> $out/batch_$id")
-          // Silent-drop telemetry: if this batch's file footers carry
-          // columns beyond the pinned schema, say so — the stream
-          // projected them away. Footer reads are driver-side and bounded
-          // by the batch's file count; never let telemetry kill the query.
-          try {
-            val files = df.inputFiles
-            if (files.nonEmpty) {
-              val wider = spark.read.parquet(files.toIndexedSeq: _*)
-                .schema.fieldNames.toSet -- schema.fieldNames
-              if (wider.nonEmpty)
-                println(s"batch $id: WARNING dropped columns not in the " +
-                  s"pinned watch schema: ${wider.toSeq.sorted.mkString(", ")} " +
-                  "(pass --watch-schema with the wider shape to keep them)")
-            }
-          } catch { case scala.util.control.NonFatal(_) => () }
           vacuumEvery.filter(n => (id + 1) % n == 0).foreach { _ =>
             graft.streaming.StreamingIngestGate.vacuumMarkers(spark, fp, mh, id)
             FingerprintStore.vacuum(spark, fp)
@@ -197,6 +219,22 @@ object IngestMain {
             println(s"vacuumed superseded store epochs after batch $id " +
               "(current pin preserved)")
           }
+        },
+        // Silent-drop telemetry: this batch's file list comes from the
+        // checkpoint's source log ([[batchFiles]] — neither the raw
+        // foreachBatch frame nor the checkpointed survivors frame carries
+        // file lineage); detection factored to [[droppedColumns]] so the
+        // spec asserts it against real footers. Telemetry never kills
+        // the query.
+        onRawBatch = (_, id) => {
+          try {
+            val dropped = droppedColumns(spark,
+              batchFiles(spark, ckpt, id), schema.fieldNames.toSet)
+            if (dropped.nonEmpty)
+              println(s"batch $id: WARNING dropped columns not in the " +
+                s"pinned watch schema: ${dropped.mkString(", ")} " +
+                "(pass --watch-schema with the wider shape to keep them)")
+          } catch { case scala.util.control.NonFatal(_) => () }
         })
         .option("checkpointLocation", ckpt)
       val q =

@@ -94,14 +94,18 @@ final class Catalog(
       val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
       val fs = root.getFileSystem(conf)
       require(fs.exists(root))
-      fs.listStatus(root).iterator
+      val parts = fs.listStatus(root)
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .map { st =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromStatus(st, conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try r.getRecordCount finally r.close()
-        }.sum
+      // a dir with no DIRECT parquet children (partitioned key=... layout,
+      // or only _SUCCESS) must fall back to count(), never report 0 —
+      // a silent 0 would feed corpusHint=0 into the LSH plane sizing
+      require(parts.nonEmpty)
+      parts.iterator.map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
     }
     footers.getOrElse(table(name).count())
   }

@@ -1137,6 +1137,9 @@ object Similarity {
       bucketCap: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(bucketCap.forall(_ >= 1), s"bucketCap must be >= 1: $bucketCap")
+    require(!(exact && bucketCap.isDefined),
+      "bucketCap bounds the banded LSH buckets; exact = true computes all " +
+        "pairs and would silently ignore it — drop one of the two")
     val effPlanes = corpusHint.map(planesFor(_)).getOrElse(planes)
     // The normalized frame is referenced up to three times (both sides of
     // the band self-join, plus the centering mean) — and `emb` is often a

@@ -1341,7 +1341,11 @@ object TextAnalysis {
     val qs: Seq[(Long, Seq[String])] = qrows.toIndexedSeq.map { r =>
       require(!r.isNullAt(0) && !r.isNullAt(1),
         "query batch rows must carry non-null query_id and terms")
-      (r.getLong(0), r.getSeq[String](1).map(_.toLowerCase).distinct)
+      val ts = r.getSeq[String](1)
+      require(ts.forall(_ != null),
+        s"query ${r.getLong(0)} carries a null term — terms must be " +
+          "non-null strings")
+      (r.getLong(0), ts.map(_.toLowerCase).distinct)
     }
     require(qs.map(_._1).distinct.size == qs.size,
       "duplicate query_id in the batch")

@@ -167,9 +167,38 @@ object Dump {
     */
   private[sources] def schemaStatements(
       spark: SparkSession, dumpPath: String, t: String): Seq[String] =
-    try readText(spark, s"$dumpPath/schema/$t.sql")
-      .split(";").map(_.trim).filter(_.nonEmpty).toSeq
+    try splitSqlStatements(readText(spark, s"$dumpPath/schema/$t.sql"))
     catch { case _: java.io.IOException => Nil }
+
+  /** Split dumped DDL text into statements on semicolons OUTSIDE quoted
+    * regions ('…' literals with '' escapes, "…" identifiers): a view
+    * definition or CHECK clause may legitimately carry ';' inside a
+    * string literal — a naive split would replay truncated fragments.
+    */
+  private[graft] def splitSqlStatements(text: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var q: Char = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (q != 0) {
+        cur += c
+        if (c == q) {
+          if (i + 1 < text.length && text.charAt(i + 1) == q) {
+            cur += q; i += 1 // '' / "" = escaped quote, region stays open
+          } else q = 0
+        }
+      } else c match {
+        case '\'' | '"' => q = c; cur += c
+        case ';'        => out += cur.toString; cur.clear(): Unit
+        case _          => cur += c
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
 
   /** Manifest: load order (TableGraph), per-table row counts, and sequence
     * state — max(pk) per table, the analog of the reference's sequences
@@ -404,8 +433,7 @@ object Dump {
     // views after everything (their base tables and indexes exist by then
     // — the pg_restore order); absent file = dump carried no views
     val viewStmts =
-      try readText(spark, s"$dumpPath/schema/_views.sql")
-        .split(";").map(_.trim).filter(_.nonEmpty).toSeq
+      try splitSqlStatements(readText(spark, s"$dumpPath/schema/_views.sql"))
       catch { case _: java.io.IOException => Nil }
     Jdbc.execute(cfg,
       notNulls ++ pkStmts ++ fkStmts ++ ckStmts ++ defStmts ++ idxStmts ++

@@ -545,13 +545,25 @@ object Jdbc {
         Array("VIEW")))(r =>
         (Option(r.getString("TABLE_SCHEM")).filter(_.nonEmpty),
           r.getString("TABLE_NAME")))
+      // Dialect-ROUTE the view/check catalog probes instead of
+      // try-Derby-then-fall-back: on PostgreSQL a failed SYS.SYSVIEWS
+      // probe ABORTS the open transaction (25P02), and under
+      // consistentSnapshot the whole introspection runs inside the
+      // snapshot transaction — the INFORMATION_SCHEMA fallback would
+      // then fail too and views/checks would come back silently empty
+      // on exactly the engine the pg_dump -s parity targets. Product
+      // name is already on the connection; no probe ever fails by
+      // design.
+      val isDerby = scala.util.Try(
+        md.getDatabaseProductName.toLowerCase.contains("derby"))
+        .getOrElse(false)
       val views = viewTabs.flatMap { case (sc, v) =>
-        viewDefinition(conn, sc, v).map(d => v -> d)
+        viewDefinition(conn, sc, v, isDerby).map(d => v -> d)
       }
 
       // CHECK constraints per table — the final pg_dump -s piece.
       val checks = tabs.map { case (sc, t) =>
-        t -> tableChecks(conn, sc, t)
+        t -> tableChecks(conn, sc, t, isDerby)
       }.toMap.filter(_._2.nonEmpty)
 
       DbMeta(names, fks, pks, qualified, partCols, idxs, defaults, views,
@@ -607,18 +619,17 @@ object Jdbc {
     * first, then the INFORMATION_SCHEMA pair (H2, Postgres, MySQL).
     */
   private[graft] def tableChecks(
-      conn: java.sql.Connection, schema: Option[String], table: String)
-      : Seq[(String, String)] = {
-    val derby = queryPairs(conn,
-      "SELECT cons.CONSTRAINTNAME, ck.CHECKDEFINITION FROM SYS.SYSCHECKS ck " +
-        "JOIN SYS.SYSCONSTRAINTS cons ON ck.CONSTRAINTID = cons.CONSTRAINTID " +
-        "JOIN SYS.SYSTABLES t ON cons.TABLEID = t.TABLEID " +
-        "JOIN SYS.SYSSCHEMAS s ON t.SCHEMAID = s.SCHEMAID " +
-        "WHERE t.TABLENAME = ?" +
-        schema.map(_ => " AND s.SCHEMANAME = ?").getOrElse(""),
-      Seq(table) ++ schema)
+      conn: java.sql.Connection, schema: Option[String], table: String,
+      derby: Boolean): Seq[(String, String)] = {
     val rows =
-      if (derby.nonEmpty) derby
+      if (derby) queryPairs(conn,
+        "SELECT cons.CONSTRAINTNAME, ck.CHECKDEFINITION FROM SYS.SYSCHECKS ck " +
+          "JOIN SYS.SYSCONSTRAINTS cons ON ck.CONSTRAINTID = cons.CONSTRAINTID " +
+          "JOIN SYS.SYSTABLES t ON cons.TABLEID = t.TABLEID " +
+          "JOIN SYS.SYSSCHEMAS s ON t.SCHEMAID = s.SCHEMAID " +
+          "WHERE t.TABLENAME = ?" +
+          schema.map(_ => " AND s.SCHEMANAME = ?").getOrElse(""),
+        Seq(table) ++ schema)
       else queryPairs(conn,
         "SELECT tc.CONSTRAINT_NAME, cc.CHECK_CLAUSE " +
           "FROM INFORMATION_SCHEMA.TABLE_CONSTRAINTS tc " +
@@ -640,18 +651,18 @@ object Jdbc {
     * time.
     */
   private[graft] def viewDefinition(
-      conn: java.sql.Connection, schema: Option[String], view: String)
-      : Option[String] =
-    queryOne(conn,
+      conn: java.sql.Connection, schema: Option[String], view: String,
+      derby: Boolean): Option[String] =
+    if (derby) queryOne(conn,
       "SELECT v.VIEWDEFINITION FROM SYS.SYSVIEWS v " +
         "JOIN SYS.SYSTABLES t ON v.TABLEID = t.TABLEID " +
         "JOIN SYS.SYSSCHEMAS s ON t.SCHEMAID = s.SCHEMAID " +
         "WHERE t.TABLENAME = ?" +
         schema.map(_ => " AND s.SCHEMANAME = ?").getOrElse(""),
       Seq(view) ++ schema)
-    .orElse(queryOne(conn,
+    else queryOne(conn,
       "SELECT VIEW_DEFINITION FROM INFORMATION_SCHEMA.VIEWS " +
         "WHERE TABLE_NAME = ?" +
         schema.map(_ => " AND TABLE_SCHEMA = ?").getOrElse(""),
-      Seq(view) ++ schema))
+      Seq(view) ++ schema)
 }

@@ -141,10 +141,19 @@ object StreamingIngestGate {
     */
   def ingest(
       docs: DataFrame, fpStore: String, mhStore: String,
-      onBatch: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+      onBatch: (DataFrame, Long) => Unit,
+      onRawBatch: (DataFrame, Long) => Unit = (_, _) => ())
+      : DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (b: DataFrame, id: Long) =>
+        // raw-batch hook BEFORE the gate: `b` is the file-source-backed
+        // frame whose inputFiles are exactly this micro-batch's files —
+        // the survivors frame handed to onBatch is localCheckpoint()ed
+        // (a LogicalRDD; no file lineage) and post-projection, so
+        // source-shape telemetry (e.g. dropped ride-along columns) must
+        // hang off THIS frame, not that one
+        onRawBatch(b, id)
         onBatch(foldBatch(b, fpStore, mhStore, id), id)
       }
 }

@@ -75,6 +75,8 @@ object BpeProdScale {
     val train = diverse(base)
 
     // ── training curve at production merge counts (1× corpus) ──────────
+    // the 30k run's frame doubles as the tool's table — no second train
+    var table30kVar: DataFrame = null
     val trainTimes = Seq(5000, 15000, 30000).map { m =>
       val t0 = System.nanoTime()
       val merges = Bpe.bpeTrainFast(train, numMerges = m, maxVocab = 50000)
@@ -82,11 +84,10 @@ object BpeProdScale {
       val dt = (System.nanoTime() - t0) / 1e9
       require(n == m, s"trainer stopped at $n of $m merges — vocabulary " +
         "saturated; the diverse corpus is supposed to prevent that")
+      if (m == 30000) table30kVar = merges
       m -> dt
     }
-
-    // the 30k table, fetched once (the codebook discipline)
-    val table30k = Bpe.bpeTrainFast(train, numMerges = 30000, maxVocab = 50000)
+    val table30k = table30kVar
     val merges30k = table30k.orderBy("merge_rank")
       .select("left", "right").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq

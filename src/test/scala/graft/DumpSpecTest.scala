@@ -136,4 +136,22 @@ class DumpSpecTest extends SparkSpec {
     }
     assert(e2.getMessage.contains("manifest recorded"), e2.getMessage)
   }
+
+  test("splitSqlStatements: semicolons inside quoted regions do not split") {
+    // the replay splitter must survive user-authored view/CHECK text —
+    // literals with ';', escaped quotes, quoted identifiers
+    assert(Dump.splitSqlStatements(
+      "CREATE VIEW v AS SELECT * FROM t WHERE tag = 'a;b';\n" +
+        "ALTER TABLE t ADD CONSTRAINT c CHECK (s IN ('x;y', 'it''s;ok'));")
+      === Seq(
+        "CREATE VIEW v AS SELECT * FROM t WHERE tag = 'a;b'",
+        "ALTER TABLE t ADD CONSTRAINT c CHECK (s IN ('x;y', 'it''s;ok'))"))
+    assert(Dump.splitSqlStatements("""SELECT 1 AS "a;b"; SELECT 2""")
+      === Seq("""SELECT 1 AS "a;b"""", "SELECT 2"))
+    // plain machine-generated DDL splits exactly as before
+    assert(Dump.splitSqlStatements("A;\nB;\n\nC;") === Seq("A", "B", "C"))
+    assert(Dump.splitSqlStatements("") === Seq.empty)
+    // an unterminated literal keeps the tail intact rather than splitting
+    assert(Dump.splitSqlStatements("SELECT 'a;b") === Seq("SELECT 'a;b"))
+  }
 }

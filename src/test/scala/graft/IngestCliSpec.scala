@@ -146,6 +146,57 @@ class IngestCliSpec extends SparkSpec {
     assert(MinHashStore.load(spark, s"$tmp/stores/minhash").count() === 4)
   }
 
+  test("--watch warns when a batch file carries columns the pinned schema drops") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_ingest_wide").toString
+    Seq((0L, "the quick brown fox jumps over the lazy dog near the quiet river bank today"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/corpus.parquet")
+    IngestMain.run(Seq("--stores", s"$tmp/stores",
+      "--found", s"$tmp/corpus.parquet"), spark)
+    // pin the (doc_id, text) shape, then drop a WIDER batch file — the
+    // stream projects `source_url` away; the telemetry must SAY so
+    // (it reads the raw batch's file footers: the survivors frame is
+    // checkpointed and has no file lineage — the r17 review's dead-code
+    // finding, now asserted live)
+    val stage = s"$tmp/stage_wide"
+    Seq((30L, "totally new sentence with plenty of distinct words for the stream to accept", "http://x"))
+      .toDF("doc_id", "text", "source_url").coalesce(1).write.parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    new java.io.File(s"$tmp/drop").mkdirs()
+    Files.move(part.toPath, java.nio.file.Paths.get(s"$tmp/drop/w1.parquet"))
+    // (a) the detection itself, against the real wider footer
+    assert(IngestMain.droppedColumns(spark,
+      Seq(s"$tmp/drop/w1.parquet"), Set("doc_id", "text"))
+      === Seq("source_url"))
+    // (b) LIVENESS of the telemetry path (the r17 review's dead-code
+    // finding): drive the same ingest writer the CLI uses; the hook
+    // resolves this batch's files from the checkpoint's SOURCE LOG
+    // (neither the foreachBatch frame nor the checkpointed survivors
+    // frame carries file lineage) and detection fires on their footers
+    val pinned = spark.read.parquet(s"$tmp/corpus.parquet").schema
+    val ckpt = s"$tmp/gated/_ckpt"
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]()
+    val q = graft.streaming.StreamingIngestGate.ingest(
+        spark.readStream.schema(pinned).parquet(s"$tmp/drop"),
+        s"$tmp/stores/fingerprints", s"$tmp/stores/minhash",
+        onBatch = (df, id) => df.write.mode("overwrite")
+          .parquet(s"$tmp/gated/batch_$id"),
+        onRawBatch = (_, id) => seen.add(
+          IngestMain.droppedColumns(spark,
+            IngestMain.batchFiles(spark, ckpt, id),
+            pinned.fieldNames.toSet)))
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(seen.size === 1)
+    assert(seen.peek() === Seq("source_url"))
+    // the survivors still landed, minus the dropped column
+    assert(spark.read.parquet(s"$tmp/gated/batch_0")
+      .columns.toSet === Set("doc_id", "text", "n_tokens"))
+  }
+
   test("--watch: inferred schema keeps ride-along columns; --vacuum-every reclaims mid-stream, pin survives") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft_ingest_vac").toString
