@@ -16,6 +16,33 @@ object SparkEntry {
 
   private def cat(s: SparkSession, dir: String): Catalog = Catalog.tpch(s, dir)
 
+  /** Driver-temp dir for the store/dump DEMO queries, reclaimed at JVM
+    * exit by one shared shutdown hook: every evaluation of a store-loop
+    * entry founds a fresh artifact (that IS the demo — save + serve in
+    * one plan), and a long bench session would otherwise accrete one
+    * orphan dir per rep.
+    */
+  private lazy val tempDirsToReclaim: java.util.Set[String] = {
+    val s = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      s.forEach { d =>
+        scala.util.Try {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(): Unit
+          }
+          rm(new java.io.File(d))
+        }: Unit
+      }))
+    s
+  }
+
+  private def tempStore(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    tempDirsToReclaim.add(d)
+    d
+  }
+
   /** The bm25_batch query set — shared by the Spark entry and its
     * generated oracle SQL so both replay the identical batch: 'dup' is
     * the corpus's rare term, 'row'/'vector' the ~19%-df commons, and
@@ -454,7 +481,7 @@ object SparkEntry {
 
     "dump_load_roundtrip" -> { (s, dir) =>
       val c = cat(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_dump").toString
+      val tmp = tempStore("graft_dump")
       Dump.write(c, DumpSpec(
         fullTables = Seq("region"),
         partialTables = Map("orders" -> c.table("orders").where(col("o_totalprice") > 480000))),
@@ -467,7 +494,7 @@ object SparkEntry {
       // Dump → load → the restored sequence state (reference: sequences.sql
       // replayed on load, postgresql.py:136-146 + base.py:227).
       val c = cat(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_seq").toString
+      val tmp = tempStore("graft_seq")
       Dump.write(c, DumpSpec(
         fullTables = Seq("region"),
         partialTables = Map("orders" -> c.table("orders").where(col("o_totalprice") > 480000))),
@@ -868,8 +895,7 @@ object SparkEntry {
       val lex = TextAnalysis.bm25TopK(chunkCorpus,
           Seq("dup", "row", "vector"), k = 50)
         .select(col("doc_id"), col("rank"))
-      val store = java.nio.file.Files
-        .createTempDirectory("graft-hybstore").toString
+      val store = tempStore("graft-hybstore")
       VectorIndexStore.save(Similarity.chunkEmbed(docs, dim = 16), store,
         m = 8, k = 16, centEvery = 163)
       val vec = VectorIndexStore.search(
@@ -949,8 +975,7 @@ object SparkEntry {
     // epoch touches only 16-byte keys.
     "fingerprint_ingest" -> { (s, dir) =>
       val docs = cat(s, dir).table("documents")
-      val store = java.nio.file.Files
-        .createTempDirectory("graft-fpstore").toString
+      val store = tempStore("graft-fpstore")
       FingerprintStore.save(docs.where(col("doc_id") % 2 === 0), store)
       val b1 = docs.where(col("doc_id") % 3 === 0)
         .select(col("doc_id"), col("text"))
@@ -971,8 +996,7 @@ object SparkEntry {
     // properties are spec-asserted in FingerprintStoreSpec.
     "fingerprint_bloom" -> { (s, dir) =>
       val docs = cat(s, dir).table("documents")
-      val store = java.nio.file.Files
-        .createTempDirectory("graft-fpbloom").toString
+      val store = tempStore("graft-fpbloom")
       FingerprintStore.save(docs.where(col("doc_id") % 2 === 0), store)
       val b2 = docs.where(col("doc_id") % 5 === 0)
         .select(col("doc_id"), col("text"))
@@ -1035,8 +1059,7 @@ object SparkEntry {
     // accepted corpus's text is signature-reduced exactly once.
     "minhash_ingest_dedup" -> { (s, dir) =>
       val docs = cat(s, dir).table("documents")
-      val store = java.nio.file.Files
-        .createTempDirectory("graft-mhstore").toString
+      val store = tempStore("graft-mhstore")
       MinHashStore.save(docs.where(col("doc_id") % 2 === 0), store)
       val b1 = docs.where(col("doc_id") % 3 === 0)
         .select(col("doc_id"), col("text"))
@@ -1058,8 +1081,7 @@ object SparkEntry {
     // hamming <= 3) instead of Jaccard-estimated.
     "simhash_ingest_dedup" -> { (s, dir) =>
       val docs = cat(s, dir).table("documents")
-      val store = java.nio.file.Files
-        .createTempDirectory("graft-shstore").toString
+      val store = tempStore("graft-shstore")
       SimHashStore.save(docs.where(col("doc_id") % 2 === 0), store)
       val b1 = docs.where(col("doc_id") % 3 === 0)
         .select(col("doc_id"), col("text"))
@@ -1087,10 +1109,8 @@ object SparkEntry {
       val corpus = docs.where(col("doc_id") % 2 === 0)
       val batch = docs.where(col("doc_id") % 3 === 0)
         .select(col("doc_id"), col("text"))
-      val fp = java.nio.file.Files
-        .createTempDirectory("graft-ig-fp").toString
-      val mh = java.nio.file.Files
-        .createTempDirectory("graft-ig-mh").toString
+      val fp = tempStore("graft-ig-fp")
+      val mh = tempStore("graft-ig-mh")
       FingerprintStore.save(corpus, fp)
       MinHashStore.save(corpus, mh)
       // the stack body lives in IngestGate — ONE body under this oracle
@@ -1361,8 +1381,7 @@ object SparkEntry {
     // training corpus at apply time; loaded ≡ in-memory spec-asserted.
     "quality_lr_apply" -> { (s, dir) =>
       val docs = cat(s, dir).table("documents")
-      val store = java.nio.file.Files
-        .createTempDirectory("graft-qlr").resolve("weights").toString
+      val store = tempStore("graft-qlr") + "/weights"
       QualityLr.trainAndSaveWeights(docs.where(col("doc_id") % 2 === 0), store)
       QualityLr.qualityLrApply(
           docs.where(col("doc_id") % 2 === 1), QualityLr.loadWeights(s, store))
@@ -1678,8 +1697,7 @@ object SparkEntry {
     // own posting like any candidate (the serving contract).
     "ivfpq_ingest_search" -> { (s, dir) =>
       val emb = cat(s, dir).table("embeddings")
-      val store = java.nio.file.Files
-        .createTempDirectory("graft-vixstore").toString
+      val store = tempStore("graft-vixstore")
       VectorIndexStore.save(emb.where(col("vec_id") % 3 =!= 0), store,
         m = 8, k = 16, centEvery = 40)
       VectorIndexStore.append(emb.where(col("vec_id") % 3 === 0), store)
@@ -1697,8 +1715,7 @@ object SparkEntry {
     // save/append/external-search shape as ivfpq_ingest_search.
     "ivfpq_ingest_residual" -> { (s, dir) =>
       val emb = cat(s, dir).table("embeddings")
-      val store = java.nio.file.Files
-        .createTempDirectory("graft-vixresid").toString
+      val store = tempStore("graft-vixresid")
       VectorIndexStore.save(emb.where(col("vec_id") % 3 =!= 0), store,
         m = 8, k = 16, centEvery = 40, residual = true)
       VectorIndexStore.append(emb.where(col("vec_id") % 3 === 0), store)
@@ -1720,8 +1737,7 @@ object SparkEntry {
     "chunk_index_search" -> { (s, dir) =>
       val docs = cat(s, dir).table("documents")
       val m = 1000000L
-      val store = java.nio.file.Files
-        .createTempDirectory("graft-cixstore").toString
+      val store = tempStore("graft-cixstore")
       VectorIndexStore.save(Similarity.chunkEmbed(docs, dim = 16), store,
         m = 8, k = 16, centEvery = 163)
       VectorIndexStore.search(
