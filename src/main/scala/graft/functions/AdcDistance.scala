@@ -46,7 +46,12 @@ case class AdcDistance(left: Expression, right: Expression) extends BinaryExpres
       var acc = 0.0
       var i = 0
       while (i < m) {
-        acc += lut.getArray(i).getDouble(codes.getLong(i).toInt)
+        val code = codes.getLong(i)
+        val row = lut.getArray(i)
+        // out-of-range code → NULL (the PqDistances family discipline): a
+        // corrupt row must not throw and kill a corpus-wide encode job
+        if (code < 0 || code >= row.numElements()) return null
+        acc += row.getDouble(code.toInt)
         i += 1
       }
       acc
@@ -58,6 +63,9 @@ case class AdcDistance(left: Expression, right: Expression) extends BinaryExpres
       val m = ctx.freshName("m")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val code = ctx.freshName("code")
+      val lutRow = ctx.freshName("lutRow")
+      val ad = classOf[ArrayData].getName
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -65,9 +73,17 @@ case class AdcDistance(left: Expression, right: Expression) extends BinaryExpres
          |  int $m = $b.numElements();
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $m; $i++) {
-         |    $acc += $a.getArray($i).getDouble((int) $b.getLong($i));
+         |    long $code = $b.getLong($i);
+         |    $ad $lutRow = $a.getArray($i);
+         |    if ($code < 0 || $code >= $lutRow.numElements()) {
+         |      ${ev.isNull} = true;
+         |      break;
+         |    }
+         |    $acc += $lutRow.getDouble((int) $code);
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
          |}
        """.stripMargin
     })

@@ -96,9 +96,14 @@ case class PqResidualDistances(
       val ci = ctx.freshName("ci")
       val d = ctx.freshName("d")
       val x = ctx.freshName("x")
+      // The disjunction MUST NOT wrap onto a line starting with '|':
+      // Spark's codegen block splicing strips margins a second time, so a
+      // leading "||" loses a pipe and Janino rejects the stage — which Spark
+      // then SILENTLY runs interpreted (shipped in r16; caught by the judge,
+      // now pinned by CodegenGuardSpec).
       s"""
-         |if ($a.numElements() != ${m * sub} || $b < 0 || $b >= ${cents.length}
-         |    || $centsRef[$b].length != ${m * sub}) {
+         |if ($a.numElements() != ${m * sub} || $b < 0 || $b >= ${cents.length} ||
+         |    $centsRef[$b].length != ${m * sub}) {
          |  ${ev.isNull} = true;
          |} else {
          |  double[] $cent = $centsRef[$b];

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions._
+
+/** Compile guard for every custom Catalyst expression in the library.
+  *
+  * Spark NEVER fails a query when an expression's `doGenCode` emits Java
+  * that Janino rejects — it logs one warning and silently runs the whole
+  * stage interpreted. That failure mode shipped twice (PqDistances' 64 KB
+  * history; PqResidualDistances' r16 null guard), each time voiding a
+  * measured codegen claim while every correctness hash stayed green. This
+  * spec closes the class: it Janino-compiles each expression's generated
+  * projection DIRECTLY — `GenerateUnsafeProjection.generate` throws on a
+  * compile error instead of falling back — at the exact parameters the
+  * SparkEntry queries use AND at the largest parameters any operator
+  * documents, then cross-checks the compiled output against the
+  * interpreted `eval` bit-for-bit on non-trivial rows.
+  */
+class CodegenGuardSpec extends AnyFunSuite {
+
+  private val arrD = ArrayType(DoubleType)
+  private val arrL = ArrayType(LongType)
+  private val arrS = ArrayType(StringType)
+  private val arrArrD = ArrayType(ArrayType(DoubleType))
+
+  private def d(xs: Double*): ArrayData = new GenericArrayData(xs.toArray)
+  private def l(xs: Long*): ArrayData = new GenericArrayData(xs.toArray)
+  private def s(xs: String*): ArrayData =
+    new GenericArrayData(xs.map(UTF8String.fromString).toArray)
+
+  /** Janino-compiles `expr` (throws on invalid generated Java — the whole
+    * point: no silent interpreted fallback at this layer) and asserts the
+    * compiled projection matches interpreted `eval` on every row.
+    */
+  private def assertCompilesAndMatchesEval(expr: Expression, rows: Seq[InternalRow]): Unit = {
+    val proj = GenerateUnsafeProjection.generate(Seq(expr)) // throws if Janino rejects
+    rows.foreach { row =>
+      val compiled = proj(row)
+      val interpreted = expr.eval(row)
+      if (interpreted == null) assert(compiled.isNullAt(0), s"codegen non-null, eval null: $expr")
+      else {
+        assert(!compiled.isNullAt(0), s"codegen null, eval non-null: $expr")
+        assertSame(expr.dataType, compiled.get(0, expr.dataType), interpreted)
+      }
+    }
+  }
+
+  /** Structural bit-equality across the value shapes our expressions emit. */
+  private def assertSame(dt: DataType, a: Any, b: Any): Unit = dt match {
+    case DoubleType =>
+      assert(java.lang.Double.doubleToRawLongBits(a.asInstanceOf[Double]) ===
+        java.lang.Double.doubleToRawLongBits(b.asInstanceOf[Double]))
+    case LongType => assert(a.asInstanceOf[Long] === b.asInstanceOf[Long])
+    case ArrayType(et, _) =>
+      val (aa, ba) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      assert(aa.numElements() === ba.numElements(), s"array length under $dt")
+      (0 until aa.numElements()).foreach { i =>
+        assertSame(et, aa.get(i, et), ba.get(i, et))
+      }
+    case StringType => assert(a.toString === b.toString)
+    case other => fail(s"unhandled type in guard: $other")
+  }
+
+  test("DotProduct codegen compiles and matches eval (incl. length-mismatch null)") {
+    val e = DotProduct(BoundReference(0, arrD, nullable = true),
+      BoundReference(1, arrD, nullable = true))
+    assertCompilesAndMatchesEval(e, Seq(
+      InternalRow(d(1.0, 2.0, 3.0), d(4.0, 5.0, 6.0)),
+      InternalRow(d(1.0), d(1.0, 2.0)), // mismatch → null
+      InternalRow(d(0.1, -2.5e300, 3.3), d(7.0, 1.0e-300, -1.0))))
+  }
+
+  test("SimHash48 codegen compiles and matches eval") {
+    val e = SimHash48(BoundReference(0, arrL, nullable = true))
+    assertCompilesAndMatchesEval(e, Seq(
+      InternalRow(l(5L, 5L, 2L)),
+      InternalRow(l()),
+      InternalRow(l(0xFFFFFFFFFFFFL, 0x800000000000L, -1L))))
+  }
+
+  test("AdcDistance codegen compiles and matches eval (incl. out-of-range null)") {
+    val e = AdcDistance(BoundReference(0, arrArrD, nullable = true),
+      BoundReference(1, arrL, nullable = true))
+    val lut = new GenericArrayData(Array[Any](d(1.0, 2.0), d(10.0, 20.0)))
+    assertCompilesAndMatchesEval(e, Seq(
+      InternalRow(lut, l(1L, 0L)),
+      InternalRow(lut, l(0L)), // m mismatch → null
+      InternalRow(lut, l(0L, 5L)))) // code out of range → null
+  }
+
+  test("BpeEncode codegen compiles and matches eval") {
+    val e = BpeEncode(BoundReference(0, arrS, nullable = true),
+      Seq(("l", "o"), ("lo", "w"), ("e", "r")))
+    assertCompilesAndMatchesEval(e, Seq(
+      InternalRow(s("low", "lower", "newest")),
+      InternalRow(s())))
+  }
+
+  test("PqDistances codegen compiles and matches eval at demo and production (m,k)") {
+    // demo shape: m=2, k=2, sub=2
+    val small = PqDistances(BoundReference(0, arrD, nullable = true),
+      BoundReference(1, arrD, nullable = true), m = 2, k = 2)
+    assertCompilesAndMatchesEval(small, Seq(
+      InternalRow(d(1.0, 2.0, 3.0, 4.0), d(0.0, 0.0, 1.0, 1.0, 2.0, 2.0, 3.0, 3.0)),
+      InternalRow(d(1.0, 2.0), d(0.0, 0.0, 1.0, 1.0, 2.0, 2.0, 3.0, 3.0)))) // width → null
+    // largest documented: IVFPQ m=8, k=256 (VectorIndexStore production dial);
+    // the codebook is 8*256*sub doubles — code size must stay constant.
+    val m = 8; val k = 256; val sub = 8
+    val rnd = new scala.util.Random(42)
+    val v = d(Array.fill(m * sub)(rnd.nextDouble()).toIndexedSeq: _*)
+    val cb = d(Array.fill(m * k * sub)(rnd.nextDouble()).toIndexedSeq: _*)
+    val big = PqDistances(BoundReference(0, arrD, nullable = true),
+      BoundReference(1, arrD, nullable = true), m = m, k = k)
+    assertCompilesAndMatchesEval(big, Seq(InternalRow(v, cb)))
+  }
+
+  test("PqResidualDistances codegen compiles and matches eval at demo and production (m,k)") {
+    val rnd = new scala.util.Random(7)
+    def run(m: Int, k: Int, sub: Int, nCells: Int): Unit = {
+      val cents = Array.fill(nCells)(Array.fill(m * sub)(rnd.nextDouble()))
+      val cb = Array.fill(m * k * sub)(rnd.nextDouble())
+      val e = PqResidualDistances(BoundReference(0, arrD, nullable = true),
+        BoundReference(1, IntegerType, nullable = true), cents, cb, m, k)
+      val v = d(Array.fill(m * sub)(rnd.nextDouble()).toIndexedSeq: _*)
+      assertCompilesAndMatchesEval(e, Seq(
+        InternalRow(v, 0),
+        InternalRow(v, nCells - 1),
+        InternalRow(v, nCells), // out-of-range cell → null
+        InternalRow(v, -1), // negative cell → null
+        InternalRow(d(1.0), 0))) // width mismatch → null
+    }
+    run(m = 2, k = 2, sub = 2, nCells = 3) // demo shape
+    run(m = 8, k = 256, sub = 8, nCells = 64) // production IVFPQ dial
+  }
+}
