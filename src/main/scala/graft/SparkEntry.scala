@@ -96,8 +96,11 @@ object SparkEntry {
     val terms = queries.flatMap(_._2.map(_.toLowerCase).distinct)
       .distinct.sorted
     val ti = terms.zipWithIndex.toMap
+    // terms land inside SQL string literals — double any quote so a term
+    // like "o'brien" can't break (or inject into) the generated oracle
+    def sqlLit(t: String): String = "'" + t.replace("'", "''") + "'"
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
-      s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf$i" }
+      s"CAST(len(list_filter(toks, x -> x = ${sqlLit(t)})) AS BIGINT) AS tf$i" }
     val dfCols = terms.indices.map(i =>
       s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
     def contrib(i: Int): String =

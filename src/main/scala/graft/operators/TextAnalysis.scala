@@ -1327,7 +1327,8 @@ object TextAnalysis {
       k: Int = 10,
       k1: Double = 1.2,
       b: Double = 0.75,
-      maxQueries: Int = 1024): DataFrame = {
+      maxQueries: Int = 1024,
+      maxTerms: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k must be >= 1: $k")
     val qrows = queries
@@ -1352,14 +1353,22 @@ object TextAnalysis {
     qs.foreach { case (qid, ts) =>
       require(ts.nonEmpty, s"query $qid has no terms") }
     val terms = qs.flatMap(_._2).distinct.sorted
+    // |T| bounds the stats row width and the per-doc counts array; unbounded
+    // it would also grow the scoring projection without limit. Term
+    // frequencies come from ONE TermFreqs pass (O(tokens) hash probes, one
+    // constant-size plan node) instead of |T| interpreted array-filter
+    // copies — at 300+ terms the filter family alone outgrew what Janino
+    // accepts in a single method.
+    require(terms.size <= maxTerms,
+      s"query batch unions ${terms.size} distinct terms, over maxTerms=" +
+        s"$maxTerms — split the batch (per-term df statistics widen the " +
+        "broadcast stats row and the scoring projection with |T|)")
     val tIdx = terms.zipWithIndex.toMap
     val tf = docs.select(col("doc_id"), bindOnce(tokens(col("text")), tk =>
-        struct((size(tk).cast("long").as("dl") +:
-          terms.zipWithIndex.map { case (t, i) =>
-            size(filter(tk, x => x === lit(t))).cast("long").as(s"tf$i")
-          }): _*)).as("s"))
+        struct(size(tk).cast("long").as("dl"),
+          graft.functions.TermFreqs(tk, terms).as("tfs"))).as("s"))
       .select((col("doc_id") +: col("s.dl").as("dl") +:
-        terms.indices.map(i => col(s"s.tf$i").as(s"tf$i"))): _*)
+        terms.indices.map(i => element_at(col("s.tfs"), i + 1).as(s"tf$i"))): _*)
     val stats = tf.agg(
       count(lit(1)).as("n"),
       (sum(col("dl")).as("sdl") +:

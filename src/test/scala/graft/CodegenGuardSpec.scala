@@ -104,6 +104,18 @@ class CodegenGuardSpec extends AnyFunSuite {
       InternalRow(s())))
   }
 
+  test("TermFreqs codegen compiles and matches eval at demo and 300-term parameters") {
+    val small = TermFreqs(BoundReference(0, arrS, nullable = true), Seq("a", "b"))
+    assertCompilesAndMatchesEval(small, Seq(
+      InternalRow(s("a", "c", "a", "b")),
+      InternalRow(s())))
+    // largest documented: a 300-term batch union (bm25TopKBatch maxTerms dial)
+    val terms = (1 to 300).map(i => f"term$i%03d")
+    val big = TermFreqs(BoundReference(0, arrS, nullable = true), terms)
+    assertCompilesAndMatchesEval(big, Seq(
+      InternalRow(s("term001", "term300", "term001", "nope", "term150"))))
+  }
+
   test("PqDistances codegen compiles and matches eval at demo and production (m,k)") {
     // demo shape: m=2, k=2, sub=2
     val small = PqDistances(BoundReference(0, arrD, nullable = true),

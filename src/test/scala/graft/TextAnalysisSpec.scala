@@ -727,4 +727,37 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.bm25TopKBatch(docs, batch, k = 1, maxQueries = 2)
     }
   }
+
+  test("bm25TopKBatch at a 300-term union matches the per-query form; maxTerms bounds it") {
+    import spark.implicits._
+    // 300 distinct terms spread over 40 docs and 3 wide queries — the
+    // shape whose |T| array-filter projection outgrew Janino before the
+    // single-pass TermFreqs rewrite
+    val terms = (1 to 300).map(i => f"term$i%03d")
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 40L).map { d =>
+      val words = Seq.fill(30)(terms(rnd.nextInt(terms.size))) ++
+        Seq.fill(5)("unindexed")
+      (d, rnd.shuffle(words).mkString(" "))
+    }.toDF("doc_id", "text")
+    val specs = Seq(
+      (1L, terms.slice(0, 120)),
+      (2L, terms.slice(80, 220)),
+      (3L, terms.slice(180, 300)))
+    val out = TextAnalysis.bm25TopKBatch(docs, specs.toDF("query_id", "terms"), k = 7)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    for ((qid, ts) <- specs) {
+      val single = TextAnalysis.bm25TopK(docs, ts, k = 7).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val slice = out.filter(_._1 == qid).map(t => (t._2, t._3, t._4))
+      assert(slice.toSeq === single.toSeq, s"query $qid diverges at 300-term union")
+    }
+    // the documented bound fails loudly instead of growing the plan
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopKBatch(
+        docs, specs.toDF("query_id", "terms"), k = 7, maxTerms = 200)
+    }
+  }
 }
