@@ -71,20 +71,43 @@ object IngestMain {
     * reliable per-batch file list: the foreachBatch frame itself is
     * RDD-backed (no file lineage), and the survivors frame is
     * checkpointed besides.
+    *
+    * Every Nth batch (spark.sql.streaming.fileSource.log.compactInterval,
+    * default 10) the source writes `<batchId>.compact` INSTEAD of the
+    * plain file — it holds every entry since batch 0, each tagged with
+    * its own batchId. Missing that case silently skipped the dropped-
+    * column telemetry on exactly those batches, so the compact file is
+    * read and filtered to the requested batch.
     */
   private[graft] def batchFiles(
       spark: SparkSession, ckpt: String, batchId: Long): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(s"$ckpt/sources/0/$batchId")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else {
-      val in = fs.open(p)
-      val text =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    val conf = spark.sparkContext.hadoopConfiguration
+    def readText(p: org.apache.hadoop.fs.Path): Option[String] = {
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
         finally in.close()
-      val PathField = """"path"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-      PathField.findAllMatchIn(text).map(_.group(1)
+      }
+    }
+    val PathField = """"path"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+    val BatchField = """"batchId"\s*:\s*(-?\d+)""".r
+    def paths(line: String): Seq[String] =
+      PathField.findAllMatchIn(line).map(_.group(1)
         .replace("\\/", "/").replace("\\\\", "\\")).toSeq
+    readText(new org.apache.hadoop.fs.Path(s"$ckpt/sources/0/$batchId")) match {
+      case Some(text) => text.linesIterator.flatMap(paths).toSeq
+      case None =>
+        // compaction batch: entries for ALL batches live in one file —
+        // keep only lines whose own batchId tag matches
+        readText(new org.apache.hadoop.fs.Path(
+          s"$ckpt/sources/0/$batchId.compact")) match {
+          case Some(text) => text.linesIterator.filter(l =>
+              BatchField.findFirstMatchIn(l).exists(_.group(1).toLong == batchId))
+            .flatMap(paths).toSeq
+          case None => Seq.empty
+        }
     }
   }
 

@@ -62,7 +62,11 @@ final class Catalog(
     val views: Seq[(String, String)] = Nil,
     // table → (constraint name, clause): CHECK constraints, dumped as
     // ALTER TABLE … ADD CONSTRAINT … CHECK and replayed after FKs
-    val checks: Map[String, Seq[(String, String)]] = Map.empty)
+    val checks: Map[String, Seq[(String, String)]] = Map.empty,
+    // table → column → native VARCHAR(n)/CHAR(n) — carried into the dump
+    // so a recreate load re-creates bounded character columns instead of
+    // the target dialect's unbounded string default (CLOB/TEXT)
+    val columnSqlTypes: Map[String, Map[String, String]] = Map.empty)
     extends Serializable with AutoCloseable {
 
   def table(name: String): DataFrame = {
@@ -127,11 +131,11 @@ final class Catalog(
 
   def withForeignKeys(extra: ForeignKey*): Catalog =
     new Catalog(spark, dir, tables, foreignKeys ++ extra, primaryKeys, reader,
-      resource, indexes, columnDefaults, views, checks)
+      resource, indexes, columnDefaults, views, checks, columnSqlTypes)
 
   def withPrimaryKeys(extra: (String, Seq[String])*): Catalog =
     new Catalog(spark, dir, tables, foreignKeys, primaryKeys ++ extra, reader,
-      resource, indexes, columnDefaults, views, checks)
+      resource, indexes, columnDefaults, views, checks, columnSqlTypes)
 
   /** Releases any resource pinning this catalog's consistency (the exported-
     * snapshot holder of `Catalog.jdbc(consistentSnapshot = true)`). Reads
@@ -195,7 +199,7 @@ object Catalog {
         partitionColumn = if (consistent) None else meta.partitionColumns.get(t))
       new Catalog(spark, effCfg.url, meta.tables, meta.foreignKeys, meta.primaryKeys,
         Some(read), holder, meta.indexes, meta.columnDefaults, meta.views,
-        meta.checks)
+        meta.checks, meta.columnSqlTypes)
     } catch {
       // introspection failed after the snapshot opened: release the holder
       // connection rather than leaking its open transaction

@@ -144,6 +144,17 @@ object Dump {
       writeText(catalog.spark, s"$path/schema/$t.sql",
         (Seq(create) ++ pk ++ fks ++ cks ++ defs ++ idxs).mkString("\n"))
     }
+    // Native bounded-character column types (VARCHAR(n)/CHAR(n)): Spark's
+    // own schema reads them as plain string, so the recreate load needs
+    // this sidecar to re-create them bounded instead of as the target
+    // dialect's CLOB/TEXT default (which pg_dump -s would never emit, and
+    // whose Derby form can't even be compared in a replayed CHECK).
+    if (catalog.columnSqlTypes.nonEmpty)
+      writeText(catalog.spark, s"$path/schema/_column_types.json",
+        "[" + catalog.columnSqlTypes.toSeq.sortBy(_._1).flatMap {
+          case (t, cols) => cols.toSeq.sortBy(_._1).map { case (c, tp) =>
+            s"""{"table": "$t", "column": "$c", "type": "$tp"}""" }
+        }.mkString("\n", ",\n", "\n") + "]")
     // Views last (the pg_dump -s order — they may reference any table or
     // an earlier view). The introspected definition text is either the
     // bare SELECT (INFORMATION_SCHEMA engines) or a full CREATE VIEW
@@ -241,6 +252,23 @@ object Dump {
   /** Reads and parses `manifest.json` with Spark's JSON reader (robust to
     * whitespace/ordering, unlike string scraping).
     */
+  /** Parses `schema/_column_types.json` (table → column → native type);
+    * empty when the dump predates the sidecar. Entries are flat
+    * identifier/type triples, so a line regex is exact.
+    */
+  private[graft] def readColumnTypes(
+      spark: SparkSession, path: String): Map[String, Map[String, String]] = {
+    val text =
+      try readText(spark, s"$path/schema/_column_types.json")
+      catch { case _: java.io.IOException => return Map.empty }
+    val Entry =
+      """\{"table": "([^"]+)", "column": "([^"]+)", "type": "([^"]+)"\}""".r
+    Entry.findAllMatchIn(text).toSeq
+      .groupBy(_.group(1))
+      .map { case (t, ms) =>
+        t -> ms.map(m => m.group(2) -> m.group(3)).toMap }
+  }
+
   def readManifest(spark: SparkSession, path: String): Manifest = {
     import spark.implicits._
     val raw = readText(spark, s"$path/manifest.json")
@@ -370,6 +398,12 @@ object Dump {
       }
     }
     val recorded = readManifest(spark, dumpPath).rows
+    // recreate re-creates tables through the JDBC writer — restore the
+    // dumped native bounded-character types so VARCHAR(32) doesn't come
+    // back as CLOB/TEXT; absent sidecar (older dumps) = writer defaults
+    val nativeTypes: Map[String, Map[String, String]] =
+      if (!cleanup.contains("recreate")) Map.empty
+      else readColumnTypes(spark, dumpPath)
     tables.foreach { case (t, df) =>
       // Count verification catches what a per-line check cannot: a dump
       // shard FILE that vanished entirely (any format) restores fewer
@@ -384,7 +418,8 @@ object Dump {
         if (!verifyCounts) 0L
         else try Jdbc.countTable(cfg, t)
         catch { case _: java.sql.SQLException => 0L }
-      Jdbc.writeTable(df, cfg, t, SaveMode.Append)
+      Jdbc.writeTable(df, cfg, t, SaveMode.Append,
+        columnTypes = nativeTypes.getOrElse(t, Map.empty))
       if (verifyCounts) recorded.get(t).foreach { expect =>
         val written = Jdbc.countTable(cfg, t) - before
         if (written != expect) sys.error(
@@ -418,13 +453,23 @@ object Dump {
       spark: SparkSession, dumpPath: String, cfg: JdbcConfig,
       tables: Seq[String]): Unit = {
     val stmts = tables.flatMap(t => schemaStatements(spark, dumpPath, t))
-    val pkStmts = stmts.filter(_.contains(" PRIMARY KEY "))
-    val fkStmts = stmts.filter(_.contains(" FOREIGN KEY "))
-    val ckStmts = stmts.filter(_.contains(" CHECK ("))
-    val defStmts = stmts.filter(s =>
-      s.startsWith("ALTER TABLE") && s.contains(" SET DEFAULT "))
-    val idxStmts = stmts.filter(s =>
-      s.startsWith("CREATE INDEX") || s.startsWith("CREATE UNIQUE INDEX"))
+    // Classify by the statement's ANCHORED shape (the exact forms the dump
+    // writer emits), not by substring: a CHECK clause or DEFAULT value can
+    // legitimately contain " FOREIGN KEY " or " SET DEFAULT " inside a
+    // string literal, and a substring match would land that statement in
+    // two lists — the duplicate ADD CONSTRAINT then aborts the load. The
+    // kind token sits right after the constraint name, so these patterns
+    // are mutually exclusive by construction.
+    val pkShape = """(?s)ALTER TABLE \S+ ADD CONSTRAINT \S+ PRIMARY KEY\b.*""".r
+    val fkShape = """(?s)ALTER TABLE \S+ ADD CONSTRAINT \S+ FOREIGN KEY\b.*""".r
+    val ckShape = """(?s)ALTER TABLE \S+ ADD CONSTRAINT \S+ CHECK\b.*""".r
+    val defShape = """(?s)ALTER TABLE \S+ ALTER COLUMN \S+ SET DEFAULT\b.*""".r
+    val idxShape = """(?s)CREATE (UNIQUE )?INDEX\b.*""".r
+    val pkStmts = stmts.filter(pkShape.matches(_))
+    val fkStmts = stmts.filter(fkShape.matches(_))
+    val ckStmts = stmts.filter(ckShape.matches(_))
+    val defStmts = stmts.filter(defShape.matches(_))
+    val idxStmts = stmts.filter(idxShape.matches(_))
     val notNulls = pkStmts.flatMap {
       case PkStmt(t, cols) =>
         cols.split(",").map(c => Jdbc.notNullSql(cfg, t, c.trim)).toSeq

@@ -65,7 +65,12 @@ final case class DbMeta(
     // SYS.SYSCHECKS; H2/Postgres/MySQL INFORMATION_SCHEMA); single-column
     // IS NOT NULL rows (PG models NOT NULL as checks there) are skipped —
     // pg_dump doesn't emit those either
-    checks: Map[String, Seq[(String, String)]] = Map.empty)
+    checks: Map[String, Seq[(String, String)]] = Map.empty,
+    // table → column → native length-parameterized character type
+    // (VARCHAR(n)/CHAR(n)) — what a recreate load must pass to the JDBC
+    // writer so the re-created column isn't the dialect's unbounded
+    // string default (CLOB/TEXT)
+    columnSqlTypes: Map[String, Map[String, String]] = Map.empty)
 
 /** A secondary index as introspected from `DatabaseMetaData.getIndexInfo`:
   * the schema-dump parity piece a bare CREATE TABLE + PK/FK replay loses
@@ -252,8 +257,9 @@ object Jdbc {
       cfg: JdbcConfig,
       table: String,
       mode: SaveMode,
-      recreate: Boolean = false): Unit =
-    df.write.format("jdbc")
+      recreate: Boolean = false,
+      columnTypes: Map[String, String] = Map.empty): Unit = {
+    val w = df.write.format("jdbc")
       .option("url", cfg.url)
       .option("user", cfg.user)
       .option("password", cfg.password)
@@ -262,8 +268,17 @@ object Jdbc {
       .option("batchsize", cfg.batchSize)
       .option("truncate", mode == SaveMode.Overwrite && !recreate)
       .option("numPartitions", cfg.numPartitions)
-      .mode(mode)
-      .save()
+    // native types for columns the writer would otherwise create as the
+    // dialect's unbounded string default — only meaningful when the write
+    // CREATES the table (recreate loads); types for columns absent from
+    // df would fail Spark's option validation, so they are filtered
+    val applicable = columnTypes.filter { case (c, _) => df.columns.contains(c) }
+    val w2 =
+      if (applicable.isEmpty) w
+      else w.option("createTableColumnTypes",
+        applicable.map { case (c, t) => s"$c $t" }.mkString(", "))
+    w2.mode(mode).save()
+  }
 
   private def rows[A](rs: java.sql.ResultSet)(f: java.sql.ResultSet => A): Vector[A] = {
     // null-tolerant: spec-faked DatabaseMetaData returns null for calls it
@@ -280,6 +295,23 @@ object Jdbc {
     * patterns, and almost every real identifier contains `_` (O_ID,
     * c_custkey), which would otherwise match any character.
     */
+  /** Renders a length-parameterized character type from getColumns
+    * metadata, or None for everything else: only CHAR/VARCHAR lengths are
+    * information Spark's own schema loses (decimals keep precision/scale
+    * in DecimalType; integer widths survive as distinct Spark types).
+    * The rendered form is both valid target DDL and parsable by Spark's
+    * `createTableColumnTypes` option — the replay seam.
+    */
+  private[graft] def charSqlType(typeName: String, size: Int): Option[String] =
+    typeName.trim.toUpperCase match {
+      case _ if size <= 0 => None
+      case "VARCHAR" | "CHARACTER VARYING" | "NVARCHAR" | "VARCHAR2" |
+          "NATIONAL CHARACTER VARYING" => Some(s"VARCHAR($size)")
+      case "CHAR" | "CHARACTER" | "NCHAR" | "BPCHAR" |
+          "NATIONAL CHARACTER" => Some(s"CHAR($size)")
+      case _ => None
+    }
+
   private def escapePattern(md: java.sql.DatabaseMetaData, s: String): String = {
     // JDBC-standard fallback: spec-faked metadata may not stub the escape
     val esc = Option(md.getSearchStringEscape).getOrElse("\\")
@@ -502,21 +534,35 @@ object Jdbc {
           ident.matches(ix.name))
       }.toMap.filter(_._2.nonEmpty)
 
-      // Column DEFAULTs (getColumns COLUMN_DEF) — the other pg_dump -s
-      // parity piece. Identity/generated markers are engine bookkeeping,
-      // not replayable value expressions: skipped (sequence state travels
-      // via the manifest instead).
-      val defaults = tabs.map { case (sc, t) =>
+      // One getColumns walk carries two pg_dump -s parity pieces: column
+      // DEFAULTs (COLUMN_DEF — identity/generated markers are engine
+      // bookkeeping, not replayable value expressions: skipped; sequence
+      // state travels via the manifest instead) and the length-
+      // parameterized native character types (TYPE_NAME + COLUMN_SIZE).
+      // The latter exist because Spark reads VARCHAR(n)/CHAR(n) as plain
+      // string, so a recreate load through the JDBC writer would
+      // otherwise re-create them as the dialect's unbounded default
+      // (CLOB on Derby, TEXT on PG) — a type pg_dump would never emit,
+      // and one Derby can't even compare in a replayed CHECK clause.
+      val colWalk = tabs.map { case (sc, t) =>
         t -> rows(md.getColumns(null, sc.map(escapePattern(md, _)).orNull,
             escapePattern(md, t), "%"))(r =>
-            (r.getString("COLUMN_NAME"), Option(r.getString("COLUMN_DEF"))))
-          .collect { case (c, Some(d))
-              if d.trim.nonEmpty &&
-                !d.trim.toUpperCase.startsWith("AUTOINCREMENT") &&
-                !d.trim.toUpperCase.startsWith("GENERATED") =>
-            c -> d.trim }
+            (r.getString("COLUMN_NAME"), Option(r.getString("COLUMN_DEF")),
+              Option(r.getString("TYPE_NAME")).getOrElse(""),
+              r.getInt("COLUMN_SIZE")))
+      }.toMap
+      val defaults = colWalk.map { case (t, cols) =>
+        t -> cols.collect { case (c, Some(d), _, _)
+            if d.trim.nonEmpty &&
+              !d.trim.toUpperCase.startsWith("AUTOINCREMENT") &&
+              !d.trim.toUpperCase.startsWith("GENERATED") =>
+          c -> d.trim }
           .toMap
-      }.toMap.filter(_._2.nonEmpty)
+      }.filter(_._2.nonEmpty)
+      val colTypes = colWalk.map { case (t, cols) =>
+        t -> cols.flatMap { case (c, _, tn, size) =>
+          charSqlType(tn, size).map(c -> _) }.toMap
+      }.filter(_._2.nonEmpty)
 
       val numeric = Set(java.sql.Types.TINYINT, java.sql.Types.SMALLINT,
         java.sql.Types.INTEGER, java.sql.Types.BIGINT, java.sql.Types.DECIMAL,
@@ -554,20 +600,21 @@ object Jdbc {
       // on exactly the engine the pg_dump -s parity targets. Product
       // name is already on the connection; no probe ever fails by
       // design.
-      val isDerby = scala.util.Try(
-        md.getDatabaseProductName.toLowerCase.contains("derby"))
-        .getOrElse(false)
+      val product = scala.util.Try(
+        md.getDatabaseProductName.toLowerCase).getOrElse("")
+      val isDerby = product.contains("derby")
+      val isPostgres = product.contains("postgres")
       val views = viewTabs.flatMap { case (sc, v) =>
         viewDefinition(conn, sc, v, isDerby).map(d => v -> d)
       }
 
       // CHECK constraints per table — the final pg_dump -s piece.
       val checks = tabs.map { case (sc, t) =>
-        t -> tableChecks(conn, sc, t, isDerby)
+        t -> tableChecks(conn, sc, t, isDerby, isPostgres)
       }.toMap.filter(_._2.nonEmpty)
 
       DbMeta(names, fks, pks, qualified, partCols, idxs, defaults, views,
-        checks)
+        checks, colTypes)
     }
   }
 
@@ -615,12 +662,23 @@ object Jdbc {
   private val NotNullClause =
     """(?is)^\(?\s*"?[A-Za-z_][A-Za-z0-9_]*"?\s+IS\s+NOT\s+NULL\s*\)?$""".r
 
-  /** A table's CHECK constraints as (name, clause): Derby's SYS.SYSCHECKS
-    * first, then the INFORMATION_SCHEMA pair (H2, Postgres, MySQL).
+  /** A table's CHECK constraints as (name, clause), dialect-routed:
+    * Derby reads SYS.SYSCHECKS; PostgreSQL reads pg_constraint keyed by
+    * conrelid; everything else the INFORMATION_SCHEMA pair (H2, MySQL).
+    *
+    * PostgreSQL must NOT use the INFORMATION_SCHEMA join: PG constraint
+    * names are unique only per TABLE, and CHECK_CONSTRAINTS carries no
+    * table name — two tables with same-named CHECKs cross-match on
+    * (name, schema) and each dumps the other's clause, so the replay
+    * adds a wrong constraint on exactly the engine the pg_dump -s
+    * parity targets. pg_get_constraintdef(oid) keyed by conrelid is
+    * what pg_dump itself reads (pg_dump.c getTableAttrs); its output is
+    * `CHECK (<expr>)` — normalized here to the bare parenthesized
+    * clause the other catalogs return.
     */
   private[graft] def tableChecks(
       conn: java.sql.Connection, schema: Option[String], table: String,
-      derby: Boolean): Seq[(String, String)] = {
+      derby: Boolean, postgres: Boolean = false): Seq[(String, String)] = {
     val rows =
       if (derby) queryPairs(conn,
         "SELECT cons.CONSTRAINTNAME, ck.CHECKDEFINITION FROM SYS.SYSCHECKS ck " +
@@ -630,6 +688,17 @@ object Jdbc {
           "WHERE t.TABLENAME = ?" +
           schema.map(_ => " AND s.SCHEMANAME = ?").getOrElse(""),
         Seq(table) ++ schema)
+      else if (postgres) queryPairs(conn,
+        "SELECT con.conname, pg_catalog.pg_get_constraintdef(con.oid) " +
+          "FROM pg_catalog.pg_constraint con " +
+          "JOIN pg_catalog.pg_class rel ON rel.oid = con.conrelid " +
+          "JOIN pg_catalog.pg_namespace nsp ON nsp.oid = rel.relnamespace " +
+          "WHERE con.contype = 'c' AND rel.relname = ?" +
+          schema.map(_ => " AND nsp.nspname = ?").getOrElse(""),
+        Seq(table) ++ schema).map { case (nm, defn) =>
+          val d = Option(defn).map(_.trim).getOrElse("")
+          (nm, if (d.toUpperCase.startsWith("CHECK")) d.drop(5).trim else d)
+        }
       else queryPairs(conn,
         "SELECT tc.CONSTRAINT_NAME, cc.CHECK_CLAUSE " +
           "FROM INFORMATION_SCHEMA.TABLE_CONSTRAINTS tc " +
@@ -640,7 +709,8 @@ object Jdbc {
           schema.map(_ => " AND tc.TABLE_SCHEMA = ?").getOrElse(""),
         Seq(table) ++ schema)
     rows.filter { case (_, clause) =>
-      clause != null && NotNullClause.findFirstIn(clause.trim).isEmpty
+      clause != null && clause.nonEmpty &&
+        NotNullClause.findFirstIn(clause.trim).isEmpty
     }
   }
 

@@ -259,6 +259,29 @@ class IngestCliSpec extends SparkSpec {
       .load(spark, s"$tmp/stores/minhash").count() === 3)
   }
 
+  test("batchFiles reads a compaction batch's .compact log, filtered to that batch") {
+    import java.nio.file.{Files, Paths}
+    val ckpt = Files.createTempDirectory("graft_ingest_ckpt").toString
+    Files.createDirectories(Paths.get(s"$ckpt/sources/0"))
+    def entry(p: String, b: Long) =
+      s"""{"path":"file://$p","timestamp":1000,"batchId":$b}"""
+    // plain per-batch file: all entries belong to the batch
+    Files.write(Paths.get(s"$ckpt/sources/0/3"),
+      s"v1\n${entry("/data/a.parquet", 3)}\n${entry("/data/b.parquet", 3)}"
+        .getBytes("UTF-8"))
+    assert(IngestMain.batchFiles(spark, ckpt, 3L)
+      === Seq("file:///data/a.parquet", "file:///data/b.parquet"))
+    // every compactInterval-th batch the source writes <id>.compact INSTEAD,
+    // holding every entry since batch 0 — only the tagged batch's files may
+    // surface, and the absence of the plain file must not read as "no files"
+    Files.write(Paths.get(s"$ckpt/sources/0/9.compact"),
+      (Seq("v1") ++ (0L to 9L).map(b => entry(s"/data/b$b.parquet", b)))
+        .mkString("\n").getBytes("UTF-8"))
+    assert(IngestMain.batchFiles(spark, ckpt, 9L) === Seq("file:///data/b9.parquet"))
+    // a batch with neither file is genuinely unknown
+    assert(IngestMain.batchFiles(spark, ckpt, 4L) === Seq.empty)
+  }
+
   /** telemetry.json is flat {"k": long} — parse without a JSON dep. */
   private def ujsonish(path: String): Map[String, Long] =
     scala.io.Source.fromFile(path).mkString

@@ -654,6 +654,51 @@ class JdbcCatalogSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("a CHECK clause containing ' FOREIGN KEY ' in a string literal replays exactly once") {
+    // the replay classifier must key on statement SHAPE: a substring match
+    // lands this CHECK in the FK list too, executes it twice, and the
+    // duplicate ADD CONSTRAINT aborts the whole load
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jdbc_ckfk").toString
+    val db = s"$tmp/src"
+    Class.forName(DerbyDriver)
+    val conn0 = DriverManager.getConnection(s"jdbc:derby:$db;create=true", "app", "app")
+    try {
+      val st = conn0.createStatement()
+      st.execute("CREATE TABLE NOTES (ID INT PRIMARY KEY, KIND VARCHAR(32))")
+      st.execute("ALTER TABLE NOTES ADD CONSTRAINT NOTES_KIND_CK " +
+        "CHECK (KIND <> ' FOREIGN KEY ')")
+      st.execute("INSERT INTO NOTES VALUES (1, 'plain')")
+      st.close()
+    } finally conn0.close()
+
+    val cat = Catalog.jdbc(spark, cfgFor(db))
+    val dump = s"$tmp/dump"
+    Dump.write(cat, DumpSpec(fullTables = cat.tables), dump)
+
+    val db2 = s"$tmp/empty"
+    DriverManager.getConnection(s"jdbc:derby:$db2;create=true", "app", "app").close()
+    Dump.loadIntoJdbc(spark, dump, cfgFor(db2), cleanup = Some("recreate"))
+
+    // loaded once, constraint present and enforcing the literal-bearing clause
+    val meta2 = Jdbc.introspect(cfgFor(db2), schema = Some("APP"))
+    assert(meta2.checks.getOrElse("NOTES", Seq.empty).exists(_._1 == "NOTES_KIND_CK"),
+      s"check lost in replay: ${meta2.checks}")
+    // the recreated column kept its NATIVE bounded type — without the
+    // dumped _column_types.json sidecar the writer re-creates VARCHAR(32)
+    // as CLOB, which Derby can't even compare in the replayed CHECK
+    assert(meta2.columnSqlTypes.getOrElse("NOTES", Map.empty).get("KIND")
+      === Some("VARCHAR(32)"), s"native type lost: ${meta2.columnSqlTypes}")
+    val conn = DriverManager.getConnection(s"jdbc:derby:$db2", "app", "app")
+    try {
+      val st = conn.createStatement()
+      intercept[java.sql.SQLException] {
+        st.execute("INSERT INTO NOTES VALUES (2, ' FOREIGN KEY ')")
+      }
+      st.execute("INSERT INTO NOTES VALUES (3, 'ok')")
+      st.close()
+    } finally conn.close()
+  }
+
   test("a reverse-order lookup index over the PK's columns is NOT the PK's backing index") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_jdbc_revix").toString
     val db = s"$tmp/src"
