@@ -1546,6 +1546,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     },
 
+    // the skew telemetry a deployment reads BEFORE paying the graph: per-
+    // band bucket widths with the hot flag that points at center/bucketCap
+    "knn_bucket_stats" -> { (s, dir) =>
+      val c = cat(s, dir)
+      Similarity.bucketHistogram(c.table("embeddings"), bands = 2,
+          corpusHint = Some(c.rowCount("embeddings")))
+        .orderBy("band")
+    },
+
     // n²-pair broadcast baseline for the graph (verification scale only)
     "knn_graph_exact" -> ((s, dir) =>
       Similarity.knnGraph(cat(s, dir).table("embeddings"), k = 5, exact = true)
@@ -3604,6 +3613,41 @@ object SparkEntry {
          FROM p)
          SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", round(cos, 4) AS cosine
          FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""",
+
+    "knn_bucket_stats" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         pp AS (SELECT greatest(4, CASE
+             WHEN c >= 1 AND power(2, c - 1) >= b THEN c - 1 ELSE c END) AS np
+           FROM (SELECT b, CAST(ceil(log2(b)) AS INT) AS c
+                 FROM (SELECT ceil(count(*) / 64.0) AS b FROM e))),
+         bk AS (SELECT vec_id,
+           array_to_string(list_transform(range(0, np), p -> CASE WHEN
+             list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] *
+               ((CAST('0x' || substr(md5('plane|' || p::VARCHAR || '|' || i::VARCHAR), 1, 15) AS BIGINT)
+                 % 2001 - 1000) / 1000.0)),
+               (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END), '') AS b0,
+           array_to_string(list_transform(range(np, 2 * np), p -> CASE WHEN
+             list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] *
+               ((CAST('0x' || substr(md5('plane|' || p::VARCHAR || '|' || i::VARCHAR), 1, 15) AS BIGINT)
+                 % 2001 - 1000) / 1000.0)),
+               (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END), '') AS b1
+         FROM e CROSS JOIN pp),
+         bb AS (SELECT 0 AS band, b0 AS bucket FROM bk
+                UNION ALL SELECT 1 AS band, b1 AS bucket FROM bk),
+         w AS (SELECT band, bucket, count(*) AS width FROM bb GROUP BY 1, 2),
+         s AS (SELECT band, CAST(count(*) AS BIGINT) AS buckets,
+             CAST(sum(width) AS BIGINT) AS vectors,
+             CAST(max(width) AS BIGINT) AS max_width,
+             round(quantile_cont(width, 0.99), 4) AS p99_width,
+             round(CAST(sum(CAST(width AS DECIMAL(28,10))) AS DOUBLE) / count(*), 4)
+               AS mean_width
+           FROM w GROUP BY band)
+         SELECT band, buckets, vectors, max_width, p99_width, mean_width,
+           round(CAST(vectors AS DOUBLE) / power(2, np), 4) AS expected_width,
+           CAST(max_width AS DOUBLE) >
+             8.0 * greatest(round(CAST(vectors AS DOUBLE) / power(2, np), 4), 1.0) AS hot
+         FROM s CROSS JOIN pp ORDER BY band""",
 
     "embed_density" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

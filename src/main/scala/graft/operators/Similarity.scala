@@ -1103,7 +1103,10 @@ object Similarity {
     * the EXPLICIT recall dial (measured in the spec like the multi-probe
     * knobs) for pair volume past the decade where hinted planes alone
     * strain executor memory; verify work is then ≤ buckets × cap² per
-    * band no matter how the corpus is distributed. Edge recall per pair at
+    * band no matter how the corpus is distributed. Whether a corpus
+    * NEEDS the dial is measurable before paying the graph:
+    * [[bucketHistogram]] reports per-band bucket widths and flags hot
+    * bands. Edge recall per pair at
     * cosine θ is 1 − (1 − p₁^planes)^bands with p₁ = 1 − arccos(θ)/π —
     * bands buy recall at linear shuffle cost, the standard LSH trade.
     *
@@ -1126,6 +1129,85 @@ object Similarity {
     * — per-dimension DECIMAL sums, so it is exact and partition-order
     * independent — riding as a 1-row broadcast.
     */
+  /** One row per (vector, band) with that band's LSH bucket key — the
+    * shared banding stage of [[knnGraph]] and [[bucketHistogram]].
+    * Bucketing reads raw vectors, or mean-centered ones when the corpus
+    * distribution would otherwise skew the sign buckets (`center` —
+    * the mean is one bounded exact DECIMAL aggregate riding as a 1-row
+    * broadcast). The explode is the rows × bands shuffle input.
+    */
+  private def bandedFrame(
+      e: DataFrame, dim: Int, bands: Int, effPlanes: Int,
+      center: Boolean): DataFrame = {
+    val eb =
+      if (!center) e.withColumn("vb", col("v"))
+      else {
+        val mu = e.agg(array((0 until dim).map(i =>
+          (sum(element_at(col("v"), i + 1).cast("decimal(28,10)"))
+            .cast("double") / count(lit(1))).as(s"m$i")): _*).as("mu"))
+        e.crossJoin(broadcast(mu))
+          .withColumn("vb", zip_with(col("v"), col("mu"), (a, b) => a - b))
+          .drop("mu")
+      }
+    eb.select(col("vec_id"), col("v"), col("nrm"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            lshBucket(col("vb"), effPlanes, dim, planeOffset = b * effPlanes)
+              .as("bucket"))): _*)).as("bb"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Per-band LSH bucket-width telemetry for [[knnGraph]]'s candidate
+    * stage — the signal a deployment reads to decide when to reach for
+    * the `bucketCap` recall dial (or `center`) BEFORE paying a skewed
+    * verify stage. The 100× chunk_knn wall was proven to be bucket skew
+    * only by a manual decomposition run; this makes it first-class.
+    *
+    * One bounded pass: the banding explode (rows × bands, the same
+    * stage the graph itself pays) → map-side-combined width count
+    * (≤ bands × 2^planes rows) → one ≤ bands-row summary. Per band:
+    * bucket count, max / p99 / mean width, and the uniform-expectation
+    * width n/2^planes. `hot` flags max_width > hotFactor × expected —
+    * keyed to the UNIFORM expectation, not the observed mean, because
+    * the worst skew (one bucket swallowing the corpus — the measured
+    * docEmbed mode at sf0.1: 3000 of 5000 docs in one of 16 buckets)
+    * leaves only near-empty siblings, and a mean over observed buckets
+    * would then read as "balanced". A hot band means the verify stage
+    * runs ~max_width²/2 comparisons where expected²/2 was planned —
+    * reach for `center` (distribution skew) or `bucketCap` (scale).
+    */
+  def bucketHistogram(
+      emb: DataFrame,
+      bands: Int = 2,
+      planes: Int = 4,
+      center: Boolean = false,
+      corpusHint: Option[Long] = None,
+      hotFactor: Double = 8.0): DataFrame = {
+    require(hotFactor > 0, s"hotFactor must be > 0: $hotFactor")
+    val effPlanes = corpusHint.map(planesFor(_)).getOrElse(planes)
+    val e = normalized(emb)
+    val dim = probeDim(emb)
+    bandedFrame(e, dim, bands, effPlanes, center)
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("width"))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).cast("long").as("buckets"),
+        sum(col("width")).cast("long").as("vectors"),
+        max(col("width")).cast("long").as("max_width"),
+        round(expr("percentile(width, 0.99)"), 4).as("p99_width"),
+        round(sum(col("width").cast("decimal(28,10)")).cast("double") /
+          count(lit(1)), 4).as("mean_width"))
+      .withColumn("expected_width",
+        round(col("vectors").cast("double") / math.pow(2.0, effPlanes), 4))
+      .withColumn("hot",
+        col("max_width").cast("double") >
+          lit(hotFactor) * greatest(col("expected_width"), lit(1.0)))
+      .select(col("band"), col("buckets"), col("vectors"), col("max_width"),
+        col("p99_width"), col("mean_width"), col("expected_width"), col("hot"))
+  }
+
   def knnGraph(
       emb: DataFrame,
       k: Int = 10,
@@ -1157,27 +1239,7 @@ object Similarity {
           .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
       } else {
         val dim = probeDim(emb)
-        // bucketing input: raw vectors, or mean-centered when the corpus
-        // distribution would otherwise skew the sign buckets
-        val eb =
-          if (!center) e.withColumn("vb", col("v"))
-          else {
-            val mu = e.agg(array((0 until dim).map(i =>
-              (sum(element_at(col("v"), i + 1).cast("decimal(28,10)"))
-                .cast("double") / count(lit(1))).as(s"m$i")): _*).as("mu"))
-            e.crossJoin(broadcast(mu))
-              .withColumn("vb", zip_with(col("v"), col("mu"), (a, b) => a - b))
-              .drop("mu")
-          }
-        // one row per (vector, band) with that band's bucket key — the
-        // explode is the rows × bands shuffle input
-        val banded = eb.select(col("vec_id"), col("v"), col("nrm"),
-            explode(array((0 until bands).map(b =>
-              struct(lit(b).as("band"),
-                lshBucket(col("vb"), effPlanes, dim, planeOffset = b * effPlanes)
-                  .as("bucket"))): _*)).as("bb"))
-          .select(col("vec_id"), col("v"), col("nrm"),
-            col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        val banded = bandedFrame(e, dim, bands, effPlanes, center)
         // Optional per-(band, bucket) candidate cap — the EXPLICIT recall
         // trade for deployments that need the all-pairs graph past the
         // decade where even linear pair volume strains executor memory

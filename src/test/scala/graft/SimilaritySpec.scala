@@ -405,6 +405,48 @@ class SimilaritySpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("bucketHistogram flags the dominant-direction skewed corpus and stays silent on a balanced one") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val dim = 8
+    // the measured docEmbed failure mode: every vector shares a dominant
+    // positive direction, so the sign projections agree and one bucket
+    // swallows the corpus
+    val skewed = (1L to 200L).map(i =>
+      (i, Array.fill(dim)(10.0 + rnd.nextGaussian() * 0.1)))
+      .toDF("vec_id", "embedding")
+    val hotBands = Similarity.bucketHistogram(skewed, bands = 2, planes = 4)
+      .orderBy("band").collect()
+    assert(hotBands.length === 2)
+    assert(hotBands.forall(_.getAs[Boolean]("hot")),
+      s"skewed corpus not flagged: ${hotBands.mkString("; ")}")
+    // max is keyed to the UNIFORM expectation (n/2^planes), not the
+    // observed-bucket mean — one swallowing bucket leaves few siblings,
+    // and a mean over them would read as balanced
+    assert(hotBands.forall(r =>
+      r.getAs[Long]("max_width") > 8.0 * r.getAs[Double]("expected_width")))
+    // centering (the dial the flag points at) re-balances the very same
+    // corpus below the hot threshold
+    val centered = Similarity.bucketHistogram(
+      skewed, bands = 2, planes = 4, center = true).collect()
+    assert(centered.forall(!_.getAs[Boolean]("hot")),
+      s"centered corpus still hot: ${centered.mkString("; ")}")
+    // a balanced corpus (independent signs) stays silent
+    val balanced = (1L to 200L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    val quiet = Similarity.bucketHistogram(balanced, bands = 2, planes = 4)
+      .orderBy("band").collect()
+    assert(quiet.forall(!_.getAs[Boolean]("hot")),
+      s"balanced corpus flagged: ${quiet.mkString("; ")}")
+    // invariants: widths account for every (vector, band) row; summary is
+    // partitioning-independent
+    assert(quiet.forall(r => r.getAs[Long]("vectors") === 200L))
+    val again = Similarity.bucketHistogram(
+      balanced.repartition(7), bands = 2, planes = 4).orderBy("band").collect()
+    assert(quiet.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("knnGraph edges are partitioning-independent") {
     val a = Similarity.knnGraph(emb, k = 3, bands = 2, planes = 4)
       .orderBy("query_id", "rank").collect()
