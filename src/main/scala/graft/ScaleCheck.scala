@@ -455,6 +455,20 @@ object ScaleCheck {
         "embed_density_hinted" -> (() =>
           Similarity.embedDensity(emb, k = 10, bands = 2,
             corpusHint = Some(nEmb))),
+        // batch-serving rows (VERDICT r17 task 7), SparkEntry bodies
+        // VERBATIM — each serves a FIXED query batch (Bm25BatchQueries /
+        // doc 42) against the growing corpus, the serving shape: corpus
+        // statistics + scoring are the only corpus-volume passes, the
+        // per-query top-k ships ≤ partitions × Q × k rows — expect
+        // scan-bound near-linear. hybrid_chunk_search builds AND saves
+        // its chunk index in the same evaluation (the demo's save+serve
+        // shape), so its curve carries the linear ingest pass too.
+        "bm25_batch" -> (() =>
+          SparkEntry.queries("bm25_batch")(spark, dir)),
+        "hybrid_batch_search" -> (() =>
+          SparkEntry.queries("hybrid_batch_search")(spark, dir)),
+        "hybrid_chunk_search" -> (() =>
+          SparkEntry.queries("hybrid_chunk_search")(spark, dir)),
         // the persisted-fingerprint ingest LOOP (save + 2 dedup epochs +
         // append, the SparkEntry demo verbatim): founding reduce is the
         // only corpus-text pass — expect linear, dominated by the save
