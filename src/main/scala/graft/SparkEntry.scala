@@ -1650,6 +1650,19 @@ object SparkEntry {
           k = 10, centEvery = 40, nprobe = 2)
         .orderBy("query_id", "rank")),
 
+    // the recall dial priced as a first-class query: IVF nprobe=2 against
+    // the brute-force exact baseline, per-query recall@10 — both inputs
+    // are the two oracle-checked entries above, so the eval never touches
+    // corpus volume beyond what they already pay
+    "ann_recall" -> { (s, dir) =>
+      val emb = cat(s, dir).table("embeddings")
+      val qf = col("vec_id") % 50 === 0
+      Similarity.recallAtK(
+          Similarity.annIvf(emb, qf, k = 10, centEvery = 40, nprobe = 2),
+          Similarity.annTopK(emb, qf, k = 10))
+        .orderBy("query_id")
+    },
+
     "semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(cat(s, dir).table("embeddings"),
           threshold = 0.4, centEvery = 40)
@@ -4345,6 +4358,46 @@ object SparkEntry {
          FROM p)
          SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", round(cos, 4) AS cosine
          FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+
+    "ann_recall" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (SELECT vec_id, v,
+           sqrt(list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
+                (a, b) -> a + b)) AS nrm
+         FROM e),
+         c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 40 = 1),
+         ac AS (SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+           list_reduce(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i]),
+                (a, b) -> a + b) / (n.nrm * c.cnrm) AS cos_c
+         FROM n CROSS JOIN c),
+         acr AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn
+           FROM ac),
+         asg AS (SELECT vec_id, v, nrm, cent_id FROM acr WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, v AS vq, nrm AS nq, cent_id AS qcent
+           FROM acr WHERE rn <= 2 AND vec_id % 50 = 0),
+         p AS (SELECT q.query_id, x.vec_id AS neighbor_id,
+           list_reduce(list_transform(range(1, len(q.vq) + 1), i -> q.vq[i] * x.v[i]),
+                (a, b) -> a + b) / (q.nq * x.nrm) AS cos
+         FROM asg x JOIN q ON x.cent_id = q.qcent AND x.vec_id <> q.query_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         FROM p),
+         approx AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= 10),
+         px AS (SELECT qq.vec_id AS query_id, x.vec_id AS neighbor_id,
+           list_reduce(list_transform(range(1, len(qq.v) + 1), i -> qq.v[i] * x.v[i]),
+                (a, b) -> a + b) / (qq.nrm * x.nrm) AS cos
+         FROM n qq JOIN n x ON x.vec_id <> qq.vec_id
+         WHERE qq.vec_id % 50 = 0),
+         rx AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         FROM px),
+         exact AS (SELECT query_id, neighbor_id FROM rx WHERE rnk <= 10)
+         SELECT ex.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+           CAST(count(*) AS BIGINT) AS exact_k,
+           round(count(a.neighbor_id) * 1.0 / count(*), 4) AS recall
+         FROM exact ex LEFT JOIN approx a
+           ON a.query_id = ex.query_id AND a.neighbor_id = ex.neighbor_id
+         GROUP BY ex.query_id ORDER BY ex.query_id""",
 
     "events_hourly" ->
       """SELECT event_type, epoch_ns(ts) // 3600000000000 * 3600 AS hour_start,

@@ -165,6 +165,35 @@ object Similarity {
         col("rank").cast("long").as("rank"), round(col("cos"), 4).as("cosine"))
   }
 
+  /** Recall@k of an approximate top-k list against an exact baseline —
+    * the ANN families' quality dial made a first-class operator instead
+    * of a spec-only assertion: a deployment tuning `nprobe`/`bands`/
+    * `bucketCap`/codebook size runs THIS against a sampled exact
+    * baseline to price each recall knob before committing a corpus-wide
+    * build. Inputs are any two `(query_id, neighbor_id, ...)` ranked
+    * lists (the `annTopK`/`annIvf`/`annLsh`/`pqSearch`/
+    * `VectorIndexStore.search` output shape); output is per-query
+    * `(hits, exact_k, recall)`.
+    *
+    * Scale shape: both inputs are ≤ Q × k skinny lists by construction
+    * — the join and aggregate never touch corpus volume, whatever
+    * corpus produced the lists. Recall is a 4-decimal rounded exact
+    * ratio of integer counts (engine-portable); queries the
+    * approximate side missed entirely still appear (hits = 0), queries
+    * absent from the EXACT side don't — the baseline defines the
+    * denominator.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(
+        approx.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(
+        count(col("hit")).as("hits"),
+        count(lit(1)).as("exact_k"),
+        round(count(col("hit")) * lit(1.0) / count(lit(1)), 4).as("recall"))
+
   /** Pseudo-random hyperplane weight for (plane p, dimension d ≥ 1):
     * uniform on [-1, 1] in steps of 1e-3, derived from the shared
     * md5-based hash (TextAnalysis.hexHash semantics) so the DuckDB oracle

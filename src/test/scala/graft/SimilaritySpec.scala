@@ -405,6 +405,39 @@ class SimilaritySpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("recallAtK: identity is 1, disjoint is 0, partial overlap exact; missed queries surface") {
+    import spark.implicits._
+    val exact = Seq(
+      (1L, 11L), (1L, 12L), (1L, 13L), (1L, 14L),
+      (2L, 21L), (2L, 22L),
+      (3L, 31L)).toDF("query_id", "neighbor_id")
+    // query 1: 2 of 4 recovered; query 2: full; query 3: missed entirely
+    // (still a row — the exact baseline defines the denominator); the
+    // approx-only pair (2, 99) and approx-only query 4 never count
+    val approx = Seq(
+      (1L, 11L), (1L, 13L), (1L, 99L),
+      (2L, 21L), (2L, 22L), (2L, 99L),
+      (4L, 41L)).toDF("query_id", "neighbor_id")
+    val got = Similarity.recallAtK(approx, exact).orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, 4L, 0.5), (2L, 2L, 2L, 1.0), (3L, 0L, 1L, 0.0)))
+    // the live dial: IVF nprobe=2 vs the brute-force baseline on the
+    // test embeddings — recall is a valid ratio and macro-averages above
+    // the spec'd multi-probe floor
+    val qf = col("vec_id") % 50 === 0
+    val live = Similarity.recallAtK(
+      Similarity.annIvf(emb, qf, k = 5, centEvery = 40, nprobe = 2),
+      Similarity.annTopK(emb, qf, k = 5))
+    val rows = live.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val rec = r.getAs[Double]("recall")
+      rec >= 0.0 && rec <= 1.0 && r.getAs[Long]("exact_k") === 5L })
+    val macroAvg = rows.map(_.getAs[Double]("recall")).sum / rows.length
+    assert(macroAvg > 0.3, s"ivf nprobe=2 macro recall $macroAvg")
+  }
+
   test("bucketHistogram flags the dominant-direction skewed corpus and stays silent on a balanced one") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
