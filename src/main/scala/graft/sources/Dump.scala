@@ -249,9 +249,6 @@ object Dump {
       rows: Map[String, Long],
       sequences: Map[String, Long])
 
-  /** Reads and parses `manifest.json` with Spark's JSON reader (robust to
-    * whitespace/ordering, unlike string scraping).
-    */
   /** Parses `schema/_column_types.json` (table → column → native type);
     * empty when the dump predates the sidecar. Entries are flat
     * identifier/type triples, so a line regex is exact.
@@ -269,6 +266,9 @@ object Dump {
         t -> ms.map(m => m.group(2) -> m.group(3)).toMap }
   }
 
+  /** Reads and parses `manifest.json` with Spark's JSON reader (robust to
+    * whitespace/ordering, unlike string scraping).
+    */
   def readManifest(spark: SparkSession, path: String): Manifest = {
     import spark.implicits._
     val raw = readText(spark, s"$path/manifest.json")
