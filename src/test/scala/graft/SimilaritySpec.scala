@@ -480,6 +480,18 @@ class SimilaritySpec extends SparkSpec {
     assert(quiet.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("bucketHistogram flags the REAL docEmbed corpus (the r17 measured skew mode)") {
+    // the production incident the operator exists for: bag-of-words
+    // docEmbed vectors share a dominant direction (measured at sf0.1:
+    // 3000 of 5000 docs in one of 16 buckets) — the telemetry must flag
+    // the same corpus family the spec's synthetic mimics
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val de = Similarity.docEmbed(docs, dim = 16)
+    val hist = Similarity.bucketHistogram(de, bands = 2, planes = 4).collect()
+    assert(hist.exists(_.getAs[Boolean]("hot")),
+      s"real docEmbed skew not flagged: ${hist.mkString("; ")}")
+  }
+
   test("knnGraph edges are partitioning-independent") {
     val a = Similarity.knnGraph(emb, k = 3, bands = 2, planes = 4)
       .orderBy("query_id", "rank").collect()
