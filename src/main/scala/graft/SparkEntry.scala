@@ -1015,6 +1015,11 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(cat(s, dir).table("documents")).orderBy("doc_a", "doc_b")),
 
+    // prices dedup_minhash's verify join before paying it: per-band exact
+    // candidate volume from bucket widths alone — no pair materialized
+    "lsh_pair_volume" -> ((s, dir) =>
+      Dedup.lshPairVolume(cat(s, dir).table("documents")).orderBy("b")),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(cat(s, dir).table("documents")).orderBy("doc_a", "doc_b")),
 
@@ -2957,6 +2962,31 @@ object SparkEntry {
          FROM cand JOIN sg xa ON xa.doc_id = doc_a JOIN sg yb ON yb.doc_id = doc_b)
          SELECT doc_a, doc_b, inter / (la + lb - inter) AS jaccard, m / 16 AS est_jaccard
          FROM v WHERE inter / (la + lb - inter) >= 0.5 ORDER BY doc_a, doc_b""",
+
+    "lsh_pair_volume" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+         FROM documents),
+         sh AS (SELECT doc_id,
+           list_distinct(CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' '))
+             ELSE [] END) AS s
+         FROM t),
+         sg AS (SELECT doc_id, s,
+           list_transform(range(0, 16), i -> list_min(list_transform(s,
+             x -> ((CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1073741824)
+               * ([8996855, 469992016, 2004217628, 1334294656, 768128343, 2105057655, 1160867219, 479758600, 1419844726, 1603376584, 210333, 1211524435, 710539482, 258642846, 794256414, 579260634][i + 1])
+               + ([405351280, 2046289441, 1592421689, 855095894, 760324133, 1694457692, 292335934, 554079960, 966378448, 485777283, 440949495, 1180586447, 1230674157, 2111880311, 85434598, 657399781][i + 1])) % 2147483647))) AS sig
+         FROM sh WHERE len(s) > 0),
+         bands AS (SELECT doc_id, r.b,
+           r.b::VARCHAR || ':' || sig[2 * r.b + 1]::VARCHAR || ':' || sig[2 * r.b + 2]::VARCHAR AS bkey
+         FROM sg CROSS JOIN range(0, 8) r(b)),
+         w AS (SELECT b, bkey, count(*) AS w FROM bands GROUP BY 1, 2)
+         SELECT CAST(b AS INT) AS b, CAST(count(*) AS BIGINT) AS buckets,
+           CAST(sum(w) AS BIGINT) AS docs, CAST(max(w) AS BIGINT) AS max_width,
+           CAST(sum(w * (w - 1) // 2) AS BIGINT) AS cand_pairs
+         FROM w GROUP BY b ORDER BY b""",
 
     // replays the two-epoch signature-store loop: epoch-1 flags (batch
     // %3 vs corpus %2) decide the survivors appended to the store;

@@ -105,6 +105,43 @@ object Dedup {
     * banding threshold (1/bands)^(1/rows) up before reaching for bigger
     * clusters.
     */
+  /** Per-band LSH candidate-pair PRICING for [[minhashPairs]] — the
+    * dedup-side sibling of [[Similarity.bucketHistogram]]: before paying
+    * the verify join (the one minhashPairs stage that grows with
+    * near-dup-heavy content, per the scaling rule on minhashPairs), one
+    * bounded pass reports what it would cost. Per band: bucket count,
+    * banded docs, max bucket width, and the EXACT pre-distinct candidate
+    * join volume Σ w·(w−1)/2 — integer `div` arithmetic (w·(w−1) is
+    * even), engine-portable, no IEEE division anywhere. A band whose
+    * `cand_pairs` dwarfs its siblings means one degenerate shingle
+    * cluster (boilerplate, empty-ish docs) owns the verify stage —
+    * raise `rows`/`numHashes`, or pre-strip the cluster, BEFORE the
+    * corpus-wide run. Cost: the same signature pass minhashPairs pays,
+    * one map-side-combined width count (≤ bands × distinct keys rows),
+    * a ≤ bands-row summary — never a pair is materialized.
+    */
+  def lshPairVolume(
+      docs: DataFrame,
+      n: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    withShingles(docs, n)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(bands - 1))).as("b"), col("sig"))
+      .withColumn("bkey", bandKey(col("b"), col("sig"), rows))
+      .groupBy(col("b"), col("bkey"))
+      .agg(count(lit(1)).as("w"))
+      .groupBy(col("b"))
+      .agg(
+        count(lit(1)).cast("long").as("buckets"),
+        sum(col("w")).cast("long").as("docs"),
+        max(col("w")).cast("long").as("max_width"),
+        sum(expr("w * (w - 1) div 2")).cast("long").as("cand_pairs"))
+  }
+
   def minhashPairs(
       docs: DataFrame,
       n: Int = 3,

@@ -407,6 +407,36 @@ class DedupSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("lshPairVolume prices the candidate join exactly, and a boilerplate cluster shows up hot") {
+    import spark.implicits._
+    // constructed corpus where the truth is countable by hand: 4 identical
+    // boilerplate docs + 3 docs sharing no 3-shingle with anything. The
+    // boilerplate cluster collides in EVERY band (identical signatures) →
+    // exactly C(4,2) = 6 pairs per band from a max-width-4 bucket; the
+    // distinct docs add singleton buckets and zero pairs.
+    val boiler = (1L to 4L).map(i =>
+      (i, "terms of service apply to all users of this website always"))
+    val uniq = Seq(
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (12L, "one two three four five six seven eight nine ten eleven"),
+      (13L, "red orange yellow green blue indigo violet crimson teal aqua"))
+    val tiny = (boiler ++ uniq).toDF("doc_id", "text")
+    val tv = Dedup.lshPairVolume(tiny).orderBy("b").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(tv.map(_._1).toSeq === (0 until 8))
+    assert(tv.forall { case (_, _, docs, maxW, pairs) =>
+      docs === 7L && maxW === 4L && pairs === 6L },
+      s"boilerplate cluster not priced as C(4,2) per band: ${tv.mkString("; ")}")
+    // the per-band totals bound minhashPairs' candidates: every verified
+    // pair was a candidate in ≥ 1 band, so Σ cand_pairs is a superset count
+    assert(Dedup.minhashPairs(tiny, minJaccard = 0.5).count() <= tv.map(_._5).sum)
+    // real corpus: 8 bands present and the same superset bound holds
+    val vol = Dedup.lshPairVolume(docs).orderBy("b").collect()
+      .map(r => (r.getInt(0), r.getLong(4)))
+    assert(vol.map(_._1).toSeq === (0 until 8))
+    assert(Dedup.minhashPairs(docs).count() <= vol.map(_._2).sum)
+  }
+
   test("dedupGroupsReclaimable: the handle reclaims exactly its own subdir") {
     import spark.implicits._
     import java.nio.file.{Files, Paths}
