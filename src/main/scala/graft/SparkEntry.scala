@@ -849,6 +849,21 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     },
 
+    // the PERSISTED-index form of bm25_batch (the VectorIndexStore shape
+    // for the lexical half): found the postings store, then answer the
+    // same batch from postings only — the corpus is never read at query
+    // time, and the answers bit-match the corpus-pass operator (one
+    // shared contribution chain, derivation-identical statistics)
+    "bm25_index_search" -> { (s, dir) =>
+      import s.implicits._
+      val store = tempStore("graft-bm25store")
+      graft.operators.Bm25IndexStore.save(
+        cat(s, dir).table("documents").select(col("doc_id"), col("text")), store)
+      graft.operators.Bm25IndexStore.search(s, store,
+          Bm25BatchQueries.toDF("query_id", "terms"), k = 10)
+        .orderBy("query_id", "rank")
+    },
+
     // the WHOLE batch serving loop: batch BM25 (query terms) fused with
     // batch exact-cosine retrieval (each query_id's own embedding as the
     // vector channel) by per-query RRF — query 4's lexical term misses
@@ -2006,6 +2021,14 @@ object SparkEntry {
          WHERE rank <= 20 ORDER BY rank""",
 
     "bm25_batch" ->
+      s"""WITH ${bm25BatchSql("documents", Bm25BatchQueries, 10)}
+         SELECT query_id, doc_id, rank, score FROM bqt
+         ORDER BY query_id, rank""",
+
+    // the index-served path must replay to the SAME answers as the
+    // corpus pass (statistics and scoring are derivation-identical), so
+    // its oracle IS the bm25_batch replay
+    "bm25_index_search" ->
       s"""WITH ${bm25BatchSql("documents", Bm25BatchQueries, 10)}
          SELECT query_id, doc_id, rank, score FROM bqt
          ORDER BY query_id, rank""",

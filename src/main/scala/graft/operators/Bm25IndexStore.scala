@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.EpochStore
+
+/** Persisted BM25 inverted index — the LEXICAL sibling of
+  * [[VectorIndexStore]], closing the store family's last recompute:
+  * [[TextAnalysis.bm25TopKBatch]] answers a batch from one corpus pass,
+  * which is the right shape until the corpus is 100 TB and queries
+  * arrive all day. This store pays the corpus ONCE at ingest and serves
+  * every batch from postings:
+  *
+  *   - `bmpost` segments: `(term, doc_id, tf)` — written term-sorted so
+  *     a batch's `term IN (…)` filter prunes parquet row groups; a
+  *     query batch reads ONLY its terms' postings (Σ df rows), never
+  *     corpus text.
+  *   - `bmdocs` segments: `(doc_id, dl)` — per-doc token counts; N and
+  *     Σdl (the BM25 normalizer) are an additive aggregate over it, so
+  *     [[append]] is a new segment pair and the statistics stay exact
+  *     with no stored-counter drift. Per-term df is derived from the
+  *     filtered postings at query time for the same reason.
+  *
+  * Scoring is IEEE-identical to [[TextAnalysis.bm25TopKBatch]] — both
+  * build from the one shared [[TextAnalysis.bm25Contrib]] expression
+  * chain, per-query contributions summed in query term order, one
+  * 4-decimal round before the (score desc, doc_id) rank — so the
+  * index-served answer bit-matches the corpus-pass answer (and the
+  * same DuckDB oracle replays both). Zero-scoring (query, doc) pairs
+  * never exist here at all: only docs holding ≥ 1 matching posting are
+  * scored, and the per-query top-k is the same WindowGroupLimit-capped
+  * window (≤ partitions × Q × k exchanged rows).
+  *
+  * Epoch/manifest durability discipline: [[graft.core.EpochStore]] —
+  * appends land as new segments, become current on an atomic manifest
+  * replace, superseded epochs stay readable until [[vacuum]].
+  *
+  * Reference anchor: reference/xdump has no search surface; this is the
+  * Robertson/Zaragoza '09 index form of the batch-serving tier.
+  */
+object Bm25IndexStore {
+
+  private val Names = Seq("bmpost", "bmdocs")
+
+  private def writeSegPair(
+      docs: DataFrame, path: String, next: Long, carryPrior: Boolean): Unit = {
+    val spark = docs.sparkSession
+    val tok = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+      .localCheckpoint() // one corpus tokenize feeds both families
+    val postSeg = EpochStore.segName("bmpost", next)
+    val docsSeg = EpochStore.segName("bmdocs", next)
+    tok.select(col("doc_id"), explode(col("tk")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      // term-sorted files: the serving filter's row-group pruning
+      .repartition(col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite").parquet(s"$path/$postSeg")
+    tok.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"$path/$docsSeg")
+    def segs(name: String, seg: String): Seq[String] =
+      (if (carryPrior)
+         EpochStore.segmentsForAppend(spark, path, name, next - 1)
+       else Seq.empty) :+ seg
+    EpochStore.writeSegments(spark, path, "bmpost", next, segs("bmpost", postSeg))
+    EpochStore.writeSegments(spark, path, "bmdocs", next, segs("bmdocs", docsSeg))
+    EpochStore.commitEpoch(spark, path, next)
+  }
+
+  /** Founds (or re-founds) the index from a corpus `(doc_id, text)` —
+    * a fresh epoch listing only the new segment pair.
+    */
+  def save(docs: DataFrame, path: String): Unit =
+    writeSegPair(docs, path,
+      EpochStore.currentEpoch(docs.sparkSession, path) + 1, carryPrior = false)
+
+  /** Folds a NEW batch of docs in as one segment pair — O(batch) I/O
+    * regardless of corpus age; statistics stay exact because N/Σdl/df
+    * are all derived, never stored counters. Caller guarantees doc_ids
+    * are new (the store family contract — gate first).
+    */
+  def append(docs: DataFrame, path: String): Unit = {
+    val cur = EpochStore.requireEpoch(docs.sparkSession, path, "Bm25IndexStore")
+    writeSegPair(docs, path, cur + 1, carryPrior = true)
+  }
+
+  private def loadFamily(spark: SparkSession, path: String, name: String): DataFrame =
+    spark.read.parquet(EpochStore.artifactPaths(spark, path, name,
+      EpochStore.requireEpoch(spark, path, "Bm25IndexStore")): _*)
+
+  /** Answers an external query batch `(query_id, terms)` from the
+    * persisted index — [[TextAnalysis.bm25TopKBatch]]'s contract and
+    * bit-identical scores, at postings cost: the corpus is never read.
+    */
+  def search(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      maxQueries: Int = 1024,
+      maxTerms: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1: $k")
+    val qs = TextAnalysis.collectQueryBatch(queries, maxQueries)
+    val terms = qs.flatMap(_._2).distinct.sorted
+    require(terms.size <= maxTerms,
+      s"query batch unions ${terms.size} distinct terms, over maxTerms=" +
+        s"$maxTerms — split the batch")
+    val posts = loadFamily(spark, path, "bmpost")
+      .where(col("term").isin(terms: _*)) // pushed; prunes term-sorted row groups
+    val dls = loadFamily(spark, path, "bmdocs")
+    // ONE stats row: N and Σdl additively over bmdocs (≤ #docs skinny
+    // rows, no text), per-term df counted from the filtered postings —
+    // each equals bm25TopKBatch's corpus-pass statistic exactly
+    // (a posting row exists iff tf > 0, which is the batch's df test)
+    val corpusStats = dls.agg(
+      count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      coalesce(sum(when(col("term") === lit(t), 1L).otherwise(0L)), lit(0L))
+        .as(s"df$i") }
+    val dfStats = posts.agg(dfCols.head, dfCols.tail: _*)
+    val stats = corpusStats.crossJoin(dfStats)
+    val nD = col("n").cast("double")
+    val avgdl = col("sdl").cast("double") / nD
+    val tIdx = terms.zipWithIndex.toMap
+    def contribOf(t: String): org.apache.spark.sql.Column =
+      TextAnalysis.bm25Contrib(
+        coalesce(element_at(col("tfm"), lit(t)), lit(0L)).cast("double"),
+        col(s"df${tIdx(t)}").cast("double"),
+        col("dl").cast("double"), nD, avgdl, k1, b)
+    // only docs holding ≥ 1 matching posting are scored — the index's
+    // whole point; their per-term tf ride as one small map column
+    val base = posts.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("term"), col("tf"))))
+        .as("tfm"))
+      .join(dls, "doc_id")
+    val scored = base.crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        explode(filter(array(qs.map { case (qid, ts) =>
+          struct(lit(qid).as("query_id"),
+            round(ts.map(contribOf).reduce(_ + _), 4).as("score"))
+        }: _*), s => s.getField("score") > 0)).as("q"))
+      .select(col("q.query_id"), col("doc_id"), col("q.score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
+  }
+
+  /** Drop superseded epochs (the Delta VACUUM contract). */
+  def vacuum(spark: SparkSession, path: String): Unit =
+    EpochStore.vacuum(spark, path, Names)
+}

@@ -1252,6 +1252,54 @@ object TextAnalysis {
     * (score desc, doc_id) rank — engine-portable under any partitioning.
     * Zero-scoring documents (no query term present) are dropped.
     */
+  /** One term's BM25 contribution (Robertson–Zaragoza; Lucene idf form)
+    * as the EXACT expression chain every BM25 surface shares —
+    * [[bm25TopK]], [[bm25TopKBatch]] and
+    * [[graft.operators.Bm25IndexStore.search]] build their scores from
+    * this one function, so the three paths are IEEE-identical by
+    * construction (the determinism contract: same ops, same order, then
+    * one 4-decimal round before ranking).
+    */
+  private[operators] def bm25Contrib(
+      tfD: Column, dfD: Column, dlD: Column, nD: Column, avgdl: Column,
+      k1: Double, b: Double): Column = {
+    val idf = log(lit(1.0) + (nD - dfD + lit(0.5)) / (dfD + lit(0.5)))
+    idf * (tfD * (lit(k1) + lit(1.0))) /
+      (tfD + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dlD / avgdl))
+  }
+
+  /** Collects and validates an external query batch `(query_id, terms)`
+    * — the bounded driver-side fetch (the codebook discipline) shared by
+    * [[bm25TopKBatch]] and [[graft.operators.Bm25IndexStore.search]]:
+    * null ids/terms, duplicate ids, empty term lists and oversized
+    * batches all fail loudly; terms lowercase per query, deduped.
+    */
+  private[operators] def collectQueryBatch(
+      queries: DataFrame, maxQueries: Int): Seq[(Long, Seq[String])] = {
+    val qrows = queries
+      .select(col("query_id").cast("long"), col("terms").cast("array<string>"))
+      .limit(maxQueries + 1).collect()
+    require(qrows.nonEmpty, "the query batch needs at least one query")
+    require(qrows.length <= maxQueries,
+      s"query batch exceeds maxQueries=$maxQueries — split the batch " +
+        "(each query's terms become plan literals; an unbounded batch " +
+        "would grow the plan without bound)")
+    val qs: Seq[(Long, Seq[String])] = qrows.toIndexedSeq.map { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        "query batch rows must carry non-null query_id and terms")
+      val ts = r.getSeq[String](1)
+      require(ts.forall(_ != null),
+        s"query ${r.getLong(0)} carries a null term — terms must be " +
+          "non-null strings")
+      (r.getLong(0), ts.map(_.toLowerCase).distinct)
+    }
+    require(qs.map(_._1).distinct.size == qs.size,
+      "duplicate query_id in the batch")
+    qs.foreach { case (qid, ts) =>
+      require(ts.nonEmpty, s"query $qid has no terms") }
+    qs
+  }
+
   def bm25TopK(
       docs: DataFrame,
       queryTerms: Seq[String],
@@ -1276,14 +1324,9 @@ object TextAnalysis {
           sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))): _*)
     val nD = col("n").cast("double")
     val avgdl = col("sdl").cast("double") / nD
-    val contribs = terms.indices.map { i =>
-      val tfD = col(s"tf$i").cast("double")
-      val dfD = col(s"df$i").cast("double")
-      val idf = log(lit(1.0) + (nD - dfD + lit(0.5)) / (dfD + lit(0.5)))
-      idf * (tfD * (lit(k1) + lit(1.0))) /
-        (tfD + lit(k1) * (lit(1.0) - lit(b) +
-          lit(b) * col("dl").cast("double") / avgdl))
-    }
+    val contribs = terms.indices.map(i => bm25Contrib(
+      col(s"tf$i").cast("double"), col(s"df$i").cast("double"),
+      col("dl").cast("double"), nD, avgdl, k1, b))
     val topk = tf.crossJoin(broadcast(stats))
       .select(col("doc_id"), round(contribs.reduce(_ + _), 4).as("score"))
       .where(col("score") > 0)
@@ -1331,27 +1374,7 @@ object TextAnalysis {
       maxTerms: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k must be >= 1: $k")
-    val qrows = queries
-      .select(col("query_id").cast("long"), col("terms").cast("array<string>"))
-      .limit(maxQueries + 1).collect()
-    require(qrows.nonEmpty, "bm25TopKBatch needs at least one query")
-    require(qrows.length <= maxQueries,
-      s"query batch exceeds maxQueries=$maxQueries — split the batch " +
-        "(each query's terms become plan literals; an unbounded batch " +
-        "would grow the plan without bound)")
-    val qs: Seq[(Long, Seq[String])] = qrows.toIndexedSeq.map { r =>
-      require(!r.isNullAt(0) && !r.isNullAt(1),
-        "query batch rows must carry non-null query_id and terms")
-      val ts = r.getSeq[String](1)
-      require(ts.forall(_ != null),
-        s"query ${r.getLong(0)} carries a null term — terms must be " +
-          "non-null strings")
-      (r.getLong(0), ts.map(_.toLowerCase).distinct)
-    }
-    require(qs.map(_._1).distinct.size == qs.size,
-      "duplicate query_id in the batch")
-    qs.foreach { case (qid, ts) =>
-      require(ts.nonEmpty, s"query $qid has no terms") }
+    val qs = collectQueryBatch(queries, maxQueries)
     val terms = qs.flatMap(_._2).distinct.sorted
     // |T| bounds the stats row width and the per-doc counts array; unbounded
     // it would also grow the scoring projection without limit. Term
@@ -1376,14 +1399,9 @@ object TextAnalysis {
           sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))): _*)
     val nD = col("n").cast("double")
     val avgdl = col("sdl").cast("double") / nD
-    def contrib(i: Int): Column = {
-      val tfD = col(s"tf$i").cast("double")
-      val dfD = col(s"df$i").cast("double")
-      val idf = log(lit(1.0) + (nD - dfD + lit(0.5)) / (dfD + lit(0.5)))
-      idf * (tfD * (lit(k1) + lit(1.0))) /
-        (tfD + lit(k1) * (lit(1.0) - lit(b) +
-          lit(b) * col("dl").cast("double") / avgdl))
-    }
+    def contrib(i: Int): Column = bm25Contrib(
+      col(s"tf$i").cast("double"), col(s"df$i").cast("double"),
+      col("dl").cast("double"), nD, avgdl, k1, b)
     val scored = tf.crossJoin(broadcast(stats))
       .select(col("doc_id"),
         explode(filter(array(qs.map { case (qid, ts) =>

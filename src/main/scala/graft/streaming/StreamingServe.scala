@@ -28,6 +28,10 @@ import graft.operators.TextAnalysis
   * starting the stream: the scan then amortizes to memory reads across
   * batches. The batch bounds (`maxQueries`, `maxTerms`) apply per
   * micro-batch; size the trigger so request bursts stay inside them.
+  * Past the decade where even a cached corpus pass per trigger is too
+  * much, serve from the persisted postings instead —
+  * [[graft.operators.Bm25IndexStore.search]] answers the identical
+  * batch contract bit-identically from Σ df posting rows.
   */
 object StreamingServe {
 
