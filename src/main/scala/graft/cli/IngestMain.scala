@@ -77,7 +77,12 @@ object IngestMain {
     * plain file — it holds every entry since batch 0, each tagged with
     * its own batchId. Missing that case silently skipped the dropped-
     * column telemetry on exactly those batches, so the compact file is
-    * read and filtered to the requested batch.
+    * read and filtered to the requested batch. An OLDER batch whose
+    * plain file the log cleanup already deleted resolves the same way —
+    * forward-scan to the nearest `.compact` with id >= batchId and
+    * filter by the entries' batchId tags — so replaying a historical
+    * batch keeps working after cleanup; only a checkpoint with no
+    * covering compact file at all returns empty.
     */
   private[graft] def batchFiles(
       spark: SparkSession, ckpt: String, batchId: Long): Seq[String] = {
@@ -99,14 +104,26 @@ object IngestMain {
     readText(new org.apache.hadoop.fs.Path(s"$ckpt/sources/0/$batchId")) match {
       case Some(text) => text.linesIterator.flatMap(paths).toSeq
       case None =>
-        // compaction batch: entries for ALL batches live in one file —
-        // keep only lines whose own batchId tag matches
-        readText(new org.apache.hadoop.fs.Path(
-          s"$ckpt/sources/0/$batchId.compact")) match {
+        // No plain file: either `batchId` IS a compaction batch (its
+        // entries live in its own `.compact`), or it is an older batch
+        // whose plain file the source-log cleanup deleted — its entries
+        // survive, batchId-tagged, inside every LATER compact file.
+        // Both cases resolve the same way: the nearest `.compact` with
+        // id >= batchId, filtered to lines tagged with this batch.
+        val dir = new org.apache.hadoop.fs.Path(s"$ckpt/sources/0")
+        val fs = dir.getFileSystem(conf)
+        val Compact = """(\d+)\.compact""".r
+        val nearest =
+          if (!fs.exists(dir)) None
+          else fs.listStatus(dir).toSeq.map(_.getPath.getName).collect {
+            case Compact(n) if n.toLong >= batchId => n.toLong
+          }.sorted.headOption
+        nearest.flatMap(n => readText(new org.apache.hadoop.fs.Path(
+            s"$ckpt/sources/0/$n.compact"))) match {
           case Some(text) => text.linesIterator.filter(l =>
               BatchField.findFirstMatchIn(l).exists(_.group(1).toLong == batchId))
             .flatMap(paths).toSeq
-          case None => Seq.empty
+          case None => Seq.empty // genuinely unknown: pre-log-era checkpoint
         }
     }
   }

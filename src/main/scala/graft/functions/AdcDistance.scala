@@ -20,8 +20,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * Fold order is the same strict sequential left sum the column form and
   * the DuckDB oracle's `list_reduce` replay use, so results are
   * bit-identical. Mismatched m (|lut| ≠ |codes|) → NULL, like
-  * [[DotProduct]]'s unequal-length contract; out-of-range codes are a
-  * construction error and surface as the index exception they are.
+  * [[DotProduct]]'s unequal-length contract; an out-of-range code also
+  * yields NULL — identically in eval and codegen (CodegenGuardSpec pins
+  * the parity), matching `element_at`'s out-of-bounds-is-NULL semantics
+  * in the composable column form this expression replaces.
   */
 case class AdcDistance(left: Expression, right: Expression) extends BinaryExpression {
 

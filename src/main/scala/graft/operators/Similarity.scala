@@ -184,9 +184,16 @@ object Similarity {
     * denominator.
     */
   def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame =
+    // dropDuplicates on both sides: a duplicated (query_id, neighbor_id)
+    // row in either input would fan the join out and silently inflate
+    // hits and exact_k past k. Top-k producers emit distinct pairs
+    // today, but the guard is one aggregate over Q × k rows — cheap
+    // insurance against a caller unioning lists.
     exact.select(col("query_id"), col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
       .join(
-        approx.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
+        approx.select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+          .dropDuplicates("query_id", "neighbor_id"),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(

@@ -435,8 +435,16 @@ object Dump {
     if (restoreSequences) replaySequences(spark, dumpPath, cfg)
   }
 
+  /** Identifier fragment for the shape patterns: a double-quoted name
+    * (which may contain spaces) or a bare token. Without the quoted
+    * alternative, a statement over `"my table"` matched NO category and
+    * was silently dropped from the replay.
+    */
+  private val Ident = """(?:"[^"]+"|\S+)"""
+
   private val PkStmt =
-    """ALTER TABLE (\S+) ADD CONSTRAINT \S+ PRIMARY KEY \(([^)]*)\)""".r
+    ("""ALTER TABLE (""" + Ident + """) ADD CONSTRAINT """ + Ident +
+      """ PRIMARY KEY \(([^)]*)\)""").r
 
   /** Replays the dumped PK/FK/default/index DDL onto a live target,
     * bulk-load order: every PK column is first made NOT NULL (Spark's
@@ -459,12 +467,26 @@ object Dump {
     // string literal, and a substring match would land that statement in
     // two lists — the duplicate ADD CONSTRAINT then aborts the load. The
     // kind token sits right after the constraint name, so these patterns
-    // are mutually exclusive by construction.
-    val pkShape = """(?s)ALTER TABLE \S+ ADD CONSTRAINT \S+ PRIMARY KEY\b.*""".r
-    val fkShape = """(?s)ALTER TABLE \S+ ADD CONSTRAINT \S+ FOREIGN KEY\b.*""".r
-    val ckShape = """(?s)ALTER TABLE \S+ ADD CONSTRAINT \S+ CHECK\b.*""".r
-    val defShape = """(?s)ALTER TABLE \S+ ALTER COLUMN \S+ SET DEFAULT\b.*""".r
+    // are mutually exclusive by construction; identifiers may be quoted
+    // (spaces inside), hence the Ident fragment. Every statement must
+    // land in exactly one category — an unclassified (or double-matched)
+    // statement fails the load loudly instead of being silently dropped.
+    val pkShape =
+      (s"(?s)ALTER TABLE $Ident ADD CONSTRAINT $Ident PRIMARY KEY\\b.*").r
+    val fkShape =
+      (s"(?s)ALTER TABLE $Ident ADD CONSTRAINT $Ident FOREIGN KEY\\b.*").r
+    val ckShape =
+      (s"(?s)ALTER TABLE $Ident ADD CONSTRAINT $Ident CHECK\\b.*").r
+    val defShape =
+      (s"(?s)ALTER TABLE $Ident ALTER COLUMN $Ident SET DEFAULT\\b.*").r
     val idxShape = """(?s)CREATE (UNIQUE )?INDEX\b.*""".r
+    val shapes = Seq(pkShape, fkShape, ckShape, defShape, idxShape)
+    stmts.foreach { s =>
+      val n = shapes.count(_.matches(s))
+      require(n == 1,
+        s"schema statement matched $n replay categories (expected exactly " +
+          s"1) — dump writer and replay classifier disagree: $s")
+    }
     val pkStmts = stmts.filter(pkShape.matches(_))
     val fkStmts = stmts.filter(fkShape.matches(_))
     val ckStmts = stmts.filter(ckShape.matches(_))

@@ -302,9 +302,17 @@ object Jdbc {
     * The rendered form is both valid target DDL and parsable by Spark's
     * `createTableColumnTypes` option — the replay seam.
     */
+  /** Sizes at/above this are sentinel "unbounded" lengths, not real
+    * modifiers: PostgreSQL JDBC reports COLUMN_SIZE=2147483647 for a
+    * bare `varchar`, and rendering that verbatim produces
+    * VARCHAR(2147483647), which exceeds PG's 10485760 cap and aborts the
+    * recreate. Such columns fall back to the dialect default (TEXT).
+    */
+  private val MaxSaneCharLength = 10485760
+
   private[graft] def charSqlType(typeName: String, size: Int): Option[String] =
     typeName.trim.toUpperCase match {
-      case _ if size <= 0 => None
+      case _ if size <= 0 || size >= MaxSaneCharLength => None
       case "VARCHAR" | "CHARACTER VARYING" | "NVARCHAR" | "VARCHAR2" |
           "NATIONAL CHARACTER VARYING" => Some(s"VARCHAR($size)")
       case "CHAR" | "CHARACTER" | "NCHAR" | "BPCHAR" |

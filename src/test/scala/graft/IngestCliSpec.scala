@@ -278,8 +278,11 @@ class IngestCliSpec extends SparkSpec {
       (Seq("v1") ++ (0L to 9L).map(b => entry(s"/data/b$b.parquet", b)))
         .mkString("\n").getBytes("UTF-8"))
     assert(IngestMain.batchFiles(spark, ckpt, 9L) === Seq("file:///data/b9.parquet"))
-    // a batch with neither file is genuinely unknown
-    assert(IngestMain.batchFiles(spark, ckpt, 4L) === Seq.empty)
+    // an older batch whose plain file the log cleanup deleted resolves
+    // from the nearest LATER compact file (forward scan), tag-filtered
+    assert(IngestMain.batchFiles(spark, ckpt, 4L) === Seq("file:///data/b4.parquet"))
+    // only a batch no compact file covers is genuinely unknown
+    assert(IngestMain.batchFiles(spark, ckpt, 15L) === Seq.empty)
   }
 
   /** telemetry.json is flat {"k": long} — parse without a JSON dep. */

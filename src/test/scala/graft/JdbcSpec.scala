@@ -76,4 +76,18 @@ class JdbcSpec extends SparkSpec {
     assert(Jdbc.readTable(spark, redirected, "t1", partitionColumn = Some("ID"))
       .collect().map(_.getLong(0)).sorted.toSeq === Seq(41L, 42L))
   }
+
+  test("charSqlType renders real lengths, drops sentinel 'unbounded' sizes") {
+    assert(Jdbc.charSqlType("VARCHAR", 25) === Some("VARCHAR(25)"))
+    assert(Jdbc.charSqlType("bpchar", 1) === Some("CHAR(1)"))
+    assert(Jdbc.charSqlType("TEXT", 100) === None)
+    assert(Jdbc.charSqlType("VARCHAR", 0) === None)
+    // PostgreSQL JDBC reports COLUMN_SIZE=2147483647 for a bare varchar;
+    // rendering it verbatim produced VARCHAR(2147483647), which exceeds
+    // PG's 10485760 cap and aborted the whole recreate — sentinel sizes
+    // must fall back to the dialect default (TEXT)
+    assert(Jdbc.charSqlType("VARCHAR", Int.MaxValue) === None)
+    assert(Jdbc.charSqlType("VARCHAR", 10485760) === None)
+    assert(Jdbc.charSqlType("VARCHAR", 10485759) === Some("VARCHAR(10485759)"))
+  }
 }

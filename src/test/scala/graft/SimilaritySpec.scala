@@ -422,6 +422,13 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(got.toSeq === Seq(
       (1L, 2L, 4L, 0.5), (2L, 2L, 2L, 1.0), (3L, 0L, 1L, 0.0)))
+    // duplicated (query_id, neighbor_id) rows in either input must not
+    // fan the join out and inflate hits/exact_k past k
+    val dup = Similarity.recallAtK(
+        approx.unionByName(approx), exact.unionByName(exact))
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(dup.toSeq === got.toSeq)
     // the live dial: IVF nprobe=2 vs the brute-force baseline on the
     // test embeddings — recall is a valid ratio and macro-averages above
     // the spec'd multi-probe floor
