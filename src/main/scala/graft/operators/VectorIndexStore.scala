@@ -324,6 +324,102 @@ object VectorIndexStore {
         round(col("adist"), 4).as("approx_dist2"))
   }
 
+  /** Approximate corpus DECODE from the persisted postings — the PQ
+    * reconstruction v̂ = (residual ? centroid(cell) : 0) ⧺ per-subspace
+    * codebook rows cb[codes[mi]] (Jégou et al. §IV: the quantizer's
+    * reproduction value). One map-side pass over postings, no corpus
+    * access — the store dropped the raw vectors at encode time, but the
+    * quantized form carries enough geometry to retrain a coarse codebook
+    * over the CURRENT distribution, which is what [[refoundIfStale]]
+    * needs. Output is `(vec_id, embedding: array<double>)`, the same
+    * frame shape [[save]] accepts.
+    */
+  def reconstruct(spark: SparkSession, path: String): DataFrame =
+    reconstructFrom(load(spark, path))
+
+  private def reconstructFrom(ix: Index): DataFrame = {
+    val sub = ix.dim / ix.m
+    val cbLit = typedLit(ix.cb.toSeq)
+    // cb layout is cb[(mi·k + ci)·sub + d] (resolvePqCodebook): subspace
+    // mi's code ci reproduces as the sub-wide slice starting at
+    // (mi·k + ci)·sub — 1-based for slice()
+    val pieces = flatten(transform(col("codes"), (c, mi) =>
+      slice(cbLit,
+        (mi.cast("long") * (ix.k * sub) + c * sub + 1).cast("int"),
+        lit(sub))))
+    val recon =
+      if (ix.residual) {
+        val cvs = typedLit(ix.cents.map(_._2.toSeq).toSeq)
+        zip_with(pieces, element_at(cvs, col("cell") + 1), (a, b) => a + b)
+      } else pieces
+    ix.postings.select(col("vec_id"), recon.as("embedding"))
+  }
+
+  /** The rebuild predicate over [[driftStats]]: true when the LATEST
+    * epoch's p95 coarse-assignment distance sits at `ratio` × the
+    * founding epoch's (and above `floor`, so near-zero founding
+    * baselines don't make noise trip the gate). This is the codified
+    * form of the rebuild rule the drift telemetry was written for — an
+    * append batch drawing from a distribution the frozen codebook no
+    * longer covers.
+    */
+  def stale(
+      spark: SparkSession, path: String,
+      ratio: Double = 2.0, floor: Double = 0.05): Boolean = {
+    val hist = driftStats(spark, path)
+      .orderBy(col("epoch")).collect()
+    val founding = hist.head.getAs[Double]("p95_cdist")
+    val latest = hist.last.getAs[Double]("p95_cdist")
+    latest > floor && latest > ratio * founding
+  }
+
+  /** The ACT half of the drift loop (the family pattern:
+    * `embed_density` → `density_prune`, `dup_lines` →
+    * `strip_dup_lines`): when [[stale]] fires, re-found the index from
+    * its own [[reconstruct]]ed postings — RETRAIN the coarse codebook
+    * ([[Similarity.trainIvfCodebook]]'s deterministic driver-side
+    * Lloyd over a bounded sample, at the founding nlist) so the cells
+    * cover the current distribution, keep the founding PQ codebook (the
+    * drift signal is cell coverage, not subspace quantization), and
+    * epoch-swap the rebuilt index in. The superseded epoch stays
+    * readable until [[vacuum]]; the drift history restarts at the new
+    * founding row (a re-found store is a rebuild with a new baseline).
+    * Returns whether a rebuild happened, so an ingest loop can run this
+    * after every append as a cheap no-op gate.
+    *
+    * The training sample is ordered by a HASH of vec_id, not vec_id:
+    * the rows that caused the drift are the newest (highest-id) ones,
+    * and [[Similarity.trainIvfCodebook]]'s own lowest-`sampleN`-ids
+    * sample would train on exactly the stale founding region at scale.
+    * The hash order is a deterministic pseudo-random sample spanning
+    * every segment, still one TakeOrderedAndProject (bounded, no
+    * corpus sort).
+    *
+    * Scale shape: two passes over postings (the decode feeding the
+    * trainer's bounded `sampleN` fetch, and the decode feeding the
+    * re-encode — rows × nlist × dim, the same cost founding paid) —
+    * paid only when the gate fires, and strictly cheaper than recall
+    * silently decaying until a human notices. `nlist` defaults to the
+    * founding cell count; a corpus that has outgrown it passes the new
+    * size here (drift and growth usually arrive together).
+    */
+  def refoundIfStale(
+      spark: SparkSession, path: String,
+      ratio: Double = 2.0, floor: Double = 0.05,
+      nlist: Int = 0, sampleN: Int = 10000, iters: Int = 10): Boolean = {
+    if (!stale(spark, path, ratio, floor)) return false
+    val ix = load(spark, path)
+    val trained = Similarity.trainIvfCodebook(
+      reconstructFrom(ix)
+        .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(sampleN),
+      k = if (nlist > 0) nlist else ix.cents.length,
+      sampleN = sampleN, iters = iters)
+    save(reconstructFrom(ix), path, m = ix.m, k = ix.k,
+      ivfCodebook = Some(trained), pqCodebook = Some(ix.cb),
+      residual = ix.residual)
+    true
+  }
+
   /** Drop superseded epochs — call once no in-flight reader can still
     * hold plans against them ([[graft.core.EpochStore.vacuum]]).
     */
