@@ -153,6 +153,17 @@ object ScaleCheck {
         graft.operators.FingerprintStore.save(docs, s)
         s
       }
+      // prebuilt stores for the serve-half rows (the build halves are
+      // their own timed rows; lazy founding here is untimed)
+      lazy val hybStore = SparkEntry.hybridChunkBuild(spark, dir)
+      lazy val cixStore = SparkEntry.chunkIndexBuild(spark, dir)
+      lazy val bmStore = {
+        val s = java.nio.file.Files
+          .createTempDirectory("graft-bmix-sc").toString
+        graft.operators.Bm25IndexStore.save(
+          docs.select(col("doc_id"), col("text")), s)
+        s
+      }
       var appendRep = 0L
       def fixedFreshBatch(): DataFrame = {
         import org.apache.spark.sql.functions._
@@ -469,6 +480,51 @@ object ScaleCheck {
           SparkEntry.queries("hybrid_batch_search")(spark, dir)),
         "hybrid_chunk_search" -> (() =>
           SparkEntry.queries("hybrid_chunk_search")(spark, dir)),
+        // the r18 watch-item SPLIT of the combined row above: build =
+        // the chunk-index founding (expect linear — the ingest pass),
+        // serve = BM25-over-chunks + persisted-store ADC + RRF against
+        // a PREBUILT store (expect the scan-bound bm25 half to dominate;
+        // the vector half touches codebooks + probed postings only)
+        "hybrid_chunk_build" -> { () =>
+          SparkEntry.hybridChunkBuild(spark, dir)
+          spark.range(1).toDF("ok")
+        },
+        "hybrid_chunk_serve" -> (() =>
+          SparkEntry.hybridChunkServe(spark, dir, hybStore)),
+        "chunk_index_serve" -> (() =>
+          SparkEntry.chunkIndexServe(spark, dir, cixStore)),
+        // BM25 index-store family (VERDICT r18 task 2): save = the one
+        // corpus pass (expect linear); append = a FIXED fresh batch onto
+        // the founded store (expect flat — O(batch) segments, statistics
+        // are per-segment write-time aggregates, never recomputed over
+        // the corpus); search = the FIXED shared query batch from
+        // postings (expect cost tracking Σ df of the batch's terms —
+        // which on this ~31-token synthetic vocabulary grows ∝ n, the
+        // honest worst case); search_nomatch = a batch whose term has no
+        // postings (expect FLAT in corpus size — the direct witness that
+        // search reads nothing O(N-docs): before the r19 fix this paid
+        // two full bmdocs scans and would grow linearly)
+        "bm25_store_save" -> { () =>
+          val s = java.nio.file.Files
+            .createTempDirectory("graft-bmsave-sc").toString
+          graft.operators.Bm25IndexStore.save(
+            docs.select(col("doc_id"), col("text")), s)
+          spark.range(1).toDF("ok")
+        },
+        "bm25_store_append" -> { () =>
+          graft.operators.Bm25IndexStore.append(fixedFreshBatch(), bmStore)
+          spark.range(1).toDF("ok")
+        },
+        "bm25_store_search" -> { () =>
+          import spark.implicits._
+          graft.operators.Bm25IndexStore.search(spark, bmStore,
+            SparkEntry.Bm25BatchQueries.toDF("query_id", "terms"), k = 10)
+        },
+        "bm25_store_search_nomatch" -> { () =>
+          import spark.implicits._
+          graft.operators.Bm25IndexStore.search(spark, bmStore,
+            Seq((1L, Seq("zzznotaterm"))).toDF("query_id", "terms"), k = 10)
+        },
         // the persisted-fingerprint ingest LOOP (save + 2 dedup epochs +
         // append, the SparkEntry demo verbatim): founding reduce is the
         // only corpus-text pass — expect linear, dominated by the save

@@ -43,6 +43,80 @@ object SparkEntry {
     d
   }
 
+  /** The index-BUILD half of `chunk_index_search`, split out so Bench/
+    * ScaleCheck can time build and serve separately (the r18 watch item:
+    * the combined entry's bench number reads "slow" while the serving
+    * claim it makes is about the serve half alone). The `queries` entry
+    * composes these two verbatim, so the oracle surface is unchanged.
+    * centEvery = 163 (prime): 10^6 ≡ 158 (mod 163), so packed chunk ids
+    * scatter across the sampling rule instead of aliasing chunk_id as a
+    * 10^6-divisor would.
+    */
+  private[graft] def chunkIndexBuild(s: SparkSession, dir: String): String = {
+    val docs = cat(s, dir).table("documents")
+    val store = tempStore("graft-cixstore")
+    VectorIndexStore.save(Similarity.chunkEmbed(docs, dim = 16), store,
+      m = 8, k = 16, centEvery = 163)
+    store
+  }
+
+  /** The SERVE half of `chunk_index_search`: external chunk queries
+    * against the persisted codebooks + postings — zero corpus jobs
+    * beyond embedding the query batch itself.
+    */
+  private[graft] def chunkIndexServe(
+      s: SparkSession, dir: String, store: String): DataFrame = {
+    val docs = cat(s, dir).table("documents")
+    val m = 1000000L
+    VectorIndexStore.search(
+        Similarity.chunkEmbed(docs.where(col("doc_id") % 50 === 0), dim = 16),
+        store, kNN = 5, nprobe = 2)
+      .select(
+        expr(s"CAST(query_id DIV $m AS BIGINT)").as("doc_id"),
+        (col("query_id") % m).as("chunk_id"),
+        expr(s"CAST(neighbor_id DIV $m AS BIGINT)").as("n_doc_id"),
+        (col("neighbor_id") % m).as("n_chunk_id"),
+        col("rank"), col("approx_dist2"))
+      .orderBy("doc_id", "chunk_id", "rank")
+  }
+
+  /** The index-BUILD half of `hybrid_chunk_search` (same split rationale
+    * as [[chunkIndexBuild]]). */
+  private[graft] def hybridChunkBuild(s: SparkSession, dir: String): String = {
+    val docs = cat(s, dir).table("documents")
+    val store = tempStore("graft-hybstore")
+    VectorIndexStore.save(Similarity.chunkEmbed(docs, dim = 16), store,
+      m = 8, k = 16, centEvery = 163)
+    store
+  }
+
+  /** The SERVE half of `hybrid_chunk_search`: lexical BM25 over the
+    * chunked corpus fused (RRF) with an IVFPQ search of the persisted
+    * store. The lexical half is the corpus-pass form by design — its
+    * index-served sibling is `bm25_index_search`.
+    */
+  private[graft] def hybridChunkServe(
+      s: SparkSession, dir: String, store: String): DataFrame = {
+    val docs = cat(s, dir).table("documents")
+    val m = 1000000L
+    val chunkCorpus = graft.operators.Chunk.docChunk(docs)
+      .select((col("doc_id") * m + col("chunk_id")).as("doc_id"),
+        col("chunk_text").as("text"))
+    val lex = TextAnalysis.bm25TopK(chunkCorpus,
+        Seq("dup", "row", "vector"), k = 50)
+      .select(col("doc_id"), col("rank"))
+    val vec = VectorIndexStore.search(
+        Similarity.chunkEmbed(docs.where(col("doc_id") === 42), dim = 16)
+          .where(col("vec_id") === 42L * m),
+        store, kNN = 50, nprobe = 2)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    Similarity.rrfFuse(Seq(lex, vec), k = 20)
+      .select(expr(s"CAST(doc_id DIV $m AS BIGINT)").as("doc_id"),
+        (col("doc_id") % m).as("chunk_id"),
+        col("rank"), col("rrf_score"), col("n_systems"))
+      .orderBy("rank")
+  }
+
   /** The bm25_batch query set — shared by the Spark entry and its
     * generated oracle SQL so both replay the identical batch: 'dup' is
     * the corpus's rare term, 'row'/'vector' the ~19%-df commons, and
@@ -50,7 +124,7 @@ object SparkEntry {
     * witness). Term order inside a query is the score's summation order
     * on both engines.
     */
-  private val Bm25BatchQueries: Seq[(Long, Seq[String])] = Seq(
+  private[graft] val Bm25BatchQueries: Seq[(Long, Seq[String])] = Seq(
     (1L, Seq("dup", "row")),
     (2L, Seq("vector")),
     (3L, Seq("row", "vector", "dup")),
@@ -905,27 +979,7 @@ object SparkEntry {
     // fused by RRF with provenance unpacked by exact div/mod. Both
     // inputs are top-50 lists, so the fusion never sees the corpus.
     "hybrid_chunk_search" -> { (s, dir) =>
-      val docs = cat(s, dir).table("documents")
-      val m = 1000000L
-      val chunkCorpus = graft.operators.Chunk.docChunk(docs)
-        .select((col("doc_id") * m + col("chunk_id")).as("doc_id"),
-          col("chunk_text").as("text"))
-      val lex = TextAnalysis.bm25TopK(chunkCorpus,
-          Seq("dup", "row", "vector"), k = 50)
-        .select(col("doc_id"), col("rank"))
-      val store = tempStore("graft-hybstore")
-      VectorIndexStore.save(Similarity.chunkEmbed(docs, dim = 16), store,
-        m = 8, k = 16, centEvery = 163)
-      val vec = VectorIndexStore.search(
-          Similarity.chunkEmbed(docs.where(col("doc_id") === 42), dim = 16)
-            .where(col("vec_id") === 42L * m),
-          store, kNN = 50, nprobe = 2)
-        .select(col("neighbor_id").as("doc_id"), col("rank"))
-      Similarity.rrfFuse(Seq(lex, vec), k = 20)
-        .select(expr(s"CAST(doc_id DIV $m AS BIGINT)").as("doc_id"),
-          (col("doc_id") % m).as("chunk_id"),
-          col("rank"), col("rrf_score"), col("n_systems"))
-        .orderBy("rank")
+      hybridChunkServe(s, dir, hybridChunkBuild(s, dir))
     },
 
     "quality_score" -> ((s, dir) =>
@@ -1780,21 +1834,7 @@ object SparkEntry {
     // chunk ids scatter across the sampling rule instead of aliasing
     // chunk_id as a 10^6-divisor would.
     "chunk_index_search" -> { (s, dir) =>
-      val docs = cat(s, dir).table("documents")
-      val m = 1000000L
-      val store = tempStore("graft-cixstore")
-      VectorIndexStore.save(Similarity.chunkEmbed(docs, dim = 16), store,
-        m = 8, k = 16, centEvery = 163)
-      VectorIndexStore.search(
-          Similarity.chunkEmbed(docs.where(col("doc_id") % 50 === 0), dim = 16),
-          store, kNN = 5, nprobe = 2)
-        .select(
-          expr(s"CAST(query_id DIV $m AS BIGINT)").as("doc_id"),
-          (col("query_id") % m).as("chunk_id"),
-          expr(s"CAST(neighbor_id DIV $m AS BIGINT)").as("n_doc_id"),
-          (col("neighbor_id") % m).as("n_chunk_id"),
-          col("rank"), col("approx_dist2"))
-        .orderBy("doc_id", "chunk_id", "rank")
+      chunkIndexServe(s, dir, chunkIndexBuild(s, dir))
     },
 
     "events_hourly" -> { (s, dir) =>
