@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{FingerprintStore, IngestGate, MinHashStore}
+import graft.operators.{Dedup, FingerprintStore, IngestGate, MinHashStore}
 
 /** `graft-ingest` — the operational driver for the persisted-store crawl
   * loop, the CLI a production pipeline runs daily (the store family's
@@ -46,8 +46,12 @@ import graft.operators.{FingerprintStore, IngestGate, MinHashStore}
   * Telemetry: gating writes `<output>/telemetry.json` with per-stage
   * counts — what each gate dropped is the number an operator watches
   * (a quality collapse means the crawler broke; an exact-dup spike
-  * means a re-crawl) — plus the appended store epochs when `--append`
-  * ran.
+  * means a re-crawl) — plus the batch's LSH skew gauge
+  * ([[graft.operators.Dedup.lshPairVolume]] flattened to
+  * `lsh_bands` / `lsh_cand_pairs_total` / `lsh_cand_pairs_max_band` /
+  * `lsh_max_bucket_width`: a max band dwarfing the others means one
+  * degenerate shingle cluster owns the fuzzy verify join), plus the
+  * appended store epochs when `--append` ran.
   */
 object IngestMain {
 
@@ -173,6 +177,24 @@ object IngestMain {
         "after_quality" -> stages.quality.count(),
         "after_exact_dedup" -> stages.exact.count(),
         "survivors" -> survivors.count())
+      // Pre-flight skew gauge: the batch's per-band LSH candidate-pair
+      // volume (lshPairVolume — ≤ bands rows, one signature pass over
+      // the batch), flattened into the counts an operator watches. A
+      // max-band figure dwarfing total/bands means one degenerate
+      // shingle cluster (boilerplate, empty-ish docs) will own the
+      // fuzzy stage's verify join — the signal to pre-strip or re-knob
+      // BEFORE a corpus-wide run pays it.
+      val bandRows = Dedup.lshPairVolume(batch).collect()
+      val lshGauge =
+        if (bandRows.isEmpty) Seq("lsh_bands" -> 0L)
+        else Seq(
+          "lsh_bands" -> bandRows.length.toLong,
+          "lsh_cand_pairs_total" ->
+            bandRows.map(_.getAs[Long]("cand_pairs")).sum,
+          "lsh_cand_pairs_max_band" ->
+            bandRows.map(_.getAs[Long]("cand_pairs")).max,
+          "lsh_max_bucket_width" ->
+            bandRows.map(_.getAs[Long]("max_width")).max)
       val appended =
         if (opts.flag("append")) {
           FingerprintStore.append(survivors, fp)
@@ -181,7 +203,7 @@ object IngestMain {
               .currentEpoch(spark, fp),
             "minhash_epoch" -> graft.core.EpochStore.currentEpoch(spark, mh))
         } else Seq.empty
-      val json = (counts ++ appended)
+      val json = (counts ++ lshGauge ++ appended)
         .map { case (k, v) => s""""$k": $v""" }
         .mkString("{\n  ", ",\n  ", "\n}\n")
       Files.createDirectories(Paths.get(out))

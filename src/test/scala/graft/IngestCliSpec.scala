@@ -50,6 +50,15 @@ class IngestCliSpec extends SparkSpec {
     assert(tele("after_quality") === 2)     // 12 dropped
     assert(tele("after_exact_dedup") === 1) // 10 dropped
     assert(tele("survivors") === 1)
+    // the pre-flight LSH skew gauge rides the telemetry: a 3-doc batch
+    // has at most 3 pairs per band, and the band/bucket counts are
+    // structurally bounded by the defaults (8 bands, widths ≤ batch)
+    assert(tele("lsh_bands") === 8)
+    assert(tele("lsh_cand_pairs_total") >= 0 &&
+      tele("lsh_cand_pairs_total") <= 8 * 3)
+    assert(tele("lsh_cand_pairs_max_band") <= 3)
+    assert(tele("lsh_max_bucket_width") >= 1 &&
+      tele("lsh_max_bucket_width") <= 3)
     assert(tele("fingerprint_epoch") === 2) // founded at 1, appended to 2
     assert(tele("minhash_epoch") === 2)
 
