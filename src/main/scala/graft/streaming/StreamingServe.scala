@@ -59,4 +59,28 @@ object StreamingServe {
       .foreachBatch { (b: DataFrame, id: Long) =>
         if (!b.isEmpty) onBatch(answersPerBatch(b, docs, k), id)
       }
+
+  /** The INDEX-SERVED form of [[serve]] — identical stream contract,
+    * each micro-batch answered by
+    * [[graft.operators.Bm25IndexStore.search]]: Σ df posting rows plus
+    * per-segment stats instead of a corpus pass, bit-identical answers
+    * (the store's spec'd contract; StreamingServeSpec asserts the two
+    * serve bodies agree on a live stream). This is the past-the-decade
+    * shape the corpus form's doc points at, as an actual entry point.
+    * The store is loaded at its CURRENT epoch per batch, so an ingest
+    * loop appending postings mid-stream is picked up at the next
+    * trigger — each batch's reads are epoch-pinned (never torn).
+    */
+  def serveFromIndex(
+      queries: DataFrame,
+      path: String,
+      k: Int = 10,
+      onBatch: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (!b.isEmpty)
+          onBatch(graft.operators.Bm25IndexStore.search(
+            b.sparkSession, path, b, k = k), id)
+      }
 }

@@ -62,4 +62,48 @@ class StreamingServeSpec extends SparkSpec {
     assert(calls.get() === 1, "empty trigger must answer nothing; real one must answer")
     corpus.unpersist()
   }
+
+  test("index-served stream answers bit-match the corpus-pass stream") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val corpus = docs.select("doc_id", "text")
+    val store = java.nio.file.Files.createTempDirectory("graft_ssix").toString
+    graft.operators.Bm25IndexStore.save(corpus, store)
+    val batches = Seq(
+      Seq((1L, Seq("dup", "row")), (2L, Seq("vector", "table"))),
+      Seq((3L, Seq("dup", "vector", "row")), (4L, Seq("zzznope"))))
+
+    def drive(
+        mk: (org.apache.spark.sql.DataFrame, (org.apache.spark.sql.DataFrame, Long) => Unit) =>
+          org.apache.spark.sql.streaming.DataStreamWriter[Row])
+        : Map[Long, Seq[Row]] = {
+      val seen = scala.collection.mutable.Map.empty[Long, Seq[Row]]
+      val onB: (org.apache.spark.sql.DataFrame, Long) => Unit =
+        (a, id) => seen.synchronized {
+          seen(id) = a.orderBy("query_id", "rank").collect().toSeq
+        }
+      val stream = MemoryStream[(Long, Seq[String])]
+      val q = mk(stream.toDF().toDF("query_id", "terms"), onB).start()
+      try batches.foreach { b =>
+        stream.addData(b); q.processAllAvailable()
+      } finally q.stop()
+      seen.toMap
+    }
+    // the two serve bodies run the one shared bm25Contrib chain over the
+    // same statistics (derived vs persisted-additive), so a live stream
+    // answered from postings must be ROW-IDENTICAL to one answered by
+    // the corpus pass — the serving-tier claim, end to end on a stream
+    val fromCorpus = drive((qs, onB) =>
+      StreamingServe.serve(qs, corpus, k = 5, onBatch = onB))
+    val fromIndex = drive((qs, onB) =>
+      StreamingServe.serveFromIndex(qs, store, k = 5, onBatch = onB))
+    assert(fromCorpus.keySet === Set(0L, 1L))
+    assert(fromIndex.keySet === Set(0L, 1L))
+    for (id <- fromCorpus.keys) {
+      assert(fromIndex(id) === fromCorpus(id),
+        s"micro-batch $id: index-served answers diverged from the corpus pass")
+      assert(fromIndex(id).nonEmpty)
+    }
+  }
 }
