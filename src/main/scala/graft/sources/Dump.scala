@@ -483,9 +483,15 @@ object Dump {
     val shapes = Seq(pkShape, fkShape, ckShape, defShape, idxShape)
     stmts.foreach { s =>
       val n = shapes.count(_.matches(s))
-      require(n == 1,
-        s"schema statement matched $n replay categories (expected exactly " +
-          s"1) — dump writer and replay classifier disagree: $s")
+      require(n <= 1,
+        s"schema statement matched $n replay categories — a double-matched " +
+          s"constraint would replay twice and abort the load: $s")
+      // CREATE TABLE (replayed by the table-creation path, not here) is
+      // the one legitimate zero-category shape; an unmatched ALTER TABLE
+      // is a constraint this classifier WOULD silently drop — fail loud
+      require(n == 1 || !s.trim.toUpperCase.startsWith("ALTER TABLE"),
+        s"unclassified ALTER TABLE statement would be silently dropped " +
+          s"from the constraint replay: $s")
     }
     val pkStmts = stmts.filter(pkShape.matches(_))
     val fkStmts = stmts.filter(fkShape.matches(_))
