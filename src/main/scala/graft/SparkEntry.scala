@@ -1751,6 +1751,13 @@ object SparkEntry {
       Similarity.pqEncode(cat(s, dir).table("embeddings"), m = 8, k = 16)
         .orderBy("vec_id")),
 
+    // encode-then-DECODE: each vector's quantizer reproduction value in
+    // exact integer milli-units — the re-found path's corpus decode
+    // (VectorIndexStore.reconstruct) as a first-class quantization audit
+    "pq_reconstruct" -> ((s, dir) =>
+      Similarity.pqReconstruct(cat(s, dir).table("embeddings"), m = 8, k = 16)
+        .orderBy("vec_id")),
+
     "pq_search" -> ((s, dir) =>
       Similarity.pqSearch(cat(s, dir).table("embeddings"), col("vec_id") % 50 === 0,
           kNN = 10, m = 8, k = 16)
@@ -4099,6 +4106,30 @@ object SparkEntry {
            array_to_string(list_transform(dss, ds -> list_position(ds, list_min(ds)) - 1), ':') AS pq_code,
            round(sqrt(list_reduce(list_prepend(0.0, list_transform(dss, ds -> list_min(ds))), (a, b) -> a + b)), 4) AS recon_err
          FROM ce ORDER BY vec_id""",
+
+    // the decode half: same codes CTE, then each dimension j reads the
+    // md5-family codebook entry for (subspace j//8, that subspace's
+    // code, dim j%8+1) in exact integer milli-units — hash % 2001 - 1000
+    // IS the milli value, no float formatting crosses the engines
+    "pq_reconstruct" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         ce AS (SELECT vec_id,
+           list_transform(range(0, 8), m ->
+             list_transform(range(0, 16), c ->
+               list_reduce(list_transform(range(0, 8), d ->
+                 (v[m * 8 + d + 1] - ((CAST('0x' || substr(md5('pq|' || m::VARCHAR || '|' || c::VARCHAR || '|' || (d + 1)::VARCHAR), 1, 15) AS BIGINT) % 2001 - 1000) / 1000.0))
+                 * (v[m * 8 + d + 1] - ((CAST('0x' || substr(md5('pq|' || m::VARCHAR || '|' || c::VARCHAR || '|' || (d + 1)::VARCHAR), 1, 15) AS BIGINT) % 2001 - 1000) / 1000.0))),
+                 (a, b) -> a + b))) AS dss
+         FROM e),
+         co AS (SELECT vec_id,
+           list_transform(dss, ds -> list_position(ds, list_min(ds)) - 1) AS codes
+         FROM ce)
+         SELECT vec_id,
+           array_to_string(list_transform(range(0, 64), j ->
+             (CAST('0x' || substr(md5('pq|' || (j // 8)::VARCHAR || '|' || codes[j // 8 + 1]::VARCHAR || '|' || (j % 8 + 1)::VARCHAR), 1, 15) AS BIGINT) % 2001 - 1000)::VARCHAR),
+             ':') AS recon_milli
+         FROM co ORDER BY vec_id""",
 
     "embed_sq" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -446,6 +446,42 @@ object Similarity {
       round(sqrt(aggregate(transform(col("dss"), ds => array_min(ds)),
         lit(0.0), (acc, x) => acc + x)), 4).as("recon_err"))
 
+  /** PQ DECODE — codes back to the quantizer's reproduction values,
+    * `cb[(mi·k + ci)·sub + d]` per dimension ([[resolvePqCodebook]]'s
+    * flat layout): one slice of the literal codebook per subspace,
+    * flattened. The exact inverse read shared by
+    * [[VectorIndexStore.reconstruct]] (the drift re-found path's
+    * corpus decode) and [[pqReconstruct]], so the two can never skew.
+    */
+  private[operators] def pqDecodeExpr(
+      codes: Column, cb: Array[Double], k: Int, sub: Int): Column =
+    flatten(transform(codes, (c, mi) =>
+      slice(typedLit(cb.toSeq),
+        (mi.cast("long") * (k * sub) + c * sub + 1).cast("int"), lit(sub))))
+
+  /** Encode-then-DECODE over a corpus: `(vec_id, recon_milli)` — each
+    * vector's quantizer reproduction value in exact integer MILLI-units
+    * (":"-joined; the md5-family codebook entries are exact multiples
+    * of 1e-3, so ×1000 round-trips to integers the DuckDB oracle
+    * reproduces digit-for-digit — a decimal string of the double would
+    * not be engine-portable). This is the decode the serving tier's
+    * re-found path runs over postings ([[VectorIndexStore.reconstruct]])
+    * surfaced as a first-class operator: what a stored code ACTUALLY
+    * says the vector is — quantization audit, and the input shape for
+    * codebook retraining. One map-side pass; with a trained codebook
+    * the milli-units are the audit rounding, not exact.
+    */
+  def pqReconstruct(
+      emb: DataFrame, m: Int = 8, k: Int = 16,
+      codebook: Option[Array[Double]] = None): DataFrame = {
+    val dim = probeDim(emb)
+    val cb = resolvePqCodebook(dim, m, k, codebook)
+    pqTable(emb, m, k, codebook).select(col("vec_id"),
+      array_join(transform(pqDecodeExpr(col("codes"), cb, k, dim / m),
+        x => round(x * 1000).cast("long").cast("string")), ":")
+        .as("recon_milli"))
+  }
+
   /** Approximate nearest neighbors over the PQ-compressed corpus by
     * asymmetric distance computation (ADC, Jégou et al.): the query keeps
     * full precision and its per-subspace distance matrix doubles as a

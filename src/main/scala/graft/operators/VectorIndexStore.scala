@@ -338,15 +338,10 @@ object VectorIndexStore {
     reconstructFrom(load(spark, path))
 
   private def reconstructFrom(ix: Index): DataFrame = {
-    val sub = ix.dim / ix.m
-    val cbLit = typedLit(ix.cb.toSeq)
-    // cb layout is cb[(mi·k + ci)·sub + d] (resolvePqCodebook): subspace
-    // mi's code ci reproduces as the sub-wide slice starting at
-    // (mi·k + ci)·sub — 1-based for slice()
-    val pieces = flatten(transform(col("codes"), (c, mi) =>
-      slice(cbLit,
-        (mi.cast("long") * (ix.k * sub) + c * sub + 1).cast("int"),
-        lit(sub))))
+    // the shared decode read (Similarity.pqDecodeExpr — also the
+    // pq_reconstruct operator's core, so the two can never skew)
+    val pieces =
+      Similarity.pqDecodeExpr(col("codes"), ix.cb, ix.k, ix.dim / ix.m)
     val recon =
       if (ix.residual) {
         val cvs = typedLit(ix.cents.map(_._2.toSeq).toSeq)
