@@ -86,6 +86,18 @@ object Bench {
           ((SparkEntry.chunkIndexBuild _, SparkEntry.chunkIndexServe _)),
         "hybrid_chunk_search" ->
           ((SparkEntry.hybridChunkBuild _, SparkEntry.hybridChunkServe _)))
+    // Each build() founds a fresh temp index store; without eager cleanup
+    // a full bench accretes 2 × (reps + 1) chunk-embedding stores on the
+    // temp volume for the session's whole life (the JVM-exit hook only
+    // reclaims them at the very end) — so each store is deleted as soon
+    // as its serve half has been timed.
+    def rmStore(d: String): Unit = scala.util.Try {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(d))
+    }: Unit
     val splits = splitDefs
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .filter { case (name, _) => !errors.contains(name) }
@@ -94,6 +106,7 @@ object Bench {
           val store = build(spark, sfDir) // warmup build (footer cache, JIT)
           serve(spark, sfDir, store)
             .write.format("noop").mode("overwrite").save()
+          rmStore(store)
           val timed = (1 to reps).map { _ =>
             val t0 = System.nanoTime()
             val st = build(spark, sfDir)
@@ -101,6 +114,7 @@ object Bench {
             serve(spark, sfDir, st)
               .write.format("noop").mode("overwrite").save()
             val t2 = System.nanoTime()
+            rmStore(st)
             ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
           }
           def med(xs: Seq[Double]) = {

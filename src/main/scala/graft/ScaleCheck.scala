@@ -164,6 +164,18 @@ object ScaleCheck {
           docs.select(col("doc_id"), col("text")), s)
         s
       }
+      // the SEARCH rows' own store, never appended to: bm25_store_append
+      // mutates bmStore each rep, so a search row sharing it would read a
+      // segment count that depends on row execution order and rep count —
+      // the 'flat in corpus size' claim would silently carry an
+      // O(#appends) stats-file term (r19 ADVICE)
+      lazy val bmSearchStore = {
+        val s = java.nio.file.Files
+          .createTempDirectory("graft-bmixq-sc").toString
+        graft.operators.Bm25IndexStore.save(
+          docs.select(col("doc_id"), col("text")), s)
+        s
+      }
       var appendRep = 0L
       def fixedFreshBatch(): DataFrame = {
         import org.apache.spark.sql.functions._
@@ -517,12 +529,12 @@ object ScaleCheck {
         },
         "bm25_store_search" -> { () =>
           import spark.implicits._
-          graft.operators.Bm25IndexStore.search(spark, bmStore,
+          graft.operators.Bm25IndexStore.search(spark, bmSearchStore,
             SparkEntry.Bm25BatchQueries.toDF("query_id", "terms"), k = 10)
         },
         "bm25_store_search_nomatch" -> { () =>
           import spark.implicits._
-          graft.operators.Bm25IndexStore.search(spark, bmStore,
+          graft.operators.Bm25IndexStore.search(spark, bmSearchStore,
             Seq((1L, Seq("zzznotaterm"))).toDF("query_id", "terms"), k = 10)
         },
         // the persisted-fingerprint ingest LOOP (save + 2 dedup epochs +

@@ -112,18 +112,23 @@ object IngestMain {
         // entries live in its own `.compact`), or it is an older batch
         // whose plain file the source-log cleanup deleted — its entries
         // survive, batchId-tagged, inside every LATER compact file.
-        // Both cases resolve the same way: the nearest `.compact` with
-        // id >= batchId, filtered to lines tagged with this batch.
+        // Both cases resolve the same way: a covering `.compact` with
+        // id >= batchId, filtered to lines tagged with this batch. Every
+        // covering compact carries the batch's entries, so the SORTED
+        // candidates are tried in order and the first readable one wins —
+        // the nearest alone could vanish between listStatus and the read
+        // (log cleanup runs concurrently), which silently resolved the
+        // batch to empty.
         val dir = new org.apache.hadoop.fs.Path(s"$ckpt/sources/0")
         val fs = dir.getFileSystem(conf)
         val Compact = """(\d+)\.compact""".r
-        val nearest =
-          if (!fs.exists(dir)) None
+        val covering =
+          if (!fs.exists(dir)) Seq.empty[Long]
           else fs.listStatus(dir).toSeq.map(_.getPath.getName).collect {
             case Compact(n) if n.toLong >= batchId => n.toLong
-          }.sorted.headOption
-        nearest.flatMap(n => readText(new org.apache.hadoop.fs.Path(
-            s"$ckpt/sources/0/$n.compact"))) match {
+          }.sorted
+        covering.iterator.flatMap(n => readText(new org.apache.hadoop.fs.Path(
+            s"$ckpt/sources/0/$n.compact"))).nextOption() match {
           case Some(text) => text.linesIterator.filter(l =>
               BatchField.findFirstMatchIn(l).exists(_.group(1).toLong == batchId))
             .flatMap(paths).toSeq

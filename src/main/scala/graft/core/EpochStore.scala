@@ -204,6 +204,60 @@ private[graft] object EpochStore {
     writeLongAtomic(spark, manifestPath(path), n)
   }
 
+  /** SEGMENT COMPACTION — the bound the segmented-append design needs
+    * to hold over deployment AGE, not just corpus size: every append is
+    * O(batch), but after K appends a reader lists K segment dirs per
+    * family and its scans fragment across K small files' row groups
+    * (for Bm25IndexStore, K single-row stats reads per query batch and
+    * term-pruning that re-runs per small file). `compact` merges the
+    * CURRENT epoch's segments into ONE new segment per family and
+    * epoch-swaps it in — readers planned against the old epoch keep
+    * working (commit never deletes), and the superseded fragments go at
+    * the next [[vacuum]]. The Delta/Iceberg OPTIMIZE discipline, scoped
+    * to one pointer file.
+    *
+    * `segmented`: family name → merge rewrite applied to the union of
+    * its current segments (identity for plain row tables; a re-sort to
+    * restore row-group pruning; a re-aggregate for additive stats
+    * families). `carried`: per-epoch MONOLITHIC families (codebooks,
+    * drift history) copied forward so the new epoch stays
+    * self-contained; a family dir absent at the current epoch is
+    * skipped (pre-telemetry stores).
+    *
+    * No-op (returns the current epoch, zero churn) when every segmented
+    * family already holds ≤ 1 segment. Same one-writer contract as
+    * append — a racing writer trips [[commitEpoch]]'s stale-read guard.
+    *
+    * @return the epoch now current (new on compaction, unchanged on no-op)
+    */
+  def compact(
+      spark: SparkSession, path: String,
+      segmented: Seq[(String, org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame)],
+      carried: Seq[String] = Seq.empty): Long = {
+    val cur = requireEpoch(spark, path, "store (compact)")
+    val already = segmented.forall { case (n, _) =>
+      readSegments(spark, path, n, cur).forall(_.size <= 1) }
+    if (already) return cur
+    val next = cur + 1
+    segmented.foreach { case (n, rewrite) =>
+      val df = spark.read.parquet(artifactPaths(spark, path, n, cur): _*)
+      val seg = segName(n, next)
+      rewrite(df).write.mode("overwrite").parquet(s"$path/$seg")
+      writeSegments(spark, path, n, next, Seq(seg))
+    }
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    carried.foreach { n =>
+      val src = new Path(epochDir(path, n, cur))
+      if (fs.exists(src))
+        spark.read.parquet(src.toString).coalesce(1)
+          .write.mode("overwrite").parquet(epochDir(path, n, next))
+    }
+    commitEpoch(spark, path, next)
+    next
+  }
+
   /** Replay-pin marker files: `<KIND>BATCH_<id>` / `<KIND>PIN_<id>` in
     * the store root ([[graft.streaming.StreamingFuzzyIngest]] /
     * [[graft.streaming.StreamingIngestGate]]). CONTRACT: the FIRST long

@@ -182,6 +182,19 @@ object FingerprintStore {
   def vacuum(spark: SparkSession, path: String): Unit =
     EpochStore.vacuum(spark, path, Names)
 
+  /** Merge the current epoch's digest segments into one and epoch-swap
+    * it in — row-identical (the stored union is exactly distinct by the
+    * append contract, so a plain merge preserves it), carrying the
+    * epoch's bloom sketch forward unchanged (it summarizes the same key
+    * set; capacity/bit-size untouched, so later batch sketches stay
+    * merge-compatible). Bounds segment-list length over deployment age
+    * ([[graft.core.EpochStore.compact]]); fragments go at [[vacuum]].
+    */
+  def compact(spark: SparkSession, path: String): Long =
+    EpochStore.compact(spark, path,
+      Seq("fingerprints" -> identity[DataFrame] _),
+      carried = Seq("bloom"))
+
   /** Persist one bloom metadata row for `epoch`. `capacity` (and the
     * bit size derived from it) is what keeps later batch sketches
     * merge-compatible: Spark's `BloomFilter.mergeInPlace` requires

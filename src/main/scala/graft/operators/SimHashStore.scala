@@ -83,4 +83,13 @@ object SimHashStore {
     */
   def vacuum(spark: SparkSession, path: String): Unit =
     EpochStore.vacuum(spark, path, Names)
+
+  /** Merge the current epoch's signature segments into one and
+    * epoch-swap it in — row-identical (plain union of signature rows),
+    * bounding segment-list length over deployment age
+    * ([[graft.core.EpochStore.compact]]). Fragments go at [[vacuum]].
+    */
+  def compact(spark: SparkSession, path: String): Long =
+    EpochStore.compact(spark, path,
+      Seq("simhash" -> identity[DataFrame] _))
 }

@@ -415,6 +415,21 @@ object VectorIndexStore {
     true
   }
 
+  /** Merge the current epoch's posting segments into ONE and epoch-swap
+    * it in ([[graft.core.EpochStore.compact]]): appends are O(batch),
+    * but after K of them every search lists K segment dirs and its
+    * cell-probe scan fragments across K small files — unbounded in
+    * deployment age. Postings merge row-identically (encode output,
+    * no rewrite logic), and the per-epoch codebook/drift frames are
+    * carried forward so the new epoch stays self-contained; search
+    * answers are bit-identical pre/post (spec-asserted). Fragments go
+    * at [[vacuum]].
+    */
+  def compact(spark: SparkSession, path: String): Long =
+    EpochStore.compact(spark, path,
+      Seq("postings" -> identity[DataFrame] _),
+      carried = Seq("ivf", "pqmeta", "drift"))
+
   /** Drop superseded epochs — call once no in-flight reader can still
     * hold plans against them ([[graft.core.EpochStore.vacuum]]).
     */

@@ -446,6 +446,27 @@ object Dump {
     ("""ALTER TABLE (""" + Ident + """) ADD CONSTRAINT """ + Ident +
       """ PRIMARY KEY \(([^)]*)\)""").r
 
+  /** Quote-aware split of a captured PK column list: the quoted-identifier
+    * support must reach PAST the statement classifier — a bare
+    * `split(",")` over `PRIMARY KEY ("a,b", c)` produced broken NOT NULL
+    * DDL that aborted the load (r19 ADVICE). Commas inside double quotes
+    * belong to the identifier; quotes are kept on the token (the dump
+    * writer emitted them, so the replayed DDL needs them back).
+    */
+  private[graft] def splitColumnList(cols: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQ = false
+    cols.foreach {
+      case '"' => inQ = !inQ; cur += '"'
+      case ',' if !inQ => out += cur.toString.trim; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString.trim
+    require(!inQ, s"unbalanced quotes in PK column list: $cols")
+    out.filter(_.nonEmpty).toSeq
+  }
+
   /** Replays the dumped PK/FK/default/index DDL onto a live target,
     * bulk-load order: every PK column is first made NOT NULL (Spark's
     * JDBC writer creates nullable columns, and no engine accepts a PK
@@ -500,7 +521,7 @@ object Dump {
     val idxStmts = stmts.filter(idxShape.matches(_))
     val notNulls = pkStmts.flatMap {
       case PkStmt(t, cols) =>
-        cols.split(",").map(c => Jdbc.notNullSql(cfg, t, c.trim)).toSeq
+        splitColumnList(cols).map(c => Jdbc.notNullSql(cfg, t, c))
       case _ => Nil
     }
     // views after everything (their base tables and indexes exist by then
@@ -533,7 +554,7 @@ object Dump {
     val manifest = readManifest(spark, dumpPath)
     manifest.loadOrder.map { t =>
       val pkCol = schemaStatements(spark, dumpPath, t).collectFirst {
-        case PkStmt(_, cols) => cols.split(",").head.trim
+        case PkStmt(_, cols) => splitColumnList(cols).head
       }
       t -> (pkCol match {
         case None => Some("no primary key in dumped schema")

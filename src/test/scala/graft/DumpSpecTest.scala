@@ -154,4 +154,20 @@ class DumpSpecTest extends SparkSpec {
     // an unterminated literal keeps the tail intact rather than splitting
     assert(Dump.splitSqlStatements("SELECT 'a;b") === Seq("SELECT 'a;b"))
   }
+
+  test("splitColumnList: quoted PK column names survive embedded commas") {
+    // quoted-identifier support must reach past the classifier (r19
+    // ADVICE): PRIMARY KEY ("a,b", c) is one quoted column + one bare,
+    // not three comma fragments producing broken NOT NULL DDL
+    assert(Dump.splitColumnList("\"a,b\", c") === Seq("\"a,b\"", "c"))
+    assert(Dump.splitColumnList("id") === Seq("id"))
+    assert(Dump.splitColumnList("a, b ,c") === Seq("a", "b", "c"))
+    assert(Dump.splitColumnList("\"weird, name\"") === Seq("\"weird, name\""))
+    assert(Dump.splitColumnList("\"q\", \"r,s\", t")
+      === Seq("\"q\"", "\"r,s\"", "t"))
+    // unbalanced quotes fail loudly instead of emitting broken DDL
+    intercept[IllegalArgumentException] {
+      Dump.splitColumnList("\"open, never closed")
+    }
+  }
 }

@@ -154,6 +154,44 @@ class FingerprintStoreSpec extends SparkSpec {
     assert(FingerprintStore.loadBloom(spark, path)._2 === n1 + 2)
   }
 
+  test("compact merges digest segments; exact and sketch arms unchanged through vacuum") {
+    import graft.core.EpochStore
+    val path = tmp("fp-compact")
+    FingerprintStore.save(docs.where(col("doc_id") % 2 === 0), path)
+    FingerprintStore.append(docs.where(col("doc_id") % 4 === 1), path)
+    val batch = docs.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+    def exactGate() = Dedup.incrementalDedupFp(
+        batch, FingerprintStore.loadFingerprints(spark, path))
+      .orderBy("doc_id").collect().toSeq
+    val digestsBefore = FingerprintStore.loadFingerprints(spark, path)
+      .collect().map(_.getString(0)).sorted.toSeq
+    val bloomBefore = FingerprintStore.loadBloom(spark, path)
+    val before = exactGate()
+    val e = FingerprintStore.compact(spark, path)
+    assert(e === 3)
+    assert(EpochStore.readSegments(spark, path, "fingerprints", e) ===
+      Some(Seq(s"fingerprints_s$e")))
+    val digestsAfter = FingerprintStore.loadFingerprints(spark, path)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(digestsAfter === digestsBefore, "compaction changed the digest set")
+    // the sketch arm is CARRIED byte-compatible: same bits, same capacity
+    val bloomAfter = FingerprintStore.loadBloom(spark, path)
+    assert(bloomAfter._1.toSeq === bloomBefore._1.toSeq &&
+      bloomAfter._2 === bloomBefore._2,
+      "compaction must carry the bloom sketch unchanged")
+    assert(exactGate() === before)
+    FingerprintStore.vacuum(spark, path)
+    assert(!new java.io.File(s"$path/fingerprints_s1").exists())
+    assert(exactGate() === before)
+    // appends (incl. the sketch-merge path) continue after compact+vacuum
+    FingerprintStore.append(
+      docs.limit(10).select((col("doc_id") + 500000L).as("doc_id"),
+        concat(col("text"), lit(" novel-after-compact")).as("text")), path)
+    assert(FingerprintStore.loadFingerprints(spark, path).count() ===
+      digestsBefore.size + 10)
+  }
+
   test("sketch merge holds to capacity, then rebuilds with fresh headroom") {
     import spark.implicits._
     val path = tmp("fp-capacity")

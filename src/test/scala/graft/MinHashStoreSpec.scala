@@ -105,6 +105,37 @@ class MinHashStoreSpec extends SparkSpec {
     assert(stored === expected)
   }
 
+  test("compact merges signature segments row-identically; gate unchanged through vacuum") {
+    import graft.core.EpochStore
+    val path = tmp("mh-compact")
+    MinHashStore.save(docs.where(col("doc_id") % 2 === 0), path)
+    MinHashStore.append(docs.where(col("doc_id") % 4 === 1), path)
+    val batch = docs.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+    def gate() = Dedup.minhashIngestDedup(batch, MinHashStore.load(spark, path))
+      .orderBy("batch_id", "corpus_id").collect().toSeq
+    val sigsBefore = MinHashStore.load(spark, path)
+      .select(col("doc_id"), concat_ws(":", col("sig")))
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+    val before = gate()
+    val e = MinHashStore.compact(spark, path)
+    assert(e === 3)
+    assert(EpochStore.readSegments(spark, path, "minhash", e) ===
+      Some(Seq(s"minhash_s$e")))
+    val sigsAfter = MinHashStore.load(spark, path)
+      .select(col("doc_id"), concat_ws(":", col("sig")))
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+    assert(sigsAfter === sigsBefore, "compaction changed the signature rows")
+    assert(gate() === before)
+    MinHashStore.vacuum(spark, path)
+    assert(!new java.io.File(s"$path/minhash_s1").exists())
+    assert(gate() === before)
+    MinHashStore.append(
+      docs.limit(10).select((col("doc_id") + 500000L).as("doc_id"),
+        col("text")), path)
+    assert(MinHashStore.load(spark, path).count() > sigsBefore.size)
+  }
+
   test("epoch swap: a failed append leaves the prior epoch loadable") {
     val corpus = docs.where(col("doc_id") % 2 === 0)
     val path = tmp("mh-crash")

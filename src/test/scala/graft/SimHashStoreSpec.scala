@@ -90,6 +90,31 @@ class SimHashStoreSpec extends SparkSpec {
     assert(stored === expected)
   }
 
+  test("compact merges signature segments row-identically; gate unchanged through vacuum") {
+    import graft.core.EpochStore
+    val path = tmp("sh-compact")
+    SimHashStore.save(docs.where(col("doc_id") % 2 === 0), path)
+    SimHashStore.append(docs.where(col("doc_id") % 4 === 1), path)
+    val batch = docs.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+    def gate() = Dedup.simhashIngestDedup(batch, SimHashStore.load(spark, path))
+      .orderBy("batch_id", "corpus_id").collect().toSeq
+    val sigsBefore = SimHashStore.load(spark, path)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString).toSeq
+    val before = gate()
+    val e = SimHashStore.compact(spark, path)
+    assert(e === 3)
+    assert(EpochStore.readSegments(spark, path, "simhash", e) ===
+      Some(Seq(s"simhash_s$e")))
+    val sigsAfter = SimHashStore.load(spark, path)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString).toSeq
+    assert(sigsAfter === sigsBefore, "compaction changed the signature rows")
+    assert(gate() === before)
+    SimHashStore.vacuum(spark, path)
+    assert(!new java.io.File(s"$path/simhash_s1").exists())
+    assert(gate() === before)
+  }
+
   test("epoch swap: a failed append leaves the prior epoch loadable") {
     val corpus = docs.where(col("doc_id") % 2 === 0)
     val path = tmp("sh-crash")

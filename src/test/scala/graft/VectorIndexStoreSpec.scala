@@ -385,6 +385,43 @@ class VectorIndexStoreSpec extends SparkSpec {
     assert(VectorIndexStore.load(spark, path).postings.count() === 280)
   }
 
+  test("compact merges posting segments to one; search answers bit-identical through vacuum, appends continue") {
+    import graft.core.EpochStore
+    val path = tmp("vix-compact")
+    VectorIndexStore.save(emb.where(col("vec_id") % 3 === 0), path)
+    VectorIndexStore.append(emb.where(col("vec_id") % 3 === 1), path)
+    VectorIndexStore.append(emb.where(col("vec_id") % 3 === 2), path)
+    val queries = emb.where(col("vec_id") % 7 === 0)
+    def served() = VectorIndexStore.search(queries, path, kNN = 5, nprobe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    val before = served()
+    val hist = VectorIndexStore.driftStats(spark, path).collect().toSeq
+    val e = VectorIndexStore.compact(spark, path)
+    assert(e === 4, "compact must commit a new epoch over 3 segments")
+    assert(EpochStore.readSegments(spark, path, "postings", e) ===
+      Some(Seq(s"postings_s$e")), "postings not merged to one segment")
+    // codebooks + drift history carried: the new epoch is self-contained
+    val ix = VectorIndexStore.load(spark, path)
+    assert(ix.epoch === e)
+    assert(served() === before, "compaction changed search answers")
+    assert(VectorIndexStore.driftStats(spark, path).collect().toSeq === hist,
+      "compaction must carry the drift history unchanged")
+    // no-op on an already-compact store
+    assert(VectorIndexStore.compact(spark, path) === e)
+    VectorIndexStore.vacuum(spark, path)
+    Seq(1L, 2L, 3L).foreach { s =>
+      assert(!new java.io.File(s"$path/postings_s$s").exists(),
+        s"vacuum left superseded segment postings_s$s")
+    }
+    assert(served() === before, "post-vacuum answers changed")
+    // the store still appends (and its drift loop still runs) afterwards
+    VectorIndexStore.append(
+      emb.limit(20).select((col("vec_id") + 900000L).as("vec_id"),
+        col("embedding")), path)
+    assert(VectorIndexStore.driftStats(spark, path).count() === hist.size + 1)
+    assert(served().nonEmpty)
+  }
+
   test("prior epoch survives an append until vacuum; founding segment untouched") {
     val path = tmp("vix-epoch")
     VectorIndexStore.save(emb.where(col("vec_id") % 3 =!= 0), path)
