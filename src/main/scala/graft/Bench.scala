@@ -131,6 +131,17 @@ object Bench {
         }
       }
 
+    // CONTRAST entries (r19 verdict task 7): standalone one-shot forms
+    // that re-derive a shared artifact inside their own plan — here the
+    // shingle inverted index that ngram_scores/ngram_index_dedup persist
+    // in deployment (Dedup.ngramIndex). Their medians price the
+    // from-scratch query, NOT the deployment loop (which builds the
+    // index once and serves batches from it — ngram_index_dedup is that
+    // row); they stay in the bench as labelled contrast shapes, like the
+    // quadratic ScaleCheck baselines.
+    val contrast = Seq("ngram_jaccard", "ngram_containment")
+      .filter(results.contains)
+
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -149,7 +160,8 @@ object Bench {
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val sp = splits.map { case (k, (b, v)) =>
       s"${jstr(k)}:{\"build_s\":$b,\"serve_s\":$v}" }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmin,"splits":$sp,"discarded":$disc,"stalled":$stalled,"errors":$es,"reps":$reps,"sf":"${sfDir}"}"""
+    val ce = contrast.map(jstr).mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmin,"splits":$sp,"contrast":$ce,"discarded":$disc,"stalled":$stalled,"errors":$es,"reps":$reps,"sf":"${sfDir}"}"""
     println(json)
     // Also write the artifact to a file: round 8's committed BENCH json was a
     // truncated stdout tail that permanently lost 7 queries' medians. The

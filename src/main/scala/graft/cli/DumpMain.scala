@@ -103,14 +103,19 @@ object Cli {
     "stores", "found", "batch", "watch", "checkpoint", "watch-schema",
     "vacuum-every")
 
-  def parse(args: Seq[String]): Opts = {
+  /** `extraValued`: option names that take a value FOR THIS MAIN only —
+    * the shared `Valued` set cannot carry a name whose arity differs
+    * across mains (IngestMain's `--append` is a flag; IndexMain's takes
+    * a batch path).
+    */
+  def parse(args: Seq[String], extraValued: Set[String] = Set.empty): Opts = {
     var values = Map.empty[String, Seq[String]].withDefaultValue(Nil)
     var flags = Set.empty[String]
     var rest = args.toList
     while (rest.nonEmpty) {
       val key = rest.head.dropWhile(_ == '-')
       rest = rest.tail
-      if (Valued(key)) {
+      if (Valued(key) || extraValued(key)) {
         require(rest.nonEmpty, s"option --$key needs a value")
         values += key -> (values(key) :+ rest.head)
         rest = rest.tail
