@@ -938,6 +938,25 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     },
 
+    // the store-MAINTENANCE loop through the same oracle: found on half
+    // the corpus, fold the rest in as an append (segment triple #2),
+    // COMPACT the aged store (one merged term-sorted segment per family,
+    // bmstats re-aggregated to one exact row), vacuum the fragments, and
+    // the served answers must still replay the corpus-pass DuckDB oracle
+    // bit-for-bit — compaction is a layout change, never a data change
+    "bm25_index_compact" -> { (s, dir) =>
+      import s.implicits._
+      val store = tempStore("graft-bm25cpt")
+      val docs = cat(s, dir).table("documents").select(col("doc_id"), col("text"))
+      graft.operators.Bm25IndexStore.save(docs.where(col("doc_id") % 2 === 0), store)
+      graft.operators.Bm25IndexStore.append(docs.where(col("doc_id") % 2 === 1), store)
+      graft.operators.Bm25IndexStore.compact(s, store)
+      graft.operators.Bm25IndexStore.vacuum(s, store)
+      graft.operators.Bm25IndexStore.search(s, store,
+          Bm25BatchQueries.toDF("query_id", "terms"), k = 10)
+        .orderBy("query_id", "rank")
+    },
+
     // the WHOLE batch serving loop: batch BM25 (query terms) fused with
     // batch exact-cosine retrieval (each query_id's own embedding as the
     // vector channel) by per-query RRF — query 4's lexical term misses
@@ -2076,6 +2095,13 @@ object SparkEntry {
     // corpus pass (statistics and scoring are derivation-identical), so
     // its oracle IS the bm25_batch replay
     "bm25_index_search" ->
+      s"""WITH ${bm25BatchSql("documents", Bm25BatchQueries, 10)}
+         SELECT query_id, doc_id, rank, score FROM bqt
+         ORDER BY query_id, rank""",
+
+    // found-half + appended-half + compact + vacuum must still serve the
+    // corpus-pass answers exactly — one more replay of the same oracle
+    "bm25_index_compact" ->
       s"""WITH ${bm25BatchSql("documents", Bm25BatchQueries, 10)}
          SELECT query_id, doc_id, rank, score FROM bqt
          ORDER BY query_id, rank""",
