@@ -47,6 +47,7 @@ object DumpMain {
 
   def run(args: Seq[String], spark: SparkSession): Unit = {
     val opts = Cli.parse(args)
+    Cli.setVerbosity(opts)
     val output = opts.required("output", short = "o")
     val catalog = Cli.catalogFrom(spark, opts)
 
@@ -123,6 +124,14 @@ object Cli {
     }
     Opts(values, flags)
   }
+
+  /** The reference CLI's `-v`/`-vv` verbosity (xdump setup.py console
+    * scripts pass click counts into logging.py:10): `-v` = step timings,
+    * `-vv` = every executed SQL statement too ([[graft.sources.QueryLog]]).
+    */
+  def setVerbosity(opts: Opts): Unit =
+    graft.sources.QueryLog.verbosity =
+      if (opts.flag("vv")) 2 else if (opts.flag("v")) 1 else 0
 
   def splitOnce(s: String, sep: Char, err: => String): (String, String) =
     s.indexOf(sep) match {

@@ -35,6 +35,7 @@ object LoadMain {
 
   def run(args: Seq[String], spark: SparkSession): Unit = {
     val opts = Cli.parse(args)
+    Cli.setVerbosity(opts)
     val rawInput = opts.required("input", short = "i")
     // A .zip input (DumpMain --archive) is unpacked next to itself first —
     // the reference loads straight from its zip archive (base.py:220) —

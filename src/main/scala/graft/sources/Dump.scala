@@ -54,7 +54,9 @@ object Dump {
     * transitively referenced row (Closure.relatedData) before writing, so
     * the dump loads without FK violations — the reference's core guarantee.
     */
-  def write(catalog: Catalog, spec: DumpSpec, path: String): Unit = {
+  def write(catalog: Catalog, spec: DumpSpec, path: String): Unit =
+    // -v total-time surface (reference base.py:98 wraps the whole dump)
+    QueryLog.time("Total execution time: %s") {
     val metrics = collection.concurrent.TrieMap.empty[String, (Long, Long)]
 
     def spool(t: String, df: DataFrame): DataFrame =
@@ -380,7 +382,9 @@ object Dump {
       cleanup: Option[String] = None,
       restoreConstraints: Boolean = true,
       restoreSequences: Boolean = true,
-      verifyCounts: Boolean = true): Unit = {
+      verifyCounts: Boolean = true): Unit =
+    // -v total-time surface (reference base.py:222 wraps the whole load)
+    QueryLog.time("Total execution time: %s") {
     val tables = load(spark, dumpPath) // manifest load order
     cleanup.foreach { method =>
       val childrenFirst = tables.map(_._1).reverse

@@ -381,7 +381,12 @@ object Jdbc {
     val conn = connect(cfg)
     try {
       val st = conn.createStatement()
-      try sqls.foreach(st.execute) finally st.close()
+      // each statement through the -v/-vv query log (reference
+      // base.py:67 runs every write-path statement under log_query)
+      try sqls.foreach { s =>
+        QueryLog.query(s)
+        QueryLog.time()(st.execute(s)): Unit
+      } finally st.close()
     } finally conn.close()
   }
 

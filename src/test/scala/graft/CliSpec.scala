@@ -45,6 +45,62 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/loaded/orders.parquet").count() === expected.count())
   }
 
+  test("-v/-vv query-logging surface: timings at -v, executed SQL at -vv, silent by default") {
+    import java.sql.DriverManager
+    // reference parity: logging.py:10 + base.py:25/:32 behind the CLI's
+    // click-count verbosity — -v logs step timings (INFO), -vv also logs
+    // every SQL the engine executes against a live target (DEBUG).
+    // Derby source with UPPERCASE identifiers (the case-folding caveat
+    // the JDBC suites document).
+    val tmp = Files.createTempDirectory("graft_cli_vlog").toString
+    val DerbyDriver = "org.apache.derby.jdbc.EmbeddedDriver"
+    Class.forName(DerbyDriver)
+    def mkDb(n: String): String = {
+      val db = s"$tmp/$n"
+      val conn = DriverManager.getConnection(s"jdbc:derby:$db;create=true", "app", "app")
+      try {
+        val st = conn.createStatement()
+        st.execute("CREATE TABLE REGION (R_ID INT PRIMARY KEY, R_NAME VARCHAR(32))")
+        st.execute("INSERT INTO REGION VALUES (1, 'emea'), (2, 'apac')")
+        st.close()
+      } finally conn.close()
+      db
+    }
+    def capture(body: => Unit): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf, true, "UTF-8"))(body)
+      new String(buf.toByteArray, "UTF-8")
+    }
+    val src = mkDb("src")
+    def jdbcFlags(db: String) = Seq("--jdbc-url", s"jdbc:derby:$db",
+      "--jdbc-user", "app", "--jdbc-password", "app",
+      "--jdbc-driver", DerbyDriver)
+    try {
+      // default verbosity: silent
+      val silent = capture(DumpMain.run(jdbcFlags(src) ++ Seq(
+        "-o", s"$tmp/dump0", "-f", "REGION"), spark))
+      assert(!silent.contains(" - XDump - "),
+        s"default verbosity must stay silent:\n${silent.take(500)}")
+      // -v: step timings, no statements
+      val v1 = capture(DumpMain.run(jdbcFlags(src) ++ Seq(
+        "-o", s"$tmp/dump1", "-f", "REGION", "-v"), spark))
+      assert(v1.contains(" - XDump - INFO - Total execution time: "),
+        s"-v must log the total dump time:\n${v1.take(500)}")
+      assert(!v1.contains(" - XDump - DEBUG - "), "-v must not log statements")
+      // -vv: every executed SQL against the live target (the truncate
+      // cleanup's DELETE) plus per-statement timings
+      val tgt = mkDb("tgt")
+      val v2 = capture(LoadMain.run(jdbcFlags(tgt) ++ Seq(
+        "-i", s"$tmp/dump1", "-m", "truncate", "-vv"), spark))
+      assert(v2.contains(" - XDump - DEBUG - DELETE FROM REGION"),
+        s"-vv must log the executed cleanup SQL:\n${v2.take(800)}")
+      assert(v2.contains(" - XDump - INFO - Execution time: "),
+        "-vv must keep per-statement timings")
+      assert(v2.contains(" - XDump - INFO - Total execution time: "),
+        "-vv must keep the total-time line")
+    } finally graft.sources.QueryLog.verbosity = 0
+  }
+
   test("archived dump is one zip that loads back identically") {
     val tmp = Files.createTempDirectory("graft_cli_zip").toString
     DumpMain.run(Seq(
