@@ -316,9 +316,13 @@ object ScaleCheck {
         // nlist grown to cover founding + shifted clusters; the sample
         // scales with the corpus so every fixed-size shifted cluster
         // keeps trainer representation
+        // sample scales with the corpus (fixed-size shifted clusters keep
+        // trainer representation) but caps at 50k — the driver-side Lloyd
+        // is O(sampleN × nlist × dim × iters) and 50k × 256 cells already
+        // gives every cluster ~100 sampled members at the largest dir
         val fired = graft.operators.VectorIndexStore.refoundIfStale(spark, s,
           nlist = 64 + nShiftClusters,
-          sampleN = math.max(10000, nEmb.toInt))
+          sampleN = math.min(50000, math.max(10000, nEmb.toInt)))
         val genuineSec = (System.nanoTime() - t0) / 1e9
         val after = recall10()
         (s, Seq(

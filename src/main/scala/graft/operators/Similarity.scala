@@ -686,10 +686,30 @@ object Similarity {
     *
     * Deterministic end to end, same discipline as [[trainPqCodebook]]:
     * sample = the `sampleN` lowest vec_ids (per-partition top-N, not a
-    * corpus sort), init = first k distinct sampled vectors, empty clusters
-    * keep their previous centroid, exact driver-side Lloyd arithmetic
-    * (sampleN × k × dim flops per pass). Cell ids are the codebook indices
-    * 0..k-1 (synthetic — trained centroids correspond to no corpus row).
+    * corpus sort), init = deterministic FARTHEST-POINT traversal (below),
+    * empty clusters keep their previous centroid, exact driver-side Lloyd
+    * arithmetic (sampleN × k × dim flops per pass). Cell ids are the
+    * codebook indices 0..k-1 (synthetic — trained centroids correspond to
+    * no corpus row).
+    *
+    * INIT (r20): first-k-distinct init seeded k in proportion to raw
+    * SAMPLE ORDER — on a corpus of many small clusters beside a few big
+    * ones (exactly the drift-refound regime: a large founding region
+    * plus fixed-size shifted clusters), most of the k landed inside the
+    * big clusters, plain Lloyd never splits its way back out, and the
+    * uncovered clusters' recall stayed collapsed after a rebuild
+    * (measured: recall-after-refound decayed from 0.78 at 16 clusters to
+    * 0.16 at 192 under first-k init). The init is now k-means++ (Arthur
+    * & Vassilvitskii '07) with the codebase's DETERMINISTIC-randomness
+    * discipline: each step's uniform draw comes from the md5 family
+    * (the `planeWeight` pattern), so the same sample always yields the
+    * same seeds on any platform. D²-weighting seeds every still-
+    * uncovered cluster (whose members each carry ~full inter-cluster
+    * distance²) before any covered cluster gets a second seed, while
+    * staying mass-aware enough not to chase lone outliers (the
+    * farthest-point failure mode on real corpora). Cost is one
+    * incremental min-distance array: k × sampleN × dim, the same as a
+    * single Lloyd pass.
     */
   def trainIvfCodebook(
       emb: DataFrame,
@@ -702,7 +722,43 @@ object Similarity {
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
     if (sample.isEmpty) return Array.empty
     val dim = sample.head.length
-    var cents = sample.map(_.toSeq).distinct.take(k).map(_.toArray)
+    val n = sample.length
+    // deterministic k-means++ init (md5-derived uniform draws; duplicate
+    // points carry D² = 0 so kk naturally stops at the distinct count)
+    def unitDraw(step: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"ivfinit|$step".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(13)
+      java.lang.Long.parseLong(hex, 16).toDouble / (1L << 52).toDouble
+    }
+    val picked = scala.collection.mutable.ArrayBuffer(sample(0))
+    val minD2 = Array.fill(n)(Double.MaxValue)
+    var continue = true
+    while (picked.length < k && continue) {
+      val last = picked.last
+      var total = 0.0
+      var i = 0
+      while (i < n) {
+        var acc = 0.0; var d = 0
+        while (d < dim) { val df = sample(i)(d) - last(d); acc += df * df; d += 1 }
+        if (acc < minD2(i)) minD2(i) = acc
+        total += minD2(i)
+        i += 1
+      }
+      if (total == 0.0) continue = false // every sampled point is a seed
+      else {
+        val target = unitDraw(picked.length) * total
+        var cum = 0.0; var idx = -1; var j = 0
+        while (idx < 0 && j < n) {
+          cum += minD2(j)
+          if (cum > target) idx = j
+          j += 1
+        }
+        if (idx < 0) idx = n - 1 // float-edge fallback: last positive-D² point
+        picked += sample(idx)
+      }
+    }
+    var cents = picked.toArray
     val kk = cents.length // fewer distinct sample points than k ⇒ fewer cells
     for (_ <- 0 until iters) {
       val sums = Array.ofDim[Double](kk, dim)
