@@ -800,15 +800,22 @@ object Similarity {
       case None => sampleCentroids(e, centEvery, maxCents)
     }
 
-  /** Cosine to every codebook centroid as one literal-array expression —
-    * cell id = array index (cent_id order). Map-side, inside whole-stage
-    * codegen; the per-row cost is nc × dim fused multiply-adds.
+  /** Cosine to every codebook centroid — cell id = array index (cent_id
+    * order). Map-side, inside whole-stage codegen; per-row cost is
+    * nc × dim fused multiply-adds. r20: ONE codegen'd expression
+    * ([[graft.functions.CentCosines]] — the codebook rides as a flat
+    * literal MATRIX, constant generated-code size at any nc) replacing
+    * the nc-wide `array(dot(v, lit)/…)` unroll, whose generated method
+    * outgrew Janino at nc = 256 × dim 64 and silently fell back to
+    * interpreted execution (the PqDistances failure class). Arithmetic
+    * is bit-identical — same sequential dot loop, same `(nrm · cn)`
+    * divide — so every persisted cell id and oracle hash is unchanged
+    * (CodegenGuardSpec cross-checks compiled vs interpreted bit-for-bit).
     */
   private[operators] def centCos(
       cents: Array[(Long, Array[Double], Double)])(v: Column, nrm: Column): Column =
-    array(cents.map { case (_, cv, cn) =>
-      dot(v, array(cv.map(lit(_)): _*)) / (nrm * lit(cn))
-    }: _*)
+    graft.functions.CentCosines(v, nrm,
+      typedLit(cents.flatMap(_._2).toSeq), typedLit(cents.map(_._3).toSeq))
 
   /** `v − centroid(cell)` as one zip_with over the literal centroid
     * matrix — the residual the full IVFADC form quantizes (Jégou et al.

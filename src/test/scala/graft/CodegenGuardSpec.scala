@@ -152,4 +152,29 @@ class CodegenGuardSpec extends AnyFunSuite {
     run(m = 2, k = 2, sub = 2, nCells = 3) // demo shape
     run(m = 8, k = 256, sub = 8, nCells = 64) // production IVFPQ dial
   }
+
+  test("CentCosines codegen compiles and matches eval at demo and production nlist") {
+    val dbl = DoubleType
+    def run(nc: Int, dim: Int): Unit = {
+      val rnd = new scala.util.Random(11)
+      val cents = Array.fill(nc * dim)(rnd.nextDouble())
+      val cnorms = Array.fill(nc)(0.5 + rnd.nextDouble())
+      val e = CentCosines(
+        BoundReference(0, arrD, nullable = true),
+        BoundReference(1, dbl, nullable = true),
+        BoundReference(2, arrD, nullable = true),
+        BoundReference(3, arrD, nullable = true))
+      val v = d(Array.fill(dim)(rnd.nextDouble()).toIndexedSeq: _*)
+      assertCompilesAndMatchesEval(e, Seq(
+        InternalRow(v, 1.7, d(cents.toIndexedSeq: _*), d(cnorms.toIndexedSeq: _*)),
+        // width mismatch → null (the DotProduct contract)
+        InternalRow(d(1.0), 1.7, d(cents.toIndexedSeq: _*), d(cnorms.toIndexedSeq: _*))))
+    }
+    run(nc = 4, dim = 8) // spec geometry
+    // the nc = 256 × dim 64 shape whose nc-wide array(dot/…) unroll
+    // outgrew Janino in the r20 refound run, and the FAISS-guideline
+    // nlist ≈ √corpus shape (2048 cells) — code size must stay constant
+    run(nc = 256, dim = 64)
+    run(nc = 2048, dim = 64)
+  }
 }
