@@ -132,8 +132,9 @@ object IndexMain {
           Bm25IndexStore.search(spark, store,
             frame(queries, Seq("query_id", "terms")), k = k)
       answers.write.mode("overwrite").parquet(out)
-      println(s"served ${spark.read.parquet(out).count()} answer rows " +
-        s"from $store (epoch ${epoch()}) -> $out")
+      // no output re-read for a count: that was a whole extra Spark job
+      // per invocation just for a log line (r20 verdict hygiene item)
+      println(s"served answers from $store (epoch ${epoch()}) -> $out")
     }
 
     if (opts.flag("drift")) {

@@ -249,6 +249,13 @@ private[graft] object EpochStore {
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     carried.foreach { n =>
+      // a carried family must be monolithic: silently skipping a
+      // segmented one would commit an epoch missing the family and leave
+      // the store unreadable at the compacted epoch (r20 ADVICE)
+      require(readSegments(spark, path, n, cur).isEmpty,
+        s"carried family '$n' at epoch $cur is SEGMENTED (.segs sidecar " +
+          "present) — compact only carries monolithic per-epoch families; " +
+          "list it under `segmented` instead")
       val src = new Path(epochDir(path, n, cur))
       if (fs.exists(src))
         spark.read.parquet(src.toString).coalesce(1)

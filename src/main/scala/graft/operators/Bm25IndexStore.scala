@@ -123,19 +123,22 @@ object Bm25IndexStore {
 
   /** Whether epoch `e` predates the bmstats/denormalized-dl layout:
     * no bmstats family (neither a `.segs` sidecar nor a monolithic
-    * epoch dir), or bmpost rows without the `dl` column.
+    * epoch dir). The bmstats family and the denormalized bmpost `dl`
+    * column were introduced by the SAME layout change and are always
+    * written together ([[writeSegPair]] / [[migrateIfLegacy]]), so the
+    * bmstats check is decisive on its own — the earlier form
+    * additionally schema-probed the bmpost parquet footers, a
+    * driver-side read over EVERY segment paid on every [[search]] call
+    * (hot-serving-path overhead growing with segment count). Cost now:
+    * one sidecar read + one existence check, no parquet I/O.
     */
   private def isLegacyLayout(
       spark: SparkSession, path: String, e: Long): Boolean = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val statsMissing =
-      EpochStore.readSegments(spark, path, "bmstats", e).isEmpty &&
-        !fs.exists(new org.apache.hadoop.fs.Path(
-          EpochStore.epochDir(path, "bmstats", e)))
-    statsMissing || !spark.read.parquet(
-      EpochStore.artifactPaths(spark, path, "bmpost", e): _*)
-      .columns.contains("dl")
+    EpochStore.readSegments(spark, path, "bmstats", e).isEmpty &&
+      !fs.exists(new org.apache.hadoop.fs.Path(
+        EpochStore.epochDir(path, "bmstats", e)))
   }
 
   /** One-time in-place migration of a pre-bmstats store: commits a

@@ -840,8 +840,17 @@ object Dedup {
         spark.read.parquet(p)
       }
     }
-    var labels = barrier(edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")), 0)
+    // INIT fused with the first propagation step (r21): from identity
+    // labels, round 1 computes exactly least(id, min(neighbor ids)) —
+    // the pointer jump is the identity map there — so seed the labels
+    // with that value directly. Bit-identical label trajectory one round
+    // ahead; saves one full barrier + convergence-count round on EVERY
+    // graph (clique-shaped components then converge in the single
+    // verification round). Node set = src set (edges are symmetrized),
+    // and the groupBy replaces the old distinct — same shuffle count.
+    var labels = barrier(
+      edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("nmin"))
+        .select(col("id"), least(col("id"), col("nmin")).as("label")), 0)
     var changed = 1L
     var iter = 0
     def round(): Unit = {

@@ -754,7 +754,14 @@ object Similarity {
           if (cum > target) idx = j
           j += 1
         }
-        if (idx < 0) idx = n - 1 // float-edge fallback: last positive-D² point
+        if (idx < 0) {
+          // float-edge fallback (cum never exceeded target): take the LAST
+          // index with positive D² — sample(n-1) itself may be a duplicate
+          // of an existing seed (minD2 == 0), and seeding two identical
+          // centroids leaves Lloyd a permanently empty cell (r20 ADVICE)
+          idx = n - 1
+          while (idx > 0 && minD2(idx) == 0.0) idx -= 1
+        }
         picked += sample(idx)
       }
     }

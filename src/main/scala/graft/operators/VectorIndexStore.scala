@@ -67,8 +67,11 @@ object VectorIndexStore {
   private val Names = Seq("postings", "ivf", "pqmeta", "drift")
 
   /** One map-side encode pass under FROZEN codebooks: (vec_id, cell,
-    * codes, cdist) — the posting rows for `emb`. Shared verbatim by save
-    * and append so the two can never drift. `residual` is the full
+    * codes, cdist) — the posting rows for the NORMALIZED frame `e`
+    * ([[Similarity.normalized]] output — save/append materialize it once
+    * and feed the same blocks here, to the centroid sample and to the
+    * dim probe, so a computed embedding subtree is never re-run).
+    * Shared verbatim by save and append so the two can never drift. `residual` is the full
     * IVFADC form: codes quantize `v − centroid(cell)` instead of `v`
     * (Jégou et al. §IV-A — residuals have smaller variance, so the same
     * codebook quantizes them tighter; recall lift spec-measured).
@@ -78,10 +81,9 @@ object VectorIndexStore {
     * pruned away by every search scan.
     */
   private def encode(
-      emb: DataFrame,
+      e: DataFrame,
       cents: Array[(Long, Array[Double], Double)],
       cb: Array[Double], m: Int, k: Int, residual: Boolean): DataFrame = {
-    val e = Similarity.normalized(emb)
     e.select(col("vec_id"), col("v"),
         Similarity.centCos(cents)(col("v"), col("nrm")).as("css"))
       .select(col("vec_id"), col("v"),
@@ -195,18 +197,34 @@ object VectorIndexStore {
       pqCodebook: Option[Array[Double]] = None,
       residual: Boolean = false): Unit = {
     val spark = emb.sparkSession
-    val e = Similarity.normalized(emb)
+    // The founding frame is referenced three times — the centroid sample
+    // (a collect), the dim probe (a head) and the encode pass — and `emb`
+    // is often a COMPUTED subtree (chunkEmbed: chunk explode + two
+    // aggregations); without a lineage cut each reference re-runs that
+    // whole subtree, tripling the founding cost (measured r21:
+    // chunk_index_search build 2.5 s → 1.3 s). Materialize the normalized
+    // form once (the knnGraph/minhashPairs persist discipline;
+    // MEMORY_AND_DISK blocks spill instead of OOM at scale).
+    val e = Similarity.normalized(emb).localCheckpoint()
     val cents = Similarity.resolveCentroids(e, centEvery, maxCents, ivfCodebook)
     require(cents.nonEmpty,
       s"empty IVF codebook founding VectorIndexStore at $path " +
         "(empty corpus, or no vec_id matched the sampling rule)")
-    val dim = Similarity.probeDim(emb)
+    val dim = normalizedDim(e)
     val cb = Similarity.resolvePqCodebook(dim, m, k, pqCodebook)
     val next = EpochStore.currentEpoch(spark, path) + 1
     writeEpoch(spark, path, next, Seq.empty,
-      encode(emb, cents, cb, m, k, residual),
+      encode(e, cents, cb, m, k, residual),
       cents, cb, m, k, dim, residual, carryDriftFrom = None)
   }
+
+  /** Embedding width off the materialized NORMALIZED frame (`v` column) —
+    * [[Similarity.probeDim]]'s contract, reading the checkpointed blocks
+    * instead of re-running the raw embedding subtree. Empty frame → 1
+    * (the probeDim sentinel: downstream plans yield empty results).
+    */
+  private def normalizedDim(e: DataFrame): Int =
+    e.select(size(col("v"))).head(1).headOption.map(_.getInt(0)).getOrElse(1)
 
   /** The loaded index: frozen codebooks (driver-side, they are plan
     * literals) + the postings frame (distributed — never collected) +
@@ -248,12 +266,15 @@ object VectorIndexStore {
   def append(batch: DataFrame, path: String): Unit = {
     val spark = batch.sparkSession
     val ix = load(spark, path)
-    val bdim = Similarity.probeDim(batch)
+    // one materialization feeds the dim probe and the encode pass (the
+    // save() discipline — a batch off a computed subtree is not re-run)
+    val be = Similarity.normalized(batch).localCheckpoint()
+    val bdim = normalizedDim(be)
     if (bdim != ix.dim) {
-      // probeDim's empty-frame sentinel is 1: an ingest loop whose gate
-      // rejected the whole batch appends an EMPTY frame, and that is a
-      // no-op (nothing to fold, no epoch churn), not a width error
-      require(batch.isEmpty,
+      // normalizedDim's empty-frame sentinel is 1: an ingest loop whose
+      // gate rejected the whole batch appends an EMPTY frame, and that is
+      // a no-op (nothing to fold, no epoch churn), not a width error
+      require(be.isEmpty,
         s"appended batch embedding width $bdim != index width ${ix.dim}")
       return
     }
@@ -263,7 +284,7 @@ object VectorIndexStore {
     val next = ix.epoch + 1
     writeEpoch(spark, path, next,
       EpochStore.segmentsForAppend(spark, path, "postings", ix.epoch),
-      encode(batch, ix.cents, ix.cb, ix.m, ix.k, ix.residual),
+      encode(be, ix.cents, ix.cb, ix.m, ix.k, ix.residual),
       ix.cents, ix.cb, ix.m, ix.k, ix.dim, ix.residual,
       carryDriftFrom = Some(ix.epoch))
   }
@@ -282,8 +303,14 @@ object VectorIndexStore {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val ix = load(queries.sparkSession, path)
     val nc = ix.cents.length
-    val qdim = Similarity.probeDim(queries)
-    require(qdim == ix.dim || queries.isEmpty,
+    // A query batch is often a COMPUTED subtree (the serving shape:
+    // chunkEmbed over the incoming docs); the width probe and the
+    // broadcast build below would each run it once. Materialize the
+    // normalized batch (bounded — it is the broadcast side) so the
+    // subtree runs exactly once.
+    val qn = Similarity.normalized(queries).localCheckpoint()
+    val qdim = normalizedDim(qn)
+    require(qdim == ix.dim || qn.isEmpty,
       s"query embedding width $qdim != index width ${ix.dim}")
     // LUT placement mirrors ivfPqSearch: a non-residual LUT is
     // cell-independent — computed once per query below the probe-cell
@@ -291,7 +318,7 @@ object VectorIndexStore {
     // documented there); a residual index genuinely needs one LUT per
     // probed cell (the query's residual against THAT cell), so there the
     // PqDistances sits above the explode by necessity.
-    val withCss = Similarity.normalized(queries)
+    val withCss = qn
       .select(col("vec_id"), col("v"),
         Similarity.centCos(ix.cents)(col("v"), col("nrm")).as("css"))
     val q =
