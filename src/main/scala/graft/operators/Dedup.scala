@@ -62,14 +62,16 @@ object Dedup {
     * the banding's own false-negative rate.
     */
   def minhashSignature(sh: Column, k: Int): Column =
-    // The base-hash array is let-bound: referenced by every per-index min,
-    // a raw expression argument would re-digest once per hash index.
-    bindOnce(transform(sh, x => TextAnalysis.hexHash(x) % MhBase), hs =>
-      array((0 until k).map { i =>
-        val a = mhParam("a", i) % (MhPrime - 1) + 1
-        val b = mhParam("b", i) % MhPrime
-        array_min(transform(hs, h => (h * lit(a) + lit(b)) % MhPrime))
-      }: _*))
+    // r21: ONE codegen'd pass ([[graft.functions.MinHashSig]] — each
+    // shingle digested once, k primitive running minima updated in
+    // place) replacing the k + 1 interpreted HOF walks of the column-
+    // algebra form (base-hash transform + k array_min(transform)s),
+    // which dominated every minhash-family operator's map stage.
+    // Bit-identical arithmetic — FunctionsSpec pins element-wise
+    // equality against the algebra, compiled and interpreted.
+    graft.functions.MinHashSig(sh, MhBase, MhPrime,
+      (0 until k).map(i => mhParam("a", i) % (MhPrime - 1) + 1),
+      (0 until k).map(i => mhParam("b", i) % MhPrime))
 
   private def withShingles(docs: DataFrame, n: Int): DataFrame =
     docs
@@ -207,7 +209,7 @@ object Dedup {
       .withColumn("toks", tokens(col("text")))
       .where(size(col("toks")) > 0)
       .withColumn("simhash",
-        graft.functions.SimHash48(transform(col("toks"), hexHash(_))))
+        graft.functions.SimHash48(graft.functions.HexHash60All(col("toks"))))
       .select(col("doc_id"), col("simhash"))
 
   /** SimHash near-dup pairs: candidates share at least one of four 12-bit
@@ -335,7 +337,7 @@ object Dedup {
     */
   def ngramIndex(docs: DataFrame, n: Int = 3): DataFrame =
     withShingles(docs, n)
-      .select(col("doc_id"), explode(transform(col("sh"), hexHash(_))).as("sg"))
+      .select(col("doc_id"), explode(graft.functions.HexHash60All(col("sh"))).as("sg"))
 
   /** Ingest-shape NEAR-dup gate — [[incrementalDedup]]'s fuzzy sibling:
     * score a NEW batch against the EXISTING corpus's n-gram inverted
@@ -526,7 +528,7 @@ object Dedup {
       benchFilter: Column,
       n: Int = 4): DataFrame = {
     val ex = withShingles(docs, n)
-      .select(col("doc_id"), explode(transform(col("sh"), hexHash(_))).as("sg"))
+      .select(col("doc_id"), explode(graft.functions.HexHash60All(col("sh"))).as("sg"))
     val bench = ex.where(benchFilter)
       .select(col("doc_id").as("bench_id"), col("sg"))
     val train = ex.where(!benchFilter)

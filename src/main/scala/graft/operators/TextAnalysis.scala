@@ -35,9 +35,13 @@ object TextAnalysis {
     * (`conv(substring(md5(x),1,15),16,10)`) and DuckDB
     * (`CAST('0x'||substr(md5(x),1,15) AS BIGINT)`) compute it exactly,
     * making results engine-portable and stable across partitionings.
+    * r21: evaluated by the codegen'd [[graft.functions.HexHash60]] —
+    * the 60-bit value read straight off the digest bytes with a reused
+    * per-thread MessageDigest, skipping the builtin chain's per-call
+    * digest lookup, 32-char hex string and base-conversion parse.
+    * Bit-identical to the column-algebra form (FunctionsSpec parity).
     */
-  def hexHash(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def hexHash(c: Column): Column = graft.functions.HexHash60(c)
 
   /** Lowercased whitespace tokens, empties dropped. */
   def tokens(text: Column): Column =
@@ -1091,7 +1095,9 @@ object TextAnalysis {
         // row, with the empty-doc filter folded in as a null struct so no
         // downstream reference can re-trigger the computation.
         bindOnce(shingles(tokens(col("text"))), sh =>
-          bindOnce(transform(sh, hexHash(_)), hs =>
+          // one compiled md5 loop over the shingle array — transform()
+          // would re-enter interpreted lambda dispatch per element
+          bindOnce(graft.functions.HexHash60All(sh), hs =>
             when(size(sh) > 0, struct(
               array_min(hs).as("fp_min"),
               array_max(hs).as("fp_max"),

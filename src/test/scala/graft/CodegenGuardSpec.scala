@@ -177,4 +177,35 @@ class CodegenGuardSpec extends AnyFunSuite {
     run(nc = 256, dim = 64)
     run(nc = 2048, dim = 64)
   }
+
+  test("HexHash60 codegen compiles and matches eval") {
+    val e = HexHash60(BoundReference(0, StringType, nullable = true))
+    assertCompilesAndMatchesEval(e, Seq(
+      InternalRow(UTF8String.fromString("hello world")),
+      InternalRow(UTF8String.fromString("")),
+      InternalRow(UTF8String.fromString("na\u00efve caf\u00e9 \u4e2d\u6587 token")),
+      InternalRow(UTF8String.fromString("a" * 5000))))
+  }
+
+  test("HexHash60All codegen compiles and matches eval (incl. null elements)") {
+    val e = HexHash60All(BoundReference(0, arrS, nullable = true))
+    assertCompilesAndMatchesEval(e, Seq(
+      InternalRow(s("one two three", "dup row", "")),
+      InternalRow(s()),
+      InternalRow(new GenericArrayData(Array[Any](
+        UTF8String.fromString("x"), null, UTF8String.fromString("y"))))))
+  }
+
+  test("MinHashSig codegen compiles and matches eval at the operator's k = 16") {
+    val k = 16
+    val as = (0 until k).map(i => (0x3f00000L + 17L * i) % 2147483646L + 1)
+    val bs = (0 until k).map(i => (0x1234567L * (i + 1)) % 2147483647L)
+    val e = MinHashSig(BoundReference(0, arrS, nullable = true),
+      1073741824L, 2147483647L, as, bs)
+    assertCompilesAndMatchesEval(e, Seq(
+      InternalRow(s("a b c", "b c d", "c d e", "a b c")),
+      InternalRow(s()), // empty shingle set: k nulls
+      InternalRow(new GenericArrayData(Array[Any](null, null))), // all-null: k nulls
+      InternalRow(s("solo"))))
+  }
 }

@@ -125,4 +125,61 @@ class FunctionsSpec extends SparkSpec {
       slice(col("v"), 1, 3), col("cell"), cents, cb, m, k).as("f")).head()
     assert(narrow.isNullAt(0))
   }
+
+  test("HexHash60 family is bit-identical to the md5/conv column algebra") {
+    import spark.implicits._
+    val algebra: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val docs = Seq(
+      "the quick brown fox", "", "dup", "row vector table",
+      "na\u00efve caf\u00e9 \u4e2d\u6587 \ud83d\ude00 mixed", "  spaces  and\ttabs ",
+      "a" * 2000).toDF("t")
+    val rows = docs.select(
+      graft.functions.HexHash60(col("t")).as("fast"),
+      algebra(col("t")).as("ref")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1), r.toString))
+    // array form vs transform(arr, algebra), incl. empty arrays
+    val arrs = Seq(
+      Seq("a b c", "b c d", "", "\u4e2d\u6587 shingle"),
+      Seq.empty[String]).toDF("sh")
+    val ar = arrs.select(
+      graft.functions.HexHash60All(col("sh")).as("fast"),
+      transform(col("sh"), x => algebra(x)).as("ref")).collect()
+    ar.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1), r.toString))
+  }
+
+  test("MinHashSig is element-wise identical to the k-walk column algebra") {
+    import spark.implicits._
+    val MhPrime = 2147483647L
+    val MhBase = 1073741824L
+    val k = 16
+    def mhParam(kind: String, i: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"mh|$kind|$i".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val as = (0 until k).map(i => mhParam("a", i) % (MhPrime - 1) + 1)
+    val bs = (0 until k).map(i => mhParam("b", i) % MhPrime)
+    val algebra = {
+      val hs = transform(col("sh"),
+        x => (conv(substring(md5(x), 1, 15), 16, 10).cast("long") % MhBase))
+      array((0 until k).map { i =>
+        array_min(transform(hs, h => (h * lit(as(i)) + lit(bs(i))) % MhPrime))
+      }: _*)
+    }
+    val docs = Seq(
+      Seq("a b c", "b c d", "c d e"),
+      Seq("one two three"),
+      Seq.empty[String],
+      (1 to 400).map(i => s"sh $i ngram")).toDF("sh")
+    val rows = docs.select(
+      graft.functions.MinHashSig(col("sh"), MhBase, MhPrime, as, bs).as("fast"),
+      algebra.as("ref")).collect()
+    rows.foreach { r =>
+      val f = if (r.isNullAt(0)) null else r.getSeq[Any](0)
+      val g = if (r.isNullAt(1)) null else r.getSeq[Any](1)
+      assert(f === g, r.toString)
+    }
+  }
 }
