@@ -43,9 +43,14 @@ object TextAnalysis {
     */
   def hexHash(c: Column): Column = graft.functions.HexHash60(c)
 
-  /** Lowercased whitespace tokens, empties dropped. */
-  def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+  /** Lowercased whitespace tokens, empties dropped. r21: evaluated by the
+    * codegen'd [[graft.functions.Tokens]] — one compiled pass built on the
+    * same UTF8String lower/split primitives as the builtin chain, instead
+    * of `filter(split(lower(text), "\\s+"), …)` whose higher-order filter
+    * runs an interpreted per-token lambda on the library's single most
+    * ubiquitous path. Bit-identical (FunctionsSpec parity).
+    */
+  def tokens(text: Column): Column = graft.functions.Tokens(text)
 
   /** Distinct word n-gram shingles ("a b c" strings). Docs with fewer than
     * `n` tokens yield an empty set (they cannot near-dup at this granularity).
@@ -55,11 +60,11 @@ object TextAnalysis {
     * optimizer's interpreted CSE doesn't catch it.
     */
   def shingles(toks: Column, n: Int = 3): Column =
-    bindOnce(toks, tk => array_distinct(
-      when(size(tk) >= n,
-        transform(sequence(lit(1), size(tk) - (n - 1)),
-          i => concat_ws(" ", slice(tk, i, lit(n)))))
-        .otherwise(array().cast("array<string>"))))
+    // r21: the codegen'd [[graft.functions.Shingles]] — one compiled
+    // window pass with first-occurrence dedup, replacing the interpreted
+    // per-position transform(concat_ws(slice(…))) lambda. Bit-identical
+    // values and order (FunctionsSpec parity).
+    graft.functions.Shingles(toks, n)
 
   /** Per-document token counts: whitespace tokens plus a BPE-ish lexer count
     * (runs of letters | runs of digits | single other non-space chars) — the
@@ -1091,18 +1096,14 @@ object TextAnalysis {
   def docFingerprint(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
-        // Shingles and their hashes are each let-bound: evaluated once per
-        // row, with the empty-doc filter folded in as a null struct so no
-        // downstream reference can re-trigger the computation.
-        bindOnce(shingles(tokens(col("text"))), sh =>
-          // one compiled md5 loop over the shingle array — transform()
-          // would re-enter interpreted lambda dispatch per element
-          bindOnce(graft.functions.HexHash60All(sh), hs =>
-            when(size(sh) > 0, struct(
-              array_min(hs).as("fp_min"),
-              array_max(hs).as("fp_max"),
-              aggregate(hs, lit(0L), (acc, h) => acc.bitwiseXOR(h)).as("fp_xor"),
-              size(sh).cast("long").as("n_shingles"))))).as("s"))
+        // r21: the whole reduction is ONE compiled pass
+        // ([[graft.functions.FingerprintAgg]] over the codegen'd shingle
+        // hashes) — the algebra walked the hash array four times, with the
+        // xor fold an interpreted higher-order aggregate. Empty shingle
+        // set → null struct, exactly the old when(size > 0, …) arm.
+        graft.functions.FingerprintAgg(
+          graft.functions.HexHash60All(
+            shingles(tokens(col("text"))))).as("s"))
       .where(col("s").isNotNull)
       .select(col("doc_id"), col("s.fp_min"), col("s.fp_max"),
         col("s.fp_xor"), col("s.n_shingles"))

@@ -208,4 +208,46 @@ class CodegenGuardSpec extends AnyFunSuite {
       InternalRow(new GenericArrayData(Array[Any](null, null))), // all-null: k nulls
       InternalRow(s("solo"))))
   }
+
+  test("Tokens codegen compiles and matches eval") {
+    val e = Tokens(BoundReference(0, StringType, nullable = true))
+    assertCompilesAndMatchesEval(e, Seq(
+      InternalRow(UTF8String.fromString("  The Quick\tBrown\nFOX  ")),
+      InternalRow(UTF8String.fromString("")),
+      InternalRow(UTF8String.fromString("   ")),
+      InternalRow(UTF8String.fromString("\u4e2d\u6587 T\u00d6KEN Stra\u00dfe"))))
+  }
+
+  test("Shingles codegen compiles and matches eval") {
+    val e = Shingles(BoundReference(0, arrS, nullable = true), 3)
+    assertCompilesAndMatchesEval(e, Seq(
+      InternalRow(s("a", "b", "c", "d", "a", "b", "c", "d")),
+      InternalRow(s("a", "b")), // fewer than n -> empty
+      InternalRow(s()),
+      InternalRow(new GenericArrayData(Array[Any](
+        UTF8String.fromString("x"), null, UTF8String.fromString("y"),
+        UTF8String.fromString("z"))))))
+  }
+
+  test("FingerprintAgg codegen compiles and matches eval") {
+    val e = FingerprintAgg(BoundReference(0, arrL, nullable = true))
+    // struct-typed: compare through a row-level equality on the projection
+    val proj = GenerateUnsafeProjection.generate(Seq(e))
+    Seq(
+      InternalRow(l(5L, -3L, 12L, 5L)),
+      InternalRow(l(7L)),
+      InternalRow(l())).foreach { row =>
+      val compiled = proj(row)
+      val interpreted = e.eval(row)
+      if (interpreted == null) assert(compiled.isNullAt(0))
+      else {
+        val c = compiled.getStruct(0, 4)
+        val i = interpreted.asInstanceOf[InternalRow]
+        (0 until 4).foreach { f =>
+          assert(c.isNullAt(f) === i.isNullAt(f), s"field $f nullness")
+          if (!c.isNullAt(f)) assert(c.getLong(f) === i.getLong(f), s"field $f")
+        }
+      }
+    }
+  }
 }

@@ -182,4 +182,48 @@ class FunctionsSpec extends SparkSpec {
       assert(f === g, r.toString)
     }
   }
+
+  test("Tokens/Shingles/FingerprintAgg are bit-identical to the column algebra") {
+    import spark.implicits._
+    val docs = Seq(
+      "  The Quick\tBrown FOX jumps over the lazy dog  ",
+      "", "   ", "one",
+      "a b c d a b c d a b c d",
+      "\u4e2d\u6587 T\u00d6KEN Stra\u00dfe \u0130stanbul mixed CASE text here",
+      (1 to 300).map(i => s"tok$i").mkString(" ")).toDF("text")
+    val tokAlg = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    val tk = docs.select(
+      graft.functions.Tokens(col("text")).as("fast"), tokAlg.as("ref")).collect()
+    tk.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1), r.toString))
+    def shAlg(tkc: org.apache.spark.sql.Column, n: Int) =
+      array_distinct(
+        when(size(tkc) >= n,
+          transform(sequence(lit(1), size(tkc) - (n - 1)),
+            i => concat_ws(" ", slice(tkc, i, lit(n)))))
+          .otherwise(array().cast("array<string>")))
+    val sh = docs
+      .select(graft.functions.Tokens(col("text")).as("tk"))
+      .select(graft.functions.Shingles(col("tk"), 3).as("fast"),
+        shAlg(col("tk"), 3).as("ref")).collect()
+    sh.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1), r.toString))
+    val fpAlg = {
+      val hs = transform(col("sh"),
+        x => conv(substring(md5(x), 1, 15), 16, 10).cast("long"))
+      when(size(col("sh")) > 0, struct(
+        array_min(hs).as("fp_min"), array_max(hs).as("fp_max"),
+        aggregate(hs, lit(0L), (acc, h) => acc.bitwiseXOR(h)).as("fp_xor"),
+        size(col("sh")).cast("long").as("n_shingles")))
+    }
+    val fp = docs
+      .select(graft.functions.Shingles(
+        graft.functions.Tokens(col("text")), 3).as("sh"))
+      .select(
+        graft.functions.FingerprintAgg(
+          graft.functions.HexHash60All(col("sh"))).as("fast"),
+        fpAlg.as("ref")).collect()
+    fp.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1), r.toString)
+      if (!r.isNullAt(0)) assert(r.getStruct(0) === r.getStruct(1), r.toString)
+    }
+  }
 }
