@@ -860,6 +860,13 @@ object Dedup {
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
       // pointer jump: my label is a node id — fetch THAT node's label
       val hop = labels.select(col("id").as("jid"), col("label").as("jlabel"))
+      // convergence count rides the barrier action itself via observe()
+      // (r21): the old per-round `next.where(chg).count()` was a second
+      // Spark job every round — cheap individually, but the iteration is
+      // job-floor-bound on converged-in-3-rounds component graphs. The
+      // observed metric fires when the barrier materializes (verified for
+      // BOTH barrier forms: localCheckpoint and the parquet write).
+      val obs = org.apache.spark.sql.Observation()
       val next = barrier(labels.join(prop, col("id") === col("src"), "left")
         .join(hop, col("label") === col("jid"), "left")
         .select(col("id"),
@@ -868,10 +875,12 @@ object Dedup {
             coalesce(col("jlabel"), col("label"))).as("nl"),
           col("label").as("old"))
         .select(col("id"), col("nl").as("label"),
-          (col("nl") < col("old")).as("chg")),
+          (col("nl") < col("old")).as("chg"))
+        .observe(obs, coalesce(sum(when(col("chg"), lit(1L)).otherwise(lit(0L))),
+          lit(0L)).as("nchg")),
         // write the slot the round is NOT reading from
         1 - (iter % 2))
-      changed = next.where(col("chg")).count()
+      changed = obs.get("nchg").asInstanceOf[Long]
       labels = next.select("id", "label")
       iter += 1
     }
