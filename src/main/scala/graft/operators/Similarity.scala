@@ -1205,14 +1205,18 @@ object Similarity {
     // blocks. (With a hint there is nothing to count, and knnGraph's own
     // internal checkpoint makes a second one here pure overhead.)
     val embedded = chunkEmbed(docs, window, overlap, dim, m)
-    val (emb, hint) = corpusHint match {
-      case Some(h) => (embedded, h)
+    val (emb, hint, premat) = corpusHint match {
+      case Some(h) => (embedded, h, false)
       case None =>
         val cp = embedded.localCheckpoint()
-        (cp, cp.count())
+        (cp, cp.count(), true)
     }
+    // premat: the un-hinted path already materialized the embedded frame
+    // for its count — knnGraph then skips its OWN checkpoint (r21: the
+    // second materialization re-wrote the same 15k-chunk blocks for a
+    // plain normalize map the cached blocks replay for free)
     knnGraph(emb, k, bands, center = center, corpusHint = Some(hint),
-        bucketCap = bucketCap)
+        bucketCap = bucketCap, inputMaterialized = premat)
       .select(
         expr(s"CAST(query_id DIV $m AS BIGINT)").as("doc_id"),
         (col("query_id") % m).as("chunk_id"),
@@ -1358,7 +1362,8 @@ object Similarity {
       exact: Boolean = false,
       center: Boolean = false,
       corpusHint: Option[Long] = None,
-      bucketCap: Option[Int] = None): DataFrame = {
+      bucketCap: Option[Int] = None,
+      inputMaterialized: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(bucketCap.forall(_ >= 1), s"bucketCap must be >= 1: $bucketCap")
     require(!(exact && bucketCap.isDefined),
@@ -1371,7 +1376,11 @@ object Similarity {
     // lineage cut every reference re-runs that whole subtree. Materialize
     // once — the minhashPairs/embedCosineDup persist discipline (measured
     // on doc_knn at sf0.1: 12.5 s → the subtree no longer dominates).
-    val e = normalized(emb).localCheckpoint()
+    // `inputMaterialized` callers (chunkKnn's un-hinted path) already hold
+    // checkpointed blocks; re-materializing would re-write the same rows
+    // for a normalize map the cached blocks replay for free (r21).
+    val e =
+      if (inputMaterialized) normalized(emb) else normalized(emb).localCheckpoint()
     val cand =
       if (exact) {
         val q = e.select(col("vec_id").as("query_id"), col("v").as("vq"),
