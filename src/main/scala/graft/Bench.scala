@@ -168,13 +168,25 @@ object Bench {
     // file is the durable record; stdout stays for the driver's capture.
     // A SUBSET run (BENCH_ONLY set) writes a sibling file instead — a
     // focused iteration pass must never clobber the committed full-run
-    // artifact (it did once, restored from git).
+    // artifact (it did once, restored from git). r22: FULL ad-hoc runs
+    // default to a non-committed sibling too — the r21 driver's post-close
+    // rerun silently clobbered the committed close artifact (VERDICT r21
+    // "What's wrong" #2); producing the committed bench_out.json now takes
+    // an explicit SPARK_GRAFT_BENCH_OUT=bench_out.json.
     val defaultOut =
-      if (only.isDefined) "bench_out_partial.json" else "bench_out.json"
+      if (only.isDefined) "bench_out_partial.json" else "bench_out_last.json"
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut))
     java.nio.file.Files.write(outPath,
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // A SECOND, short, FINAL summary line (r21 verdict "What's wrong" #1):
+    // the full per-query line above is ~7 KB and the driver artifact keeps
+    // only a ~2 KB stdout tail, so the full line arrives front-truncated
+    // and has parsed as null every round since r01. This line always fits
+    // the tail; the full line and the bench_out file remain the durable
+    // per-query record. Measurement methodology is unchanged — this is
+    // pure reporting.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_errors":${errors.size},"n_stalled":${results.count(_._2._4)},"reps":$reps,"sf":"$sfDir","file":"$outPath"}""")
     spark.stop()
   }
 }
