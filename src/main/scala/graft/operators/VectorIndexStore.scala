@@ -203,9 +203,13 @@ object VectorIndexStore {
     // aggregations); without a lineage cut each reference re-runs that
     // whole subtree, tripling the founding cost (measured r21:
     // chunk_index_search build 2.5 s → 1.3 s). Materialize the normalized
-    // form once (the knnGraph/minhashPairs persist discipline;
-    // MEMORY_AND_DISK blocks spill instead of OOM at scale).
-    val e = Similarity.normalized(emb).localCheckpoint()
+    // form once (the knnGraph/minhashPairs persist discipline) — UNLESS
+    // the input is a bare relation scan, where the cut costs about what
+    // the re-reads would (r21 verdict #3; Materialize gates on the
+    // analyzed plan and carries the reliable-spill escape hatch, r21
+    // verdict #4).
+    val e = graft.core.Materialize.frameUnlessBareScan(
+      Similarity.normalized(emb), emb)
     val cents = Similarity.resolveCentroids(e, centEvery, maxCents, ivfCodebook)
     require(cents.nonEmpty,
       s"empty IVF codebook founding VectorIndexStore at $path " +
@@ -267,8 +271,10 @@ object VectorIndexStore {
     val spark = batch.sparkSession
     val ix = load(spark, path)
     // one materialization feeds the dim probe and the encode pass (the
-    // save() discipline — a batch off a computed subtree is not re-run)
-    val be = Similarity.normalized(batch).localCheckpoint()
+    // save() discipline — a batch off a computed subtree is not re-run;
+    // a bare-scan batch skips the cut, r21 verdict #3)
+    val be = graft.core.Materialize.frameUnlessBareScan(
+      Similarity.normalized(batch), batch)
     val bdim = normalizedDim(be)
     if (bdim != ix.dim) {
       // normalizedDim's empty-frame sentinel is 1: an ingest loop whose
@@ -307,8 +313,11 @@ object VectorIndexStore {
     // chunkEmbed over the incoming docs); the width probe and the
     // broadcast build below would each run it once. Materialize the
     // normalized batch (bounded — it is the broadcast side) so the
-    // subtree runs exactly once.
-    val qn = Similarity.normalized(queries).localCheckpoint()
+    // subtree runs exactly once — but a bare-scan batch skips the cut:
+    // the materialization job costs about what two re-scans do (the one
+    // mechanism-backed r21 regression, ivfpq_ingest_search 0.85×).
+    val qn = graft.core.Materialize.frameUnlessBareScan(
+      Similarity.normalized(queries), queries)
     val qdim = normalizedDim(qn)
     require(qdim == ix.dim || qn.isEmpty,
       s"query embedding width $qdim != index width ${ix.dim}")
