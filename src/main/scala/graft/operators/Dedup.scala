@@ -67,8 +67,11 @@ object Dedup {
     // place) replacing the k + 1 interpreted HOF walks of the column-
     // algebra form (base-hash transform + k array_min(transform)s),
     // which dominated every minhash-family operator's map stage.
-    // Bit-identical arithmetic — FunctionsSpec pins element-wise
-    // equality against the algebra, compiled and interpreted.
+    // Bit-identical arithmetic on non-null input — FunctionsSpec pins
+    // element-wise equality against the algebra, compiled and
+    // interpreted. A NULL shingle array PROPAGATES to a NULL signature
+    // (the algebra produced k nulls there — unreachable: every caller
+    // filters size(sh) > 0 first; pinned in FunctionsSpec).
     graft.functions.MinHashSig(sh, MhBase, MhPrime,
       (0 until k).map(i => mhParam("a", i) % (MhPrime - 1) + 1),
       (0 until k).map(i => mhParam("b", i) % MhPrime))
@@ -560,16 +563,14 @@ object Dedup {
       stride: Int = 5,
       minDocs: Int = 2): DataFrame = {
     require(w >= 2 && stride >= 1, s"need w >= 2, stride >= 1, got w=$w stride=$stride")
+    // SpanHashes is the codegen'd form of the old per-position algebra
+    // (`transform(sequence(…), p => struct(p, hexHash(concat_ws(" ",
+    // slice(tk, p, w)))))` — an interpreted lambda per position);
+    // bit-identical (span_start, span_hash) pairs, parity-spec pinned
     val spans = docs
       .select(col("doc_id"),
-        bindOnce(tokens(col("text")), tk =>
-          when(size(tk) >= w,
-            transform(sequence(lit(1), size(tk) - (w - 1), lit(stride)),
-              p => struct(p.as("span_start"),
-                hexHash(concat_ws(" ", slice(tk, p, lit(w)))).as("span_hash"))))
-            .otherwise(array().cast("array<struct<span_start:int,span_hash:bigint>>")))
-          .as("sp"))
-      .select(col("doc_id"), explode(col("sp")).as("s"))
+        explode(graft.functions.SpanHashes(tokens(col("text")), w, stride))
+          .as("s"))
       .select(col("doc_id"), col("s.span_start").cast("long").as("span_start"),
         col("s.span_hash").as("span_hash"))
       // referenced by the hot-hash aggregation AND the report join: hash
@@ -608,19 +609,15 @@ object Dedup {
     val hot = dupSpans(docs, w, stride, minDocs)
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("span_start"))).as("starts"))
+    // StripSpans is the codegen'd form of the old per-token algebra
+    // (`filter(tk, (t, i) => !exists(st, …))` + array_join + sizes — an
+    // interpreted lambda per token with a nested exists walk); `starts`
+    // is sorted (sort_array above), which the kernel's two-pointer sweep
+    // requires. Identical struct, parity-spec pinned.
     docs.join(hot, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        bindOnce(tokens(col("text")), tk =>
-          bindOnce(coalesce(col("starts"), array().cast("array<long>")), st => {
-            // token at 1-based position p is covered iff some hot span s
-            // satisfies s <= p < s + w (Spark's filter index is 0-based)
-            val kept = filter(tk, (t, i) =>
-              !exists(st, s => s <= i + 1 && i + 1 < s + w))
-            struct(
-              array_join(kept, " ").as("text_clean"),
-              size(tk).cast("long").as("n_tokens"),
-              (size(tk) - size(kept)).cast("long").as("n_tokens_removed"))
-          })).as("s"))
+        graft.functions.StripSpans(tokens(col("text")),
+          coalesce(col("starts"), array().cast("array<long>")), w).as("s"))
       .select(col("doc_id"), col("s.text_clean"),
         col("s.n_tokens"), col("s.n_tokens_removed"))
   }
@@ -803,8 +800,16 @@ object Dedup {
   def dedupGroupsReclaimable(pairs: DataFrame, maxIters: Int = 50,
       spillDir: Option[String] = None): DedupGroupsResult = {
     val spark = pairs.sparkSession
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // Symmetrize with ONE map-side explode, not a self-union: the union's
+    // two branches each contain the whole upstream plan, so a COMPUTED
+    // pair frame (semantic_groups: the full docEmbed∘knnGraph chain) ran
+    // twice before r22 (guide §2.4 — don't compute things twice; the
+    // explode produces the identical row set in one pass).
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .localCheckpoint() // reused every iteration: compute the pair set once
     val ownsTempRoot =
@@ -880,7 +885,25 @@ object Dedup {
           lit(0L)).as("nchg")),
         // write the slot the round is NOT reading from
         1 - (iter % 2))
-      changed = obs.get("nchg").asInstanceOf[Long]
+      // bounded wait (r21 advice): the barrier action above completed
+      // synchronously, so the metric is due immediately — if it never
+      // arrives (a barrier form whose action stops reporting
+      // CollectMetrics), fail loudly instead of hanging the driver on
+      // Observation.get's unbounded block
+      changed =
+        try {
+          import scala.concurrent.duration.DurationInt
+          scala.concurrent.Await.result(
+            scala.concurrent.Future(obs.get("nchg"))(
+              scala.concurrent.ExecutionContext.global),
+            120.seconds).asInstanceOf[Long]
+        } catch {
+          case _: java.util.concurrent.TimeoutException =>
+            throw new IllegalStateException(
+              "dedupGroups: the convergence metric never arrived from the " +
+                "barrier action (CollectMetrics did not fire within 120 s) " +
+                "— the barrier form no longer reports observed metrics")
+        }
       labels = next.select("id", "label")
       iter += 1
     }

@@ -66,6 +66,14 @@ class CodegenGuardSpec extends AnyFunSuite {
         assertSame(et, aa.get(i, et), ba.get(i, et))
       }
     case StringType => assert(a.toString === b.toString)
+    case IntegerType => assert(a.asInstanceOf[Int] === b.asInstanceOf[Int])
+    case StructType(fields) =>
+      val (ar, br) = (a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+      fields.zipWithIndex.foreach { case (f, i) =>
+        assert(ar.isNullAt(i) === br.isNullAt(i), s"field ${f.name} nullness")
+        if (!ar.isNullAt(i))
+          assertSame(f.dataType, ar.get(i, f.dataType), br.get(i, f.dataType))
+      }
     case other => fail(s"unhandled type in guard: $other")
   }
 
@@ -227,6 +235,34 @@ class CodegenGuardSpec extends AnyFunSuite {
       InternalRow(new GenericArrayData(Array[Any](
         UTF8String.fromString("x"), null, UTF8String.fromString("y"),
         UTF8String.fromString("z"))))))
+  }
+
+  test("SpanHashes codegen compiles and matches eval at the operator's w/stride") {
+    val e = SpanHashes(BoundReference(0, arrS, nullable = true), 15, 5)
+    assertCompilesAndMatchesEval(e, Seq(
+      InternalRow(s((1 to 40).map(i => s"w$i"): _*)),
+      InternalRow(s((1 to 15).map(i => s"w$i"): _*)), // exactly w: one span
+      InternalRow(s((1 to 14).map(i => s"w$i"): _*)), // fewer than w: empty
+      InternalRow(s()),
+      InternalRow(new GenericArrayData(
+        (UTF8String.fromString("x") +: Array.fill[Any](20)(null))
+          .toArray[Any])))) // null tokens skipped by concatWs
+    // stride 1 tail behavior
+    assertCompilesAndMatchesEval(
+      SpanHashes(BoundReference(0, arrS, nullable = true), 2, 1),
+      Seq(InternalRow(s("a", "b", "c", "d"))))
+  }
+
+  test("StripSpans codegen compiles and matches eval") {
+    val e = StripSpans(BoundReference(0, arrS, nullable = true),
+      BoundReference(1, arrL, nullable = true), 15)
+    assertCompilesAndMatchesEval(e, Seq(
+      InternalRow(s((1 to 40).map(i => s"w$i"): _*), l(1L, 6L, 26L)),
+      InternalRow(s((1 to 40).map(i => s"w$i"): _*), l()),
+      InternalRow(s((1 to 15).map(i => s"w$i"): _*), l(1L)), // fully covered
+      InternalRow(s(), l()),
+      InternalRow(new GenericArrayData(Array[Any](
+        UTF8String.fromString("x"), null, UTF8String.fromString("y"))), l())))
   }
 
   test("FingerprintAgg codegen compiles and matches eval") {

@@ -226,4 +226,81 @@ class FunctionsSpec extends SparkSpec {
       if (!r.isNullAt(0)) assert(r.getStruct(0) === r.getStruct(1), r.toString)
     }
   }
+
+  test("SpanHashes is bit-identical to the strided window-hash column algebra") {
+    import spark.implicits._
+    val docs = Seq(
+      (1 to 40).map(i => s"w$i").mkString(" "), // several strides
+      (1 to 15).map(i => s"w$i").mkString(" "), // exactly w tokens: one span
+      (1 to 14).map(i => s"w$i").mkString(" "), // fewer than w: empty
+      "", "   ", "solo",
+      "中文 TÖKEN Straße " + (1 to 30).mkString(" "),
+      (1 to 203).map(i => s"t${i % 7}").mkString(" ") // stride tail + repeats
+    ).toDF("text")
+    for ((w, stride) <- Seq((15, 5), (15, 1), (2, 3))) {
+      def alg(tk: org.apache.spark.sql.Column) =
+        when(size(tk) >= w,
+          transform(sequence(lit(1), size(tk) - (w - 1), lit(stride)),
+            p => struct(p.as("span_start"),
+              graft.functions.HexHash60(concat_ws(" ", slice(tk, p, lit(w))))
+                .as("span_hash"))))
+          .otherwise(array().cast("array<struct<span_start:int,span_hash:bigint>>"))
+      val rows = docs
+        .select(graft.functions.Tokens(col("text")).as("tk"))
+        .select(graft.functions.SpanHashes(col("tk"), w, stride).as("fast"),
+          alg(col("tk")).as("ref")).collect()
+      rows.foreach(r =>
+        assert(r.getSeq[Any](0) === r.getSeq[Any](1), s"w=$w stride=$stride $r"))
+    }
+  }
+
+  test("StripSpans is bit-identical to the filter/exists strip column algebra") {
+    import spark.implicits._
+    val w = 15
+    val docs = Seq(
+      ((1 to 40).map(i => s"w$i").mkString(" "), Seq(1L)), // head span
+      ((1 to 40).map(i => s"w$i").mkString(" "), Seq(26L)), // exact tail fit
+      ((1 to 40).map(i => s"w$i").mkString(" "), Seq(1L, 6L, 26L)), // overlaps
+      ((1 to 40).map(i => s"w$i").mkString(" "), Seq(1L, 26L)), // gap survives
+      ((1 to 40).map(i => s"w$i").mkString(" "), Seq.empty[Long]), // untouched
+      ((1 to 15).map(i => s"w$i").mkString(" "), Seq(1L)), // fully covered
+      ("", Seq.empty[Long]), ("solo", Seq.empty[Long]))
+      .toDF("text", "starts")
+    def alg(tk: org.apache.spark.sql.Column, st: org.apache.spark.sql.Column) = {
+      val kept = filter(tk, (_, i) =>
+        !exists(st, s => s <= i + 1 && i + 1 < s + w))
+      struct(
+        array_join(kept, " ").as("text_clean"),
+        size(tk).cast("long").as("n_tokens"),
+        (size(tk) - size(kept)).cast("long").as("n_tokens_removed"))
+    }
+    val rows = docs
+      .select(graft.functions.Tokens(col("text")).as("tk"),
+        sort_array(col("starts")).as("st"))
+      .select(graft.functions.StripSpans(col("tk"), col("st"), w).as("fast"),
+        alg(col("tk"), col("st")).as("ref")).collect()
+    rows.foreach(r => assert(r.getStruct(0) === r.getStruct(1), r.toString))
+  }
+
+  test("tokens/shingles/minhash NULL input propagates NULL (r21 advice pin)") {
+    // The codegen'd kernels PROPAGATE null (UnaryExpression semantics); the
+    // pre-r21 column algebra returned empty/k-null arrays instead. No
+    // operator path reaches them with NULL text (all filter on token/shingle
+    // counts first), but the contract must be pinned, not accidental.
+    val nulls = spark.sql("SELECT CAST(NULL AS STRING) AS text")
+      .select(
+        graft.functions.Tokens(col("text")).as("tk"),
+        graft.functions.Shingles(
+          graft.functions.Tokens(col("text")), 3).as("sh"),
+        graft.functions.SpanHashes(
+          graft.functions.Tokens(col("text")), 15, 5).as("sp"))
+      .head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1) && nulls.isNullAt(2))
+    val sig = spark.sql("SELECT CAST(NULL AS ARRAY<STRING>) AS sh")
+      .select(graft.functions.MinHashSig(col("sh"), 1073741824L, 2147483647L,
+        (0 until 16).map(i => 17L * i + 1), (0 until 16).map(i => 13L * i + 7))
+        .as("sig"))
+      .head()
+    assert(sig.isNullAt(0))
+  }
 }
