@@ -228,6 +228,15 @@ object Bm25IndexStore {
         "append() (which migrates in place) or re-save() before searching")
     val posts = loadFamily(spark, path, "bmpost")
       .where(col("term").isin(terms: _*)) // pushed; prunes term-sorted row groups
+    // r21 advice: the bmstats existence check above is decisive for both
+    // in-repo writers (they commit bmstats + dl atomically), but a store
+    // assembled by an external/hand-migrated writer could carry bmstats
+    // with pre-dl postings — fail actionably here (one schema read, no
+    // job), not with an opaque missing-column error mid-plan
+    require(posts.columns.contains("dl"),
+      s"Bm25IndexStore at $path has a bmstats family but its bmpost " +
+        "postings carry no dl column (externally assembled store?) — " +
+        "run one append() (which migrates in place) or re-save()")
     // ONE stats row: N and Σdl summed over the per-segment write-time
     // aggregates (#segments single-row files — never an O(N-docs)
     // scan); per-term df counted from the filtered postings — each

@@ -762,7 +762,12 @@ object Similarity {
           idx = n - 1
           while (idx > 0 && minD2(idx) == 0.0) idx -= 1
         }
-        picked += sample(idx)
+        // r21 advice: if the walk-back landed on idx 0 with minD2(0) == 0
+        // every sampled point duplicates an existing seed — stop seeding
+        // instead of adding a duplicate centroid (total > 0 got us here
+        // only through float rounding)
+        if (minD2(idx) == 0.0) continue = false
+        else picked += sample(idx)
       }
     }
     var cents = picked.toArray
@@ -1288,9 +1293,17 @@ object Similarity {
     val eb =
       if (!center) e.withColumn("vb", col("v"))
       else {
+        // localCheckpoint the 1-row mean: the banded frame is referenced
+        // by BOTH sides of knnGraph's band self-join, so an unmaterialized
+        // mean subtree re-aggregates the whole (already-checkpointed)
+        // corpus once per side — two full passes for one number (r21
+        // doc_knn plan: the HashAggregate→Exchange→HashAggregate mean
+        // subtree appears twice). One bounded job cuts it to one pass
+        // (guide §2.4), and both broadcast builds read the cached row.
         val mu = e.agg(array((0 until dim).map(i =>
           (sum(element_at(col("v"), i + 1).cast("decimal(28,10)"))
             .cast("double") / count(lit(1))).as(s"m$i")): _*).as("mu"))
+          .localCheckpoint()
         e.crossJoin(broadcast(mu))
           .withColumn("vb", zip_with(col("v"), col("mu"), (a, b) => a - b))
           .drop("mu")

@@ -48,7 +48,10 @@ object TextAnalysis {
     * same UTF8String lower/split primitives as the builtin chain, instead
     * of `filter(split(lower(text), "\\s+"), …)` whose higher-order filter
     * runs an interpreted per-token lambda on the library's single most
-    * ubiquitous path. Bit-identical (FunctionsSpec parity).
+    * ubiquitous path. Bit-identical on non-null input (FunctionsSpec
+    * parity); NULL text PROPAGATES to a NULL array (expression
+    * semantics — the old algebra never saw NULL either, every operator
+    * reads non-null text columns; pinned in FunctionsSpec).
     */
   def tokens(text: Column): Column = graft.functions.Tokens(text)
 
@@ -63,7 +66,10 @@ object TextAnalysis {
     // r21: the codegen'd [[graft.functions.Shingles]] — one compiled
     // window pass with first-occurrence dedup, replacing the interpreted
     // per-position transform(concat_ws(slice(…))) lambda. Bit-identical
-    // values and order (FunctionsSpec parity).
+    // values and order on non-null input (FunctionsSpec parity); a NULL
+    // token array PROPAGATES to NULL (the old when/otherwise algebra
+    // yielded an empty array there — unreachable at every call site,
+    // which all filter on shingle/token counts; pinned in FunctionsSpec).
     graft.functions.Shingles(toks, n)
 
   /** Per-document token counts: whitespace tokens plus a BPE-ish lexer count
