@@ -1207,8 +1207,12 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
       val fp = tempStore("graft-ig-fp")
       val mh = tempStore("graft-ig-mh")
-      FingerprintStore.save(corpus, fp)
-      MinHashStore.save(corpus, mh)
+      // the two foundings read the same corpus but write disjoint stores —
+      // independent actions, overlapped (guide §2.6) exactly as a
+      // production ingest bootstrap would run them
+      graft.core.EpochStore.inParallel(
+        () => FingerprintStore.save(corpus, fp),
+        () => MinHashStore.save(corpus, mh))
       // the stack body lives in IngestGate — ONE body under this oracle
       // query, the streaming twin (StreamingIngestGate), and the ingest
       // CLI, so the three forms can never drift

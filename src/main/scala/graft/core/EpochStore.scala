@@ -175,6 +175,26 @@ private[graft] object EpochStore {
     readSegments(spark, path, name, cur)
       .getOrElse(Seq(s"${name}_e$cur"))
 
+  /** Run independent epoch-artifact ACTIONS concurrently (guide §2.6:
+    * actions are only sequential because the driver calls them
+    * sequentially). A store epoch write is a handful of tiny,
+    * independent jobs — driver-local codebook/meta frames, a bounded
+    * stats aggregate, a sidecar read — each paying the per-job floor;
+    * run from a small pool they overlap, so an epoch pays ~one floor
+    * instead of one per artifact. Every task completes (or fails)
+    * BEFORE this returns and the first failure is rethrown after all
+    * have settled — the write-everything-then-commit discipline is
+    * unchanged, and a failed sibling can never race a commit.
+    */
+  def inParallel(tasks: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fs = tasks.map(t => Future(t()))
+    val settled = fs.map(f => Await.ready(f, Duration.Inf).value.get)
+    settled.collectFirst { case scala.util.Failure(e) => throw e }: Unit
+  }
+
   /** Point the manifest at epoch `n` (atomic replace). Commit NEVER
     * deletes superseded epochs: a lazy frame (or, on a cluster, an
     * in-flight query) planned against the old epoch keeps reading files
@@ -240,27 +260,35 @@ private[graft] object EpochStore {
       readSegments(spark, path, n, cur).forall(_.size <= 1) }
     if (already) return cur
     val next = cur + 1
-    segmented.foreach { case (n, rewrite) =>
-      val df = spark.read.parquet(artifactPaths(spark, path, n, cur): _*)
-      val seg = segName(n, next)
-      rewrite(df).write.mode("overwrite").parquet(s"$path/$seg")
-      writeSegments(spark, path, n, next, Seq(seg))
-    }
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a carried family must be monolithic: silently skipping a
+    // segmented one would commit an epoch missing the family and leave
+    // the store unreadable at the compacted epoch (r20 ADVICE) — check
+    // every family BEFORE any rewrite starts
     carried.foreach { n =>
-      // a carried family must be monolithic: silently skipping a
-      // segmented one would commit an epoch missing the family and leave
-      // the store unreadable at the compacted epoch (r20 ADVICE)
       require(readSegments(spark, path, n, cur).isEmpty,
         s"carried family '$n' at epoch $cur is SEGMENTED (.segs sidecar " +
           "present) — compact only carries monolithic per-epoch families; " +
           "list it under `segmented` instead")
-      val src = new Path(epochDir(path, n, cur))
-      if (fs.exists(src))
-        spark.read.parquet(src.toString).coalesce(1)
-          .write.mode("overwrite").parquet(epochDir(path, n, next))
     }
+    // each family's rewrite/copy reads only the superseded epoch and
+    // writes only its own new dirs — independent actions, overlapped
+    // (guide §2.6) so a multi-family store pays ~one job floor per
+    // compaction, not one per family; commit stays last
+    EpochStore.inParallel(
+      (segmented.map { case (n, rewrite) => () => {
+        val df = spark.read.parquet(artifactPaths(spark, path, n, cur): _*)
+        val seg = segName(n, next)
+        rewrite(df).write.mode("overwrite").parquet(s"$path/$seg")
+        writeSegments(spark, path, n, next, Seq(seg))
+      }}: Seq[() => Unit]) ++
+      carried.map { n => () => {
+        val src = new Path(epochDir(path, n, cur))
+        if (fs.exists(src))
+          spark.read.parquet(src.toString).coalesce(1)
+            .write.mode("overwrite").parquet(epochDir(path, n, next))
+      }}: _*)
     commitEpoch(spark, path, next)
     next
   }

@@ -61,22 +61,28 @@ object Bm25IndexStore {
     val postSeg = EpochStore.segName("bmpost", next)
     val docsSeg = EpochStore.segName("bmdocs", next)
     val statsSeg = EpochStore.segName("bmstats", next)
-    tok.select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
-        explode(col("tk")).as("term"))
-      .groupBy(col("term"), col("doc_id"))
-      // dl is constant per doc_id — first() just carries it through
-      .agg(count(lit(1)).cast("long").as("tf"), first(col("dl")).as("dl"))
-      // term-sorted files: the serving filter's row-group pruning
-      .repartition(col("term"))
-      .sortWithinPartitions("term", "doc_id")
-      .write.mode("overwrite").parquet(s"$path/$postSeg")
-    tok.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
-      .write.mode("overwrite").parquet(s"$path/$docsSeg")
-    // the segment's (n, sdl) — derived from the batch at write time,
-    // additive over segments; coalesce covers the empty-batch segment
-    tok.agg(count(lit(1)).cast("long").as("n"),
-        coalesce(sum(size(col("tk")).cast("long")), lit(0L)).as("sdl"))
-      .write.mode("overwrite").parquet(s"$path/$statsSeg")
+    // the three family writes all read the checkpointed tokenize blocks
+    // and are independent — overlap them (guide §2.6; EpochStore
+    // inParallel): the map-side bmdocs pass and the 1-row bmstats
+    // aggregate back-fill slots while the heavy term-sorted bmpost
+    // shuffle runs, instead of paying three sequential job floors
+    EpochStore.inParallel(
+      () => tok.select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+          explode(col("tk")).as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        // dl is constant per doc_id — first() just carries it through
+        .agg(count(lit(1)).cast("long").as("tf"), first(col("dl")).as("dl"))
+        // term-sorted files: the serving filter's row-group pruning
+        .repartition(col("term"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite").parquet(s"$path/$postSeg"),
+      () => tok.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+        .write.mode("overwrite").parquet(s"$path/$docsSeg"),
+      // the segment's (n, sdl) — derived from the batch at write time,
+      // additive over segments; coalesce covers the empty-batch segment
+      () => tok.agg(count(lit(1)).cast("long").as("n"),
+          coalesce(sum(size(col("tk")).cast("long")), lit(0L)).as("sdl"))
+        .write.mode("overwrite").parquet(s"$path/$statsSeg"))
     def segs(name: String, seg: String): Seq[String] =
       (if (carryPrior)
          EpochStore.segmentsForAppend(spark, path, name, next - 1)

@@ -122,33 +122,48 @@ object VectorIndexStore {
       carryDriftFrom: Option[Long]): Unit = {
     import spark.implicits._
     val seg = EpochStore.segName("postings", next)
-    postings.write.mode("overwrite").parquet(s"$path/$seg")
+    // r22, two job-floor cuts on the epoch write (guide §2.6 / §1.2):
+    // the drift stats RIDE the postings write as observed metrics (the
+    // dedupGroups convergence-count discipline) instead of re-reading the
+    // just-written segment in a second job, and the independent tiny
+    // actions — codebook/meta writes, the prior-drift read — overlap in
+    // one inParallel batch instead of paying one job floor each. Same
+    // artifacts, same layout, same commit-last ordering.
+    val obs = org.apache.spark.sql.Observation()
+    var prior: Seq[(Long, String, Long, Double, Double)] = Seq.empty
+    EpochStore.inParallel(
+      () => postings
+        .observe(obs, count(lit(1)).as("n"), avg(col("cdist")).as("mc"),
+          expr("percentile_approx(cdist, 0.95)").as("p95"))
+        .write.mode("overwrite").parquet(s"$path/$seg"),
+      () => cents.zipWithIndex
+        .map { case ((id, cv, cn), i) => (i, id, cv.toSeq, cn) }.toSeq
+        .toDF("idx", "cent_id", "cv", "cnrm")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(EpochStore.epochDir(path, "ivf", next)),
+      () => Seq((m, k, dim, cb.toSeq, residual))
+        .toDF("m", "k", "dim", "cb", "residual")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(EpochStore.epochDir(path, "pqmeta", next)),
+      () => prior = carryDriftFrom.toSeq.flatMap { e =>
+        val p = new org.apache.hadoop.fs.Path(EpochStore.epochDir(path, "drift", e))
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) Seq.empty // store founded before drift telemetry
+        else spark.read.parquet(p.toString).collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+            r.getDouble(4)))
+      })
     EpochStore.writeSegments(spark, path, "postings", next, prevSegs :+ seg)
-    cents.zipWithIndex
-      .map { case ((id, cv, cn), i) => (i, id, cv.toSeq, cn) }.toSeq
-      .toDF("idx", "cent_id", "cv", "cnrm")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(EpochStore.epochDir(path, "ivf", next))
-    Seq((m, k, dim, cb.toSeq, residual))
-      .toDF("m", "k", "dim", "cb", "residual")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(EpochStore.epochDir(path, "pqmeta", next))
-    val st = spark.read.parquet(s"$path/$seg")
-      .agg(count(lit(1)), avg(col("cdist")),
-        expr("percentile_approx(cdist, 0.95)")).head()
+    val st = obs.get // the write above completed: available immediately
     val row = (next, if (carryDriftFrom.isEmpty) "founding" else "append",
-      st.getLong(0),
-      if (st.isNullAt(1)) 0.0 else st.getDouble(1),
-      if (st.isNullAt(2)) 0.0 else
-        st.get(2) match { case f: Float => f.toDouble; case d: Double => d })
-    val prior = carryDriftFrom.toSeq.flatMap { e =>
-      val p = new org.apache.hadoop.fs.Path(EpochStore.epochDir(path, "drift", e))
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) Seq.empty // store founded before drift telemetry
-      else spark.read.parquet(p.toString).collect().map(r =>
-        (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
-          r.getDouble(4)))
-    }
+      st("n").asInstanceOf[Long],
+      st("mc") match { case null => 0.0; case d => d.asInstanceOf[Double] },
+      st("p95") match {
+        case null => 0.0
+        case f: Float => f.toDouble
+        case d: Double => d
+        case other => other.asInstanceOf[Number].doubleValue()
+      })
     (prior :+ row).toDF("epoch", "kind", "n_rows", "mean_cdist", "p95_cdist")
       .coalesce(1).write.mode("overwrite")
       .parquet(EpochStore.epochDir(path, "drift", next))
