@@ -1456,6 +1456,15 @@ object Similarity {
           .orderBy(col("cos").desc, col("neighbor_id"))
         pairs.withColumn("brank", row_number().over(wb))
           .where(col("brank") <= k)
+          // ONE exchange for the rest of the tail (r22, guide §2.4): the
+          // frame here is already collapsed to ≤ n × bands × k rows, and
+          // hash-partitioning it by query_id satisfies BOTH the pair-
+          // dedup aggregate's (query_id, neighbor_id) clustering and the
+          // final window's (query_id) clustering — without it each
+          // planned its own exchange (3 post-join shuffles of the same
+          // skinny rows; now 2 including the window-limit exchange
+          // above). Row set unchanged; AQE may still coalesce.
+          .repartition(col("query_id"))
           // cross-band pair dedup: cos is identical wherever the pair
           // collided, so max is exact and order-independent
           .groupBy(col("query_id"), col("neighbor_id"))

@@ -265,10 +265,33 @@ class DedupSpec extends SparkSpec {
     val n = 30000L
     val chain = spark.range(n)
       .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
-    val got = Dedup.dedupGroups(chain)
-    assert(got.count() === n + 1)
-    assert(got.where(col("group_id") =!= 0L).count() === 0,
-      "every node of one chain must converge to the minimum id")
+    // force the DISTRIBUTED iteration: this spec exists to exercise the
+    // deep-round parquet barrier, which the r22 small-graph fast path
+    // would otherwise shortcut
+    spark.conf.set("spark.graft.dedupgroups.localThreshold", "0")
+    try {
+      val got = Dedup.dedupGroups(chain)
+      assert(got.count() === n + 1)
+      assert(got.where(col("group_id") =!= 0L).count() === 0,
+        "every node of one chain must converge to the minimum id")
+    } finally spark.conf.unset("spark.graft.dedupgroups.localThreshold")
+  }
+
+  test("dedupGroups small-graph fast path matches the distributed iteration") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val edges = (Seq.fill(300)(
+      (rnd.nextInt(400).toLong, rnd.nextInt(400).toLong))
+      .filter(e => e._1 != e._2) ++
+      (5000L until 5080L).map(i => (i, i + 1))).toDF("doc_a", "doc_b")
+    val fast = Dedup.dedupGroups(edges).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    spark.conf.set("spark.graft.dedupgroups.localThreshold", "0")
+    try {
+      val iter = Dedup.dedupGroups(edges).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(fast === iter)
+    } finally spark.conf.unset("spark.graft.dedupgroups.localThreshold")
   }
 
   test("dedupGroups spill-root resolution: param wins, then checkpoint dir, temp only local") {
@@ -289,10 +312,14 @@ class DedupSpec extends SparkSpec {
     java.nio.file.Files.writeString(sentinel, "do not delete")
     // a 5k-node chain needs ~13 rounds — past the 8 in-memory hybrid
     // generations, so the parquet slots are genuinely written and their
-    // cleanup is what this spec is watching
+    // cleanup is what this spec is watching (force the iterative path —
+    // the fast path would shortcut the spill machinery under test)
     val chain = spark.range(5000L)
       .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
-    val got = Dedup.dedupGroups(chain, spillDir = Some(dir.toString))
+    spark.conf.set("spark.graft.dedupgroups.localThreshold", "0")
+    val got =
+      try Dedup.dedupGroups(chain, spillDir = Some(dir.toString))
+      finally spark.conf.unset("spark.graft.dedupgroups.localThreshold")
     assert(got.count() === 5001L)
     assert(got.where(col("group_id") =!= 0L).count() === 0)
     assert(java.nio.file.Files.exists(sentinel),
@@ -314,18 +341,22 @@ class DedupSpec extends SparkSpec {
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     val dir = java.nio.file.Files.createTempDirectory("graft-shared-ckpt2").toString
-    val a = Future(Dedup.dedupGroups(
-      Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b"),
-      spillDir = Some(dir)).orderBy("doc_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSeq)
-    val b = Future(Dedup.dedupGroups(
-      Seq((10L, 11L), (12L, 11L)).toDF("doc_a", "doc_b"),
-      spillDir = Some(dir)).orderBy("doc_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSeq)
-    assert(Await.result(a, 300.seconds) ===
-      Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
-    assert(Await.result(b, 300.seconds) ===
-      Seq(10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // the subject is the ITERATIVE path's spill isolation — force it
+    spark.conf.set("spark.graft.dedupgroups.localThreshold", "0")
+    try {
+      val a = Future(Dedup.dedupGroups(
+        Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b"),
+        spillDir = Some(dir)).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+      val b = Future(Dedup.dedupGroups(
+        Seq((10L, 11L), (12L, 11L)).toDF("doc_a", "doc_b"),
+        spillDir = Some(dir)).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+      assert(Await.result(a, 300.seconds) ===
+        Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+      assert(Await.result(b, 300.seconds) ===
+        Seq(10L -> 10L, 11L -> 10L, 12L -> 10L))
+    } finally spark.conf.unset("spark.graft.dedupgroups.localThreshold")
   }
 
   test("dedupGroups result survives lost cached blocks (file-scan lineage)") {

@@ -653,17 +653,27 @@ class SimilaritySpec extends SparkSpec {
   test("knnGraph banded path: band-level pre-cap below the dedup exchange, both windows map-capped") {
     // The pair-dedup groupBy must never see the full candidate-pair
     // volume: a per-(query, band) top-k runs below it (exact — union of
-    // per-band top-k ⊇ global top-k, proof at the operator), and both it
-    // and the final per-query rank compile to Partial+Final
-    // WindowGroupLimit pairs → 4 limit nodes, 2 Window nodes, and no
-    // vector-width column crosses the post-score exchanges.
+    // per-band top-k ⊇ global top-k, proof at the operator) as a
+    // Partial+Final WindowGroupLimit pair around its exchange. r22: the
+    // capped frame is then hash-repartitioned by query_id ONCE, which
+    // clusters BOTH the pair-dedup aggregate and the final per-query
+    // rank — the final window runs exchange-free on that partitioning,
+    // so it carries a single (Final) WindowGroupLimit: 3 limit nodes,
+    // 2 Window nodes, 2 post-score exchanges (was 3), and no
+    // vector-width column crosses them.
     val g = Similarity.knnGraph(emb, k = 3, bands = 2)
     val plan = g.queryExecution.executedPlan.toString
     val limits = "WindowGroupLimit".r.findAllIn(plan).length
-    assert(limits === 4,
-      s"expected 2× (Partial+Final) WindowGroupLimit, plan had $limits:\n$plan")
-    assert("Window".r.findAllIn(plan).length === 6,
-      s"expected two Window nodes (+ their limit pairs):\n$plan")
+    assert(limits === 3,
+      s"expected Partial+Final band limit + Final rank limit, plan had $limits:\n$plan")
+    assert("Window".r.findAllIn(plan).length === 5,
+      s"expected two Window nodes (+ their limit nodes):\n$plan")
+    // the shared query_id exchange really is the LAST one: nothing
+    // re-shuffles between the pair-dedup aggregate and the final rank
+    // (operators ABOVE it print BEFORE it in the tree dump)
+    val above = plan.substring(0, plan.indexOf("REPARTITION_BY_COL"))
+    assert(!above.contains("ENSURE_REQUIREMENTS"),
+      s"a planner-inserted exchange crept in above the query_id repartition:\n$plan")
     // result is partitioning-independent (the exactness witness rides the
     // oracle; this guards the distributed determinism)
     val base = g.orderBy("query_id", "rank").collect().toSeq
