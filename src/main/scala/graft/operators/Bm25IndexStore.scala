@@ -181,10 +181,6 @@ object Bm25IndexStore {
     EpochStore.commitEpoch(spark, path, next)
   }
 
-  private def loadFamily(spark: SparkSession, path: String, name: String): DataFrame =
-    spark.read.parquet(EpochStore.artifactPaths(spark, path, name,
-      EpochStore.requireEpoch(spark, path, "Bm25IndexStore")): _*)
-
   /** Answers an external query batch `(query_id, terms)` from the
     * persisted index — [[TextAnalysis.bm25TopKBatch]]'s contract and
     * bit-identical scores, at postings cost: a batch reads Σ df posting
@@ -210,30 +206,27 @@ object Bm25IndexStore {
     * operator. The caps now bound only the broadcast query-term frame
     * (≤ maxQueries × maxTerms tiny rows), not the plan.
     */
-  def search(
-      spark: SparkSession,
-      path: String,
-      queries: DataFrame,
-      k: Int = 10,
-      k1: Double = 1.2,
-      b: Double = 0.75,
-      maxQueries: Int = 1024,
-      maxTerms: Int = 1024): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import spark.implicits._
-    require(k >= 1, s"k must be >= 1: $k")
-    val qs = TextAnalysis.collectQueryBatch(queries, maxQueries)
-    val terms = qs.flatMap(_._2).distinct.sorted
-    require(terms.size <= maxTerms,
-      s"query batch unions ${terms.size} distinct terms, over maxTerms=" +
-        s"$maxTerms — split the batch")
+  /** The loaded lexical index: the committed epoch a load resolved plus
+    * the two family frames a search touches. Load ONCE and serve many
+    * batches — [[graft.streaming.StreamingServe.serveFromIndex]] reuses
+    * it across triggers while the manifest still points at `epoch`;
+    * re-resolving the store per batch pays manifest reads and parquet
+    * file listings of driver metadata I/O per trigger (the r20 verdict's
+    * open serving item).
+    */
+  final case class Loaded(epoch: Long, posts: DataFrame, stats: DataFrame)
+
+  /** Resolve the committed epoch once and hand back the family frames
+    * (with the layout guards paid here, once per load, not per batch).
+    */
+  def load(spark: SparkSession, path: String): Loaded = {
     val e = EpochStore.requireEpoch(spark, path, "Bm25IndexStore")
     require(!isLegacyLayout(spark, path, e),
       s"Bm25IndexStore at $path was founded by a pre-bmstats layout " +
         "(no bmstats family / no denormalized dl on postings) — run one " +
         "append() (which migrates in place) or re-save() before searching")
-    val posts = loadFamily(spark, path, "bmpost")
-      .where(col("term").isin(terms: _*)) // pushed; prunes term-sorted row groups
+    val posts = spark.read.parquet(
+      EpochStore.artifactPaths(spark, path, "bmpost", e): _*)
     // r21 advice: the bmstats existence check above is decisive for both
     // in-repo writers (they commit bmstats + dl atomically), but a store
     // assembled by an external/hand-migrated writer could carry bmstats
@@ -243,12 +236,52 @@ object Bm25IndexStore {
       s"Bm25IndexStore at $path has a bmstats family but its bmpost " +
         "postings carry no dl column (externally assembled store?) — " +
         "run one append() (which migrates in place) or re-save()")
+    Loaded(e,
+      posts,
+      spark.read.parquet(
+        EpochStore.artifactPaths(spark, path, "bmstats", e): _*))
+  }
+
+  def search(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      maxQueries: Int = 1024,
+      maxTerms: Int = 1024): DataFrame =
+    search(spark, load(spark, path), queries, k, k1, b, maxQueries, maxTerms)
+
+  /** [[search]] against an already-[[load]]ed index — the serving-loop
+    * form: the store is resolved once, every batch pays only its own
+    * query work.
+    */
+  def search(
+      spark: SparkSession,
+      ix: Loaded,
+      queries: DataFrame,
+      k: Int,
+      k1: Double,
+      b: Double,
+      maxQueries: Int,
+      maxTerms: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    require(k >= 1, s"k must be >= 1: $k")
+    val qs = TextAnalysis.collectQueryBatch(queries, maxQueries)
+    val terms = qs.flatMap(_._2).distinct.sorted
+    require(terms.size <= maxTerms,
+      s"query batch unions ${terms.size} distinct terms, over maxTerms=" +
+        s"$maxTerms — split the batch")
+    val posts = ix.posts
+      .where(col("term").isin(terms: _*)) // pushed; prunes term-sorted row groups
     // ONE stats row: N and Σdl summed over the per-segment write-time
     // aggregates (#segments single-row files — never an O(N-docs)
     // scan); per-term df counted from the filtered postings — each
     // equals bm25TopKBatch's corpus-pass statistic exactly (a posting
     // row exists iff tf > 0, which is the batch's df test)
-    val corpusStats = loadFamily(spark, path, "bmstats").agg(
+    val corpusStats = ix.stats.agg(
       sum(col("n")).as("n"), sum(col("sdl")).as("sdl"))
     val dfByTerm = posts.groupBy(col("term"))
       .agg(count(lit(1)).cast("long").as("df"))

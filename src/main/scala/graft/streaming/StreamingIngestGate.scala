@@ -124,11 +124,15 @@ object StreamingIngestGate {
       .localCheckpoint()
     // fold exactly once PER STORE: a manifest still at its pinned epoch
     // means that store's append never committed (only this query writes
-    // the stores while it runs — the deployment contract)
-    if (EpochStore.currentEpoch(spark, fpStore) == fpE)
-      FingerprintStore.append(survivors, fpStore)
-    if (EpochStore.currentEpoch(spark, mhStore) == mhE)
-      MinHashStore.append(survivors, mhStore)
+    // the stores while it runs — the deployment contract). The two
+    // appends read the checkpointed survivors and write DISJOINT stores
+    // — independent actions, overlapped (guide §2.6) so a trigger pays
+    // ~one append's job floor, not two
+    EpochStore.inParallel(
+      () => if (EpochStore.currentEpoch(spark, fpStore) == fpE)
+        FingerprintStore.append(survivors, fpStore),
+      () => if (EpochStore.currentEpoch(spark, mhStore) == mhE)
+        MinHashStore.append(survivors, mhStore))
     survivors
   }
 

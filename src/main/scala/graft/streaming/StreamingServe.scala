@@ -75,12 +75,32 @@ object StreamingServe {
       queries: DataFrame,
       path: String,
       k: Int = 10,
-      onBatch: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+      onBatch: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    // Postings-frame reuse across triggers (r22; the r20 verdict's open
+    // serving item): a full store re-resolve per batch pays manifest
+    // reads + parquet file listings of driver metadata I/O per trigger.
+    // Now each trigger reads the manifest ONCE (one tiny file — how an
+    // epoch-pinned read must begin anyway) and reuses the loaded family
+    // frames while the epoch is unchanged; an ingest loop appending
+    // mid-stream moves the manifest and the next trigger reloads — the
+    // per-batch epoch-pinning semantics are exactly as before.
+    var cached: Option[graft.operators.Bm25IndexStore.Loaded] = None
     queries.writeStream
       .outputMode("append")
       .foreachBatch { (b: DataFrame, id: Long) =>
-        if (!b.isEmpty)
+        if (!b.isEmpty) {
+          val spark = b.sparkSession
+          val cur = graft.core.EpochStore.currentEpoch(spark, path)
+          val ix = cached match {
+            case Some(x) if x.epoch == cur => x
+            case _ =>
+              val x = graft.operators.Bm25IndexStore.load(spark, path)
+              cached = Some(x)
+              x
+          }
           onBatch(graft.operators.Bm25IndexStore.search(
-            b.sparkSession, path, b, k = k), id)
+            spark, ix, b, k, 1.2, 0.75, 1024, 1024), id)
+        }
       }
+  }
 }
