@@ -327,19 +327,25 @@ object Dump {
     */
   def loadInto(spark: SparkSession, dumpPath: String, targetDir: String): Unit = {
     val recorded = readManifest(spark, dumpPath).rows
-    load(spark, dumpPath).foreach { case (t, df) =>
-      // same observe()-riding count verification as loadIntoJdbc: a
-      // vanished dump shard must abort, not restore fewer rows
-      val obs = Observation(s"graft_loadinto_$t")
-      df.observe(obs, count(lit(1)).as("rows"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$targetDir/$t.parquet")
-      recorded.get(t).foreach { expect =>
-        val written = obs.get("rows").asInstanceOf[Long]
-        if (written != expect) sys.error(
-          s"load of $t wrote $written rows but the manifest recorded $expect — " +
-            s"dump at $dumpPath is truncated or partially written")
-      }
-    }
+    // Parquet targets enforce no constraints, so unlike the JDBC load the
+    // per-table copies have no ordering requirement — run them as
+    // concurrent jobs (guide §2.6; the Dump.write full-table discipline):
+    // a roundtrip restore isn't serialized on its largest table, and each
+    // copy keeps its own observe()-riding count verification.
+    graft.core.EpochStore.inParallel(
+      load(spark, dumpPath).map { case (t, df) => () => {
+        // same observe()-riding count verification as loadIntoJdbc: a
+        // vanished dump shard must abort, not restore fewer rows
+        val obs = Observation(s"graft_loadinto_$t")
+        df.observe(obs, count(lit(1)).as("rows"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$targetDir/$t.parquet")
+        recorded.get(t).foreach { expect =>
+          val written = obs.get("rows").asInstanceOf[Long]
+          if (written != expect) sys.error(
+            s"load of $t wrote $written rows but the manifest recorded $expect — " +
+              s"dump at $dumpPath is truncated or partially written")
+        }
+      }}: _*)
     val manifest = readManifest(spark, dumpPath)
     val seqs = manifest.loadOrder.map { t =>
       s"""  {"table": "$t", "value": ${manifest.sequences.getOrElse(t, 0L)}}"""
